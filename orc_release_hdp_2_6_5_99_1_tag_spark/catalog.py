@@ -28,12 +28,30 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 def _build() -> None:
     if _QUERIES:
         return
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import relational as r
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import stats as st
 
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
     register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)
     register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE)
+
+    register("f1_equals", f.f1_equals, f.F1_ORACLE)
+    register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)
+    register("f3_less_than", f.f3_less_than, f.F3_ORACLE)
+    register("f4_in_list", f.f4_in_list, f.F4_ORACLE)
+    register("f5_between", f.f5_between, f.F5_ORACLE)
+    register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
+    register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE)
+    register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE)
+
+    register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
+    register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)
+    register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE)
+    register("a4_merged_file_stats", st.a4_merged_file_stats, st.A4M_ORACLE)
+    register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE)
+    register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,247 @@
+"""Statistics machinery — the reference's aggregation surface
+(SURVEY §2.4, reference `ColumnStatisticsImpl.java` 1425 LoC:
+incremental update + partial/final `merge()` per typed subclass;
+stored at file/stripe/row-group level per `proto/orc_proto.proto:71-91`).
+
+Spark's hash aggregation has the identical partial→final merge design
+(map-side partial aggregation, exchange, final merge), so every
+operator here is a declarative groupBy/agg; the pseudo-stripe queries
+make the two-level merge *observable* and oracle-checkable.
+
+Scale note: these are single-scan aggregations with map-side partials
+— at 100 TB each is one shuffle of (groups × columns) tiny rows.
+Min/max/sum/count are mergeable by construction, exactly like the
+reference's stripe→file statistics roll-up.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+# Columns profiled by the column-statistics operators. A NULL-bearing
+# derived column stands in for the reference's hasNull/PRESENT coverage.
+_NUM_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+
+
+def a1_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level per-column statistics: numberOfValues, hasNull count,
+    min, max, sum (reference A1/A2; `proto:23-33,71-82`).
+
+    One row per profiled column; min/max/sum rendered as strings so
+    heterogeneous column types stack into one result. Single scan:
+    all aggregates computed in one pass, then unpivoted.
+    """
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_discount_nullable", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    cols = _NUM_COLS + ["l_discount_nullable", "l_returnflag"]
+    aggs = []
+    for c in cols:
+        is_num = c != "l_returnflag"
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            (
+                F.sum(F.col(c).cast("decimal(28,4)")).cast("decimal(38,4)").cast("string")
+                if is_num
+                else F.lit(None).cast("string")
+            ).alias(f"{c}__sum"),
+        ]
+    wide = l.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__sum" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as"
+        " (column_name, n_values, n_nulls, min_val, max_val, sum_val)"
+    ).orderBy("column_name")
+
+
+def _a1_oracle() -> str:
+    parts = []
+    for c in _NUM_COLS + ["l_discount_nullable", "l_returnflag"]:
+        expr = "NULLIF(l_discount, 0.0)" if c == "l_discount_nullable" else c
+        sum_expr = (
+            "CAST(CAST(SUM(CAST({e} AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS VARCHAR)".format(e=expr)
+            if c != "l_returnflag"
+            else "CAST(NULL AS VARCHAR)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT({expr}) AS n_values,"
+            f" COUNT(CASE WHEN {expr} IS NULL THEN 1 END) AS n_nulls,"
+            f" CAST(MIN({expr}) AS VARCHAR) AS min_val,"
+            f" CAST(MAX({expr}) AS VARCHAR) AS max_val,"
+            f" {sum_expr} AS sum_val FROM lineitem"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+A1_ORACLE = _a1_oracle()
+
+
+def a3_boolean_true_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean bucket statistics (reference BucketStatistics,
+    `proto:42-44`): trueCount of derived booleans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.sum((F.col("l_returnflag") == "R").cast("int")).alias("returned_true_count"),
+        F.sum((F.col("l_quantity") >= 25).cast("int")).alias("bulk_true_count"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A3_ORACLE = """
+SELECT SUM(CAST(l_returnflag = 'R' AS INT)) AS returned_true_count,
+       SUM(CAST(l_quantity >= 25 AS INT)) AS bulk_true_count,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+def _stripe_key():
+    # Deterministic pseudo-stripe assignment (~10k-row granularity at
+    # sf0.01, mirroring the reference's 10k-row index stride).
+    return (F.col("l_orderkey") % 6).alias("stripe_id")
+
+
+def a4_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial (per-stripe) statistics — level 2 of the reference's
+    file/stripe/row-group hierarchy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(_stripe_key())
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("stripe_id")
+    )
+
+
+A4_ORACLE = """
+SELECT l_orderkey % 6 AS stripe_id,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY l_orderkey % 6
+ORDER BY stripe_id
+"""
+
+
+def a4_merged_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final merge: re-aggregate the per-stripe partials into file-level
+    statistics (reference `ColumnStatisticsImpl.merge()` — min of mins,
+    max of maxes, sum of sums, count of counts). Equals a direct
+    file-level aggregation; computing it *from the partials* is the
+    point."""
+    partial = a4_stripe_stats(spark, sf_dir)
+    return partial.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.sum(F.col("sum_price").cast("decimal(28,2)")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_stripes"),
+    )
+
+
+A4M_ORACLE = """
+SELECT SUM(n_rows) AS n_rows,
+       MIN(min_price) AS min_price,
+       MAX(max_price) AS max_price,
+       CAST(SUM(CAST(sum_price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_stripes
+FROM (
+  SELECT l_orderkey % 6 AS stripe_id,
+         COUNT(*) AS n_rows,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem
+  GROUP BY l_orderkey % 6
+) s
+"""
+
+
+# Simplified deserialized-size model per the reference's raw-data-size
+# estimate (`WriterImpl.getRawDataSize:2685-2745`, JavaDataModel):
+# fixed-width primitives = their byte width, strings = 2 bytes/char.
+_SIZE_MODEL = {
+    "l_orderkey": "8",
+    "l_linenumber": "4",
+    "l_quantity": "8",
+    "l_extendedprice": "8",
+    "l_returnflag": "2 * LENGTH(l_returnflag)",
+    "l_shipdate": "12",
+}
+
+
+def a5_raw_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.sum(F.expr(model.replace("LENGTH", "length"))).alias(f"{c}_bytes")
+        for c, model in _SIZE_MODEL.items()
+    ]
+    return l.agg(*aggs).select(
+        (sum([F.col(f"{c}_bytes") for c in _SIZE_MODEL], F.lit(0))).alias("raw_data_size"),
+        *[F.col(f"{c}_bytes") for c in _SIZE_MODEL],
+    )
+
+
+A5_ORACLE = (
+    "SELECT ("
+    + " + ".join(f"SUM({m})" for m in _SIZE_MODEL.values())
+    + ") AS raw_data_size, "
+    + ", ".join(f"SUM({m}) AS {c}_bytes" for c, m in _SIZE_MODEL.items())
+    + " FROM lineitem"
+)
+
+
+def a6_dictionary_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding decision (reference
+    `WriterImpl.checkDictionaryEncoding:1228-1239`): distinct/total
+    ratio vs the 0.8 `orc.dictionary.key.threshold`. Exact distinct
+    here for oracle parity; the scale path swaps in
+    `approx_count_distinct` (HLL) — same decision, no exact-distinct
+    shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = []
+    for c in ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]:
+        out.append(
+            l.agg(
+                F.lit(c).alias("column_name"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.count(F.col(c)).alias("n_values"),
+            ).select(
+                "column_name",
+                "n_distinct",
+                "n_values",
+                (F.col("n_distinct") / F.col("n_values")).alias("distinct_ratio"),
+                (F.col("n_distinct") / F.col("n_values") <= 0.8).alias("use_dictionary"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("column_name")
+
+
+A6_ORACLE = (
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(DISTINCT {c}) AS n_distinct,"
+        f" COUNT({c}) AS n_values,"
+        f" COUNT(DISTINCT {c}) / CAST(COUNT({c}) AS DOUBLE) AS distinct_ratio,"
+        f" (COUNT(DISTINCT {c}) / CAST(COUNT({c}) AS DOUBLE)) <= 0.8 AS use_dictionary"
+        " FROM lineitem"
+        for c in ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]
+    )
+    + " ORDER BY column_name"
+)
