@@ -29,6 +29,7 @@ def _build() -> None:
     if _QUERIES:
         return
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import relational as r
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import stats as st
 
@@ -45,6 +46,15 @@ def _build() -> None:
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
     register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE)
     register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE)
+
+    register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
+    register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE)
+    register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE)
+    register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE)
+    register("s9_json_to_orc_convert", oq.s9_json_to_orc_convert, oq.S9_ORACLE)
+    register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
+    register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
+    register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
 
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)

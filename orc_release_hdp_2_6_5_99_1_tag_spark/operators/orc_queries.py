@@ -1,0 +1,289 @@
+"""ORC source/sink capability queries (SURVEY §2.1/§2.2/§2.7).
+
+Each query exercises a reference storage capability *through* Spark's
+ORC datasource and returns a DataFrame whose values are derivable from
+the original parquet tables — so DuckDB (which never sees the ORC
+copies) can still act as the oracle: if the ORC write→read round trip
+loses or mangles anything, the fingerprint diverges.
+
+Scale notes: ORC copies are cached once per (sf, variant) under
+.scratch; bloom/sorted variants are written sorted so row-group
+min/max ranges are disjoint (the reference's split-elimination layout,
+`examples/orc_split_elim.orc`) and point predicates actually skip
+row groups. Partition pruning (the Spark-native analog of reference
+byte-range split selection, `RecordReaderImpl.java:220-255`) is
+demonstrated on a Hive-layout write.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.meta import orc_file_stats_from_footer
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc, write_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+
+def _lineitem_fingerprint(df: DataFrame) -> DataFrame:
+    """Checksum-style aggregate over every lineitem column (any
+    round-trip corruption shows up here)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.sum("l_partkey").alias("sum_partkey"),
+        F.sum("l_suppkey").alias("sum_suppkey"),
+        F.sum("l_linenumber").alias("sum_linenumber"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double").alias("sum_discount"),
+        F.sum(F.col("l_tax").cast("decimal(8,4)")).cast("double").alias("sum_tax"),
+        F.count_distinct("l_returnflag").alias("nd_returnflag"),
+        F.count_distinct("l_linestatus").alias("nd_linestatus"),
+        F.max(F.col("l_shipdate").cast("string")).alias("max_shipdate"),
+        F.min(F.col("l_shipdate").cast("string")).alias("min_shipdate"),
+    )
+
+
+_LINEITEM_FP_SQL = """
+SELECT COUNT(*) AS cnt,
+       SUM(l_orderkey) AS sum_orderkey,
+       SUM(l_partkey) AS sum_partkey,
+       SUM(l_suppkey) AS sum_suppkey,
+       SUM(l_linenumber) AS sum_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_discount,
+       CAST(SUM(CAST(l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_tax,
+       COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+       COUNT(DISTINCT l_linestatus) AS nd_linestatus,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate
+FROM lineitem
+"""
+
+
+def s1_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3: write lineitem as ORC with reference defaults (zlib,
+    64 MiB stripe, 10k stride), read it back, checksum every column."""
+    path = orc_copy(spark, sf_dir, "lineitem")
+    return _lineitem_fingerprint(read_orc(spark, path))
+
+
+S1_ORACLE = _LINEITEM_FP_SQL
+
+
+def s3_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + I2 + F1: ORC copy sorted by l_orderkey with bloom filters
+    on the key (fpp 0.05, reference `OrcConf.java:76-77,106-117`);
+    point lookup hits one row group out of many (split-elimination
+    layout). Result is the matching rows, fully projected."""
+    path = orc_copy(
+        spark,
+        sf_dir,
+        "lineitem",
+        variant="bloom",
+        bloom_filter_columns="l_orderkey",
+        compression="snappy",
+        sort_by=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        read_orc(spark, path)
+        .filter(F.col("l_orderkey") == 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_linenumber")
+    )
+
+
+S3_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey = 1000 ORDER BY l_linenumber
+"""
+
+
+def p1_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + F3/F7: projection + predicate over the ORC copy; Catalyst
+    prunes columns and pushes the predicate into the ORC reader
+    (asserted on the physical plan in tests/test_plans.py)."""
+    path = orc_copy(spark, sf_dir, "lineitem")
+    df = (
+        read_orc(spark, path)
+        .filter((F.col("l_quantity") >= 30) & (F.col("l_returnflag") == "A"))
+        .select("l_orderkey", "l_quantity")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_quantity"),
+    )
+
+
+P1_ORACLE = """
+SELECT COUNT(*) AS cnt, SUM(l_orderkey) AS sum_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity
+FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'A'
+"""
+
+
+def s5_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: Hive-layout partitioned ORC write; a partition predicate
+    prunes directories at plan time — the engine's analog of the
+    reference's stripe-range split selection. Plan shows the pruned
+    partition count (asserted in tests)."""
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_by_status")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.repartition("o_orderstatus")
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .partitionBy("o_orderstatus")
+            .orc(dest)
+        )
+    df = spark.read.orc(dest).filter(F.col("o_orderstatus") == "F")
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_totalprice"),
+    )
+
+
+S5_ORACLE = """
+SELECT COUNT(*) AS cnt, SUM(o_orderkey) AS sum_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def s9_json_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: JSON → ORC conversion pipeline (reference ConvertTool,
+    `tools/convert/JsonReader.java`): dump events to JSON, read JSON
+    with explicit schema, write ORC, read back, aggregate."""
+    base = scratch_dir(sf_dir)
+    json_dir = os.path.join(base, "json", "events")
+    orc_dir = os.path.join(base, "orc", "events_from_json")
+    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        e.write.mode("overwrite").json(json_dir)
+        j = spark.read.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string,"
+            " value double, props string"
+        ).json(json_dir)
+        write_orc(j.withColumn("ts", F.to_timestamp("ts")), orc_dir)
+    df = read_orc(spark, orc_dir)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+            F.max(F.col("ts").cast("string")).alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+S9_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt, SUM(event_id) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def s10_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: schema inference with merge/widening over a heterogeneous
+    JSON corpus (reference `JsonSchemaFinder.pickType/mergeType`):
+    one file set writes `value` as integer, another as double; `extra`
+    exists only in one set (→ nullable merge). Returns the inferred
+    (field, type) table."""
+    base = scratch_dir(sf_dir)
+    json_dir = os.path.join(base, "json", "mixed_schema")
+    if not os.path.exists(os.path.join(json_dir, "_done")):
+        e = load_table(spark, sf_dir, "events")
+        a = e.limit(200).select(
+            "event_id", F.col("value").cast("long").alias("value"), "event_type"
+        )
+        b = e.limit(200).select(
+            "event_id", F.col("value").alias("value"), F.lit("x").alias("extra")
+        )
+        a.write.mode("overwrite").json(os.path.join(json_dir, "a"))
+        b.write.mode("overwrite").json(os.path.join(json_dir, "b"))
+        open(os.path.join(json_dir, "_done"), "w").close()
+    inferred = spark.read.json([os.path.join(json_dir, "a"), os.path.join(json_dir, "b")])
+    fields = [(f.name, f.dataType.simpleString()) for f in inferred.schema.fields]
+    return spark.createDataFrame(sorted(fields), "field string, inferred_type string")
+
+
+# Golden expectation: long+double widens to double; `extra`/`event_type`
+# merge as nullable strings (field order alphabetical).
+S10_ORACLE = """
+SELECT * FROM (VALUES
+  ('event_id', 'bigint'),
+  ('event_type', 'string'),
+  ('extra', 'string'),
+  ('value', 'double')
+) AS t(field, inferred_type)
+ORDER BY field
+"""
+
+
+def s13_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: corrupt-file recovery (reference `FileDump.recoverFiles` /
+    `SKIP_CORRUPT_DATA`, `OrcConf.java:80-84`): an ORC directory with a
+    torn garbage file still yields every valid row under
+    `spark.sql.files.ignoreCorruptFiles` (set/restored around the
+    action so the driver's session is untouched)."""
+    base = scratch_dir(sf_dir)
+    dest = os.path.join(base, "orc", "nation_with_corrupt")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        write_orc(load_table(spark, sf_dir, "nation"), dest)
+        with open(os.path.join(dest, "part-corrupt.orc"), "wb") as fh:
+            fh.write(b"ORC\x00this is not a real orc file" * 64)
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        rows = (
+            spark.read.orc(dest)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").alias("sum_key"),
+                F.count_distinct("n_regionkey").alias("nd_region"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return spark.createDataFrame(rows)
+
+
+S13_ORACLE = """
+SELECT COUNT(*) AS cnt, SUM(n_nationkey) AS sum_key,
+       COUNT(DISTINCT n_regionkey) AS nd_region
+FROM nation
+"""
+
+
+def s11_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12: footer-metadata query (orc-tools meta): row counts from
+    file tails only — no data pages read. The copy is written with a
+    fixed file count so the result is scale-stable and oracle-checkable
+    against a full count."""
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_meta4")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        write_orc(load_table(spark, sf_dir, "lineitem").repartition(4), dest)
+    return orc_file_stats_from_footer(spark, dest)
+
+
+S11_ORACLE = """
+SELECT 4 AS nfiles, COUNT(*) AS total_rows, 4 AS total_stripes FROM lineitem
+"""
