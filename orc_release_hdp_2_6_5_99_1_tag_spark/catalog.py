@@ -28,6 +28,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 def _build() -> None:
     if _QUERIES:
         return
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import relational as r
@@ -55,6 +56,11 @@ def _build() -> None:
     register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
     register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
     register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
+
+    register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE)
+    register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)
+    register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE)
+    register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE)
 
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)

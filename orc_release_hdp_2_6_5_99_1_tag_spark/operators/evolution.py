@@ -1,0 +1,213 @@
+"""Schema evolution + cast matrix (SURVEY §2.9) and type-system
+round-trips (§1.2).
+
+The reference's only scalar functions are the ~40 read-time casts in
+`ConvertTreeReaderFactory.java:401-2100`, applied when reader schema ≠
+file schema (`SchemaEvolution.buildConversion:335`). Catalyst
+implements the same lattice as `cast`; the hazard cases called out in
+SURVEY (string→numeric null-on-error, int→timestamp seconds semantics,
+char/varchar length enforcement) are exercised explicitly and mirrored
+in the oracle with TRY_CAST / to_timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.functions import (
+    as_char,
+    as_varchar,
+    union_decode,
+    union_encode,
+    union_tag,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc, write_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+
+def c1_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: read an ORC file with an evolved reader schema — widened int
+    (int→bigint), added column (→ NULL, reference NullTreeReader
+    `TreeReaderFactory.java:255-288`), dropped columns (projection).
+    Name-based mapping, like `SchemaEvolution.buildConversion`."""
+    path = orc_copy(spark, sf_dir, "part")
+    reader_schema = (
+        "p_partkey bigint, p_size bigint, p_retailprice double, p_comment_added string"
+    )
+    df = read_orc(spark, path, schema=reader_schema)
+    return df.orderBy("p_partkey").select(
+        "p_partkey", "p_size", "p_retailprice", "p_comment_added"
+    )
+
+
+C1_ORACLE = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(p_size AS BIGINT) AS p_size,
+       p_retailprice,
+       CAST(NULL AS VARCHAR) AS p_comment_added
+FROM part ORDER BY p_partkey
+"""
+
+
+def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the cast lattice over live data — int↔{bigint,double,string,
+    decimal,timestamp}, double↔string, string↔{int,double,date},
+    decimal→string, timestamp↔date/string, plus char/varchar length
+    enforcement. Spark 4 casts are ANSI (malformed input errors), so
+    the reference's null-on-error conversion semantics
+    (`ConvertTreeReaderFactory`) map to try_cast — TRY_CAST in the
+    oracle (the parity hazard SURVEY §7 flags). Int→timestamp is SECONDS since epoch (the reference
+    disables PPD on that conversion because of the seconds/millis
+    ambiguity, `RecordReaderImpl.java:750-754`)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.filter(F.col("l_orderkey") <= 200)
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("i_to_big"),
+        F.col("l_linenumber").cast("double").alias("i_to_dbl"),
+        F.col("l_orderkey").cast("string").alias("i_to_str"),
+        F.col("l_quantity").cast("decimal(10,2)").cast("string").alias("dbl_to_dec_str"),
+        F.col("l_discount").cast("string").alias("dbl_to_str"),
+        F.col("l_orderkey").cast("string").cast("int").alias("str_roundtrip_int"),
+        F.col("l_returnflag").try_cast("int").alias("str_to_int_null"),
+        F.col("l_discount").cast("string").cast("double").alias("str_to_dbl"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ts_to_date_str"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").cast("date").cast("string").alias("str_to_date_str"),
+        F.col("l_shipdate").cast("string").alias("ts_to_str"),
+        (F.col("l_linenumber") * 100000).cast("timestamp").cast("string").alias("int_secs_to_ts_str"),
+        as_char(F.col("l_returnflag"), 3).alias("char3"),
+        as_varchar(F.col("l_linestatus"), 1).alias("varchar1"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+C2_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_linenumber AS BIGINT) AS i_to_big,
+  CAST(l_linenumber AS DOUBLE) AS i_to_dbl,
+  CAST(l_orderkey AS VARCHAR) AS i_to_str,
+  CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS dbl_to_dec_str,
+  CAST(l_discount AS VARCHAR) AS dbl_to_str,
+  CAST(CAST(l_orderkey AS VARCHAR) AS INT) AS str_roundtrip_int,
+  TRY_CAST(l_returnflag AS INT) AS str_to_int_null,
+  CAST(CAST(l_discount AS VARCHAR) AS DOUBLE) AS str_to_dbl,
+  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ts_to_date_str,
+  CAST(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS VARCHAR) AS str_to_date_str,
+  CAST(CAST(l_shipdate AS TIMESTAMP) AS VARCHAR) AS ts_to_str,
+  CAST(CAST(to_timestamp(l_linenumber * 100000) AS TIMESTAMP) AS VARCHAR) AS int_secs_to_ts_str,
+  rpad(substr(l_returnflag, 1, 3), 3, ' ') AS char3,
+  substr(l_linestatus, 1, 1) AS varchar1
+FROM lineitem
+WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def u1_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union type via the tagged-struct convention, round-tripped
+    through ORC: encode uniontype<bigint,string> rows, write, read,
+    decode, aggregate per tag. Exactly one variant is non-null per row
+    (the reference's tag-stream invariant)."""
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "union_demo")
+    l = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tag = (F.col("l_linenumber") % 2).cast("tinyint")
+        u = l.select(
+            "l_orderkey",
+            "l_linenumber",
+            union_encode(tag, F.col("l_orderkey"), F.col("l_returnflag")).alias("u"),
+        )
+        write_orc(u, dest)
+    df = read_orc(spark, dest)
+    return (
+        df.select(
+            union_tag(F.col("u")).alias("tag"),
+            union_decode(F.col("u"), 0).alias("v_long"),
+            union_decode(F.col("u"), 1).alias("v_str"),
+        )
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("v_long").alias("n_long"),
+            F.count("v_str").alias("n_str"),
+            F.sum("v_long").alias("sum_long"),
+            F.count_distinct("v_str").alias("nd_str"),
+        )
+        .orderBy("tag")
+    )
+
+
+U1_ORACLE = """
+SELECT CAST(l_linenumber % 2 AS TINYINT) AS tag,
+       COUNT(*) AS cnt,
+       COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS n_long,
+       COUNT(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS n_str,
+       SUM(CASE WHEN l_linenumber % 2 = 0 THEN l_orderkey END) AS sum_long,
+       COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag END) AS nd_str
+FROM lineitem
+GROUP BY l_linenumber % 2
+ORDER BY tag
+"""
+
+
+def t1_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 nested types: struct / array<struct> / map round-trip
+    through ORC (the reference's `bigrow` test shape,
+    `TestVectorOrcFile.java:243-247`), then flatten and checksum.
+    NULLs injected at the struct level cover PRESENT-stream semantics.
+    """
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "nested_demo")
+    l = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        nested = l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(
+                F.col("l_linenumber") != 7,
+                F.struct(
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                ),
+            ).alias("inner"),
+            F.array(F.col("l_discount"), F.col("l_tax")).alias("rates"),
+            F.create_map(F.col("l_returnflag"), F.col("l_quantity")).alias("flagmap"),
+            F.struct(
+                F.array(
+                    F.struct(F.col("l_linenumber").alias("int1"), F.col("l_linestatus").alias("string1"))
+                ).alias("list")
+            ).alias("middle"),
+        )
+        write_orc(nested, dest)
+    df = read_orc(spark, dest)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("inner").alias("n_inner"),
+        F.sum(F.col("inner.qty").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("inner.price").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.element_at("rates", 1).cast("decimal(8,4)")).cast("double").alias("sum_disc"),
+        F.sum(F.element_at("rates", 2).cast("decimal(8,4)")).cast("double").alias("sum_tax"),
+        F.sum(F.element_at(F.col("flagmap"), F.lit("R")).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_r_qty"),
+        F.sum(F.col("middle.list")[0]["int1"]).alias("sum_mid_int"),
+        F.count_distinct(F.col("middle.list")[0]["string1"]).alias("nd_mid_str"),
+    )
+
+
+T1_ORACLE = """
+SELECT COUNT(*) AS cnt,
+       COUNT(CASE WHEN l_linenumber != 7 THEN 1 END) AS n_inner,
+       CAST(SUM(CASE WHEN l_linenumber != 7 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CASE WHEN l_linenumber != 7 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc,
+       CAST(SUM(CAST(l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_tax,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_r_qty,
+       SUM(l_linenumber) AS sum_mid_int,
+       COUNT(DISTINCT l_linestatus) AS nd_mid_str
+FROM lineitem
+"""
