@@ -28,6 +28,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 def _build() -> None:
     if _QUERIES:
         return
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import acid as ac
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
@@ -61,6 +62,15 @@ def _build() -> None:
     register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)
     register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE)
     register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE)
+
+    register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE)
+    register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
+    register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE)
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark import streaming as stream
+
+    register("r1_streaming_orc_ingest", stream.r1_streaming_orc_ingest, stream.ingest.R1_ORACLE)
+    register("r2_streaming_windowed_agg", stream.r2_streaming_windowed_agg, stream.ingest.R2_ORACLE)
 
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)

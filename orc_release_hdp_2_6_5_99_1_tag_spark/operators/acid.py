@@ -1,0 +1,214 @@
+"""ACID / transactional layer (SURVEY §2.10; reference
+`site/_docs/acid.md:26-109`, `SchemaEvolution.java:460-514`,
+`AcidStats.java:24-44`).
+
+The reference stores a base directory plus `delta_txn_txn/bucket_N`
+files of event-wrapped rows
+`struct<operation:int, originalTransaction:bigint, bucket:int,
+rowId:bigint, currentTransaction:bigint, row:struct<...>>`, ordered by
+(originalTransaction, bucket, rowId) so readers can merge-sort; the
+merged view keeps the event with the highest currentTransaction per
+key and drops deletes.
+
+Here that is a pure DataFrame composition: `unionByName` over
+base+delta ORC dirs → window latest-txn-wins → filter deletes. No
+Catalyst extension needed.
+
+Scale notes: the merge shuffles once on the ACID key; at 100 TB the
+window is per-key tiny (a handful of versions per row). Buckets map to
+Spark partitioning; compaction (T3) is the standard
+read-merged-view→rewrite-base job, which also resets the window cost
+to zero for subsequent readers.
+
+Demo dataset is built deterministically from `orders`:
+  txn 1 (base): every order INSERTed
+  txn 2 (delta): orders with o_orderkey % 10 == 0 UPDATEd
+                 (status → 'U', totalprice += 100.00)
+  txn 3 (delta): orders with o_orderkey % 100 == 0 DELETEd
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import read_orc, write_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+OP_INSERT, OP_UPDATE, OP_DELETE = 0, 1, 2
+_N_BUCKETS = 4
+
+# Physical (on-disk) column names are underscore-prefixed: ORC-java
+# special-cases the exact reference field names (operation,
+# originalTransaction, bucket, rowId, currentTransaction, row) as a
+# Hive ACID file (`SchemaEvolution.checkAcidSchema` +
+# `acidEventFieldNames`, reference SchemaEvolution.java:76-77,460-514)
+# and remaps column ids, which breaks column-pruned vectorized reads.
+# The logical event schema keeps the reference names.
+_LOGICAL = ["operation", "originalTransaction", "bucket", "rowId", "currentTransaction", "row"]
+_PHYSICAL = ["_" + c for c in _LOGICAL]
+
+
+def _to_physical(df: DataFrame) -> DataFrame:
+    return df.toDF(*_PHYSICAL)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    return read_orc(spark, path).toDF(*_LOGICAL)
+
+
+def _acid_event(df: DataFrame, operation: int, txn: int) -> DataFrame:
+    """Wrap order rows in the ACID event schema (reference
+    `acid.md:70-109`; field names per `SchemaEvolution.acidEventFieldNames`)."""
+    return df.select(
+        F.lit(operation).alias("operation"),
+        F.lit(1).cast("bigint").alias("originalTransaction"),
+        (F.col("o_orderkey") % _N_BUCKETS).cast("int").alias("bucket"),
+        F.col("o_orderkey").alias("rowId"),
+        F.lit(txn).cast("bigint").alias("currentTransaction"),
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("totalprice"),
+        ).alias("row"),
+    )
+
+
+def acid_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the base + delta directory layout once per sf."""
+    root = os.path.join(scratch_dir(sf_dir), "acid", "orders_acid")
+    if os.path.exists(os.path.join(root, "_done")):
+        return root
+    o = load_table(spark, sf_dir, "orders")
+    base = _acid_event(o, OP_INSERT, txn=1)
+    updated = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(100.00).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    delta2 = _acid_event(updated, OP_UPDATE, txn=2)
+    deleted = o.filter(F.col("o_orderkey") % 100 == 0)
+    delta3 = _acid_event(deleted, OP_DELETE, txn=3)
+    # ACID key order within files (acid.md:69: events sorted by
+    # (originalTransaction, bucket, rowId) enables streaming merge)
+    for df, sub in [
+        (base, "base_0000001"),
+        (delta2, "delta_0000002_0000002"),
+        (delta3, "delta_0000003_0000003"),
+    ]:
+        write_orc(
+            _to_physical(
+                df.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                    "originalTransaction", "bucket", "rowId"
+                )
+            ),
+            os.path.join(root, sub),
+        )
+    open(os.path.join(root, "_done"), "w").close()
+    return root
+
+
+def merged_view(spark: SparkSession, root: str) -> DataFrame:
+    """T2 merge-on-read: latest currentTransaction wins per
+    (originalTransaction, bucket, rowId); deletes drop out."""
+    parts = [
+        _read_events(spark, os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if d.startswith(("base_", "delta_"))
+    ]
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
+        F.desc("currentTransaction")
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
+        .select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction")
+    )
+
+
+def t2_acid_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = acid_table_dir(spark, sf_dir)
+    return merged_view(spark, root).orderBy("id")
+
+
+T2_ORACLE = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2)) AS DOUBLE)
+            ELSE o_totalprice END AS totalprice,
+       CAST(o_orderkey % 4 AS INT) AS bucket,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS currentTransaction
+FROM orders
+WHERE o_orderkey % 100 != 0
+ORDER BY o_orderkey
+"""
+
+
+def t3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 major compaction: rewrite the merged view as a new base and
+    serve reads from it alone (same result as merge-on-read, zero merge
+    cost afterwards — reference `acid.md:45-62`)."""
+    root = acid_table_dir(spark, sf_dir)
+    compacted = os.path.join(scratch_dir(sf_dir), "acid", "orders_compacted")
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        base = merged_view(spark, root).select(
+            F.lit(OP_INSERT).alias("operation"),
+            F.lit(1).cast("bigint").alias("originalTransaction"),
+            "bucket",
+            F.col("id").alias("rowId"),
+            F.col("currentTransaction"),
+            F.struct(
+                F.col("id"), F.col("status"), F.col("totalprice")
+            ).alias("row"),
+        )
+        write_orc(
+            _to_physical(
+                base.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                    "originalTransaction", "bucket", "rowId"
+                )
+            ),
+            compacted,
+        )
+    out = _read_events(spark, compacted)
+    return out.select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction").orderBy(
+        "id"
+    )
+
+
+T3_ORACLE = T2_ORACLE
+
+
+def t4_acid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: insert/update/delete counts over the event files — the
+    reference's `hive.acid.stats` side metadata
+    (`OrcAcidUtils.parseAcidStats:74-86`)."""
+    root = acid_table_dir(spark, sf_dir)
+    parts = [
+        _read_events(spark, os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if d.startswith(("base_", "delta_"))
+    ]
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    return events.agg(
+        F.count(F.when(F.col("operation") == OP_INSERT, 1)).alias("inserts"),
+        F.count(F.when(F.col("operation") == OP_UPDATE, 1)).alias("updates"),
+        F.count(F.when(F.col("operation") == OP_DELETE, 1)).alias("deletes"),
+    )
+
+
+T4_ORACLE = """
+SELECT COUNT(*) AS inserts,
+       COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS updates,
+       COUNT(CASE WHEN o_orderkey % 100 = 0 THEN 1 END) AS deletes
+FROM orders
+"""

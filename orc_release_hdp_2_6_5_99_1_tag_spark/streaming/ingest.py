@@ -1,0 +1,136 @@
+"""Streaming ingest (SURVEY §2.11; reference R1-R3).
+
+The reference's streaming story is a long-open ORC file with
+intermediate footer flushes (`OrcConf.MAX_FILE_LENGTH`,
+`ReaderImpl.extractFileTail:515`) and a `_flush_length` side file so
+readers can see a consistent prefix of an open delta
+(`OrcAcidUtils.java:34-71`), with transactions batched per minute
+(`acid.md:20-24`).
+
+Structured Streaming supersedes each piece with cleaner semantics:
+micro-batch ORC sink files appear atomically per commit (R1), the
+checkpoint/commit log replaces `_flush_length` (R2), and
+`trigger(processingTime=...)` replaces txn-per-minute batching (R3).
+Here triggers use `availableNow` so the driver-checkable queries are
+deterministic and terminate; in production the same code runs with
+`processingTime="1 minute"`.
+
+Scale notes: the file-source streams scale by input-file partitioning
+(maxFilesPerTrigger); the windowed aggregation state is keyed by
+(window, event_type) — with a watermark bounding state. Complete mode
+is used for the deterministic oracle query only; the append+watermark
+path is exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts read as raw nanos
+    via an explicit long schema — no session-conf dependence).
+
+    The file source requires a directory, so the single parquet file is
+    staged once per sf as a symlink under scratch (testdata untouched).
+    """
+    src_dir = os.path.join(scratch_dir(sf_dir), "stream", "events_src")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R3: stream → filter/project → ORC sink in ACID-delta-shaped
+    micro-batches; then read the sink back and checksum it. Files
+    appear atomically per micro-batch commit — the capability the
+    reference approximates with intermediate footer flushes."""
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "events_orc")
+    ckpt = os.path.join(base, "stream", "events_orc_ckpt")
+    done = os.path.join(base, "stream", "events_orc._done")
+    if not os.path.exists(done):
+        stream = _events_stream(spark, sf_dir).filter(F.col("event_type") != "error")
+        q = (
+            stream.writeStream.format("orc")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .option("compression", "zlib")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        open(done, "w").close()
+    df = spark.read.orc(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        F.count_distinct("event_type").alias("nd_type"),
+        F.max(F.col("ts").cast("string")).alias("max_ts"),
+    )
+
+
+R1_ORACLE = """
+SELECT COUNT(*) AS cnt,
+       SUM(event_id) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT event_type) AS nd_type,
+       CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts
+FROM events WHERE event_type != 'error'
+"""
+
+
+def r2_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (1 day) over the stream, complete
+    mode to an in-memory sink for a deterministic, driver-checkable
+    result. The watermarked append-mode variant (late-data handling) is
+    exercised in tests."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    name = "r2_windowed_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("day", "event_type")
+
+
+R2_ORACLE = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""

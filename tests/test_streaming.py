@@ -1,0 +1,51 @@
+"""Watermark / append-mode streaming semantics (beyond the
+deterministic complete-mode query the driver checks)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def test_watermark_append_flushes_closed_windows(spark, sf_dir, tmp_path):
+    """Two-batch file stream: batch 1 = early events, batch 2 = events
+    a day later. With a 1-hour watermark, processing batch 2 advances
+    the watermark past batch-1 windows, so append mode emits them."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "wm_test_out"
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    early = events.filter(F.col("ts") < "2024-01-05")
+    late = events.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12"))
+    early.write.parquet(src + "/b1")
+    late.write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(out_name).count()
+    # every batch-1 day-window is strictly before the batch-2 watermark,
+    # so at least those windows must have been emitted
+    expected_min = early.select(F.date_trunc("day", "ts")).distinct().count()
+    assert emitted >= expected_min, f"append mode emitted {emitted} < {expected_min} closed windows"
