@@ -29,7 +29,11 @@ def _build() -> None:
     if _QUERIES:
         return
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import acid as ac
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import relational as r
@@ -71,6 +75,21 @@ def _build() -> None:
 
     register("r1_streaming_orc_ingest", stream.r1_streaming_orc_ingest, stream.ingest.R1_ORACLE)
     register("r2_streaming_windowed_agg", stream.r2_streaming_windowed_agg, stream.ingest.R2_ORACLE)
+
+    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE)
+    register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
+    register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE)
+    register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE)
+
+    register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
+    register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
+    register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE)
+    register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
+
+    register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
+    register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
+
+    register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
 
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)

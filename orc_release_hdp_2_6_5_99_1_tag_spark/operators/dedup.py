@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.13):
+exact, MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard ground
+truth.
+
+Everything is built from deterministic md5-derived 32-bit hashes so
+the DuckDB oracle can replicate the pipeline bit-for-bit — no reliance
+on engine-specific hash functions.
+
+Scale notes (the whole point of MinHash-LSH):
+- shingling + hashing is a narrow map (no shuffle);
+- signatures are one groupBy(doc) shuffle of (doc × shingle) rows;
+- banding turns O(n²) pair comparison into equality joins on
+  (band_idx, band_hash) — only docs sharing a bucket are paired;
+- exact-Jaccard verification runs only on the candidate pairs.
+At 100 TB the shingle explosion dominates; cap it with distinct
+shingles per doc (done) and, if needed, sample shingles by hash range
+(h % k == 0) — both engines support the same predicate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+_P = 4_294_967_291  # largest prime < 2^32
+# 16 fixed (a, b) permutation constants (a < 2^16 keeps a*h in int64)
+_PERMS = [
+    (49157, 12345), (24593, 54321), (12289, 11111), (6151, 22222),
+    (3079, 33333), (1543, 44444), (769, 55555), (389, 7777),
+    (193, 8888), (97, 9999), (53, 1234), (389, 4321),
+    (25165843, 999), (786433, 888), (196613, 777), (98317, 666),
+]
+_N_BANDS, _BAND_ROWS = 4, 4
+_JACCARD_THRESHOLD = 0.8
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc with a 32-bit md5-derived
+    hash (identical in the oracle: first 8 hex chars of md5)."""
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).distinct()
+    return sh.withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint hash-groupBy: one
+    shuffle on the fingerprint; canonical row = min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp")
+    )
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical")
+    )
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") - 1).alias("n_duplicates"),
+        F.sum("canonical").alias("canonical_checksum"),
+    )
+
+
+D1_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), g AS (
+  SELECT fp, COUNT(*) AS n, MIN(doc_id) AS canonical FROM fp GROUP BY fp
+)
+SELECT SUM(n) AS n_docs, COUNT(*) AS n_unique, SUM(n-1) AS n_duplicates,
+       SUM(canonical) AS canonical_checksum
+FROM g
+"""
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """16 minhash values per doc: min over shingles of (a*h + b) % P."""
+    sh = _shingles(d)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
+        for k, (a, b) in enumerate(_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """Band the signature: band hash = md5 of 4 concatenated minhashes."""
+    bands = []
+    for b in range(_N_BANDS):
+        cols = [F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+
+
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → 16-perm signature →
+    4×4 banding → bucket-equality candidate pairs → exact-Jaccard
+    verification at 0.8. Returns verified duplicate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", "s")
+    sig = minhash_signatures(d)
+    buckets = _band_buckets(sig)
+    b2 = buckets.toDF("doc_id2", "band_idx2", "band_hash2")
+    cand = (
+        buckets.join(
+            b2,
+            (F.col("band_idx") == F.col("band_idx2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("doc_id2")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_id2").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.toDF("doc_a", "sa")
+    shb = sh.toDF("doc_b2", "sb")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.toDF("doc_a", "na")
+    nb = sizes.toDF("doc_b", "nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_shingles() -> str:
+    return """
+  toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', t[u.i+1], t[u.i+2], t[u.i+3]) AS s
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-3)) AS i) u
+    WHERE len(t) >= 3
+  ), shh AS (
+    SELECT doc_id, s, cast(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh
+  )"""
+
+
+def _sql_signature() -> str:
+    mins = ", ".join(
+        f"MIN(({a}*h + {b}) % {_P}) AS m{k}" for k, (a, b) in enumerate(_PERMS)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id)"
+
+
+def _sql_buckets() -> str:
+    rows = []
+    for b in range(_N_BANDS):
+        cols = ", ".join(f"CAST(m{b * _BAND_ROWS + r} AS VARCHAR)" for r in range(_BAND_ROWS))
+        rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    return "buckets AS (" + " UNION ALL ".join(rows) + ")"
+
+
+D2_ORACLE = f"""
+WITH {_sql_shingles()}, {_sql_signature()}, {_sql_buckets()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct tokens (md5-derived
+    token hashes): bit b of the fingerprint is the sign of the summed
+    ±1 votes of each token's bit b. Near-identical docs get equal or
+    1-2-bit-distant fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    per_doc = per_doc.select("doc_id", sim.alias("simhash"))
+    dup = per_doc.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    return (
+        dup.filter(F.col("n") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_gt1"),
+            F.sum("n").alias("n_docs_in_dup_buckets"),
+            F.sum("min_doc").alias("bucket_checksum"),
+        )
+    )
+
+
+D3_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM documents, LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) u
+), th AS (
+  SELECT doc_id, cast(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM th GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {sim} AS simhash FROM votes
+), dup AS (
+  SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS min_doc FROM sims GROUP BY simhash
+)
+SELECT COUNT(*) AS n_buckets_gt1, SUM(n) AS n_docs_in_dup_buckets,
+       SUM(min_doc) AS bucket_checksum
+FROM dup WHERE n > 1
+""".format(
+    votes=", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    ),
+    sim=" + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)),
+)
+
+
+def d4_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via token join (the ground truth
+    d2's LSH approximates): top-20 most similar pairs. The token join
+    is the scalable exact formulation — pairs materialize only for
+    docs sharing a shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.toDF("doc_a", "s")
+    b = sh.toDF("doc_b", "s2")
+    inter = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.toDF("doc_a", "na")
+    nb = sizes.toDF("doc_b", "nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+D4_ORACLE = f"""
+WITH {_sql_shingles()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""

@@ -1,0 +1,100 @@
+"""Multimodal column handling (SURVEY §2.13): opaque binary payloads +
+typed metadata, processed with Arrow-batched `mapInPandas`.
+
+The decode step (image/audio libraries) is STUBBED — the container has
+no codecs — but the Spark-side plumbing is real: binary column
+construction, schema, partition-sized Arrow batches, and the pandas
+UDF signature are exactly what a real decoder plugs into.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); payload columns should be read lazily (binary column kept
+out of any shuffle — features are extracted before joins/aggregates,
+then the payload is dropped).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+_FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, byte_checksum bigint, decode_status string"
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder hook — image/audio libs are not available in this
+    environment (SURVEY: stub decode behind NotImplementedError)."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; "
+        "extract_features uses the deterministic stub path"
+    )
+
+
+def make_feature_extractor():
+    """Arrow-batched feature extractor over binary payloads.
+
+    Deterministic stub features (length, first byte, additive
+    checksum) stand in for real embeddings/thumbnails; the batch shape
+    and schema are the real contract.
+
+    Returned as a closure (not a module-level function) so cloudpickle
+    ships it by value — Spark's Python workers do not have this repo
+    on their import path when the driver runs from elsewhere."""
+
+    def extract(batches: Iterator["object"]) -> Iterator["object"]:
+        for pdf in batches:
+            payloads = pdf["content"]
+            pdf_out = pdf[["doc_id"]].copy()
+            pdf_out["n_bytes"] = [len(b) for b in payloads]
+            pdf_out["first_byte"] = [(b[0] if len(b) else -1) for b in payloads]
+            pdf_out["byte_checksum"] = [int(sum(b) % 2_147_483_647) for b in payloads]
+            pdf_out["decode_status"] = "stub"
+            yield pdf_out
+
+    return extract
+
+
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents.text encoded as utf-8 binary
+    payload (standing in for image bytes) + metadata struct →
+    mapInPandas feature extraction → metadata join → aggregate.
+    Oracle replicates the stub features with SQL byte functions."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(F.col("source"), F.col("lang"), F.col("n_chars")).alias("meta"),
+    )
+    feats = media.select("doc_id", "content").mapInPandas(make_feature_extractor(), _FEATURE_SCHEMA)
+    joined = feats.join(media.select("doc_id", "meta.source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_checksum").alias("checksum"),
+            F.min("first_byte").alias("min_first_byte"),
+            F.max("first_byte").alias("max_first_byte"),
+            F.count(F.when(F.col("decode_status") == "stub", 1)).alias("n_stub"),
+        )
+        .orderBy("source")
+    )
+
+
+M1_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, source,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+         list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 2147483647 AS byte_checksum
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+       SUM(byte_checksum) AS checksum,
+       MIN(first_byte) AS min_first_byte, MAX(first_byte) AS max_first_byte,
+       COUNT(*) AS n_stub
+FROM feats GROUP BY source ORDER BY source
+"""

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY §2.13):
+brute-force cosine top-k as the exactness baseline, and a
+sign-LSH-bucketed approximate variant as the scale path.
+
+Scale notes: brute force is O(queries × corpus) — fine when the query
+side is small enough to broadcast (it is, here and in the typical
+"dedupe this batch against the corpus" shape); the dot products stay
+JVM-side via zip_with/aggregate (no Python). The LSH variant buckets
+the corpus once (narrow map), turning each probe into a bucket-local
+scan — the 100 TB pattern where a full cross join is impossible.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+_N_QUERIES = 5
+_TOP_K = 3
+_LSH_BITS = 8
+
+
+def _cosine(a, b):
+    """Cosine similarity of two float-array columns, computed in double
+    with list-order summation (bit-identical in the oracle)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first 5 vectors are the queries;
+    top-3 corpus neighbors each (including self, similarity 1)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding"))
+    sim = pairs.select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.format_string("%.4f", F.col("cosine_raw")).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+V1_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}
+), sim AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine_raw
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, cosine_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, vec_id, printf('%.4f', cosine_raw) AS cosine, rank FROM ranked
+WHERE rank <= {_TOP_K} ORDER BY query_id, rank
+"""
+
+
+def _sign_bucket(col):
+    """Axis-aligned sign-LSH bucket: bit i = sign(embedding[i]),
+    i in [0, _LSH_BITS)."""
+    bucket = None
+    for i in range(_LSH_BITS):
+        bit = F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate NN: corpus bucketed by 8 sign bits; each
+    query scans only its own bucket (~1/256 of the corpus) for the
+    nearest non-self neighbor. Returns (query, neighbor, cosine,
+    bucket) — approximate by construction; the oracle replicates the
+    same approximation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = F.broadcast(q).join(
+        bucketed,
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = pairs.select(
+        "query_id",
+        "vec_id",
+        "bucket",
+        _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.format_string("%.4f", F.col("cosine_raw")).alias("cosine"),
+            "bucket",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_LSH_BITS)
+    )
+
+
+V2_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM b WHERE vec_id < {_N_QUERIES}
+), sim AS (
+  SELECT q.query_id, b.vec_id, b.bucket,
+         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine_raw
+  FROM q JOIN b ON b.bucket = q.q_bucket AND b.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_raw, bucket,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, vec_id, printf('%.4f', cosine_raw) AS cosine, bucket FROM ranked WHERE rank = 1 ORDER BY query_id
+"""

@@ -1,0 +1,178 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY §2.13 north-star extensions): token counting, document
+fingerprinting, language-ID heuristic, quality scoring.
+
+All operators are pure built-in-function pipelines (JVM-side, inside
+whole-stage codegen — no Python UDFs), so they scale linearly with the
+scan and shuffle nothing except final aggregates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char stats
+    per document, with corpus totals checkable at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_chars_actual").alias("total_chars"),
+        F.min("ws_tokens").alias("min_ws_tokens"),
+        F.max("ws_tokens").alias("max_ws_tokens"),
+    )
+
+
+X1_ORACLE = f"""
+SELECT COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_ws_tokens,
+       SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_bpe_tokens,
+       SUM(length(text)) AS total_chars,
+       MIN(len(string_split_regex(trim(text), '\\s+'))) AS min_ws_tokens,
+       MAX(len(string_split_regex(trim(text), '\\s+'))) AS max_ws_tokens
+FROM documents
+"""
+
+
+def _normalized():
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercased
+    text (the exact-dedup key), plus a 16-hex-digit rolling prefix
+    fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(_normalized()).alias("fingerprint"),
+        F.substring(F.md5(_normalized()), 1, 16).alias("fingerprint64"),
+    ).orderBy("doc_id")
+
+
+X2_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint64
+FROM documents ORDER BY doc_id
+"""
+
+
+def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English-stopword density
+    over whitespace tokens decides en vs unknown; reported against the
+    corpus `lang` labels. (The synthetic corpus is English-ish word
+    salad for every label — the operator demonstrates the pipeline
+    shape; parity with the oracle is what is being checked.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    hits = F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+            F.lit(r"\s(" + "|".join(_STOPWORDS) + r")\s"),
+            0,
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        hits.alias("stopword_hits"),
+        (hits / toks).alias("stopword_ratio"),
+    ).withColumn(
+        "lang_pred",
+        F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")),
+    )
+    return (
+        scored.groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+X3_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(' ' || lower(text) || ' ',
+             '\\s({"|".join(_STOPWORDS)})\\s')) AS stopword_hits
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN CAST(stopword_hits AS DOUBLE)/n_tokens >= 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred,
+         CAST(stopword_hits AS DOUBLE)/n_tokens AS ratio
+  FROM scored
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs,
+       ROUND(AVG(ratio), 6) AS avg_stopword_ratio
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation-density / mean-word-length
+    signals combined into a [0,1] score; corpus distribution returned
+    per source (the filter a pretraining pipeline applies before
+    tokenization)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(punct / (n_tokens + F.lit(1)), F.lit(1.0))) * 0.3
+            + F.least((n_chars / n_tokens) / F.lit(10.0), F.lit(1.0)) * 0.3
+        ).alias("quality"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+X4_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         LEAST(length(text)/500.0, 1.0) * 0.4
+         + (1.0 - LEAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                        / CAST(len(string_split_regex(trim(text), '\\s+')) + 1 AS DOUBLE), 1.0)) * 0.3
+         + LEAST((CAST(length(text) AS DOUBLE)/len(string_split_regex(trim(text), '\\s+')))/10.0, 1.0) * 0.3
+         AS quality
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(MIN(quality), 6) AS min_quality,
+       ROUND(MAX(quality), 6) AS max_quality
+FROM scored GROUP BY source ORDER BY source
+"""
