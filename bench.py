@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Protocol mirrors the reference's ORC-72 benchmark use cases
+(BASELINE.md: full scan / column projection / projection+PPD over ORC
+copies) plus wall-clock for the engine's headline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from orc_release_hdp_2_6_5_99_1_tag_spark import catalog, get_spark
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ORC-72 trio + representative operators across the engine's surface
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_topk_per_group",
+    "f7_composite_3vl",
+    "a1_column_stats",
+    "t2_acid_merge_on_read",
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "v1_cosine_topk",
+    "x1_token_count",
+    "m1_multimodal_features",
+]
+
+
+def _count_action(df):
+    # force a full materialization without driver-side collect cost
+    return df.agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    timings: dict[str, float] = {}
+
+    # ORC-72 protocol: scan / projection / projection+PPD on an ORC copy
+    path = orc_copy(spark, SF_DIR, "lineitem")
+    t0 = time.time()
+    n_full = _count_action(spark.read.orc(path))
+    timings["orc_full_scan"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _count_action(spark.read.orc(path).select("l_orderkey", "l_extendedprice"))
+    timings["orc_projection"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _count_action(
+        spark.read.orc(path)
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_quantity")
+    )
+    timings["orc_projection_ppd"] = round(time.time() - t0, 3)
+
+    qs = catalog.queries()
+    # warmup: materialize one-time inputs (ORC copies, ACID dirs) and
+    # JIT/codegen so timings reflect steady-state query cost
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows_lineitem": n_full,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
