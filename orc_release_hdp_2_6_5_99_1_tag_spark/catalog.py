@@ -30,6 +30,7 @@ def _build() -> None:
         return
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import acid as ac
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import encodings as en
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
@@ -61,6 +62,8 @@ def _build() -> None:
     register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
     register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
     register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
+
+    register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE)
 
     register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE)
     register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)

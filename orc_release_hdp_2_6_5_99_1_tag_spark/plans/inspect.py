@@ -23,6 +23,40 @@ def pushed_filters(df: DataFrame) -> str:
     return " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
 
 
+def scan_output_rows(df: DataFrame) -> int:
+    """Execute the plan and return the file-scan's `numOutputRows`
+    runtime metric (rows surfaced after ORC SARG row-group skipping) —
+    the engine's version of the reference's skipped-row accounting.
+    Returns -1 if no scan metric is found."""
+    df.collect()
+    qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+    root = qe.executedPlan()
+
+    found: list[int] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "Scan" in name:
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    found.append(kv._2().value())
+        # AQE wrappers hide the live subtree outside children()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+        else:
+            children = node.children()
+            for i in range(children.length()):
+                walk(children.apply(i))
+
+    walk(root)
+    return min(found) if found else -1
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Column names in the first scan's ReadSchema (column pruning)."""
     plan = formatted_plan(df)

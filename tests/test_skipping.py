@@ -1,0 +1,48 @@
+"""I1/I2 capability demonstration (SURVEY §4 custom (d)): row-group
+statistics skipping measurably reduces rows surfaced by the ORC scan,
+and codecs trade size for speed. Uses executed-plan scan metrics."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.plans.inspect import scan_output_rows
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc
+
+
+def test_rowgroup_skipping_reduces_scan_output(spark, sf_dir):
+    """On a key-sorted copy (disjoint row-group min/max ranges, the
+    reference's orc_split_elim.orc layout) a point predicate must
+    surface far fewer rows from the scan than the table holds —
+    SARG row-group elimination at work (RecordReaderImpl.pickRowGroups).
+    """
+    path = orc_copy(
+        spark, sf_dir, "lineitem", variant="bloom",
+        bloom_filter_columns="l_orderkey", compression="snappy",
+        sort_by=["l_orderkey", "l_linenumber"],
+    )
+    total = spark.read.orc(path).count()
+    df = read_orc(spark, path).filter(F.col("l_orderkey") == 1000).select("l_orderkey")
+    surfaced = scan_output_rows(df)
+    assert surfaced >= 0
+    # vectorized reader evaluates SARGs per row-group (10k rows): the
+    # scan must surface at most a couple of row groups, not the table
+    assert surfaced <= max(20_000, total // 10), (
+        f"scan surfaced {surfaced} of {total} rows; row-group skipping not effective"
+    )
+
+
+def test_codec_sizes_ordered_sanely(spark, sf_dir):
+    """zlib/zstd compress the sorted TPC-H-ish data better than NONE
+    (E7); all codecs readable (e1 query checks value identity)."""
+    sizes = {}
+    for codec in ["none", "zlib", "zstd"]:
+        path = orc_copy(spark, sf_dir, "orders", variant=f"codec_{codec}", compression=codec)
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.orc"))
+        )
+    assert sizes["zlib"] < sizes["none"], sizes
+    assert sizes["zstd"] < sizes["none"], sizes
