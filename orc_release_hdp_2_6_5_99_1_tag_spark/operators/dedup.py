@@ -116,8 +116,16 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×4 banding → bucket-equality candidate pairs → exact-Jaccard
     verification at 0.8. Returns verified duplicate pairs."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", "s")
-    sig = minhash_signatures(d)
+    # the shingle set feeds the signature, the size table, and the
+    # verification join — cache it once instead of re-shingling 3x
+    # (at 100 TB: persist(DISK_ONLY) or a checkpoint table instead)
+    sh_hashed = _shingles(d).cache()
+    sh = sh_hashed.select("doc_id", "s")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
+        for k, (a, b) in enumerate(_PERMS)
+    ]
+    sig = sh_hashed.groupBy("doc_id").agg(*aggs)
     buckets = _band_buckets(sig)
     b2 = buckets.toDF("doc_id2", "band_idx2", "band_hash2")
     cand = (
