@@ -32,6 +32,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import encodings as en
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extended as ex
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
@@ -44,6 +45,10 @@ def _build() -> None:
     register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)
     register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE)
+    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE)
+    register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE)
+    register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
+    register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE)
 
     register("f1_equals", f.f1_equals, f.F1_ORACLE)
     register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)
