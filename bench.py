@@ -28,7 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_delta",
     "w1_topk_per_group",
+    "w2_sessionize",
     "f7_composite_3vl",
     "a1_column_stats",
     "t2_acid_merge_on_read",

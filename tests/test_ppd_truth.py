@@ -85,5 +85,5 @@ def test_3vl_parity(engines, pred):
         "FROM tv3"
     )
     s = tuple(spark.sql(q).collect()[0])
-    dk = con.sql(q).fetchone()
+    dk = con.execute(q).fetchone()
     assert s == dk, f"3VL divergence for {pred!r}: spark={s} duckdb={dk}"

@@ -1,0 +1,82 @@
+"""orc_data/orc_scan tool equivalents + bucketed co-located joins
+(the at-scale shuffle-elimination pattern SURVEY §4 calls out)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.plans.inspect import formatted_plan
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_data, orc_scan
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def test_orc_data_json_dump(spark, sf_dir):
+    path = orc_copy(spark, sf_dir, "nation")
+    rows = orc_data(spark, path, limit=5).collect()
+    assert len(rows) == 5
+    parsed = json.loads(rows[0].json)
+    assert set(parsed) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_orc_scan_counts(spark, sf_dir):
+    path = orc_copy(spark, sf_dir, "nation")
+    assert orc_scan(spark, path).collect()[0].rows == load_table(spark, sf_dir, "nation").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key -> sort-merge join
+    with zero Exchange (the pre-partitioned co-located join the
+    reference's MR shuffle types S8 approximate)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    # in-memory catalog forgets tables between sessions but the
+    # warehouse dirs persist; clear them or saveAsTable refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bkt", "ord_bkt"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        l.write.mode("overwrite").format("orc")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bkt")
+    )
+    (
+        o.write.mode("overwrite").format("orc")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bkt")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("li_bkt")
+            .join(spark.table("ord_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        # bucket co-location: no shuffle-by-key anywhere (the final
+        # count's SinglePartition exchange is expected and allowed)
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_catalog_contract_sanity(spark):
+    """Driver-contract invariants: every oracle has a query; names are
+    unique and well-formed."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    qs, osql = catalog.queries(), catalog.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+    missing_oracle = sorted(set(qs) - set(osql))
+    # only genuinely non-SQL-expressible ops may omit oracles
+    assert missing_oracle == [], f"queries without oracle: {missing_oracle}"
