@@ -55,6 +55,7 @@ def main() -> None:
 
     # ORC-72 protocol: scan / projection / projection+PPD on an ORC copy
     path = orc_copy(spark, SF_DIR, "lineitem")
+    _count_action(spark.read.orc(path))  # warm JVM/reader path
     t0 = time.time()
     n_full = _count_action(spark.read.orc(path))
     timings["orc_full_scan"] = round(time.time() - t0, 3)
