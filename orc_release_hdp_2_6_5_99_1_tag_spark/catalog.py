@@ -33,6 +33,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import encodings as en
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extended as ex
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extras as xt
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
@@ -49,6 +50,10 @@ def _build() -> None:
     register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE)
     register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
     register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE)
+    register("a7_percentiles", xt.a7_percentiles, xt.A7_ORACLE)
+    register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE)
+    register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
+    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
 
     register("f1_equals", f.f1_equals, f.F1_ORACLE)
     register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)

@@ -1,0 +1,122 @@
+"""Additional operator coverage: exact percentiles, string-pattern
+filters (LIKE pushdown), anti/semi joins (blocklist filtering — a
+standard training-data pipeline step), and a vectorized pandas UDF
+with built-in-function parity (the §2.12 UDF surface).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ⇔ DuckDB
+    `quantile_cont`) per return flag. Exact — not approx — so the
+    oracle matches; the approx scale path is percentile_approx with
+    identical call shape."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A7_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def f9_string_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-pattern predicates: LIKE prefix/suffix/infix (prefix
+    compiles to StartsWith and pushes to the scan), and RLIKE regexp."""
+    p = load_table(spark, sf_dir, "part")
+    return p.agg(
+        F.count(F.when(F.col("p_type").like("PROMO%"), 1)).alias("n_prefix"),
+        F.count(F.when(F.col("p_type").like("%BRUSHED%"), 1)).alias("n_infix"),
+        F.count(F.when(F.col("p_name").like("%_5"), 1)).alias("n_suffix_wild"),
+        F.count(F.when(F.col("p_brand").rlike("^Brand_[12]$"), 1)).alias("n_regex"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+F9_ORACLE = """
+SELECT COUNT(CASE WHEN p_type LIKE 'PROMO%' THEN 1 END) AS n_prefix,
+       COUNT(CASE WHEN p_type LIKE '%BRUSHED%' THEN 1 END) AS n_infix,
+       COUNT(CASE WHEN p_name LIKE '%_5' THEN 1 END) AS n_suffix_wild,
+       COUNT(CASE WHEN regexp_matches(p_brand, '^Brand_[12]$') THEN 1 END) AS n_regex,
+       COUNT(*) AS n_rows
+FROM part
+"""
+
+
+def d5_blocklist_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (anti join) + allowlist check (semi join) —
+    the dedup-against-known-bad pattern. The blocklist is derived
+    deterministically (sources ending in 0/5 are 'blocked'); broadcast
+    as the small side."""
+    d = load_table(spark, sf_dir, "documents")
+    blocklist = (
+        d.select("source").distinct().filter(F.col("source").rlike("[05]$"))
+    )
+    kept = d.join(F.broadcast(blocklist), "source", "left_anti")
+    blocked = d.join(F.broadcast(blocklist), "source", "left_semi")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_checksum"),
+    ).crossJoin(
+        blocked.agg(
+            F.count(F.lit(1)).alias("n_blocked"),
+            F.sum("doc_id").alias("blocked_checksum"),
+        )
+    )
+
+
+D5_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM documents WHERE NOT regexp_matches(source, '[05]$')) AS n_kept,
+  (SELECT SUM(doc_id) FROM documents WHERE NOT regexp_matches(source, '[05]$')) AS kept_checksum,
+  (SELECT COUNT(*) FROM documents WHERE regexp_matches(source, '[05]$')) AS n_blocked,
+  (SELECT SUM(doc_id) FROM documents WHERE regexp_matches(source, '[05]$')) AS blocked_checksum
+"""
+
+
+def u2_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 UDF surface: an Arrow-vectorized scalar pandas UDF (digit
+    ratio per document) whose result is also derivable with built-in
+    functions — demonstrating the UDF infrastructure with an oracle.
+    The UDF is a closure (workers lack the repo on sys.path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf cannot introspect; hint-less defaults to
+    # the SCALAR (Arrow-batched Series -> Series) eval type
+    @pandas_udf("double")
+    def digit_ratio(texts):
+        return texts.str.count(r"\d") / texts.str.len()
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+U2_ORACLE = """
+SELECT doc_id,
+       ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) AS digit_ratio
+FROM documents ORDER BY doc_id
+"""
