@@ -81,13 +81,31 @@ def orc_meta_distributed(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         return orc_meta(spark, path)
 
+    # self-contained closure: executors do not have this repo on their
+    # import path, so the tail-reading logic is inlined (pickled by value)
     def read_tails(it):
+        import os as _os
+
         import pandas as pd
+        from pyarrow import orc as pa_orc
 
         for pdf in it:
             out = []
             for f in pdf["path"]:
-                out.extend(_file_meta_rows(f))
+                o = pa_orc.ORCFile(f)
+                out.append(
+                    {
+                        "file": _os.path.basename(f),
+                        "nrows": int(o.nrows),
+                        "nstripes": int(o.nstripes),
+                        "compression": str(o.compression),
+                        "compression_size": int(o.compression_size),
+                        "row_index_stride": int(o.row_index_stride),
+                        "writer": str(o.writer),
+                        "content_length": int(o.content_length),
+                        "ncolumns": len(o.schema),
+                    }
+                )
             yield pd.DataFrame(
                 out,
                 columns=[
