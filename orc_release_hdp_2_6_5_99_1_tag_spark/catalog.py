@@ -72,6 +72,7 @@ def _build() -> None:
     register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
     register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
     register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
+    register("s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE)
 
     register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE)
 
@@ -83,6 +84,7 @@ def _build() -> None:
     register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE)
     register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
     register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE)
+    register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE)
 
     from orc_release_hdp_2_6_5_99_1_tag_spark import streaming as stream
 

@@ -186,6 +186,49 @@ def t3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 T3_ORACLE = T2_ORACLE
 
 
+def t5_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor compaction (reference `acid.md:45-52`): merge the delta
+    directories into ONE combined delta (latest event per key within
+    the deltas), leaving the base untouched; the merged view over
+    base + combined delta must equal the original three-dir view."""
+    root = acid_table_dir(spark, sf_dir)
+    minor_root = os.path.join(scratch_dir(sf_dir), "acid", "orders_minor")
+    if not os.path.exists(os.path.join(minor_root, "_done")):
+        deltas = [
+            _read_events(spark, os.path.join(root, d))
+            for d in sorted(os.listdir(root))
+            if d.startswith("delta_")
+        ]
+        all_deltas = deltas[0]
+        for p in deltas[1:]:
+            all_deltas = all_deltas.unionByName(p)
+        w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
+            F.desc("currentTransaction")
+        )
+        combined = (
+            all_deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        write_orc(
+            _to_physical(
+                combined.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                    "originalTransaction", "bucket", "rowId"
+                )
+            ),
+            os.path.join(minor_root, "delta_0000002_0000003"),
+        )
+        # base is shared (not rewritten) — link it into the minor layout
+        base_link = os.path.join(minor_root, "base_0000001")
+        if not os.path.exists(base_link):
+            os.symlink(os.path.join(root, "base_0000001"), base_link)
+        open(os.path.join(minor_root, "_done"), "w").close()
+    return merged_view(spark, minor_root).orderBy("id")
+
+
+T5_ORACLE = T2_ORACLE
+
+
 def t4_acid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: insert/update/delete counts over the event files — the
     reference's `hive.acid.stats` side metadata

@@ -287,3 +287,55 @@ def s11_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 S11_ORACLE = """
 SELECT 4 AS nfiles, COUNT(*) AS total_rows, 4 AS total_stripes FROM lineitem
 """
+
+
+def s12_footer_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4 custom (c): count/min/max/sum answered from ORC file
+    footers only (no data pages), via the embedded ORC Java reader —
+    the reference's `Footer.statistics` / `ColumnStatisticsImpl` read
+    back directly. Double sums are footer-accumulated; compared at
+    cent precision (the underlying data is 2-decimal money)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import footer_column_stats
+
+    path = orc_copy(spark, sf_dir, "lineitem")
+    stats = footer_column_stats(spark, path)
+    keep = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    return (
+        stats.filter(F.col("column_name").isin(keep))
+        .select(
+            "column_name",
+            "n_values",
+            "has_null",
+            "min_val",
+            "max_val",
+            F.when(
+                F.col("sum_val").isNotNull(),
+                F.format_string("%.2f", F.col("sum_val").cast("double")),
+            ).alias("sum_2dp"),
+        )
+        .orderBy("column_name")
+    )
+
+
+S12_ORACLE = """
+SELECT * FROM (
+  SELECT 'l_orderkey' AS column_name, COUNT(l_orderkey) AS n_values, FALSE AS has_null,
+         CAST(MIN(l_orderkey) AS VARCHAR) AS min_val, CAST(MAX(l_orderkey) AS VARCHAR) AS max_val,
+         printf('%.2f', CAST(SUM(l_orderkey) AS DOUBLE)) AS sum_2dp FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', COUNT(l_quantity), FALSE,
+         CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR),
+         printf('%.2f', CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice), FALSE,
+         CAST(MIN(l_extendedprice) AS VARCHAR), CAST(MAX(l_extendedprice) AS VARCHAR),
+         printf('%.2f', CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount), FALSE,
+         CAST(MIN(l_discount) AS VARCHAR), CAST(MAX(l_discount) AS VARCHAR),
+         printf('%.2f', CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(l_returnflag), FALSE,
+         MIN(l_returnflag), MAX(l_returnflag), NULL FROM lineitem
+) t ORDER BY column_name
+"""
