@@ -35,6 +35,24 @@ def test_rowgroup_skipping_reduces_scan_output(spark, sf_dir):
     )
 
 
+def test_orc_v011_format_roundtrip(spark, sf_dir, tmp_path):
+    """E1: `orc.write.format=0.11` (RLEv1-era files,
+    `RunLengthIntegerWriter.java`) round-trips and stamps the file
+    version."""
+    from glob import glob
+
+    from pyarrow import orc as pa_orc
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    dest = str(tmp_path / "v011")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("orc.write.format", "0.11").orc(dest)
+    assert spark.read.orc(dest).count() == n.count()
+    f = glob(dest + "/*.orc")[0]
+    assert str(pa_orc.ORCFile(f).file_version) == "0.11"
+
+
 def test_codec_sizes_ordered_sanely(spark, sf_dir):
     """zlib/zstd compress the sorted TPC-H-ish data better than NONE
     (E7); all codecs readable (e1 query checks value identity)."""
