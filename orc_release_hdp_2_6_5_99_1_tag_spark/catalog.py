@@ -35,6 +35,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extended as ex
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extras as xt
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import setops as so
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
@@ -54,6 +55,9 @@ def _build() -> None:
     register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
+    register("set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE)
+    register("p2_pivot", so.p2_pivot, so.P2_ORACLE)
+    register("h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE)
 
     register("f1_equals", f.f1_equals, f.F1_ORACLE)
     register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)

@@ -1,0 +1,117 @@
+"""Set operations, pivot, and higher-order array functions — engine
+completeness beyond the reference surface (the reference's only
+union-like semantic is the ACID base+delta combination, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def set1_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets: customers
+    with orders vs customers in the BUILDING segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    u = with_orders.union(building).distinct()
+    i = with_orders.intersect(building)
+    e = with_orders.exceptAll(building).distinct()
+    return (
+        u.agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("checksum"))
+        .select(F.lit("union").alias("op"), "n", "checksum")
+        .unionAll(
+            i.agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("checksum")).select(
+                F.lit("intersect").alias("op"), "n", "checksum"
+            )
+        )
+        .unionAll(
+            e.agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("checksum")).select(
+                F.lit("except").alias("op"), "n", "checksum"
+            )
+        )
+        .orderBy("op")
+    )
+
+
+SET1_ORACLE = """
+WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT * FROM (
+  SELECT 'union' AS op, COUNT(*) AS n, SUM(k) AS checksum FROM (SELECT k FROM wo UNION SELECT k FROM b) t
+  UNION ALL
+  SELECT 'intersect', COUNT(*), SUM(k) FROM (SELECT k FROM wo INTERSECT SELECT k FROM b) t
+  UNION ALL
+  SELECT 'except', COUNT(*), SUM(k) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b) t
+) s ORDER BY op
+"""
+
+
+def p2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user bucket × event_type (fixed pivot
+    column list keeps the schema static for the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.withColumn("user_bucket", (F.col("user_id") % 4).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_bucket")
+    )
+
+
+P2_ORACLE = """
+SELECT CAST(user_id % 4 AS INT) AS user_bucket,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id % 4 ORDER BY user_bucket
+"""
+
+
+def h1_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array pipeline (transform / filter / aggregate —
+    the JVM-side lambda surface that keeps per-row array work out of
+    Python): per order, the sorted quantity list, its filtered
+    (>= 25) length, and an exact folded sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys")
+    )
+    return (
+        per_order.select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.size(F.filter("qtys", lambda q: q >= 25)).alias("n_bulk"),
+            F.aggregate("qtys", F.lit(0), lambda acc, q: acc + q).alias("qty_sum"),
+            F.concat_ws(",", F.transform("qtys", lambda q: (q * 2).cast("string"))).alias(
+                "doubled_csv"
+            ),
+        )
+        .filter(F.col("l_orderkey") < 100)
+        .orderBy("l_orderkey")
+    )
+
+
+H1_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_items,
+       len(list_filter(qtys, q -> q >= 25)) AS n_bulk,
+       list_aggregate(qtys, 'sum') AS qty_sum,
+       array_to_string(list_transform(qtys, q -> CAST(q * 2 AS VARCHAR)), ',') AS doubled_csv
+FROM per_order WHERE l_orderkey < 100 ORDER BY l_orderkey
+"""
