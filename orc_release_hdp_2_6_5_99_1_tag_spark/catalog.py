@@ -99,6 +99,10 @@ def _build() -> None:
 
     register("r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE)
 
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming import cdc
+
+    register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE)
+
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
     register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE)

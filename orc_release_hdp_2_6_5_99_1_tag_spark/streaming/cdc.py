@@ -1,0 +1,126 @@
+"""Streaming CDC → ACID ingest (composition of §2.11 streaming and
+§2.10 ACID): a foreachBatch sink interprets the event stream as
+change-data (error events are delete tombstones, everything else
+upserts the user's latest value) and appends ACID-event-shaped delta
+directories per micro-batch — the reference's Flume/Storm
+txn-batch-per-interval pattern (`acid.md:20-24`) with Structured
+Streaming's atomic commits.
+
+Determinism: with availableNow over one source file there is exactly
+one micro-batch; currentTransaction encodes (ts, event_id) so
+latest-wins ordering is total and the oracle can replay it in SQL.
+
+Scale notes: each micro-batch writes one delta dir (bucketed on the
+key like the batch ACID writer); the merged view cost grows with
+delta count — compaction (t3/t5) is the pressure valve, exactly as in
+the reference's design.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators.acid import (
+    OP_DELETE,
+    OP_INSERT,
+    _to_physical,
+    _read_events,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+_N_BUCKETS = 4
+
+
+def _as_acid_events(batch: DataFrame) -> DataFrame:
+    """events → ACID change events keyed by user_id; error = tombstone."""
+    # rebase micros against 2023-11-14T22:13:20Z so *10000 stays in int64
+    txn = (F.unix_micros(F.col("ts")) - F.lit(1700000000000000)) * 10000 + F.col(
+        "event_id"
+    ) % 10000
+    return batch.select(
+        F.when(F.col("event_type") == "error", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_INSERT))
+        .alias("operation"),
+        F.lit(1).cast("bigint").alias("originalTransaction"),
+        (F.col("user_id") % _N_BUCKETS).cast("int").alias("bucket"),
+        F.col("user_id").alias("rowId"),
+        txn.cast("bigint").alias("currentTransaction"),
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        ).alias("row"),
+    )
+
+
+def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → foreachBatch ACID delta writer → merged view: latest
+    non-tombstoned state per user."""
+    root = os.path.join(scratch_dir(sf_dir), "acid", "users_cdc")
+    done = os.path.join(root, "_stream_done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            events = _as_acid_events(batch_df)
+            write_orc(
+                _to_physical(
+                    events.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                        "originalTransaction", "bucket", "rowId"
+                    )
+                ),
+                os.path.join(root, f"delta_{batch_id + 2:07d}_{batch_id + 2:07d}"),
+            )
+
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation", os.path.join(scratch_dir(sf_dir), "stream", "cdc_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        open(done, "w").close()
+    parts = [
+        _read_events(spark, os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if d.startswith("delta_")
+    ]
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    w = Window.partitionBy("rowId").orderBy(F.desc("currentTransaction"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
+        .select(
+            "row.id",
+            "row.last_type",
+            F.format_string("%.3f", F.col("row.last_value")).alias("last_value"),
+        )
+        .orderBy("id")
+    )
+
+
+R4_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY (epoch_us(ts) - 1700000000000000) * 10000 + event_id % 10000 DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id AS id, event_type AS last_type,
+       printf('%.3f', value) AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type != 'error'
+ORDER BY id
+"""
