@@ -55,6 +55,10 @@ def _build() -> None:
     register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import sql_api as sq
+
+    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
+    register("q22_not_exists", sq.q22_not_exists, sq.Q22_SQL)
     register("set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE)
     register("p2_pivot", so.p2_pivot, so.P2_ORACLE)
     register("h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE)
