@@ -1,0 +1,39 @@
+"""MinHash-LSH quality: every high-similarity pair found by the exact
+token-join ground truth must be recalled by the LSH pipeline (16
+perms / 4×4 bands ⇒ miss probability ≈ (1-s^4)^4, ≈ 2.6e-6 at
+s=0.96 — deterministic here since the hash family is fixed)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_lsh_recalls_high_similarity_pairs(spark, sf_dir):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        _shingles,
+        d2_minhash_lsh,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.toDF("doc_a", "s")
+    b = sh.toDF("doc_b", "s2")
+    inter = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("j", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("j") >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    truth = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    found = {(r.doc_a, r.doc_b) for r in d2_minhash_lsh(spark, sf_dir).collect()}
+    assert truth, "corpus should contain planted near-duplicates"
+    missed = truth - found
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
