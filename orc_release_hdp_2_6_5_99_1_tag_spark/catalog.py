@@ -119,6 +119,7 @@ def _build() -> None:
 
     register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
     register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
+    register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE)
 
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
 

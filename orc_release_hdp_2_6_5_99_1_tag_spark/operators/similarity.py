@@ -126,6 +126,44 @@ def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d6_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: an incoming batch (vec_id < 200)
+    checked against the whole corpus for cosine ≥ 0.4 — the
+    dedupe-new-data-against-corpus shape. Batch side broadcasts; the
+    corpus is scanned once. (This synthetic corpus has no planted
+    vector dups — threshold 0.4 surfaces the near-collision tail; the
+    operator is the contract, the oracle replicates it.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("new_id"), F.col("embedding").alias("new_emb")
+    )
+    pairs = F.broadcast(batch).crossJoin(e.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("new_id")
+    )
+    sim = pairs.select(
+        "new_id", "vec_id", _cosine(F.col("new_emb"), F.col("embedding")).alias("c")
+    )
+    return (
+        sim.filter(F.col("c") >= 0.4)
+        .select("new_id", "vec_id", F.format_string("%.4f", F.col("c")).alias("cosine"))
+        .orderBy("new_id", "vec_id")
+    )
+
+
+D6_ORACLE = """
+WITH batch AS (
+  SELECT vec_id AS new_id, embedding AS new_emb FROM embeddings WHERE vec_id < 200
+), sim AS (
+  SELECT b.new_id, e.vec_id,
+         list_cosine_similarity(CAST(b.new_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+  FROM batch b CROSS JOIN embeddings e
+  WHERE e.vec_id != b.new_id
+)
+SELECT new_id, vec_id, printf('%.4f', c) AS cosine
+FROM sim WHERE c >= 0.4 ORDER BY new_id, vec_id
+"""
+
+
 def _sql_bucket(col: str) -> str:
     return " + ".join(
         f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_LSH_BITS)
