@@ -42,10 +42,19 @@ def write_orc(
     stripe_size: int = ORC_STRIPE_SIZE,
     row_index_stride: int = ORC_ROW_INDEX_STRIDE,
     dictionary_key_threshold: float = ORC_DICT_KEY_THRESHOLD,
+    block_size: int | None = None,
+    block_padding_tolerance: float | None = None,
+    compress_size: int | None = None,
+    encoding_strategy: str | None = None,
+    write_format: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Write ORC with the reference's default tuning constants
-    (reference `OrcConf.java:29-49,76-77,93-98`)."""
+    """Write ORC with the reference's default tuning constants and the
+    full writer-option surface (reference `OrcConf.java:29-145`):
+    stripe/block sizing + padding tolerance (M2), compression chunk
+    size and codec (E7), encoding strategy SPEED|COMPRESSION (E2),
+    file format version 0.12|0.11 (E1), dictionary threshold (E4),
+    bloom filters (I2)."""
     writer = (
         df.write.mode(mode)
         .option("compression", compression)
@@ -53,10 +62,46 @@ def write_orc(
         .option("orc.row.index.stride", str(row_index_stride))
         .option("orc.dictionary.key.threshold", str(dictionary_key_threshold))
     )
+    for key, val in [
+        ("orc.block.size", block_size),
+        ("orc.block.padding.tolerance", block_padding_tolerance),
+        ("orc.compress.size", compress_size),
+        ("orc.encoding.strategy", encoding_strategy),
+        ("orc.write.format", write_format),
+    ]:
+        if val is not None:
+            writer = writer.option(key, str(val))
     if bloom_filter_columns:
         writer = writer.option("orc.bloom.filter.columns", bloom_filter_columns)
         writer = writer.option("orc.bloom.filter.fpp", str(bloom_filter_fpp))
     writer.orc(path)
+
+
+def recover_orc_dir(spark: SparkSession, src: str, dest: str) -> dict:
+    """S13 recovery job (reference `FileDump.recoverFiles`,
+    `tools/FileDump.java:210-285`): salvage a directory containing
+    torn/corrupt ORC files by copying every file whose footer parses
+    into a clean directory (originals untouched — the reference's
+    side-backup behavior). Returns counts."""
+    import glob
+    import shutil
+
+    from pyarrow import orc as pa_orc
+
+    os.makedirs(dest, exist_ok=True)
+    good, bad = 0, 0
+    for f in sorted(
+        set(glob.glob(os.path.join(src, "*.orc")) + glob.glob(os.path.join(src, "part-*")))
+    ):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        try:
+            pa_orc.ORCFile(f)  # parses the tail; raises on torn files
+            shutil.copy2(f, os.path.join(dest, os.path.basename(f)))
+            good += 1
+        except Exception:
+            bad += 1
+    return {"recovered": good, "skipped_corrupt": bad}
 
 
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
