@@ -121,11 +121,13 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at 100 TB: persist(DISK_ONLY) or a checkpoint table instead)
     sh_hashed = _shingles(d).cache()
     sh = sh_hashed.select("doc_id", "s")
+    # one groupBy produces the 16 minhashes AND the set size (merging
+    # the `sizes` aggregation in saves a full shuffle of the shingle set)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
         for k, (a, b) in enumerate(_PERMS)
-    ]
-    sig = sh_hashed.groupBy("doc_id").agg(*aggs)
+    ] + [F.count(F.lit(1)).alias("n")]
+    sig = sh_hashed.groupBy("doc_id").agg(*aggs).cache()
     buckets = _band_buckets(sig)
     b2 = buckets.toDF("doc_id2", "band_idx2", "band_hash2")
     cand = (
@@ -138,7 +140,7 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_id2").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sig.select("doc_id", "n")
     sha = sh.toDF("doc_a", "sa")
     shb = sh.toDF("doc_b2", "sb")
     inter = (
