@@ -122,6 +122,7 @@ def _build() -> None:
     register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE)
 
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
+    register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
 
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)

@@ -84,6 +84,50 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m2_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the third pandas-exchange shape next
+    to mapInPandas/m1 and applyInPandasWithState/r3): per-event-type
+    z-score normalization of values. The UDF sorts its group before
+    reducing so pandas' sequential sums are deterministic; compare at
+    %.4f (cross-engine mean/std accumulation differs in the last ulp).
+    """
+    d = load_table(spark, sf_dir, "events")
+
+    def make_normalizer():
+        def normalize(pdf):
+            pdf = pdf.sort_values("event_id")
+            v = pdf["value"]
+            mean, std = v.mean(), v.std(ddof=1)
+            out = pdf[["event_id", "event_type"]].copy()
+            out["z"] = (v - mean) / std
+            return out
+
+        return normalize
+
+    res = (
+        d.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(make_normalizer(), "event_id bigint, event_type string, z double")
+    )
+    return (
+        res.filter(F.col("event_id") < 100)
+        .select("event_id", "event_type", F.format_string("%.4f", F.col("z")).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+M2_ORACLE = """
+WITH stats AS (
+  SELECT event_id, event_type, value,
+         AVG(value) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+  FROM events
+)
+SELECT event_id, event_type, printf('%.4f', (value - mu) / sigma) AS z
+FROM stats WHERE event_id < 100 ORDER BY event_id
+"""
+
+
 M1_ORACLE = """
 WITH feats AS (
   SELECT doc_id, source,
