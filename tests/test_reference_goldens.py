@@ -79,6 +79,45 @@ def test_decimal_golden_contents(spark):
     assert Decimal(got) == want
 
 
+def test_zero_rows_golden_with_explicit_schema(spark):
+    """zero.orc: schema inference fails on a 0-row file, but an
+    explicit reader schema (C1 evolution path) reads it — the
+    reference's `zero.orc` case."""
+    ddl = (
+        "boolean1 boolean, byte1 tinyint, short1 smallint, int1 int,"
+        " long1 bigint, float1 float, double1 double, bytes1 binary,"
+        " string1 string,"
+        " middle struct<list: array<struct<int1: int, string1: string>>>,"
+        " list array<struct<int1: int, string1: string>>,"
+        " map map<string, struct<int1: int, string1: string>>"
+    )
+    df = spark.read.schema(ddl).orc(os.path.join(EX, "zero.orc"))
+    assert df.count() == 0
+    assert len(df.columns) == 12
+
+
+def test_split_elim_golden_layout(spark):
+    """orc_split_elim.orc: the reference's split-elimination fixture —
+    25k rows, disjoint userid ranges per row group; a point predicate
+    must surface only one row-group's worth of rows from the scan."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.plans.inspect import scan_output_rows
+
+    path = os.path.join(EX, "orc_split_elim.orc")
+    df = spark.read.orc(path)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("userid").alias("mn"),
+        F.max("userid").alias("mx"),
+    ).collect()[0]
+    assert (stats.n, stats.mn, stats.mx) == (25_000, 2, 100)
+    surfaced = scan_output_rows(
+        spark.read.orc(path).filter(F.col("userid") == 2).select("userid")
+    )
+    assert 0 <= surfaced <= 10_000, surfaced
+
+
 def test_union_type_file_unsupported(spark):
     """Spark cannot read ORC uniontype files — the documented gap the
     tagged-struct convention covers for engine-written data."""
