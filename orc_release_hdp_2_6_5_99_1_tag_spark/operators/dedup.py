@@ -79,8 +79,9 @@ WITH fp AS (
 ), g AS (
   SELECT fp, COUNT(*) AS n, MIN(doc_id) AS canonical FROM fp GROUP BY fp
 )
-SELECT SUM(n) AS n_docs, COUNT(*) AS n_unique, SUM(n-1) AS n_duplicates,
-       SUM(canonical) AS canonical_checksum
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+       CAST(SUM(n-1) AS BIGINT) AS n_duplicates,
+       CAST(SUM(canonical) AS BIGINT) AS canonical_checksum
 FROM g
 """
 
@@ -261,8 +262,8 @@ WITH toks AS (
 ), dup AS (
   SELECT simhash, COUNT(*) AS n, MIN(doc_id) AS min_doc FROM sims GROUP BY simhash
 )
-SELECT COUNT(*) AS n_buckets_gt1, SUM(n) AS n_docs_in_dup_buckets,
-       SUM(min_doc) AS bucket_checksum
+SELECT COUNT(*) AS n_buckets_gt1, CAST(SUM(n) AS BIGINT) AS n_docs_in_dup_buckets,
+       CAST(SUM(min_doc) AS BIGINT) AS bucket_checksum
 FROM dup WHERE n > 1
 """.format(
     votes=", ".join(

@@ -44,7 +44,7 @@ def e1_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E1_ORACLE = (
     " UNION ALL ".join(
-        f"""SELECT '{codec}' AS codec, COUNT(*) AS cnt, SUM(o_orderkey) AS sum_orderkey,
+        f"""SELECT '{codec}' AS codec, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
         COUNT(DISTINCT o_orderstatus) AS nd_status,
         CAST(MAX(o_orderdate) AS VARCHAR) AS max_orderdate FROM orders"""

@@ -147,7 +147,7 @@ SELECT CAST(l_linenumber % 2 AS TINYINT) AS tag,
        COUNT(*) AS cnt,
        COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS n_long,
        COUNT(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS n_str,
-       SUM(CASE WHEN l_linenumber % 2 = 0 THEN l_orderkey END) AS sum_long,
+       CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN l_orderkey END) AS BIGINT) AS sum_long,
        COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag END) AS nd_str
 FROM lineitem
 GROUP BY l_linenumber % 2
@@ -207,7 +207,7 @@ SELECT COUNT(*) AS cnt,
        CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc,
        CAST(SUM(CAST(l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_tax,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_r_qty,
-       SUM(l_linenumber) AS sum_mid_int,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_mid_int,
        COUNT(DISTINCT l_linestatus) AS nd_mid_str
 FROM lineitem
 """

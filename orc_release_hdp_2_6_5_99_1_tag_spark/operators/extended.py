@@ -62,7 +62,7 @@ def f8_predicate_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 F8_ORACLE = """
-SELECT COUNT(*) AS cnt, SUM(l_orderkey) AS key_sum
+SELECT COUNT(*) AS cnt, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
 FROM lineitem
 WHERE l_orderkey = '1000' OR (l_quantity = 25 AND l_linenumber = '2')
 """

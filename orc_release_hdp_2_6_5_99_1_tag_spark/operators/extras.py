@@ -88,9 +88,9 @@ def d5_blocklist_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 D5_ORACLE = """
 SELECT
   (SELECT COUNT(*) FROM documents WHERE NOT regexp_matches(source, '[05]$')) AS n_kept,
-  (SELECT SUM(doc_id) FROM documents WHERE NOT regexp_matches(source, '[05]$')) AS kept_checksum,
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents WHERE NOT regexp_matches(source, '[05]$')) AS kept_checksum,
   (SELECT COUNT(*) FROM documents WHERE regexp_matches(source, '[05]$')) AS n_blocked,
-  (SELECT SUM(doc_id) FROM documents WHERE regexp_matches(source, '[05]$')) AS blocked_checksum
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents WHERE regexp_matches(source, '[05]$')) AS blocked_checksum
 """
 
 

@@ -38,7 +38,7 @@ def _fingerprint(df: DataFrame) -> DataFrame:
 
 _FINGERPRINT_SQL = """
 SELECT COUNT(*) AS cnt,
-       SUM(l_orderkey) AS key_sum,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
 FROM lineitem
 """

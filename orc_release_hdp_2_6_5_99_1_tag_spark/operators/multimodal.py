@@ -128,16 +128,33 @@ FROM stats WHERE event_id < 100 ORDER BY event_id
 """
 
 
-M1_ORACLE = """
+# Byte-true oracle: the Python side checksums UTF-8 *bytes*; DuckDB's
+# ascii() yields *codepoints*, so each codepoint is converted to its
+# UTF-8 byte sum arithmetically (1-4 byte forms) — exact for all of
+# Unicode, keeping the oracle correct on non-ASCII corpora.
+_UTF8_BYTE_SUM = """CASE
+  WHEN ascii(c) < 128 THEN ascii(c)
+  WHEN ascii(c) < 2048 THEN 192 + (ascii(c) // 64) + 128 + (ascii(c) % 64)
+  WHEN ascii(c) < 65536 THEN 224 + (ascii(c) // 4096)
+       + 128 + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64)
+  ELSE 240 + (ascii(c) // 262144) + 128 + ((ascii(c) // 4096) % 64)
+       + 128 + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64) END"""
+
+M1_ORACLE = f"""
 WITH feats AS (
   SELECT doc_id, source,
          octet_length(encode(text)) AS n_bytes,
-         CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-         list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 2147483647 AS byte_checksum
+         CASE WHEN length(text) = 0 THEN -1
+              WHEN ascii(text) < 128 THEN ascii(text)
+              WHEN ascii(text) < 2048 THEN 192 + (ascii(text) // 64)
+              WHEN ascii(text) < 65536 THEN 224 + (ascii(text) // 4096)
+              ELSE 240 + (ascii(text) // 262144) END AS first_byte,
+         CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+              c -> {_UTF8_BYTE_SUM})), 0) % 2147483647 AS BIGINT) AS byte_checksum
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
-       SUM(byte_checksum) AS checksum,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(byte_checksum) AS BIGINT) AS checksum,
        MIN(first_byte) AS min_first_byte, MAX(first_byte) AS max_first_byte,
        COUNT(*) AS n_stub
 FROM feats GROUP BY source ORDER BY source

@@ -49,10 +49,10 @@ def _lineitem_fingerprint(df: DataFrame) -> DataFrame:
 
 _LINEITEM_FP_SQL = """
 SELECT COUNT(*) AS cnt,
-       SUM(l_orderkey) AS sum_orderkey,
-       SUM(l_partkey) AS sum_partkey,
-       SUM(l_suppkey) AS sum_suppkey,
-       SUM(l_linenumber) AS sum_linenumber,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey,
+       CAST(SUM(l_suppkey) AS BIGINT) AS sum_suppkey,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_discount,
@@ -121,7 +121,7 @@ def p1_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 P1_ORACLE = """
-SELECT COUNT(*) AS cnt, SUM(l_orderkey) AS sum_orderkey,
+SELECT COUNT(*) AS cnt, CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity
 FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'A'
 """
@@ -151,7 +151,7 @@ def s5_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S5_ORACLE = """
-SELECT COUNT(*) AS cnt, SUM(o_orderkey) AS sum_orderkey,
+SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
 FROM orders WHERE o_orderstatus = 'F'
 """
@@ -193,7 +193,7 @@ def s9_json_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S9_ORACLE = """
-SELECT event_type, COUNT(*) AS cnt, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
        CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts
 FROM events GROUP BY event_type ORDER BY event_type
@@ -267,7 +267,7 @@ def s13_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S13_ORACLE = """
-SELECT COUNT(*) AS cnt, SUM(n_nationkey) AS sum_key,
+SELECT COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
        COUNT(DISTINCT n_regionkey) AS nd_region
 FROM nation
 """

@@ -44,11 +44,11 @@ SET1_ORACLE = """
 WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
      b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
 SELECT * FROM (
-  SELECT 'union' AS op, COUNT(*) AS n, SUM(k) AS checksum FROM (SELECT k FROM wo UNION SELECT k FROM b) t
+  SELECT 'union' AS op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS checksum FROM (SELECT k FROM wo UNION SELECT k FROM b) t
   UNION ALL
-  SELECT 'intersect', COUNT(*), SUM(k) FROM (SELECT k FROM wo INTERSECT SELECT k FROM b) t
+  SELECT 'intersect', COUNT(*), CAST(SUM(k) AS BIGINT) FROM (SELECT k FROM wo INTERSECT SELECT k FROM b) t
   UNION ALL
-  SELECT 'except', COUNT(*), SUM(k) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b) t
+  SELECT 'except', COUNT(*), CAST(SUM(k) AS BIGINT) FROM (SELECT k FROM wo EXCEPT SELECT k FROM b) t
 ) s ORDER BY op
 """
 
@@ -111,7 +111,7 @@ WITH per_order AS (
 SELECT l_orderkey,
        len(qtys) AS n_items,
        len(list_filter(qtys, q -> q >= 25)) AS n_bulk,
-       list_aggregate(qtys, 'sum') AS qty_sum,
+       CAST(list_aggregate(qtys, 'sum') AS INT) AS qty_sum,
        array_to_string(list_transform(qtys, q -> CAST(q * 2 AS VARCHAR)), ',') AS doubled_csv
 FROM per_order WHERE l_orderkey < 100 ORDER BY l_orderkey
 """

@@ -37,7 +37,7 @@ def q2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n_customers_without_orders,
-       SUM(c_custkey) AS checksum
+       CAST(SUM(c_custkey) AS BIGINT) AS checksum
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_mktsegment

@@ -109,8 +109,8 @@ def a3_boolean_true_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A3_ORACLE = """
-SELECT SUM(CAST(l_returnflag = 'R' AS INT)) AS returned_true_count,
-       SUM(CAST(l_quantity >= 25 AS INT)) AS bulk_true_count,
+SELECT CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS returned_true_count,
+       CAST(SUM(CAST(l_quantity >= 25 AS INT)) AS BIGINT) AS bulk_true_count,
        COUNT(*) AS n_rows
 FROM lineitem
 """
@@ -167,7 +167,7 @@ def a4_merged_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A4M_ORACLE = """
-SELECT SUM(n_rows) AS n_rows,
+SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
        MIN(min_price) AS min_price,
        MAX(max_price) AS max_price,
        CAST(SUM(CAST(sum_price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
@@ -210,10 +210,10 @@ def a5_raw_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A5_ORACLE = (
-    "SELECT ("
+    "SELECT CAST(("
     + " + ".join(f"SUM({m})" for m in _SIZE_MODEL.values())
-    + ") AS raw_data_size, "
-    + ", ".join(f"SUM({m}) AS {c}_bytes" for c, m in _SIZE_MODEL.items())
+    + ") AS BIGINT) AS raw_data_size, "
+    + ", ".join(f"CAST(SUM({m}) AS BIGINT) AS {c}_bytes" for c, m in _SIZE_MODEL.items())
     + " FROM lineitem"
 )
 

@@ -42,9 +42,9 @@ def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X1_ORACLE = f"""
 SELECT COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_ws_tokens,
-       SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_bpe_tokens,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        MIN(len(string_split_regex(trim(text), '\\s+'))) AS min_ws_tokens,
        MAX(len(string_split_regex(trim(text), '\\s+'))) AS max_ws_tokens
 FROM documents

@@ -86,7 +86,7 @@ def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R1_ORACLE = """
 SELECT COUNT(*) AS cnt,
-       SUM(event_id) AS sum_event_id,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT event_type) AS nd_type,
        CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts

@@ -1,0 +1,72 @@
+"""Tests for the correctness gate itself (round-1 lesson: the gate must
+reproduce the driver's pandas normalization, where DuckDB HUGEINT
+renders as float64) and for byte-true multimodal oracles on non-ASCII
+corpora."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.oracle_utils import compare_query, duckdb_con
+
+
+def test_gate_catches_uncast_hugeint_sum(spark, sf_dir):
+    """An uncast integer SUM (DuckDB HUGEINT -> pandas float64) must
+    fail the local gate even though the *values* are identical — this
+    is exactly the divergence that cost 18 rows in round 1."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "nation").agg(F.sum("n_nationkey").alias("s"))
+    con = duckdb_con(sf_dir)
+    try:
+        with pytest.raises(AssertionError, match="pandas-path"):
+            compare_query(df, con, "SELECT SUM(n_nationkey) AS s FROM nation")
+        # and the cast form passes
+        compare_query(df, con, "SELECT CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation")
+    finally:
+        con.close()
+
+
+def test_m1_oracle_byte_true_on_non_ascii(spark, tmp_path):
+    """m1's oracle must checksum UTF-8 *bytes* (what the Python side
+    sums over the binary payload), not codepoints — exercised here on
+    a corpus with 2-, 3-, and 4-byte UTF-8 sequences."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.multimodal import (
+        M1_ORACLE,
+        m1_multimodal_features,
+    )
+
+    rows = [
+        (1, "héllo wörld", "web-1", "de", 11),
+        (2, "日本語テキスト majority ascii tail", "web-1", "ja", 28),
+        (3, "emoji 🎉🚀 mix", "web-2", "en", 12),
+        (4, "plain ascii document", "web-2", "en", 20),
+        (5, "", "web-3", "en", 0),
+        (6, "mixed ασδφ русский 中文 🌍", "web-3", "el", 24),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf, exist_ok=True)
+    # single-file parquet, matching the driver's testdata layout
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf, "documents.parquet"))
+
+    con = duckdb_con(sf)
+    try:
+        compare_query(m1_multimodal_features(spark, sf), con, M1_ORACLE)
+    finally:
+        con.close()
