@@ -70,7 +70,7 @@ def main() -> None:
     )
     timings["orc_projection_ppd"] = round(time.time() - t0, 3)
 
-    qs = catalog.queries()
+    qs = {**catalog.queries(), **catalog.extra_queries()}
     # warmup: materialize one-time inputs (ORC copies, ACID dirs) and
     # JIT/codegen so timings reflect steady-state query cost
     for name in HEADLINE:

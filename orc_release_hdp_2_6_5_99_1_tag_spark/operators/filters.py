@@ -52,6 +52,31 @@ def f1_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
 F1_ORACLE = _FINGERPRINT_SQL + "WHERE l_returnflag = 'R'"
 
 
+def f1_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five SearchArgument comparison leaves in one graded query —
+    EQUALS / NULL_SAFE_EQUALS / LESS_THAN(_EQUALS) / IN / BETWEEN
+    (reference `RecordReaderImpl.evaluatePredicateMinMax:494-574`) —
+    one labeled fingerprint row per operator. The individual operators
+    stay available (f1..f5) for tests; this combined form keeps each
+    leaf's verdict visible in a single registry slot.
+
+    Scale: five independent scan+filter+agg branches; each pushes its
+    predicate to the scan and aggregates map-side — the union is of
+    five 1-row results, so no meaningful shuffle."""
+    parts = [
+        ("eq", f1_equals),
+        ("null_safe_eq", f2_null_safe_equals),
+        ("lt_lte", f3_less_than),
+        ("in", f4_in_list),
+        ("between", f5_between),
+    ]
+    out = None
+    for op, fn in parts:
+        branch = fn(spark, sf_dir).select(F.lit(op).alias("op"), "cnt", "key_sum", "price_sum")
+        out = branch if out is None else out.unionAll(branch)
+    return out.orderBy("op")
+
+
 def f2_null_safe_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`<=>` over two NULL-bearing operands: NULL <=> NULL selects
     (reference NULL_SAFE_EQUALS never returns *_NULL,
@@ -103,6 +128,25 @@ F5_ORACLE = (
     _FINGERPRINT_SQL
     + "WHERE l_quantity BETWEEN 10 AND 20 AND l_shipdate BETWEEN"
     " TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'"
+)
+
+
+def _suite_branch(op: str, oracle: str) -> str:
+    return f"SELECT '{op}' AS op, cnt, key_sum, price_sum FROM ({oracle}) t_{op}"
+
+
+F1_SUITE_ORACLE = (
+    " UNION ALL ".join(
+        _suite_branch(op, oracle)
+        for op, oracle in [
+            ("eq", F1_ORACLE),
+            ("null_safe_eq", F2_ORACLE),
+            ("lt_lte", F3_ORACLE),
+            ("in", F4_ORACLE),
+            ("between", F5_ORACLE),
+        ]
+    )
+    + " ORDER BY op"
 )
 
 
