@@ -3,20 +3,40 @@
 the reference serves `orc-tools meta` from `Footer.statistics`
 (`ColumnStatisticsImpl.java`, proto `Footer.statistics:201`).
 
-Uses the ORC Java library already on Spark's classpath (the very
-library the reference ships) through py4j: one footer read per file,
-then a driver-side merge — the same partial/final roll-up as
-`ColumnStatisticsImpl.merge()`. File counts are small relative to data
-(one tail read per ~64 MiB+ file); for million-file lakes, lift the
-per-file loop into `orc_meta_distributed`'s mapInPandas pattern.
+Two implementations:
+
+- `footer_column_stats` (the query path): DISTRIBUTED — executors
+  parse file tails with the pure-Python parser (`footer_tail.py`,
+  shipped to workers via addPyFile) emitting typed per-file partial
+  rows, and Spark performs the final merge (min of mins, max of maxes,
+  sum of sums, OR of hasNull) — the exact partial/final design of the
+  reference's `ColumnStatisticsImpl.merge()`. One tail-read per file,
+  parallel across the cluster: scales to million-file lakes.
+- `footer_column_stats_py4j`: the ORC Java library via py4j, driver
+  side — kept as a cross-implementation oracle for tests (our parser
+  vs the reference's own reader on identical files).
 """
 
 from __future__ import annotations
 
 import glob
 import os
+from decimal import Decimal
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+_INT_KINDS = ("tinyint", "smallint", "int", "bigint")
+_STRLIKE_KINDS = ("string", "char", "varchar")
+
+_PARTIAL_SCHEMA = (
+    "column_name string, kind string, n_values long, has_null boolean,"
+    " min_long long, max_long long, sum_long long, sum_long_defined boolean,"
+    " min_dbl double, max_dbl double, sum_dbl double,"
+    " min_str string, max_str string,"
+    " min_dec string, max_dec string, sum_dec string,"
+    " true_count long"
+)
 
 
 def _orc_files(path: str) -> list[str]:
@@ -30,27 +50,169 @@ def _orc_files(path: str) -> list[str]:
     )
 
 
+def _make_tail_mapper():
+    """mapInPandas closure: one typed partial-stats row per (file,
+    top-level column). Self-contained: imports `footer_tail` shipped
+    via addPyFile (executors don't have this repo on sys.path)."""
+
+    def tails_to_partials(batches):
+        from datetime import date, datetime, timedelta
+
+        import pandas as pd
+
+        try:
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail as ft
+        except ImportError:  # executor: module shipped flat via addPyFile
+            import footer_tail as ft
+
+        def render_ts(ms: int) -> str:
+            s, frac = divmod(ms, 1000)
+            t = datetime(1970, 1, 1) + timedelta(seconds=s)
+            out = t.strftime("%Y-%m-%d %H:%M:%S")
+            if frac:
+                out += ("." + f"{frac:03d}").rstrip("0")
+            return out
+
+        cols = [c.split()[0] for c in _PARTIAL_SCHEMA.split(",")]
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                tail = ft.parse_tail_of_file(path)
+                for c in tail["columns"]:
+                    t = c.get("typed", {})
+                    kind = c["kind"]
+                    r = dict.fromkeys(cols)
+                    r.update(
+                        column_name=c["name"],
+                        kind=kind,
+                        n_values=int(c.get("n_values", 0)),
+                        has_null=bool(c.get("has_null", False)),
+                        sum_long_defined=True,
+                    )
+                    if kind in _INT_KINDS:
+                        r["min_long"], r["max_long"] = t.get("min"), t.get("max")
+                        r["sum_long"] = t.get("sum")
+                        # reference omits the int sum on overflow
+                        r["sum_long_defined"] = "sum" in t
+                    elif kind in ("float", "double"):
+                        r["min_dbl"], r["max_dbl"] = t.get("min"), t.get("max")
+                        r["sum_dbl"] = t.get("sum")
+                    elif kind in _STRLIKE_KINDS:
+                        r["min_str"], r["max_str"] = t.get("min"), t.get("max")
+                    elif kind == "decimal":
+                        r["min_dec"], r["max_dec"] = t.get("min"), t.get("max")
+                        r["sum_dec"] = t.get("sum")
+                    elif kind == "boolean":
+                        r["true_count"] = t.get("true_count", 0)
+                    elif kind == "date":
+                        for k in ("min", "max"):
+                            if t.get(k) is not None:
+                                r[f"{k}_str"] = str(date(1970, 1, 1) + timedelta(days=t[k]))
+                    elif kind == "timestamp":
+                        mn = t.get("min_utc", t.get("min"))
+                        mx = t.get("max_utc", t.get("max"))
+                        if mn is not None:
+                            r["min_str"], r["max_str"] = render_ts(mn), render_ts(mx)
+                    elif kind == "binary":
+                        r["sum_long"] = t.get("sum")
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return tails_to_partials
+
+
+def _strip_dec(col):
+    """Render a decimal as its minimal string ('12.50'→'12.5')."""
+    s = F.col(col).cast("string")
+    return F.when(
+        F.col(col).isNotNull(),
+        F.regexp_replace(F.regexp_replace(s, r"(\.\d*?)0+$", r"$1"), r"\.$", ""),
+    )
+
+
 def footer_column_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Per-column file-footer statistics merged across files:
-    (column, n_values, has_null, min, max, sum) — min/max/sum as
-    strings (typed stats: integer, double, string, timestamp, date,
-    decimal, boolean true-count as sum)."""
+    """Per-column statistics merged across a directory's ORC footers:
+    (column_name, n_values, has_null, min_val, max_val, sum_val) with
+    min/max/sum rendered as strings (heterogeneous types stack into one
+    result, like `orc-tools meta` output). Distributed: executors read
+    tails, Spark merges partials."""
+    files = sorted(set(_orc_files(path)))
+    if not files:
+        raise FileNotFoundError(f"no ORC files under {path}")
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail
+
+    spark.sparkContext.addPyFile(footer_tail.__file__)
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    partials = fdf.repartition(min(len(files), 64)).mapInPandas(
+        _make_tail_mapper(), schema=_PARTIAL_SCHEMA
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,10)")  # noqa: E731
+    merged = partials.groupBy("column_name", "kind").agg(
+        F.sum("n_values").alias("n_values"),
+        F.max("has_null").alias("has_null"),
+        F.min("min_long").alias("min_long"),
+        F.max("max_long").alias("max_long"),
+        F.when(F.every(F.col("sum_long_defined")), F.sum("sum_long")).alias("sum_long"),
+        F.min("min_dbl").alias("min_dbl"),
+        F.max("max_dbl").alias("max_dbl"),
+        F.sum("sum_dbl").alias("sum_dbl"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+        F.min(dec("min_dec")).alias("min_dec"),
+        F.max(dec("max_dec")).alias("max_dec"),
+        F.sum(dec("sum_dec")).alias("sum_dec"),
+        F.sum("true_count").alias("true_count"),
+    )
+
+    # double→string via shortest round-trip repr (what DuckDB VARCHAR
+    # casts and Python str() produce); Spark's JVM cast switches to
+    # scientific notation at 1e7 and would diverge. Vectorized UDF on
+    # a ~#columns-row result — off the data path.
+    @F.pandas_udf("string")
+    def _repr_dbl(s):
+        return s.map(lambda v: None if v is None or v != v else repr(float(v)))
+
+    def pick(long_col, dbl_col, str_col, dec_col):
+        return (
+            F.when(F.col("kind").isin(*_INT_KINDS), F.col(long_col).cast("string"))
+            .when(F.col("kind").isin("float", "double"), _repr_dbl(F.col(dbl_col)))
+            .when(F.col("kind").isin(*_STRLIKE_KINDS, "date", "timestamp"), F.col(str_col))
+            .when(F.col("kind") == "decimal", _strip_dec(dec_col))
+        )
+
+    sum_val = (
+        F.when(F.col("kind").isin(*_INT_KINDS, "binary"), F.col("sum_long").cast("string"))
+        .when(F.col("kind").isin("float", "double"), _repr_dbl(F.col("sum_dbl")))
+        .when(F.col("kind") == "decimal", _strip_dec("sum_dec"))
+        .when(F.col("kind") == "boolean", F.col("true_count").cast("string"))
+    )
+    return merged.select(
+        "column_name",
+        "n_values",
+        "has_null",
+        pick("min_long", "min_dbl", "min_str", "min_dec").alias("min_val"),
+        pick("max_long", "max_dbl", "max_str", "max_dec").alias("max_val"),
+        sum_val.alias("sum_val"),
+    ).orderBy("column_name")
+
+
+def footer_column_stats_py4j(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side variant through the ORC Java library (the reference's
+    own reader) — the cross-implementation oracle for the distributed
+    parser. One py4j footer read per file; test-scale only."""
     jvm = spark._jvm  # type: ignore[attr-defined]
     conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
     merged: dict[str, dict] = {}
-    field_names: list[str] = []
     for f in sorted(set(_orc_files(path))):
         jpath = jvm.org.apache.hadoop.fs.Path(f)
         reader = jvm.org.apache.orc.OrcFile.createReader(
             jpath, jvm.org.apache.orc.OrcFile.readerOptions(conf)
         )
         schema = reader.getSchema()
-        field_names = list(schema.getFieldNames())
         children = schema.getChildren()
         stats = reader.getStatistics()
-        for i, name in enumerate(field_names):
-            col_id = children[i].getId()
-            s = stats[col_id]
+        for i, name in enumerate(schema.getFieldNames()):
+            s = stats[children[i].getId()]
             entry = merged.setdefault(
                 name, {"n": 0, "has_null": False, "min": None, "max": None, "sum": None}
             )
@@ -58,7 +220,9 @@ def footer_column_stats(spark: SparkSession, path: str) -> DataFrame:
             entry["has_null"] = entry["has_null"] or s.hasNull()
             cls = s.getClass().getName()
             mn = mx = sm = None
-            if "IntegerStatistics" in cls or "Long" in cls and hasattr(s, "getMinimum"):
+            # Decimal64StatisticsImpl serves precision<=18 in newer ORC
+            is_dec = "Decimal" in cls
+            if ("IntegerStatistics" in cls or "Long" in cls) and hasattr(s, "getMinimum"):
                 mn, mx = s.getMinimum(), s.getMaximum()
                 sm = s.getSum() if s.isSumDefined() else None
             elif "DoubleStatistics" in cls:
@@ -69,18 +233,17 @@ def footer_column_stats(spark: SparkSession, path: str) -> DataFrame:
                 mn, mx = str(s.getMinimum()), str(s.getMaximum())
             elif "BooleanStatistics" in cls:
                 sm = s.getTrueCount()
-            elif "DecimalStatistics" in cls:
-                mn, mx = str(s.getMinimum()), str(s.getMaximum())
-                sm = str(s.getSum())
+            elif is_dec:
+                # decimals merge as Decimal, not str (string '+' would
+                # concatenate; string min/max is lexicographic)
+                mn, mx = Decimal(str(s.getMinimum())), Decimal(str(s.getMaximum()))
+                sm = Decimal(str(s.getSum()))
             for k, v in [("min", mn), ("max", mx)]:
                 if v is not None:
                     prev = entry[k]
-                    if prev is None:
-                        entry[k] = v
-                    else:
-                        entry[k] = (min if k == "min" else max)(prev, v)
+                    entry[k] = v if prev is None else (min if k == "min" else max)(prev, v)
             if sm is not None:
-                entry["sum"] = sm if entry["sum"] is None else type(sm)(entry["sum"] + sm)
+                entry["sum"] = sm if entry["sum"] is None else entry["sum"] + sm
     rows = [
         (
             name,

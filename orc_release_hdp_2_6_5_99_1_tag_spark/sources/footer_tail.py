@@ -1,0 +1,289 @@
+"""Pure-Python ORC file-tail parser: PostScript → Footer → per-column
+file statistics, without the JVM.
+
+Why this exists: metadata-only statistics (reference `orc-tools meta`,
+`Footer.statistics` — proto `orc_proto.proto:71-91,194-231`) must run
+ON EXECUTORS to scale to million-file lakes, but Spark executors'
+Python workers have no py4j gateway to the ORC Java library, and
+pyarrow.orc exposes file-level facts only (no column statistics). The
+tail is a few KiB of protobuf; parsing it needs ~150 lines of wire
+format + the ORC chunk framing, both documented in the reference
+(`proto/orc_proto.proto`; compression framing `OutStream.java:84-176`:
+3-byte little-endian header `(chunkLength << 1) | isOriginal`).
+
+Scope: compression NONE and ZLIB (the reference default) — raw-deflate
+chunks via stdlib zlib. SNAPPY/LZO/LZ4 tails raise a clear error (the
+data-path queries never depend on this parser for those codecs).
+
+Wire format: field key = varint `(field_number << 3) | wire_type`;
+wire types 0=varint, 1=fixed64, 2=length-delimited, 5=fixed32.
+sintNN fields are zigzag-encoded.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+# proto enum CompressionKind (orc_proto.proto:205-212)
+_COMPRESSION = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4", 5: "ZSTD"}
+
+# proto Type.Kind (orc_proto.proto:145-164)
+KIND = {
+    0: "boolean", 1: "tinyint", 2: "smallint", 3: "int", 4: "bigint",
+    5: "float", 6: "double", 7: "string", 8: "binary", 9: "timestamp",
+    10: "list", 11: "map", 12: "struct", 13: "union", 14: "decimal",
+    15: "date", 16: "varchar", 17: "char",
+}  # fmt: skip
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a protobuf message.
+    value is int for wire types 0/1/5 (raw, not zigzag-decoded) and
+    bytes for wire type 2."""
+    pos = 0
+    while pos < len(buf):
+        key, pos = _varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _varint(buf, pos)
+        elif wt == 1:
+            v = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:  # pragma: no cover - groups don't occur in ORC protos
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield field, wt, v
+
+
+def _packed_varints(v: Any) -> list[int]:
+    """repeated uint32 [packed] arrives as one length-delimited blob;
+    unpacked encodings arrive as individual varints."""
+    if isinstance(v, int):
+        return [v]
+    out, pos = [], 0
+    while pos < len(v):
+        n, pos = _varint(v, pos)
+        out.append(n)
+    return out
+
+
+def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
+    if compression == 1:  # ZLIB: raw deflate
+        return zlib.decompress(chunk, -15)
+    if compression == 2:  # SNAPPY: raw block, uvarint length prefix
+        import pyarrow as pa
+
+        size, _ = _varint(chunk, 0)
+        return pa.Codec("snappy").decompress(chunk, decompressed_size=size).to_pybytes()
+    if compression == 5:  # ZSTD: stream-decode (no size needed)
+        import pyarrow as pa
+
+        with pa.CompressedInputStream(pa.BufferReader(chunk), "zstd") as s:
+            return s.read()
+    # LZO(3)/LZ4(4) use raw block formats that need the decompressed
+    # size up front — not recoverable from the chunk alone in Python
+    raise ValueError(
+        f"pure-Python tail parse supports NONE/ZLIB/SNAPPY/ZSTD, file uses "
+        f"{_COMPRESSION.get(compression, compression)}"
+    )
+
+
+def _decompress_tail(data: bytes, compression: int) -> bytes:
+    """Undo ORC stream framing: sequence of [3-byte LE header][chunk],
+    header = (chunkLength << 1) | isOriginal (OutStream.java:84-176)."""
+    if compression == 0:
+        return data
+    out, pos = [], 0
+    while pos + 3 <= len(data):
+        hdr = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        is_original, length = hdr & 1, hdr >> 1
+        chunk = data[pos : pos + length]
+        pos += length
+        out.append(chunk if is_original else _decompress_chunk(chunk, compression))
+    return b"".join(out)
+
+
+def _parse_postscript(buf: bytes) -> dict:
+    ps = {"footerLength": 0, "compression": 0, "metadataLength": 0, "magic": ""}
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            ps["footerLength"] = v
+        elif field == 2:
+            ps["compression"] = v
+        elif field == 5:
+            ps["metadataLength"] = v
+        elif field == 8000:
+            ps["magic"] = v.decode("utf-8", "replace")
+    return ps
+
+
+def _parse_type(buf: bytes) -> dict:
+    t = {"kind": 0, "subtypes": [], "fieldNames": [], "precision": None, "scale": None}
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            t["kind"] = v
+        elif field == 2:
+            t["subtypes"] += _packed_varints(v)
+        elif field == 3:
+            t["fieldNames"].append(v.decode("utf-8"))
+        elif field == 5:
+            t["precision"] = v
+        elif field == 6:
+            t["scale"] = v
+    return t
+
+
+def _f64(raw: int) -> float:
+    return struct.unpack("<d", struct.pack("<Q", raw))[0]
+
+
+def _parse_typed_stats(kind_field: int, buf: bytes) -> dict:
+    """One of the typed sub-messages of ColumnStatistics
+    (orc_proto.proto:22-69). Returns {min,max,sum,true_count} subset."""
+    out: dict = {}
+    for field, wt, v in _fields(buf):
+        if kind_field == 2:  # IntegerStatistics: sint64 min/max/sum
+            if field in (1, 2, 3):
+                out[("min", "max", "sum")[field - 1]] = _zigzag(v)
+        elif kind_field == 3:  # DoubleStatistics: double min/max/sum
+            if field in (1, 2, 3):
+                out[("min", "max", "sum")[field - 1]] = _f64(v)
+        elif kind_field == 4:  # StringStatistics: str min/max, sint64 len-sum
+            if field in (1, 2):
+                out[("min", "max")[field - 1]] = v.decode("utf-8")
+            elif field == 3:
+                out["sum"] = _zigzag(v)
+        elif kind_field == 5:  # BucketStatistics: repeated uint64 count
+            out["true_count"] = sum(_packed_varints(v))
+        elif kind_field == 6:  # DecimalStatistics: strings
+            if field in (1, 2, 3):
+                out[("min", "max", "sum")[field - 1]] = v.decode("utf-8")
+        elif kind_field == 7:  # DateStatistics: sint32 days
+            if field in (1, 2):
+                out[("min", "max")[field - 1]] = _zigzag(v)
+        elif kind_field == 8:  # BinaryStatistics: sint64 byte-sum
+            if field == 1:
+                out["sum"] = _zigzag(v)
+        elif kind_field == 9:  # TimestampStatistics: sint64 millis (+UTC)
+            if field in (1, 2, 3, 4):
+                out[("min", "max", "min_utc", "max_utc")[field - 1]] = _zigzag(v)
+    return out
+
+
+def _parse_column_statistics(buf: bytes) -> dict:
+    s: dict = {"n_values": 0, "has_null": False, "typed": {}, "typed_kind": None}
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            s["n_values"] = v
+        elif field == 10:
+            s["has_null"] = bool(v)
+        elif 2 <= field <= 9:
+            s["typed_kind"] = field
+            s["typed"] = _parse_typed_stats(field, v)
+    return s
+
+
+def parse_tail(data: bytes) -> dict:
+    """Parse an ORC file tail (the last bytes of the file; pass at
+    least PostScript+Footer — 16 KiB covers typical schemas, callers
+    should retry with `1 + ps_len + footerLength` on a short buffer).
+
+    Returns {compression, magic, n_rows, columns: [{name, kind,
+    col_id, n_values, has_null, typed, typed_kind, precision, scale}]}
+    for the root struct's top-level fields, exactly the slice the
+    reference surfaces per file in `orc-tools meta`.
+    """
+    ps_len = data[-1]
+    ps = _parse_postscript(data[-1 - ps_len : -1])
+    need = 1 + ps_len + ps["footerLength"]
+    if need > len(data):
+        raise _NeedMoreTail(need)
+    footer_raw = data[-need : -1 - ps_len]
+    footer = _decompress_tail(footer_raw, ps["compression"])
+
+    types: list[dict] = []
+    stats: list[dict] = []
+    n_rows = 0
+    for field, _wt, v in _fields(footer):
+        if field == 4:
+            types.append(_parse_type(v))
+        elif field == 6:
+            n_rows = v
+        elif field == 7:
+            stats.append(_parse_column_statistics(v))
+
+    columns = []
+    if types and types[0]["kind"] == 12:  # root struct
+        root = types[0]
+        for name, col_id in zip(root["fieldNames"], root["subtypes"]):
+            t = types[col_id]
+            col = {
+                "name": name,
+                "kind": KIND.get(t["kind"], str(t["kind"])),
+                "col_id": col_id,
+                "precision": t["precision"],
+                "scale": t["scale"],
+            }
+            if col_id < len(stats):
+                col.update(
+                    n_values=stats[col_id]["n_values"],
+                    has_null=stats[col_id]["has_null"],
+                    typed=stats[col_id]["typed"],
+                    typed_kind=stats[col_id]["typed_kind"],
+                )
+            columns.append(col)
+    return {
+        "compression": _COMPRESSION.get(ps["compression"], str(ps["compression"])),
+        "magic": ps["magic"],
+        "n_rows": n_rows,
+        "columns": columns,
+    }
+
+
+class _NeedMoreTail(Exception):
+    def __init__(self, needed: int):
+        super().__init__(f"need {needed} tail bytes")
+        self.needed = needed
+
+
+def parse_tail_of_file(path: str, initial_read: int = 16 * 1024) -> dict:
+    """Read + parse a file's tail, growing the read if the footer is
+    larger than the initial guess (reference reads the last 16 KiB
+    first, `ReaderImpl.extractFileTail:446-560`)."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        n = min(size, initial_read)
+        fh.seek(size - n)
+        data = fh.read(n)
+        try:
+            return parse_tail(data)
+        except _NeedMoreTail as need:
+            n = min(size, need.needed)
+            fh.seek(size - n)
+            return parse_tail(fh.read(n))

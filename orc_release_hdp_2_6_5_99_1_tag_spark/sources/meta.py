@@ -134,10 +134,12 @@ def orc_meta_distributed(spark: SparkSession, path: str) -> DataFrame:
 
 def orc_file_stats_from_footer(spark: SparkSession, path: str) -> DataFrame:
     """Metadata-only total row count per ORC directory — the footer
-    statistics shortcut (no data pages touched)."""
+    statistics shortcut (no data pages touched). Uses the distributed
+    footer reader: at a million files this is a parallel tail-read
+    job, not a driver loop."""
     import pyspark.sql.functions as F
 
-    return orc_meta(spark, path).agg(
+    return orc_meta_distributed(spark, path).agg(
         F.count("*").alias("nfiles"),
         F.sum("nrows").alias("total_rows"),
         F.sum("nstripes").alias("total_stripes"),
