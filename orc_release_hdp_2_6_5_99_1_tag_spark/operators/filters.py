@@ -207,22 +207,40 @@ FROM (
 """
 
 
-def f12_row_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f12_row_seek(
+    spark: SparkSession, sf_dir: str, *, start: int = 101, stop: int = 110
+) -> DataFrame:
     """Row seek (reference `seekToRow`, `RecordReaderImpl.java:1251-1320`)
-    emulated as a deterministic global row numbering + range filter.
+    as a two-phase distributed offset scan — no global single-reducer
+    window over the data.
 
-    Scale note: a global row_number over one window partition is a
-    single-reducer pattern; this is intentionally the semantic
-    equivalent of seekToRow (a storage-level cursor). For distributed
-    offset/limit use `monotonically_increasing_id`-free zipWithIndex
-    patterns or stripe-aligned `Options.range` splits, which Spark's
-    FileSourceStrategy already performs.
+    Phase 1 buckets the sort key into coarse ranges and aggregates a
+    count per bucket (map-side combine, one small shuffle). The running
+    offset is a window over *bucket counts* (two longs per bucket, ~rows/
+    BUCKET entries — the only ordered window, and it never sees data
+    rows). Phase 2 keeps only the bucket(s) whose offset span intersects
+    the target row range — a broadcast semi-join whose key-range
+    predicate Catalyst can push to the scan — and numbers rows *within*
+    each bucket, adding the bucket's global offset. Mirrors the
+    reference's stripe-stats seek: `pickRowGroups` first, then a cursor
+    inside the selected stripe.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    bucket_width = 1 << 10
+    b = (F.col("l_orderkey") / bucket_width).cast("bigint")
+    counts = l.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    )
+    hit = offsets.filter(
+        (F.col("off") < F.lit(stop)) & (F.col("off") + F.col("cnt") >= F.lit(start))
+    )
+    bounded = l.join(F.broadcast(hit), b == F.col("b"))
+    w_in = Window.partitionBy("b").orderBy("l_orderkey", "l_linenumber")
     return (
-        l.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").between(101, 110))
+        bounded.withColumn("rn", F.col("off") + F.row_number().over(w_in))
+        .filter(F.col("rn").between(start, stop))
         .select("rn", "l_orderkey", "l_linenumber", "l_quantity")
     )
 

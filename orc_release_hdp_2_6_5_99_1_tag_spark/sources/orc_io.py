@@ -133,7 +133,12 @@ def orc_copy(
         return dest
     df = load_table(spark, sf_dir, table)
     if sort_by:
-        df = df.repartition(1).sortWithinPartitions(*sort_by)
+        # Range-partition on the sort key, then sort within each task:
+        # every output file covers a disjoint key range, so row-group
+        # min/max stats stay disjoint (the reference's split-elimination
+        # layout, examples/orc_split_elim.orc) while the write runs in
+        # parallel instead of through one task.
+        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     write_orc(
         df,
         dest,
