@@ -81,6 +81,39 @@ def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") * 100000).cast("timestamp").cast("string").alias("int_secs_to_ts_str"),
         as_char(F.col("l_returnflag"), 3).alias("char3"),
         as_varchar(F.col("l_linestatus"), 1).alias("varchar1"),
+        # --- ConvertTreeReaderFactory directions added in round 2 ---
+        # decimal→int truncates toward zero (HiveDecimal.longValue());
+        # DuckDB's decimal→int ROUNDS, so the oracle TRUNCs explicitly.
+        (F.col("l_quantity") + 0.5).cast("decimal(10,2)").cast("int").alias("dec_to_int"),
+        F.col("l_quantity").cast("decimal(10,2)").cast("double").alias("dec_to_dbl"),
+        # decimal→timestamp: seconds since epoch (whole-second values so
+        # the fraction rendering can't diverge between engines)
+        F.col("l_quantity").cast("decimal(10,2)").cast("timestamp").cast("string").alias("dec_to_ts_str"),
+        # timestamp→int: epoch seconds (reference TimestampConvertTreeReader)
+        F.timestamp_seconds(F.col("l_orderkey") * 1000 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("ts_to_int_secs"),
+        F.col("l_shipdate").cast("timestamp").cast("bigint").alias("date_ts_to_secs"),
+        # double→int truncation (same TRUNC hazard as decimal→int)
+        (F.col("l_extendedprice") / 100.0).cast("int").alias("dbl_to_int"),
+        F.col("l_linenumber").cast("decimal(12,3)").cast("string").alias("int_to_dec_str"),
+        # string↔binary: UTF-8 bytes both ways
+        F.hex(F.col("l_returnflag").cast("binary")).alias("str_to_bin_hex"),
+        F.col("l_linestatus").cast("binary").cast("string").alias("bin_to_str"),
+        # float→string: shortest round-trip repr of the float32 value
+        F.col("l_discount").cast("float").cast("string").alias("flt_to_str"),
+        F.col("l_tax").cast("float").cast("double").alias("flt_to_dbl"),
+        # bigint→float narrowing
+        F.col("l_orderkey").cast("float").cast("string").alias("big_to_flt_str"),
+        # boolean lattice: int→boolean (nonzero=true), boolean→string
+        (F.col("l_linenumber") % 2).cast("boolean").alias("int_to_bool"),
+        (F.col("l_quantity") > 25).cast("string").alias("bool_to_str"),
+        # string→timestamp / string→decimal (null-on-error via try_cast)
+        F.concat(F.col("l_shipdate").cast("string"), F.lit(" 00:00:00"))
+        .try_cast("timestamp")
+        .cast("string")
+        .alias("str_to_ts_str"),
+        F.col("l_returnflag").try_cast("decimal(10,2)").alias("str_to_dec_null"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -101,7 +134,23 @@ SELECT
   CAST(CAST(l_shipdate AS TIMESTAMP) AS VARCHAR) AS ts_to_str,
   CAST(CAST(to_timestamp(l_linenumber * 100000) AS TIMESTAMP) AS VARCHAR) AS int_secs_to_ts_str,
   rpad(substr(l_returnflag, 1, 3), 3, ' ') AS char3,
-  substr(l_linestatus, 1, 1) AS varchar1
+  substr(l_linestatus, 1, 1) AS varchar1,
+  CAST(TRUNC(CAST(l_quantity + 0.5 AS DECIMAL(10,2))) AS INT) AS dec_to_int,
+  CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS dec_to_dbl,
+  CAST(epoch_ms(CAST(CAST(l_quantity AS DECIMAL(10,2)) * 1000 AS BIGINT)) AS VARCHAR) AS dec_to_ts_str,
+  CAST(l_orderkey * 1000 + l_linenumber AS BIGINT) AS ts_to_int_secs,
+  CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS date_ts_to_secs,
+  CAST(TRUNC(l_extendedprice / 100.0) AS INT) AS dbl_to_int,
+  CAST(CAST(l_linenumber AS DECIMAL(12,3)) AS VARCHAR) AS int_to_dec_str,
+  upper(hex(encode(l_returnflag))) AS str_to_bin_hex,
+  l_linestatus AS bin_to_str,
+  CAST(CAST(l_discount AS REAL) AS VARCHAR) AS flt_to_str,
+  CAST(CAST(l_tax AS REAL) AS DOUBLE) AS flt_to_dbl,
+  CAST(CAST(l_orderkey AS REAL) AS VARCHAR) AS big_to_flt_str,
+  CAST(l_linenumber % 2 AS BOOLEAN) AS int_to_bool,
+  CAST(l_quantity > 25 AS VARCHAR) AS bool_to_str,
+  CAST(TRY_CAST(CAST(l_shipdate AS VARCHAR) || ' 00:00:00' AS TIMESTAMP) AS VARCHAR) AS str_to_ts_str,
+  TRY_CAST(l_returnflag AS DECIMAL(10,2)) AS str_to_dec_null
 FROM lineitem
 WHERE l_orderkey <= 200
 ORDER BY l_orderkey, l_linenumber
