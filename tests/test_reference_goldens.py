@@ -4,13 +4,12 @@ reference's own canonical ORC files — written by ORC 1.4-era Java and
 C++ writers, v0.11 and v0.12 formats, zlib/snappy codecs — and
 matches the published expected contents.
 
-Known divergences (documented, asserted):
-- `uniontype` files: Spark's ORC reader has no union type; the
-  engine's tagged-struct convention (functions/union_type.py) is the
-  supported path for union DATA it writes itself.
-- `version1999.orc` (file claiming writer version 1999.0.999): the
-  reference reads unknown FUTURE versions permissively; Spark's reader
-  rejects the file.
+Spark's native reader rejects `uniontype` files and future writer
+versions; the pyarrow shim (sources/union_reader.py) closes both gaps
+— unions decode into the tagged-struct convention
+(functions/union_type.py), future versions read permissively — with
+one asserted information loss (null unions collapse to null-valued
+variants).
 """
 
 from __future__ import annotations
@@ -118,16 +117,51 @@ def test_split_elim_golden_layout(spark):
     assert 0 <= surfaced <= 10_000, surfaced
 
 
-def test_union_type_file_unsupported(spark):
-    """Spark cannot read ORC uniontype files — the documented gap the
-    tagged-struct convention covers for engine-written data."""
+def test_union_type_file_via_shim(spark):
+    """Spark's native reader rejects ORC uniontype files; the pyarrow
+    shim (sources/union_reader.py) decodes them into the tagged-struct
+    convention. Deep value compare vs the published expected dump
+    (`TestOrcFile.testUnionAndTimestamp.jsn.gz`, reference reader
+    `TreeReaderFactory.java:1865-1949`), modulo the documented arrow
+    limitation: written-as-NULL unions collapse to a NULL-valued
+    variant (arrow unions have no validity bitmap)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.union_reader import (
+        read_orc_permissive,
+    )
+
+    path = os.path.join(EX, "TestOrcFile.testUnionAndTimestamp.orc")
     with pytest.raises(Exception):
-        spark.read.orc(os.path.join(EX, "TestOrcFile.testUnionAndTimestamp.orc")).count()
+        spark.read.orc(path).count()
+
+    df = read_orc_permissive(spark, path)
+    got = df.collect()
+    with gzip.open(
+        os.path.join(EX, "expected", "TestOrcFile.testUnionAndTimestamp.jsn.gz")
+    ) as fh:
+        want = [json.loads(line) for line in fh]
+    assert len(got) == len(want) == 5077
+    for g, w in zip(got, want):
+        wu = w["union"]
+        if wu is None or wu["value"] is None:
+            # null union and null-valued variant both surface as a
+            # NULL variant value through arrow
+            assert g.union.f0 is None and g.union.f1 is None
+        elif wu["tag"] == 0:
+            assert (g.union._tag, g.union.f0) == (0, wu["value"])
+        else:
+            assert (g.union._tag, g.union.f1) == (1, wu["value"])
 
 
-def test_future_version_file_rejected(spark):
-    """version1999.orc (writer version from the future) — Spark's
-    reader rejects it; the reference reads permissively. Divergence
-    documented here."""
+def test_future_version_file_permissive(spark):
+    """version1999.orc (writer version stamped 1999.0.999): Spark's
+    native reader rejects it, the reference reads it permissively
+    (`ReaderImpl.java` postscript handling) — as does the pyarrow
+    fallback in read_orc_permissive."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.union_reader import (
+        read_orc_permissive,
+    )
+
+    path = os.path.join(EX, "version1999.orc")
     with pytest.raises(Exception):
-        spark.read.orc(os.path.join(EX, "version1999.orc")).count()
+        spark.read.orc(path).count()
+    assert read_orc_permissive(spark, path).count() == 0

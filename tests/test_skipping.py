@@ -53,6 +53,28 @@ def test_orc_v011_format_roundtrip(spark, sf_dir, tmp_path):
     assert str(pa_orc.ORCFile(f).file_version) == "0.11"
 
 
+def test_encoding_strategy_changes_file_size(spark, sf_dir, tmp_path):
+    """E2: `orc.encoding.strategy=COMPRESSION` picks tighter integer
+    encodings than SPEED (reference
+    `RunLengthIntegerWriterV2.java:409-520` strategy switch); with the
+    codec disabled the choice is visible as a file-size delta, and both
+    files read back identically."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").repartition(1)
+    sizes, counts = {}, {}
+    for strat in ["SPEED", "COMPRESSION"]:
+        dest = str(tmp_path / f"e2_{strat}")
+        write_orc(l, dest, compression="none", encoding_strategy=strat)
+        sizes[strat] = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(dest, "*.orc"))
+        )
+        counts[strat] = spark.read.orc(dest).count()
+    assert counts["SPEED"] == counts["COMPRESSION"] == l.count()
+    assert sizes["COMPRESSION"] < sizes["SPEED"], sizes
+
+
 def test_codec_sizes_ordered_sanely(spark, sf_dir):
     """zlib/zstd compress the sorted TPC-H-ish data better than NONE
     (E7); all codecs readable (e1 query checks value identity)."""
