@@ -273,16 +273,30 @@ FROM dup WHERE n > 1
 )
 
 
+_D4_DF_CAP = 50  # drop shingles appearing in more than this many docs
+
+
 def d4_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via token join (the ground truth
-    d2's LSH approximates): top-20 most similar pairs. The token join
-    is the scalable exact formulation — pairs materialize only for
-    docs sharing a shingle."""
+    """Exact n-gram Jaccard via token join (the ground truth d2's LSH
+    approximates): top-20 most similar pairs. Pairs materialize only
+    for docs sharing a shingle, and shingles appearing in more than
+    `_D4_DF_CAP` documents are dropped from BOTH the intersection and
+    the set sizes (standard hot-token pruning: the shingle-equality
+    self-join is quadratic per shingle, so stop-word-like 3-grams would
+    otherwise dominate at scale). The hot set is tiny (power-law tail)
+    → broadcast anti-join; the oracle applies the identical cap."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", "s")
+    all_sh = _shingles(d).select("doc_id", "s")
+    hot = (
+        all_sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _D4_DF_CAP)
+        .select("s")
+    )
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.toDF("doc_a", "s")
-    b = sh.toDF("doc_b", "s2")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     inter = (
         a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
@@ -302,10 +316,12 @@ def d4_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D4_ORACLE = f"""
 WITH {_sql_shingles()},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+hot AS (SELECT s FROM shh GROUP BY s HAVING COUNT(*) > {_D4_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shh ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,

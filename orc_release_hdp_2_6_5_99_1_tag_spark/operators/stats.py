@@ -226,25 +226,26 @@ def a6_dictionary_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_count_distinct` (HLL) — same decision, no exact-distinct
     shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
-    out = []
-    for c in ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]:
-        out.append(
-            l.agg(
-                F.lit(c).alias("column_name"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.count(F.col(c)).alias("n_values"),
-            ).select(
-                "column_name",
-                "n_distinct",
-                "n_values",
-                (F.col("n_distinct") / F.col("n_values")).alias("distinct_ratio"),
-                (F.col("n_distinct") / F.col("n_values") <= 0.8).alias("use_dictionary"),
-            )
+    cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"nv_{c}"))
+    one = l.agg(*aggs)  # ONE scan; Catalyst expands the distincts
+    unpivot = "stack({n}, {args}) AS (column_name, n_distinct, n_values)".format(
+        n=len(cols), args=", ".join(f"'{c}', nd_{c}, nv_{c}" for c in cols)
+    )
+    return (
+        one.select(F.expr(unpivot))
+        .select(
+            "column_name",
+            "n_distinct",
+            "n_values",
+            (F.col("n_distinct") / F.col("n_values")).alias("distinct_ratio"),
+            (F.col("n_distinct") / F.col("n_values") <= 0.8).alias("use_dictionary"),
         )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionAll(df)
-    return res.orderBy("column_name")
+        .orderBy("column_name")
+    )
 
 
 A6_ORACLE = (

@@ -28,6 +28,39 @@ def test_orc_column_pruning(spark, sf_dir):
     assert set(cols) == {"l_orderkey", "l_quantity"}, f"scan reads extra columns: {cols}"
 
 
+def test_nested_schema_pruning(spark, sf_dir):
+    """P2: selecting one subfield of a struct must prune the ORC
+    ReadSchema to that subfield (reference include-subtree semantics,
+    `mapred/OrcInputFormat.java:61-88`) — not read the whole struct."""
+    import os
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "nested_prune")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        l = load_table(spark, sf_dir, "lineitem")
+        write_orc(
+            l.select(
+                "l_orderkey",
+                F.struct(
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_comment_ish").alias("note") if "l_comment_ish" in l.columns
+                    else F.col("l_returnflag").alias("note"),
+                ).alias("inner"),
+            ),
+            dest,
+        )
+    df = read_orc(spark, dest).select("l_orderkey", F.col("inner.qty"))
+    plan = formatted_plan(df)
+    schema_seg = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "qty" in schema_seg, schema_seg
+    assert "price" not in schema_seg and "note" not in schema_seg, (
+        f"struct not pruned to subfield: {schema_seg}"
+    )
+
+
 def test_partition_pruning(spark, sf_dir):
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import s5_partition_pruning
 
