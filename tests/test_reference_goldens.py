@@ -31,12 +31,26 @@ GOLDEN_ROWS = [
     ("demo-12-zlib.orc", 1_920_800, 9),   # v0.12 format
     ("orc-file-11-format.orc", 7_500, 14),
     ("orc_split_elim.orc", 25_000, 5),
+    ("orc_split_elim_new.orc", 25_000, 5),
     ("over1k_bloom.orc", 2_098, 11),
     ("decimal.orc", 6_000, 1),
     ("nulls-at-end-snappy.orc", 70_000, 7),
     ("TestOrcFile.testSnappy.orc", 10_000, 2),
     ("TestOrcFile.testDate1900.orc", 70_000, 2),
+    ("TestOrcFile.testDate2038.orc", 212_000, 2),
     ("TestOrcFile.emptyFile.orc", 0, 12),
+    ("TestOrcFile.columnProjection.orc", 21_000, 2),
+    ("TestOrcFile.metaData.orc", 1, 12),
+    ("TestOrcFile.testMemoryManagementV11.orc", 2_500, 2),
+    ("TestOrcFile.testMemoryManagementV12.orc", 2_500, 2),
+    ("TestOrcFile.testPredicatePushdown.orc", 3_500, 2),
+    ("TestOrcFile.testSeek.orc", 32_768, 12),
+    ("TestOrcFile.testStringAndBinaryStatistics.orc", 4, 2),
+    ("TestOrcFile.testStripeLevelStats.orc", 11_000, 2),
+    ("TestOrcFile.testWithoutIndex.orc", 50_000, 2),
+    ("TestVectorOrcFile.testLz4.orc", 10_000, 3),
+    # LZO: Spark's embedded Java ORC reads it; pyarrow's C++ ORC cannot
+    ("TestVectorOrcFile.testLzo.orc", 10_000, 3),
 ]
 
 
@@ -115,6 +129,59 @@ def test_split_elim_golden_layout(spark):
         spark.read.orc(path).filter(F.col("userid") == 2).select("userid")
     )
     assert 0 <= surfaced <= 10_000, surfaced
+
+
+def test_lzo_golden_contents(spark):
+    """TestVectorOrcFile.testLzo.orc deep value compare — exercises the
+    LZO codec path pyarrow lacks (reference
+    `TestVectorOrcFile.testLzo`); checksums all 10k (x, y, z) rows
+    against the expected dump."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.orc(os.path.join(EX, "TestVectorOrcFile.testLzo.orc"))
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("sz"),  # z sums past int64
+    ).collect()[0]
+    with gzip.open(os.path.join(EX, "expected", "TestVectorOrcFile.testLzo.jsn.gz")) as fh:
+        rows = [json.loads(line) for line in fh]
+    assert got.n == len(rows) == 10_000
+    assert got.sx == sum(r["x"] for r in rows)
+    assert got.sy == sum(r["y"] for r in rows)
+    assert int(got.sz) == sum(r["z"] for r in rows)
+
+
+def test_date2038_golden_contents(spark):
+    """TestOrcFile.testDate2038.orc: post-2038 timestamps and dates
+    (32-bit-epoch hazard); count distinct dates and the min/max date
+    vs the expected dump."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.orc(os.path.join(EX, "TestOrcFile.testDate2038.orc"))
+    got = df.agg(
+        F.min(F.col("date").cast("string")).alias("mn"),
+        F.max(F.col("date").cast("string")).alias("mx"),
+        F.count_distinct("date").alias("nd"),
+    ).collect()[0]
+    with gzip.open(os.path.join(EX, "expected", "TestOrcFile.testDate2038.jsn.gz")) as fh:
+        dates = {json.loads(line)["date"] for line in fh}
+    assert (got.mn, got.mx, got.nd) == (min(dates), max(dates), len(dates))
+
+
+def test_non_struct_toplevel_unsupported_everywhere(spark):
+    """TestOrcFile.testTimestamp.orc has a bare top-level timestamp
+    (not a struct) — rejected by Spark's reader AND pyarrow's; the
+    Java reference can write such files but the Hive/Spark data model
+    cannot represent them. Documented divergence."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.union_reader import (
+        read_orc_permissive,
+    )
+
+    path = os.path.join(EX, "TestOrcFile.testTimestamp.orc")
+    with pytest.raises(Exception):
+        read_orc_permissive(spark, path).count()
 
 
 def test_union_type_file_via_shim(spark):
