@@ -59,6 +59,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import sql_api as sq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import stats as st
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import temporal as tp
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
     from orc_release_hdp_2_6_5_99_1_tag_spark.streaming import cdc
     from orc_release_hdp_2_6_5_99_1_tag_spark.streaming import ingest as ig
@@ -120,7 +121,9 @@ def _build() -> None:
     register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE)
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
     register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
-    # 48-50. engine-completeness showcases
+    # 48. temporal: point-in-time as-of join (feature-store staple)
+    register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
+    # 49-50. engine-completeness showcases
     register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
     register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)

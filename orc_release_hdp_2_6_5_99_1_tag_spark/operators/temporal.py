@@ -1,0 +1,82 @@
+"""Temporal join operators for training-data pipelines (SURVEY §2.13
+adjacency): point-in-time (as-of) join — the feature-store staple
+Spark's DataFrame API lacks as a built-in.
+
+Spark-first formulation: the classic merge-sorted union. Both sides
+union into one stream tagged by side, one shuffle partitions by the
+equality key, and a running `last(..., ignorenulls=True)` window
+carries the most recent right-side row forward onto each left row.
+Cost is ONE hash exchange on the key + an in-partition sort — the
+same shape as a sort-merge join, with no range-condition blowup (a
+naive `l.ts >= r.ts` join would be quadratic per key). Skewed keys
+ride AQE; there is no broadcast assumption, so both sides scale.
+
+Oracle: DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def w3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event, attach the user's most recent purchase at
+    or before the click (inclusive as-of semantics: a purchase in the
+    same microsecond matches — the `side` tiebreak orders right-side
+    rows first). Clicks with no prior purchase keep NULLs (left join).
+    Output is all-numeric: the time distance is an exact microsecond
+    delta, so the oracle compare is rendering-proof."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases)
+    return (
+        merged.withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("last_p_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("last_p_value").alias("purchase_value"),
+            (F.unix_micros("ts") - F.unix_micros("last_p_ts")).alias(
+                "micros_since_purchase"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+W3_ORACLE = """
+SELECT l.event_id, l.user_id, l.value,
+       r.value AS purchase_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS micros_since_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
