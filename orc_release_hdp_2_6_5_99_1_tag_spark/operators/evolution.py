@@ -53,15 +53,21 @@ FROM part ORDER BY p_partkey
 
 
 def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: the cast lattice over live data — int↔{bigint,double,string,
-    decimal,timestamp}, double↔string, string↔{int,double,date},
-    decimal→string, timestamp↔date/string, plus char/varchar length
-    enforcement. Spark 4 casts are ANSI (malformed input errors), so
-    the reference's null-on-error conversion semantics
-    (`ConvertTreeReaderFactory`) map to try_cast — TRY_CAST in the
-    oracle (the parity hazard SURVEY §7 flags). Int→timestamp is SECONDS since epoch (the reference
-    disables PPD on that conversion because of the seconds/millis
-    ambiguity, `RecordReaderImpl.java:750-754`)."""
+    """C2: the full ~40-direction cast lattice over live data
+    (reference `ConvertTreeReaderFactory.java:401-2016`):
+    int↔{bigint,double,string,decimal,timestamp,boolean}, integer
+    narrowing (bigint→smallint, int→tinyint), decimal→{int,double,
+    timestamp,rescale,string}, double→{int,string,float},
+    float→{string,double}, string↔{int,double,date,timestamp,decimal,
+    binary}, timestamp→{date,string,epoch-seconds}, boolean→string,
+    plus char/varchar length enforcement. Spark 4 casts are ANSI
+    (malformed input errors), so the reference's null-on-error
+    conversion semantics map to try_cast — TRY_CAST in the oracle (the
+    parity hazard SURVEY §7 flags). Int→timestamp is SECONDS since
+    epoch (the reference disables PPD on that conversion because of
+    the seconds/millis ambiguity, `RecordReaderImpl.java:750-754`);
+    decimal→int truncates toward zero where DuckDB rounds (oracle
+    TRUNCs explicitly)."""
     l = load_table(spark, sf_dir, "lineitem")
     base = l.filter(F.col("l_orderkey") <= 200)
     return base.select(
@@ -114,6 +120,15 @@ def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("str_to_ts_str"),
         F.col("l_returnflag").try_cast("decimal(10,2)").alias("str_to_dec_null"),
+        # integer narrowing chain (bigint→int→smallint→tinyint)
+        (F.col("l_orderkey") % 100).cast("smallint").alias("big_to_small"),
+        F.col("l_linenumber").cast("tinyint").alias("int_to_tiny"),
+        # decimal rescale (precision/scale widening)
+        F.col("l_quantity")
+        .cast("decimal(10,2)")
+        .cast("decimal(14,4)")
+        .cast("string")
+        .alias("dec_rescale_str"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -150,7 +165,10 @@ SELECT
   CAST(l_linenumber % 2 AS BOOLEAN) AS int_to_bool,
   CAST(l_quantity > 25 AS VARCHAR) AS bool_to_str,
   CAST(TRY_CAST(CAST(l_shipdate AS VARCHAR) || ' 00:00:00' AS TIMESTAMP) AS VARCHAR) AS str_to_ts_str,
-  TRY_CAST(l_returnflag AS DECIMAL(10,2)) AS str_to_dec_null
+  TRY_CAST(l_returnflag AS DECIMAL(10,2)) AS str_to_dec_null,
+  CAST(l_orderkey % 100 AS SMALLINT) AS big_to_small,
+  CAST(l_linenumber AS TINYINT) AS int_to_tiny,
+  CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS VARCHAR) AS dec_rescale_str
 FROM lineitem
 WHERE l_orderkey <= 200
 ORDER BY l_orderkey, l_linenumber
