@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (SURVEY §2.13):
-brute-force cosine top-k as the exactness baseline, and a
-sign-LSH-bucketed approximate variant as the scale path.
+brute-force cosine top-k as the exactness baseline, plus two scale
+paths — sign-LSH bucketing (v2) and IVF inverted lists with a coarse
+quantizer (v3).
 
 Scale notes: brute force is O(queries × corpus) — fine when the query
 side is small enough to broadcast (it is, here and in the typical
@@ -124,6 +125,110 @@ def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_IVF_K = 16       # coarse centroids
+_IVF_NPROBE = 4   # clusters probed per query
+
+
+def v3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: the inverted-file counterpart to v2's
+    sign-LSH. Coarse quantizer = 16 deterministic centroid vectors
+    (corpus rows 100..115 — a stand-in for k-means output, which would
+    be data-dependent and oracle-incomparable). Every corpus vector is
+    assigned to its nearest centroid (one narrow broadcast-cosine map
+    + an argmin); each query probes its `nprobe`=4 nearest centroids
+    and scans only those inverted lists (~nprobe/K of the corpus).
+
+    Scale shape: assignment is corpus × K broadcast cosines — a narrow
+    map whose argmin here uses a row_number window on vec_id (swap to
+    a single-pass max_by at 100 TB, same result); the probe join hits
+    only the probed clusters, never the full corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)).select(
+        (F.col("vec_id") - 100).alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    # inverted lists: nearest centroid per corpus vector
+    assign_sim = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "centroid_id", _cosine(F.col("embedding"), F.col("c_emb")).alias("ac")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("centroid_id"))
+    lists = (
+        assign_sim.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    # probe: nprobe nearest centroids per query
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_sim = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_emb", "centroid_id", _cosine(F.col("q_emb"), F.col("c_emb")).alias("pc")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("pc"), F.asc("centroid_id"))
+    probes = (
+        probe_sim.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _IVF_NPROBE)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    # search only the probed inverted lists
+    pairs = F.broadcast(probes).join(lists, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = pairs.select(
+        "query_id", "vec_id", "centroid_id", _cosine(F.col("q_emb"), F.col("embedding")).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.format_string("%.4f", F.col("c")).alias("cosine"),
+            "centroid_id",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+V3_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id - 100 AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+), assign_sim AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])) AS ac
+  FROM embeddings e CROSS JOIN cents c
+), lists AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ac DESC, centroid_id ASC) AS arn
+    FROM assign_sim
+  ) WHERE arn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}
+), probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])) DESC,
+                      c.centroid_id ASC
+           ) AS prn
+    FROM q CROSS JOIN cents c
+  ) WHERE prn <= {_IVF_NPROBE}
+), sim AS (
+  SELECT p.query_id, l.vec_id, l.centroid_id,
+         list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) AS c
+  FROM probes p JOIN lists l ON l.centroid_id = p.centroid_id AND l.vec_id != p.query_id
+)
+SELECT query_id, vec_id, printf('%.4f', c) AS cosine, centroid_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM sim
+) WHERE rank <= {_TOP_K} ORDER BY query_id, rank
+"""
 
 
 def d6_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
