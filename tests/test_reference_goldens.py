@@ -131,6 +131,45 @@ def test_split_elim_golden_layout(spark):
     assert 0 <= surfaced <= 10_000, surfaced
 
 
+CHECKSUM_GOLDENS = [
+    "TestOrcFile.columnProjection.orc",
+    "TestOrcFile.testStripeLevelStats.orc",
+    "TestOrcFile.testPredicatePushdown.orc",
+    "TestOrcFile.testWithoutIndex.orc",
+    "TestOrcFile.testMemoryManagementV11.orc",
+    "TestOrcFile.testMemoryManagementV12.orc",
+    "TestOrcFile.testSeek.orc",
+    "TestOrcFile.metaData.orc",
+]
+
+
+@pytest.mark.parametrize("fname", CHECKSUM_GOLDENS)
+def test_golden_int_string_checksums(spark, fname):
+    """Value-level compare vs the published expected dumps for every
+    (int1, string1)-bearing golden: row count, int1 sum + null count,
+    string1 codepoint-length sum + distinct count must all match."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.orc(os.path.join(EX, fname))
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("int1").cast("decimal(38,0)")).alias("s_int"),
+        F.count("int1").alias("nn_int"),
+        F.sum(F.length("string1")).alias("s_len"),
+        F.count_distinct("string1").alias("nd_str"),
+    ).collect()[0]
+    exp_name = fname.replace(".orc", ".jsn.gz")
+    with gzip.open(os.path.join(EX, "expected", exp_name)) as fh:
+        rows = [json.loads(line) for line in fh]
+    ints = [r["int1"] for r in rows if r["int1"] is not None]
+    strs = [r["string1"] for r in rows if r["string1"] is not None]
+    assert got.n == len(rows)
+    assert (int(got.s_int) if got.s_int is not None else 0) == sum(ints)
+    assert got.nn_int == len(ints)
+    assert (got.s_len or 0) == sum(len(s) for s in strs)
+    assert got.nd_str == len(set(strs))
+
+
 def test_lzo_golden_contents(spark):
     """TestVectorOrcFile.testLzo.orc deep value compare — exercises the
     LZO codec path pyarrow lacks (reference
