@@ -37,8 +37,12 @@ HEADLINE = [
     "d1_exact_dedup",
     "d2_minhash_lsh",
     "v1_cosine_topk",
+    "v2_lsh_bucketed_ann",
     "x1_token_count",
     "m1_multimodal_features",
+    "w3_asof_join",
+    "f12_row_seek",
+    "c2_cast_matrix",
 ]
 
 
