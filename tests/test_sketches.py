@@ -17,6 +17,27 @@ def test_hll_within_error_bound(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.06, (exact, approx)
 
 
+def test_approx_advisor_decision_parity(spark, sf_dir):
+    """The HLL advisor (a6's documented scale path) reaches the same
+    use_dictionary verdict as the exact advisor on every column —
+    the decision threshold (0.8) tolerates HLL's ~2% error unless a
+    column sits exactly on the boundary, which real data doesn't."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"e_{c}"),
+            F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"a_{c}"),
+            F.count(F.col(c)).alias(f"n_{c}"),
+        ]
+    r = l.agg(*aggs).collect()[0]
+    for c in cols:
+        exact_dec = r[f"e_{c}"] / r[f"n_{c}"] <= 0.8
+        approx_dec = r[f"a_{c}"] / r[f"n_{c}"] <= 0.8
+        assert exact_dec == approx_dec, (c, r[f"e_{c}"], r[f"a_{c}"])
+
+
 def test_hll_partitioning_invariant(spark, sf_dir):
     """Same data, different partitioning → identical HLL estimate
     (deterministic merge, no sampling)."""
