@@ -10,9 +10,10 @@ byte-tag stream + sparse child columns (`TreeReaderFactory.java:
 (`ReaderImpl.java` postscript handling). pyarrow's ORC reader does
 both, so the shim distributes pyarrow decoding over executors:
 
-- one task per file via `mapInPandas` over the file list — footer and
+- one task per file via `mapInArrow` over the file list — footer and
   stripe bytes are read inside the task, never on the driver, so the
-  shim scales like any file-parallel scan;
+  shim scales like any file-parallel scan, and the data stays arrow
+  end-to-end (no pandas dtype lossiness for nullable ints);
 - `sparse_union<T0,T1,...>` columns become
   `struct<_tag: tinyint, f0: T0, f1: T1, ...>` (the
   `functions/union_type.py` convention) with each variant masked to
@@ -31,7 +32,6 @@ import glob
 import os
 from typing import Iterator
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.orc as pa_orc
@@ -83,6 +83,7 @@ def _convert_array(a: pa.ChunkedArray | pa.Array) -> pa.Array:
         return pa.StructArray.from_arrays(
             [_convert_array(a.field(i)) for i in range(t.num_fields)],
             [t.field(i).name for i in range(t.num_fields)],
+            mask=a.is_null(),  # from_arrays drops the validity bitmap
         )
     return a
 
@@ -116,15 +117,16 @@ def read_orc_tagged(spark: SparkSession, path: str) -> DataFrame:
         len(files)
     )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for p in pdf["path"]:
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # mapInArrow: arrow end to end — no pandas dtype lossiness
+        # (nullable int64 would otherwise round-trip through float64)
+        for rb in batches:
+            for p in rb.column(0).to_pylist():
                 tbl = pa_orc.ORCFile(p).read()
                 cols = [_convert_array(tbl.column(i)) for i in range(tbl.num_columns)]
-                out = pa.table(cols, schema=arrow_schema)
-                yield out.to_pandas(timestamp_as_object=False)
+                yield from pa.table(cols, schema=arrow_schema).to_batches()
 
-    return paths.mapInPandas(decode, schema=spark_schema)
+    return paths.mapInArrow(decode, schema=spark_schema)
 
 
 def read_orc_permissive(spark: SparkSession, path: str) -> DataFrame:

@@ -63,6 +63,26 @@ def test_bigrow_roundtrip(spark, tmp_path):
     assert got == orig
 
 
+def test_shim_reader_matches_native_on_bigrow(spark, tmp_path):
+    """Cross-validate the pyarrow shim (sources/union_reader.py)
+    against Spark's native reader on an engine-written nested file:
+    both readers must surface identical values — the shim isn't just
+    for reference-written union files."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.union_reader import read_orc_tagged
+
+    df = spark.createDataFrame(_BIGROW_ROWS, _BIGROW).drop("map")  # arrow maps
+    dest = str(tmp_path / "bigrow_shim")
+    write_orc(df.repartition(1), dest)
+    native = sorted(
+        [r.asDict(recursive=True) for r in read_orc(spark, dest).collect()], key=str
+    )
+    shim = sorted(
+        [r.asDict(recursive=True) for r in read_orc_tagged(spark, dest).collect()],
+        key=str,
+    )
+    assert shim == native
+
+
 def test_typestress_roundtrip(spark, tmp_path):
     """timestamp 1900/2038 + DST boundary, decimal(38,18) edges, union
     tags with nulls (reference TestVectorOrcFile.java:1604,
