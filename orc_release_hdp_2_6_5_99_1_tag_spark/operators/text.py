@@ -55,23 +55,50 @@ def _normalized():
     return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
 
 
+_RH_MOD = 1_000_000_007
+_RH_BASE = 31
+
+
 def x2_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercased
-    text (the exact-dedup key), plus a 16-hex-digit rolling prefix
-    fingerprint."""
+    text (the exact-dedup key), a 16-hex-digit prefix fingerprint, and
+    a Karp-Rabin polynomial ROLLING hash over the first 512 normalized
+    codepoints (acc·31 + c mod 1e9+7) — computed JVM-side with an
+    `aggregate` lambda, `list_reduce` in the oracle. Bounded prefix
+    because Spark evaluates higher-order-function lambdas interpreted
+    (not codegen): per-char cost over unbounded documents would
+    dominate the scan at scale; 512 chars is the usual
+    windowed-fingerprint compromise."""
     d = load_table(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        F.split(F.substring(_normalized(), 1, 512), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(_RH_BASE) + F.ascii(c)) % F.lit(_RH_MOD),
+    )
     return d.select(
         "doc_id",
         F.md5(_normalized()).alias("fingerprint"),
         F.substring(F.md5(_normalized()), 1, 16).alias("fingerprint64"),
+        rolling.alias("rolling_fp"),
     ).orderBy("doc_id")
 
 
-X2_ORACLE = """
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+X2_ORACLE = f"""
+WITH n AS MATERIALIZED (
+  SELECT doc_id, {_SQL_NORM} AS norm, substr({_SQL_NORM}, 1, 512) AS p
+  FROM documents
+)
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint64
-FROM documents ORDER BY doc_id
+       md5(norm) AS fingerprint,
+       substr(md5(norm), 1, 16) AS fingerprint64,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(p)),
+                          i -> CAST(ascii(substr(p, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}) AS rolling_fp
+FROM n ORDER BY doc_id
 """
 
 
