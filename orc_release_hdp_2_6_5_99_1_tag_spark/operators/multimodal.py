@@ -128,6 +128,104 @@ FROM stats WHERE event_id < 100 ORDER BY event_id
 """
 
 
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 3  # sample frames 0, 3, 6, ...
+_THUMB_STEP = 4    # "resize": every 4th byte of a sampled frame
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, n_frames int, n_sampled int, frame_checksum bigint, thumb_checksum bigint"
+)
+
+
+def make_frame_sampler():
+    """Video-shaped mapInPandas stage: fixed-size frames cut from the
+    binary payload, every `_FRAME_STRIDE`-th frame sampled, each
+    sampled frame 'resized' by taking every `_THUMB_STEP`-th byte (the
+    thumbnail stand-in). A real frame decoder (pyav/ffmpeg — not in
+    this container) plugs into the same batch shape. Closure so
+    cloudpickle ships it by value."""
+
+    def sample(batches: Iterator["object"]) -> Iterator["object"]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            n_frames, n_sampled, f_sum, t_sum = [], [], [], []
+            for b in pdf["content"]:
+                frames = [
+                    b[i : i + _FRAME_BYTES] for i in range(0, len(b), _FRAME_BYTES)
+                ]
+                sampled = frames[:: _FRAME_STRIDE]
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                f_sum.append(sum(sum(f) for f in sampled))
+                t_sum.append(sum(sum(f[:: _THUMB_STEP]) for f in sampled))
+            out["n_frames"] = n_frames
+            out["n_sampled"] = n_sampled
+            out["frame_checksum"] = f_sum
+            out["thumb_checksum"] = t_sum
+            yield out
+
+    return sample
+
+
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over a synthetic 256-byte 'video'
+    payload (md5 hex of the text repeated 8× — deterministic and
+    ASCII-pure so the oracle's codepoint arithmetic IS byte
+    arithmetic; real corpora would carry actual media bytes through
+    the identical plumbing). Aggregated per source."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        "source",
+        F.encode(F.repeat(F.md5(F.col("text")), 8), "utf-8").alias("content"),
+    )
+    frames = media.select("doc_id", "content").mapInPandas(
+        make_frame_sampler(), _FRAME_SCHEMA
+    )
+    return (
+        frames.join(media.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("total_sampled"),
+            F.sum("frame_checksum").alias("frame_checksum"),
+            F.sum("thumb_checksum").alias("thumb_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+M3_ORACLE = f"""
+WITH rep AS MATERIALIZED (
+  SELECT doc_id, source, repeat(md5(text), 8) AS payload FROM documents
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(ceil(length(payload) / {_FRAME_BYTES}.0) AS INT) AS n_frames,
+         -- frames 0, {_FRAME_STRIDE}, ... of {_FRAME_BYTES} bytes each
+         list_sum(list_transform(
+           list_filter(generate_series(0, CAST(ceil(length(payload) / {_FRAME_BYTES}.0) AS INT) - 1),
+                       f -> f % {_FRAME_STRIDE} = 0),
+           f -> list_sum(list_transform(generate_series(1, {_FRAME_BYTES}),
+                         j -> CAST(ascii(substr(payload, f * {_FRAME_BYTES} + j, 1)) AS BIGINT))))) AS frame_checksum,
+         list_sum(list_transform(
+           list_filter(generate_series(0, CAST(ceil(length(payload) / {_FRAME_BYTES}.0) AS INT) - 1),
+                       f -> f % {_FRAME_STRIDE} = 0),
+           f -> list_sum(list_transform(generate_series(1, {_FRAME_BYTES}, {_THUMB_STEP}),
+                         j -> CAST(ascii(substr(payload, f * {_FRAME_BYTES} + j, 1)) AS BIGINT))))) AS thumb_checksum,
+         len(list_filter(generate_series(0, CAST(ceil(length(payload) / {_FRAME_BYTES}.0) AS INT) - 1),
+             f -> f % {_FRAME_STRIDE} = 0)) AS n_sampled
+  FROM rep
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+       CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
+       CAST(SUM(frame_checksum) AS BIGINT) AS frame_checksum,
+       CAST(SUM(thumb_checksum) AS BIGINT) AS thumb_checksum
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # Byte-true oracle: the Python side checksums UTF-8 *bytes*; DuckDB's
 # ascii() yields *codepoints*, so each codepoint is converted to its
 # UTF-8 byte sum arithmetically (1-4 byte forms) — exact for all of
