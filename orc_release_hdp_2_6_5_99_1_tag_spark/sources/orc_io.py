@@ -121,24 +121,36 @@ def orc_copy(
     bloom_filter_columns: str | None = None,
     compression: str = ORC_COMPRESS,
     sort_by: list[str] | None = None,
+    target_file_rows: int | None = None,
 ) -> str:
     """Materialize (once per process/sf) an ORC copy of a testdata table
     and return its path. `sort_by` writes row groups with disjoint
     min/max ranges, the layout the reference's split-elimination fixture
     uses (`examples/orc_split_elim.orc`) so PPD skipping is measurable.
+    `target_file_rows` sizes output files explicitly (≈ one 64 MiB
+    stripe per file at typical row widths) — the knob that keeps file
+    counts sane at 100 TB.
     """
+    import math
+
     dest = os.path.join(scratch_dir(sf_dir), "orc", f"{table}_{variant}")
     marker = os.path.join(dest, "_SUCCESS")
     if os.path.exists(marker):
         return dest
     df = load_table(spark, sf_dir, table)
+    n_files = (
+        max(1, math.ceil(df.count() / target_file_rows)) if target_file_rows else None
+    )
     if sort_by:
         # Range-partition on the sort key, then sort within each task:
         # every output file covers a disjoint key range, so row-group
         # min/max stats stay disjoint (the reference's split-elimination
         # layout, examples/orc_split_elim.orc) while the write runs in
         # parallel instead of through one task.
-        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+        args = ([n_files] if n_files else []) + list(sort_by)
+        df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+    elif n_files:
+        df = df.repartition(n_files)
     write_orc(
         df,
         dest,

@@ -13,6 +13,23 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_data, orc_sca
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
 
+def test_orc_copy_target_file_rows(spark, sf_dir):
+    """target_file_rows sizes the output (~n/target files) while the
+    sorted variant keeps disjoint key ranges per file — the 100 TB
+    file-count knob."""
+    import glob
+    import math
+    import os
+
+    path = orc_copy(
+        spark, sf_dir, "orders", variant="sized",
+        target_file_rows=5000, sort_by=["o_orderkey"],
+    )
+    n = spark.read.orc(path).count()
+    files = glob.glob(os.path.join(path, "*.orc"))
+    assert len(files) == max(1, math.ceil(n / 5000))
+
+
 def test_orc_data_json_dump(spark, sf_dir):
     path = orc_copy(spark, sf_dir, "nation")
     rows = orc_data(spark, path, limit=5).collect()
