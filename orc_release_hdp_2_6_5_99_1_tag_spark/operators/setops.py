@@ -115,3 +115,39 @@ SELECT l_orderkey,
        array_to_string(list_transform(qtys, q -> CAST(q * 2 AS VARCHAR)), ',') AS doubled_csv
 FROM per_order WHERE l_orderkey < 100 ORDER BY l_orderkey
 """
+
+
+def j1_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling: path-extract a typed field
+    from `events.props` with `get_json_object` (JVM-side JSON parsing
+    — no Python, no full from_json schema needed for a single path),
+    then aggregate per event type. The per-event-type k-sum is the
+    fingerprint; a real pipeline extracts features from nested request
+    payloads the same way."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+J1_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
