@@ -8,6 +8,52 @@ import os
 import pyspark.sql.functions as F
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact-dedup (the ingest-side analog of d1): batch 2
+    replays half of batch 1's events (same event_id, same ts — an
+    at-least-once source re-delivering). dropDuplicatesWithinWatermark
+    keys state by event_id and drops every replay that arrives inside
+    the watermark, so the sink sees each event exactly once; state is
+    bounded by the watermark horizon, not the stream length."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "dedup_test_out"
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .filter(F.col("ts") < "2024-01-03")
+    )
+    n_events = events.count()
+    replayed = events.filter(F.col("event_id") % 2 == 0)
+    events.write.parquet(src + "/b1")
+    replayed.write.parquet(src + "/b2")  # duplicates, re-delivered later
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(out_name)
+    assert out.count() == n_events, "replayed duplicates must be dropped"
+    assert out.select("event_id").distinct().count() == n_events
+
+
 def test_watermark_append_flushes_closed_windows(spark, sf_dir, tmp_path):
     """Two-batch file stream: batch 1 = early events, batch 2 = events
     a day later. With a 1-hour watermark, processing batch 2 advances
