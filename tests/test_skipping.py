@@ -75,6 +75,30 @@ def test_encoding_strategy_changes_file_size(spark, sf_dir, tmp_path):
     assert sizes["COMPRESSION"] < sizes["SPEED"], sizes
 
 
+def test_dictionary_threshold_changes_file_size(spark, sf_dir, tmp_path):
+    """E4: `orc.dictionary.key.threshold=0` disables dictionary
+    encoding (reference `WriterImpl.checkDictionaryEncoding` /
+    `StringRedBlackTree`); on low-cardinality string columns the
+    dictionary-encoded file is measurably smaller, and both read back
+    identically."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).repartition(1)
+    sizes, counts = {}, {}
+    for tag, thresh in [("dict", 0.8), ("nodict", 0.0)]:
+        dest = str(tmp_path / f"e4_{tag}")
+        write_orc(o, dest, compression="none", dictionary_key_threshold=thresh)
+        sizes[tag] = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(dest, "*.orc"))
+        )
+        counts[tag] = spark.read.orc(dest).count()
+    assert counts["dict"] == counts["nodict"] == o.count()
+    assert sizes["dict"] < sizes["nodict"], sizes
+
+
 def test_codec_sizes_ordered_sanely(spark, sf_dir):
     """zlib/zstd compress the sorted TPC-H-ish data better than NONE
     (E7); all codecs readable (e1 query checks value identity)."""
