@@ -170,6 +170,71 @@ def test_golden_int_string_checksums(spark, fname):
     assert got.nd_str == len(set(strs))
 
 
+DEEP_GOLDENS = [
+    "TestOrcFile.testSnappy.orc",
+    "TestOrcFile.testDate1900.orc",
+    "nulls-at-end-snappy.orc",
+    "over1k_bloom.orc",
+    "orc_split_elim.orc",
+    "orc_split_elim_new.orc",
+    "orc-file-11-format.orc",
+]
+
+
+@pytest.mark.parametrize("fname", DEEP_GOLDENS)
+def test_golden_schema_driven_checksums(spark, fname):
+    """Schema-driven value compare against the expected dump for every
+    remaining file with a published dump: integral/boolean columns by
+    exact sum + null count, strings by codepoint-length sum + distinct
+    count, date by min/max string, float/double/timestamp by non-null
+    count (their rendering/summation is engine-specific)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    df = spark.read.orc(os.path.join(EX, fname))
+    exp_name = fname.replace(".orc", ".jsn.gz")
+    with gzip.open(os.path.join(EX, "expected", exp_name)) as fh:
+        rows = [json.loads(line) for line in fh]
+    assert df.count() == len(rows)
+
+    for field in df.schema.fields:
+        c = field.name
+        vals = [r.get(c) for r in rows]
+        nn = [v for v in vals if v is not None]
+        t = field.dataType
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            got = df.agg(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias("s"),
+                F.count(c).alias("n"),
+            ).collect()[0]
+            assert got.n == len(nn), (fname, c)
+            assert (int(got.s) if got.s is not None else 0) == sum(nn), (fname, c)
+        elif isinstance(t, T.BooleanType):
+            got = df.agg(
+                F.count(F.when(F.col(c), 1)).alias("t"), F.count(c).alias("n")
+            ).collect()[0]
+            assert (got.t, got.n) == (sum(1 for v in nn if v), len(nn)), (fname, c)
+        elif isinstance(t, T.StringType):
+            got = df.agg(
+                F.sum(F.length(c)).alias("l"),
+                F.count_distinct(c).alias("d"),
+                F.count(c).alias("n"),
+            ).collect()[0]
+            assert got.n == len(nn), (fname, c)
+            assert (got.l or 0) == sum(len(v) for v in nn), (fname, c)
+            assert got.d == len(set(nn)), (fname, c)
+        elif isinstance(t, T.DateType):
+            got = df.agg(
+                F.min(F.col(c).cast("string")).alias("mn"),
+                F.max(F.col(c).cast("string")).alias("mx"),
+                F.count(c).alias("n"),
+            ).collect()[0]
+            assert (got.mn, got.mx, got.n) == (min(nn), max(nn), len(nn)), (fname, c)
+        else:  # float/double/timestamp/decimal/nested: count parity only
+            got = df.agg(F.count(c).alias("n")).collect()[0]
+            assert got.n == len(nn), (fname, c)
+
+
 def test_lzo_golden_contents(spark):
     """TestVectorOrcFile.testLzo.orc deep value compare — exercises the
     LZO codec path pyarrow lacks (reference
