@@ -207,7 +207,7 @@ def _parse_column_statistics(buf: bytes) -> dict:
     return s
 
 
-def parse_tail(data: bytes) -> dict:
+def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
     """Parse an ORC file tail (the last bytes of the file; pass at
     least PostScript+Footer — 16 KiB covers typical schemas, callers
     should retry with `1 + ps_len + footerLength` on a short buffer).
@@ -215,15 +215,37 @@ def parse_tail(data: bytes) -> dict:
     Returns {compression, magic, n_rows, columns: [{name, kind,
     col_id, n_values, has_null, typed, typed_kind, precision, scale}]}
     for the root struct's top-level fields, exactly the slice the
-    reference surfaces per file in `orc-tools meta`.
+    reference surfaces per file in `orc-tools meta`. With
+    `include_stripe_stats`, also parses the Metadata section (the
+    per-stripe ColumnStatistics the reference's A4 merge folds into
+    file stats, `OrcProto.Metadata`/`StripeStatistics`) into
+    `stripe_stats: [[per-column dict, ...] per stripe]`.
     """
     ps_len = data[-1]
     ps = _parse_postscript(data[-1 - ps_len : -1])
     need = 1 + ps_len + ps["footerLength"]
+    if include_stripe_stats:
+        need += ps["metadataLength"]
     if need > len(data):
         raise _NeedMoreTail(need)
-    footer_raw = data[-need : -1 - ps_len]
+    footer_end = len(data) - (1 + ps_len)
+    footer_raw = data[footer_end - ps["footerLength"] : footer_end]
     footer = _decompress_tail(footer_raw, ps["compression"])
+
+    stripe_stats: list[list[dict]] = []
+    if include_stripe_stats and ps["metadataLength"]:
+        meta_end = footer_end - ps["footerLength"]
+        meta_raw = data[meta_end - ps["metadataLength"] : meta_end]
+        meta = _decompress_tail(meta_raw, ps["compression"])
+        for field, _wt, v in _fields(meta):
+            if field == 1:  # StripeStatistics
+                stripe_stats.append(
+                    [
+                        _parse_column_statistics(b)
+                        for f, _w, b in _fields(v)
+                        if f == 1
+                    ]
+                )
 
     types: list[dict] = []
     stats: list[dict] = []
@@ -256,12 +278,15 @@ def parse_tail(data: bytes) -> dict:
                     typed_kind=stats[col_id]["typed_kind"],
                 )
             columns.append(col)
-    return {
+    out = {
         "compression": _COMPRESSION.get(ps["compression"], str(ps["compression"])),
         "magic": ps["magic"],
         "n_rows": n_rows,
         "columns": columns,
     }
+    if include_stripe_stats:
+        out["stripe_stats"] = stripe_stats
+    return out
 
 
 class _NeedMoreTail(Exception):
@@ -270,7 +295,9 @@ class _NeedMoreTail(Exception):
         self.needed = needed
 
 
-def parse_tail_of_file(path: str, initial_read: int = 16 * 1024) -> dict:
+def parse_tail_of_file(
+    path: str, initial_read: int = 16 * 1024, include_stripe_stats: bool = False
+) -> dict:
     """Read + parse a file's tail, growing the read if the footer is
     larger than the initial guess (reference reads the last 16 KiB
     first, `ReaderImpl.extractFileTail:446-560`)."""
@@ -282,8 +309,8 @@ def parse_tail_of_file(path: str, initial_read: int = 16 * 1024) -> dict:
         fh.seek(size - n)
         data = fh.read(n)
         try:
-            return parse_tail(data)
+            return parse_tail(data, include_stripe_stats=include_stripe_stats)
         except _NeedMoreTail as need:
             n = min(size, need.needed)
             fh.seek(size - n)
-            return parse_tail(fh.read(n))
+            return parse_tail(fh.read(n), include_stripe_stats=include_stripe_stats)

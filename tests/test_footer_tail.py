@@ -121,3 +121,49 @@ def test_parse_tail_multifile_formats():
         assert t["n_rows"] >= 0
         assert isinstance(t["columns"], list)
     assert parsed >= 15, f"only parsed {parsed} of the reference corpus"
+
+
+def test_stripe_stats_golden_layout():
+    """Metadata-section (per-stripe) statistics on the reference's
+    stripe-stats fixture: 3 stripes of 5000/5000/1000 rows with int1
+    min=max= 1/2/3 per stripe (`TestOrcFile.testStripeLevelStats`,
+    reference `TestFileDump` expectations)."""
+    t = parse_tail_of_file(
+        os.path.join(EXAMPLES, "TestOrcFile.testStripeLevelStats.orc"),
+        include_stripe_stats=True,
+    )
+    assert len(t["stripe_stats"]) == 3
+    rows = [s[0]["n_values"] for s in t["stripe_stats"]]
+    assert rows == [5000, 5000, 1000]
+    int1 = [(s[1]["typed"]["min"], s[1]["typed"]["max"]) for s in t["stripe_stats"]]
+    assert int1 == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_stripe_stats_merge_invariant(spark, sf_dir, tmp_path):
+    """A4 partial+final merge against REAL ORC stripe statistics (not
+    synthetic ones): on an engine-written multi-stripe file, per-stripe
+    n_values sum to the file-level count and per-stripe min/max fold to
+    the file-level min/max for every top-level column — the exact
+    invariant `ColumnStatisticsImpl.merge()` maintains."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    dest = str(tmp_path / "multi_stripe")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    # small stripes + no compression => several stripes in one file
+    write_orc(
+        l.repartition(1), dest, compression="none", stripe_size=32 * 1024
+    )
+    f = glob.glob(os.path.join(dest, "*.orc"))[0]
+    t = parse_tail_of_file(f, include_stripe_stats=True)
+    assert len(t["stripe_stats"]) >= 2, "expected a multi-stripe file"
+    for i, col in enumerate(t["columns"], start=1):
+        per_stripe = [s[i] for s in t["stripe_stats"]]
+        assert sum(p["n_values"] for p in per_stripe) == col["n_values"], col["name"]
+        mins = [p["typed"].get("min") for p in per_stripe if p["typed"].get("min") is not None]
+        maxs = [p["typed"].get("max") for p in per_stripe if p["typed"].get("max") is not None]
+        if mins and col["typed"].get("min") is not None:
+            assert min(mins) == col["typed"]["min"], col["name"]
+            assert max(maxs) == col["typed"]["max"], col["name"]
