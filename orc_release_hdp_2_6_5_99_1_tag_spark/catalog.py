@@ -66,15 +66,15 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.streaming import stateful as stf
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
-    # 1. flagship
+    # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # 2-7. filter / predicate surface (SURVEY §2.3)
+    # filter / predicate surface (SURVEY §2.3)
     register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE)
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
     register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE)
     register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE)
     register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE)
-    # 8-16. scans / sources / sinks (§2.1, §2.2)
+    # scans / sources / sinks (§2.1, §2.2)
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE)
     register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE)
@@ -84,29 +84,29 @@ def _build() -> None:
     register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
     register("s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE)
     register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
-    # 17. encodings (§2.6)
+    # encodings (§2.6)
     register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE)
-    # 18-21. schema evolution / types (§2.9, §1.2)
+    # schema evolution / types (§2.9, §1.2)
     register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE)
     register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)
     register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE)
     register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE)
-    # 22-24. ACID (§2.10)
+    # ACID (§2.10)
     register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE)
     register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
     register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE)
-    # 25-28. streaming (§2.11)
+    # streaming (§2.11)
     register("r1_streaming_orc_ingest", ig.r1_streaming_orc_ingest, ig.R1_ORACLE)
     register("r2_streaming_windowed_agg", ig.r2_streaming_windowed_agg, ig.R2_ORACLE)
     register("r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE)
     register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE)
-    # 29-33. statistics machinery (§2.4)
+    # statistics machinery (§2.4)
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)
     register("a4_merged_file_stats", st.a4_merged_file_stats, st.A4M_ORACLE)
     register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE)
     register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE)
-    # 34-47. LLM-data-pipeline operators (§2.13)
+    # LLM-data-pipeline operators (§2.13)
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
     register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
     register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE)
@@ -121,9 +121,9 @@ def _build() -> None:
     register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE)
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
     register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
-    # 48. temporal: point-in-time as-of join (feature-store staple)
+    # temporal: point-in-time as-of join (feature-store staple)
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
-    # 49-50. engine-completeness showcases
+    # engine-completeness showcases (window capacity asserted below)
     register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
     register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)

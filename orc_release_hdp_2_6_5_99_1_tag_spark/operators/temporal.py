@@ -54,16 +54,21 @@ def w3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = clicks.unionByName(purchases)
+    # carry the purchase as ONE struct through a single ignorenulls
+    # window: two independent windows would skip a NULL-valued field
+    # back to an older purchase and stitch fields from different rows
+    p_row = F.when(
+        F.col("side") == 0, F.struct(F.col("p_ts"), F.col("p_value"))
+    )
     return (
-        merged.withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
-        .withColumn("last_p_value", F.last("p_value", ignorenulls=True).over(w))
+        merged.withColumn("last_p", F.last(p_row, ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "event_id",
             "user_id",
             "value",
-            F.col("last_p_value").alias("purchase_value"),
-            (F.unix_micros("ts") - F.unix_micros("last_p_ts")).alias(
+            F.col("last_p.p_value").alias("purchase_value"),
+            (F.unix_micros("ts") - F.unix_micros("last_p.p_ts")).alias(
                 "micros_since_purchase"
             ),
         )

@@ -23,6 +23,7 @@ import glob
 import os
 from decimal import Decimal
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,10 +66,18 @@ def _make_tail_mapper():
         except ImportError:  # executor: module shipped flat via addPyFile
             import footer_tail as ft
 
-        def render_ts(ms: int) -> str:
+        def render_ts(ms: int | None) -> str | None:
+            if ms is None:
+                return None
             s, frac = divmod(ms, 1000)
             t = datetime(1970, 1, 1) + timedelta(seconds=s)
-            out = t.strftime("%Y-%m-%d %H:%M:%S")
+            # %Y does not zero-pad years < 1000 (glibc), which would
+            # break the lexicographic cross-file min/max merge — pad
+            # every component explicitly
+            out = (
+                f"{t.year:04d}-{t.month:02d}-{t.day:02d}"
+                f" {t.hour:02d}:{t.minute:02d}:{t.second:02d}"
+            )
             if frac:
                 out += ("." + f"{frac:03d}").rstrip("0")
             return out
@@ -109,10 +118,8 @@ def _make_tail_mapper():
                             if t.get(k) is not None:
                                 r[f"{k}_str"] = str(date(1970, 1, 1) + timedelta(days=t[k]))
                     elif kind == "timestamp":
-                        mn = t.get("min_utc", t.get("min"))
-                        mx = t.get("max_utc", t.get("max"))
-                        if mn is not None:
-                            r["min_str"], r["max_str"] = render_ts(mn), render_ts(mx)
+                        r["min_str"] = render_ts(t.get("min_utc", t.get("min")))
+                        r["max_str"] = render_ts(t.get("max_utc", t.get("max")))
                     elif kind == "binary":
                         r["sum_long"] = t.get("sum")
                     rows.append(r)
@@ -146,7 +153,6 @@ def footer_column_stats(spark: SparkSession, path: str) -> DataFrame:
     partials = fdf.repartition(min(len(files), 64)).mapInPandas(
         _make_tail_mapper(), schema=_PARTIAL_SCHEMA
     )
-    dec = lambda c: F.col(c).cast("decimal(38,10)")  # noqa: E731
     merged = partials.groupBy("column_name", "kind").agg(
         F.sum("n_values").alias("n_values"),
         F.max("has_null").alias("has_null"),
@@ -158,10 +164,38 @@ def footer_column_stats(spark: SparkSession, path: str) -> DataFrame:
         F.sum("sum_dbl").alias("sum_dbl"),
         F.min("min_str").alias("min_str"),
         F.max("max_str").alias("max_str"),
-        F.min(dec("min_dec")).alias("min_dec"),
-        F.max(dec("max_dec")).alias("max_dec"),
-        F.sum(dec("sum_dec")).alias("sum_dec"),
+        # decimals: no Spark decimal(38,s) type fits every ORC decimal
+        # column (scale is per-column, up to 38), so the per-file string
+        # partials merge with EXACT Python Decimal arithmetic in a
+        # grouped pandas stage below — never through a lossy cast
+        F.collect_list("min_dec").alias("min_dec_parts"),
+        F.collect_list("max_dec").alias("max_dec_parts"),
+        F.collect_list("sum_dec").alias("sum_dec_parts"),
         F.sum("true_count").alias("true_count"),
+    )
+
+    @F.pandas_udf("string")
+    def _dec_reduce(parts: pd.Series, how: pd.Series) -> pd.Series:
+        from decimal import Decimal
+
+        def red(vals, op):
+            ds = [Decimal(v) for v in vals if v is not None]
+            if not ds:
+                return None
+            agg = {"min": min, "max": max, "sum": sum}[op](ds)
+            s = str(agg)
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s or "0"
+
+        return pd.Series(
+            [red(vals, op) for vals, op in zip(parts, how)]
+        )
+
+    merged = (
+        merged.withColumn("min_dec", _dec_reduce("min_dec_parts", F.lit("min")))
+        .withColumn("max_dec", _dec_reduce("max_dec_parts", F.lit("max")))
+        .withColumn("sum_dec", _dec_reduce("sum_dec_parts", F.lit("sum")))
     )
 
     # double→string via shortest round-trip repr (what DuckDB VARCHAR

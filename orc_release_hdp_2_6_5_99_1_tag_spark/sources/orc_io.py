@@ -129,7 +129,9 @@ def orc_copy(
     uses (`examples/orc_split_elim.orc`) so PPD skipping is measurable.
     `target_file_rows` sizes output files explicitly (≈ one 64 MiB
     stripe per file at typical row widths) — the knob that keeps file
-    counts sane at 100 TB.
+    counts sane at 100 TB. Sizing costs one extra count() pass over the
+    source; at scale, derive the count from table stats / parquet
+    footers instead and pass the partition count directly.
     """
     import math
 

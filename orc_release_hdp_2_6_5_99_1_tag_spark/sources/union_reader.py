@@ -85,7 +85,40 @@ def _convert_array(a: pa.ChunkedArray | pa.Array) -> pa.Array:
             [t.field(i).name for i in range(t.num_fields)],
             mask=a.is_null(),  # from_arrays drops the validity bitmap
         )
+    if pa.types.is_list(t):
+        if _contains_union(t):
+            return pa.ListArray.from_arrays(
+                _null_marked_offsets(a), _convert_array(a.flatten())
+            )
+        target = _tagged_type(t)
+        return a.cast(target, safe=False) if target != t else a
+    if pa.types.is_map(t):
+        if _contains_union(t):
+            return pa.MapArray.from_arrays(
+                _null_marked_offsets(a),
+                _convert_array(a.keys),
+                _convert_array(a.items),
+            )
+        target = _tagged_type(t)
+        return a.cast(target, safe=False) if target != t else a
     return a
+
+
+def _contains_union(t: pa.DataType) -> bool:
+    if pa.types.is_union(t):
+        return True
+    if pa.types.is_struct(t) or pa.types.is_list(t) or pa.types.is_map(t):
+        return any(_contains_union(t.field(i).type) for i in range(t.num_fields))
+    return False
+
+
+def _null_marked_offsets(a: pa.Array) -> pa.Array:
+    """List/map offsets with NULLs at null slots — the from_arrays
+    convention for carrying the validity bitmap."""
+    offs = a.offsets.to_pylist()
+    nulls = a.is_null().to_pylist()
+    vals = [None if nulls[i] else offs[i] for i in range(len(a))]
+    return pa.array(vals + [offs[len(a)]], type=pa.int32())
 
 
 def _orc_files(path: str) -> list[str]:
@@ -131,10 +164,14 @@ def read_orc_tagged(spark: SparkSession, path: str) -> DataFrame:
 
 def read_orc_permissive(spark: SparkSession, path: str) -> DataFrame:
     """Tolerant ORC read: Spark's native reader first, pyarrow shim on
-    rejection (uniontype columns, future writer versions)."""
+    rejection (uniontype columns, future writer versions). Missing or
+    empty paths re-raise the native reader's error rather than masking
+    it behind an unrelated shim failure."""
     try:
         df = spark.read.orc(path)
         df.schema  # force analysis so unsupported types surface here
         return df
     except Exception:
+        if not os.path.exists(path) or not _orc_files(path):
+            raise  # nothing for the shim either — surface the real cause
         return read_orc_tagged(spark, path)

@@ -167,3 +167,32 @@ def test_stripe_stats_merge_invariant(spark, sf_dir, tmp_path):
         if mins and col["typed"].get("min") is not None:
             assert min(mins) == col["typed"]["min"], col["name"]
             assert max(maxs) == col["typed"]["max"], col["name"]
+
+
+def test_decimal_scale18_stats_exact(spark, tmp_path):
+    """Regression: decimal(38,18) footer stats must merge exactly —
+    a decimal(38,10) cast would round 18-scale values (review finding).
+    Cross-checked against the ORC Java reader."""
+    from decimal import Decimal
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import (
+        footer_column_stats,
+        footer_column_stats_py4j,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    rows = [
+        (Decimal("0.000000000000000001"),),
+        (Decimal("1.123456789012345678"),),
+        (Decimal("-7.999999999999999999"),),
+    ]
+    df = spark.createDataFrame(rows, "d decimal(38,18)")
+    dest = str(tmp_path / "dec18")
+    write_orc(df.repartition(1), dest)
+    got = {r.column_name: r for r in footer_column_stats(spark, dest).collect()}
+    assert Decimal(got["d"].min_val) == Decimal("-7.999999999999999999")
+    assert Decimal(got["d"].max_val) == Decimal("1.123456789012345678")
+    assert Decimal(got["d"].sum_val) == sum(r[0] for r in rows)
+    oracle = {r.column_name: r for r in footer_column_stats_py4j(spark, dest).collect()}
+    assert Decimal(oracle["d"].min_val) == Decimal(got["d"].min_val)
+    assert Decimal(oracle["d"].sum_val) == Decimal(got["d"].sum_val)

@@ -83,6 +83,37 @@ def test_shim_reader_matches_native_on_bigrow(spark, tmp_path):
     assert shim == native
 
 
+def test_shim_reader_nested_list_map_timestamps(spark, tmp_path):
+    """Shim conversion must recurse into list/map children: pyarrow
+    surfaces ORC timestamps as ns everywhere, including inside arrays
+    and maps, so the ns→us narrowing (and null masks) must apply
+    recursively (review finding: the fall-through crashed on
+    list<timestamp> and list<union>)."""
+    import datetime
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.union_reader import read_orc_tagged
+
+    rows = [
+        (1, [datetime.datetime(2020, 1, 1, 12, 0, 0)], {"a": 1}),
+        (2, [], {}),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, times array<timestamp>, m map<string,int>"
+    )
+    dest = str(tmp_path / "nested_ts")
+    write_orc(df.repartition(1), dest)
+    native = sorted(
+        [r.asDict(recursive=True) for r in read_orc(spark, dest).collect()],
+        key=lambda r: r["id"],
+    )
+    shim = sorted(
+        [r.asDict(recursive=True) for r in read_orc_tagged(spark, dest).collect()],
+        key=lambda r: r["id"],
+    )
+    assert shim == native
+
+
 def test_typestress_roundtrip(spark, tmp_path):
     """timestamp 1900/2038 + DST boundary, decimal(38,18) edges, union
     tags with nulls (reference TestVectorOrcFile.java:1604,
