@@ -10,7 +10,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 ROWS = [
@@ -85,5 +85,11 @@ def test_3vl_parity(engines, pred):
         "FROM tv3"
     )
     s = tuple(spark.sql(q).collect()[0])
-    dk = con.execute(q).fetchone()
+    try:
+        dk = con.execute(q).fetchone()
+    except duckdb.InternalException:
+        # DuckDB optimizer assertion bug (e.g. '(i IS NULL AND i
+        # BETWEEN 0 AND 0) OR (same)' dereferences a NULL unique_ptr)
+        # — the ORACLE crashed, not the engine; skip the example
+        assume(False)
     assert s == dk, f"3VL divergence for {pred!r}: spark={s} duckdb={dk}"
