@@ -152,6 +152,7 @@ def _build() -> None:
     register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE, graded=False)
     register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
     register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE, graded=False)
+    register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

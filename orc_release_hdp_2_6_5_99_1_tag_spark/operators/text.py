@@ -203,3 +203,45 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(MAX(quality), 6) AS max_quality
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+def x5_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting — the held-out-set primitive every
+    training pipeline needs: each document lands in train/val/test by
+    the range of its md5(doc_id) bucket (98/1/1), so the assignment is
+    stable across runs, engines, and cluster layouts (no RNG, no
+    sampling drift). Narrow map + one aggregate; the split column also
+    serves as a partition key for split-separated writes."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("split")
+    )
+
+
+X5_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM s GROUP BY 1 ORDER BY split
+"""
