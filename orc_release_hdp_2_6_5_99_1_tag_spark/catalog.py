@@ -153,6 +153,8 @@ def _build() -> None:
     register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
     register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE, graded=False)
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
+    register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)
+    register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

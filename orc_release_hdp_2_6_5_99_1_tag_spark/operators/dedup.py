@@ -330,3 +330,84 @@ FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 20
 """
+
+
+_DECON_NGRAM = 8  # token n-gram length, the common eval-overlap unit
+_EVAL_MOD = 97  # doc_id % mod == 0 stands in for the benchmark set
+
+
+def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: remove training documents that share
+    any 8-token n-gram with a held-out evaluation set (here: docs with
+    doc_id % 97 == 0 stand in for the benchmark). This is the standard
+    eval-overlap scrub every LLM training pipeline runs before
+    training.
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    distinct shingle set is built once and BROADCAST; the corpus side
+    is a narrow explode scanned once, filtered by a broadcast
+    left-semi join — no corpus-sized shuffle at all. Contaminated doc
+    ids (also small) broadcast back into a left-anti join against the
+    full table. At 100 TB the only heavy stage is the corpus shingle
+    explode, which is embarrassingly parallel and short-circuits via
+    the broadcast hash lookup before any exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    n = _DECON_NGRAM
+    shingle_expr = F.when(
+        F.size("t") >= n,
+        F.expr(
+            f"transform(sequence(0, size(t)-{n}), i -> concat_ws(' ', slice(t, i+1, {n})))"
+        ),
+    ).otherwise(F.array())
+    sh = toks.select("doc_id", F.explode(shingle_expr).alias("s"))
+    eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
+    contaminated = (
+        sh.join(F.broadcast(eval_sh), "s", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_id"))
+        .distinct()
+    )
+    clean_flag = F.when(F.col("contaminated_id").isNull(), 1).otherwise(0)
+    return (
+        d.join(
+            F.broadcast(contaminated),
+            d["doc_id"] == F.col("contaminated_id"),
+            "left_outer",
+        )
+        .select(
+            "source",
+            clean_flag.alias("is_clean"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.lit(1) - F.col("is_clean")).alias("n_contaminated"),
+            F.sum("is_clean").alias("n_clean"),
+            F.sum(F.col("is_clean") * F.col("n_chars")).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+D7_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(l[i:i+{_DECON_NGRAM - 1}], ' ') AS s
+  FROM t, unnest(range(1, len(l) - {_DECON_NGRAM - 2})) AS u(i)
+  WHERE len(l) >= {_DECON_NGRAM}
+),
+eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh SEMI JOIN eval_sh USING (s)
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+GROUP BY d.source ORDER BY d.source
+"""

@@ -245,3 +245,123 @@ SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS s
        CAST(SUM(n_chars) AS BIGINT) AS chars_total
 FROM s GROUP BY 1 ORDER BY split
 """
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 shape):
+# a document is flagged repetitive when its most frequent bigram covers
+# >8% of all bigram slots or its unique-token ratio falls below 30%.
+_TOP_BIGRAM_PPM = 80_000
+_UNIQ_TOKEN_PPM = 300_000
+
+
+def x6_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher rules family):
+    per-document duplicate-bigram fraction, top-bigram fraction, and
+    unique-token ratio, aggregated per source with a repetitive-doc
+    flag count.
+
+    All fractions are computed in exact integer parts-per-million
+    (x*1_000_000 DIV total) so the corpus-level sums are
+    engine-exact — no float accumulation drift between Spark and the
+    oracle.
+
+    Scale shape: explode(bigrams) is a narrow map; the only shuffles
+    are the two-level (doc_id, bigram) -> doc_id aggregation — the
+    same count-distinct-style plan Spark already picks for skewless
+    word-count at any corpus size. No per-doc data ever collects to
+    the driver, and the bigram space is bounded by doc length, not
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+        F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"),
+        ).otherwise(F.array(F.lit(None).cast("string"))).alias("bigrams"),
+    )
+    bg_counts = (
+        toks.select("doc_id", "source", "n_tok", "n_uniq", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "source", "n_tok", "n_uniq", "bg")
+        .agg(F.count("bg").alias("c"))
+    )
+    per_doc = bg_counts.groupBy("doc_id", "source", "n_tok", "n_uniq").agg(
+        F.sum("c").alias("total_bg"),
+        F.max("c").alias("top_bg"),
+        F.count(F.col("c")).alias("uniq_bg"),
+    )
+    ppm = per_doc.select(
+        "doc_id",
+        "source",
+        F.when(F.col("total_bg") > 0, F.expr("1000000 * top_bg DIV total_bg"))
+        .otherwise(F.lit(0))
+        .alias("top_bg_ppm"),
+        F.when(F.col("total_bg") > 0, F.expr("1000000 * (total_bg - uniq_bg) DIV total_bg"))
+        .otherwise(F.lit(0))
+        .alias("dup_bg_ppm"),
+        F.expr("1000000 * n_uniq DIV n_tok").alias("uniq_tok_ppm"),
+    )
+    flagged = (
+        (F.col("top_bg_ppm") > _TOP_BIGRAM_PPM) | (F.col("uniq_tok_ppm") < _UNIQ_TOKEN_PPM)
+    ).cast("int")
+    return (
+        ppm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged).alias("n_repetitive"),
+            F.sum("top_bg_ppm").alias("top_bg_ppm_sum"),
+            F.sum("dup_bg_ppm").alias("dup_bg_ppm_sum"),
+            F.sum("uniq_tok_ppm").alias("uniq_tok_ppm_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+X6_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, source, len(l) AS n_tok, len(list_distinct(l)) AS n_uniq, l
+  FROM t
+),
+bg AS (
+  SELECT tok.doc_id, l[i] || ' ' || l[i+1] AS bg
+  FROM tok, unnest(range(1, n_tok)) AS u(i)
+  WHERE n_tok >= 2
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+),
+per_doc AS (
+  SELECT tok.doc_id, tok.source, tok.n_tok, tok.n_uniq,
+         COALESCE(SUM(c), 0) AS total_bg,
+         COALESCE(MAX(c), 0) AS top_bg,
+         COALESCE(COUNT(bgc.bg), 0) AS uniq_bg
+  FROM tok LEFT JOIN bgc ON tok.doc_id = bgc.doc_id
+  GROUP BY tok.doc_id, tok.source, tok.n_tok, tok.n_uniq
+),
+ppm AS (
+  SELECT doc_id, source,
+         CASE WHEN total_bg > 0 THEN (1000000 * top_bg) // total_bg ELSE 0 END AS top_bg_ppm,
+         CASE WHEN total_bg > 0 THEN (1000000 * (total_bg - uniq_bg)) // total_bg ELSE 0 END AS dup_bg_ppm,
+         (1000000 * n_uniq) // n_tok AS uniq_tok_ppm
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_bg_ppm > {_TOP_BIGRAM_PPM}
+                      OR uniq_tok_ppm < {_UNIQ_TOKEN_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(SUM(top_bg_ppm) AS BIGINT) AS top_bg_ppm_sum,
+       CAST(SUM(dup_bg_ppm) AS BIGINT) AS dup_bg_ppm_sum,
+       CAST(SUM(uniq_tok_ppm) AS BIGINT) AS uniq_tok_ppm_sum
+FROM ppm GROUP BY source ORDER BY source
+"""

@@ -64,19 +64,24 @@ def _trees(leaf: st.SearchStrategy[str]) -> st.SearchStrategy[str]:
     )
 
 
+def _fresh_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("tv3", PDF)
+    return con
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.createDataFrame(PDF).createOrReplaceTempView("tv3")
-    con = duckdb.connect()
-    con.register("tv3", PDF)
-    yield spark, con
-    con.close()
+    holder = {"con": _fresh_con()}
+    yield spark, holder
+    holder["con"].close()
 
 
 @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
 @given(pred=_trees(_LEAF))
 def test_3vl_parity(engines, pred):
-    spark, con = engines
+    spark, holder = engines
     q = (
         "SELECT COUNT(*) AS n, "
         f"COUNT(CASE WHEN ({pred}) THEN 1 END) AS n_true, "
@@ -86,10 +91,14 @@ def test_3vl_parity(engines, pred):
     )
     s = tuple(spark.sql(q).collect()[0])
     try:
-        dk = con.execute(q).fetchone()
+        dk = holder["con"].execute(q).fetchone()
     except duckdb.InternalException:
         # DuckDB optimizer assertion bug (e.g. '(i IS NULL AND i
         # BETWEEN 0 AND 0) OR (same)' dereferences a NULL unique_ptr)
-        # — the ORACLE crashed, not the engine; skip the example
+        # — the ORACLE crashed, not the engine. An InternalException
+        # also poisons the connection (every later query raises
+        # InvalidInputError), so reopen it before skipping.
+        holder["con"].close()
+        holder["con"] = _fresh_con()
         assume(False)
     assert s == dk, f"3VL divergence for {pred!r}: spark={s} duckdb={dk}"
