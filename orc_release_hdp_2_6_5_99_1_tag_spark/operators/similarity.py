@@ -24,31 +24,49 @@ _TOP_K = 3
 _LSH_BITS = 8
 
 
-def _cosine(a, b):
-    """Cosine similarity of two float-array columns, computed in double
-    with list-order summation (bit-identical in the oracle)."""
-    dot = F.aggregate(
+def _dot(a, b):
+    """Dot product of two float-array columns in double, list-order
+    summation (bit-identical in the oracle)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+
+
+def _norm(a):
+    """L2 norm of a float-array column (same summation order as the
+    per-pair variant, so factoring it out is bit-identical)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _cosine(a, b, na=None, nb=None):
+    """Cosine similarity of two float-array columns. Pass precomputed
+    per-row norm columns (na/nb) to avoid recomputing the corpus norm
+    once per query pair — at N queries x M corpus rows that turns
+    3 interpreted aggregates per pair into 1."""
+    na = _norm(a) if na is None else na
+    nb = _norm(b) if nb is None else nb
+    return _dot(a, b) / (na * nb)
 
 
 def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the first 5 vectors are the queries;
     top-3 corpus neighbors each (including self, similarity 1)."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    corpus = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm"))
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c_norm").alias("q_norm"),
     )
-    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding"))
+    pairs = F.broadcast(q).crossJoin(corpus)
     sim = pairs.select(
         "query_id",
         "vec_id",
-        _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_raw"),
+        _cosine(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
     return (
@@ -98,11 +116,17 @@ def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) — approximate by construction; the oracle replicates the
     same approximation."""
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _sign_bucket(F.col("embedding")).alias("bucket"))
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("c_norm").alias("q_norm"),
     )
     pairs = F.broadcast(q).join(
         bucketed,
@@ -112,7 +136,9 @@ def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "bucket",
-        _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine_raw"),
+        _cosine(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
     return (
@@ -147,38 +173,57 @@ def v3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the probed clusters, never the full corpus.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)).select(
-        (F.col("vec_id") - 100).alias("centroid_id"), F.col("embedding").alias("c_emb")
+    corpus = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("e_norm"))
+    cents = corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)).select(
+        (F.col("vec_id") - 100).alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("e_norm").alias("cent_norm"),
     )
-    # inverted lists: nearest centroid per corpus vector
-    assign_sim = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "centroid_id", _cosine(F.col("embedding"), F.col("c_emb")).alias("ac")
+    # inverted lists: nearest centroid per corpus vector (corpus norm
+    # computed once per row, not once per centroid pair)
+    assign_sim = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "e_norm",
+        "centroid_id",
+        _cosine(
+            F.col("embedding"), F.col("c_emb"), F.col("e_norm"), F.col("cent_norm")
+        ).alias("ac"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("centroid_id"))
     lists = (
         assign_sim.withColumn("arn", F.row_number().over(wa))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "e_norm", "centroid_id")
     )
     # probe: nprobe nearest centroids per query
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
     )
     probe_sim = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "q_emb", "centroid_id", _cosine(F.col("q_emb"), F.col("c_emb")).alias("pc")
+        "query_id",
+        "q_emb",
+        "q_norm",
+        "centroid_id",
+        _cosine(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("cent_norm")).alias("pc"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("pc"), F.asc("centroid_id"))
     probes = (
         probe_sim.withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= _IVF_NPROBE)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
     # search only the probed inverted lists
     pairs = F.broadcast(probes).join(lists, "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = pairs.select(
-        "query_id", "vec_id", "centroid_id", _cosine(F.col("q_emb"), F.col("embedding")).alias("c")
+        "query_id",
+        "vec_id",
+        "centroid_id",
+        _cosine(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("e_norm")).alias("c"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
     return (
@@ -240,14 +285,17 @@ def d6_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector dups — threshold 0.4 surfaces the near-collision tail; the
     operator is the contract, the oracle replicates it.)"""
     e = load_table(spark, sf_dir, "embeddings")
-    batch = e.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("new_id"), F.col("embedding").alias("new_emb")
+    corpus = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm"))
+    batch = corpus.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("new_emb"),
+        F.col("c_norm").alias("b_norm"),
     )
-    pairs = F.broadcast(batch).crossJoin(e.select("vec_id", "embedding")).filter(
-        F.col("vec_id") != F.col("new_id")
-    )
+    pairs = F.broadcast(batch).crossJoin(corpus).filter(F.col("vec_id") != F.col("new_id"))
     sim = pairs.select(
-        "new_id", "vec_id", _cosine(F.col("new_emb"), F.col("embedding")).alias("c")
+        "new_id",
+        "vec_id",
+        _cosine(F.col("new_emb"), F.col("embedding"), F.col("b_norm"), F.col("c_norm")).alias("c"),
     )
     return (
         sim.filter(F.col("c") >= 0.4)
