@@ -155,6 +155,9 @@ def _build() -> None:
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
     register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)
     register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE, graded=False)
+    register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
+    register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
+    register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

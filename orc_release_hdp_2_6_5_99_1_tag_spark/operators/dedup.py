@@ -332,6 +332,148 @@ LIMIT 20
 """
 
 
+_CHUNK_TOKENS = 20  # "paragraph" = fixed 20-token chunk (corpus has no \n\n)
+
+
+def d8_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (the ccnet/C4 line-dedup step, one level
+    below document dedup): chunk every document into fixed 20-token
+    "paragraphs", hash each chunk, and mark every non-first occurrence
+    of a chunk hash corpus-wide as a duplicate (first = lowest
+    (doc_id, chunk_idx)). Reports per-source chunk counts, duplicate
+    fraction in exact ppm, and how many documents carry any duplicated
+    chunk.
+
+    Scale shape: chunking is a narrow explode; the only data-sized
+    shuffle is one exchange on the chunk hash (uniform md5 keys — no
+    skew), and the per-source rollup shuffles two orders of magnitude
+    fewer rows. The row_number window runs per chunk-hash partition
+    whose expected size is the duplication factor, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    n = _CHUNK_TOKENS
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t)-1) div {n}), i -> concat_ws(' ', slice(t, i*{n}+1, {n})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("is_dup").alias("n_dup")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dup").alias("n_dup_chunks"),
+            F.expr("1000000 * sum(n_dup) DIV sum(n_chunks)").alias("dup_ppm"),
+            F.sum((F.col("n_dup") > 0).cast("int")).alias("n_docs_with_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+D8_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, u.i AS chunk_idx,
+         md5(array_to_string(l[u.i*{_CHUNK_TOKENS}+1 : u.i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS}], ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(range(0, (len(l)-1)//{_CHUNK_TOKENS} + 1)) AS i) u
+),
+marked AS (
+  SELECT doc_id, source,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_chunks, SUM(is_dup) AS n_dup
+  FROM marked GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup_chunks,
+       CAST((1000000 * SUM(n_dup)) // SUM(n_chunks) AS BIGINT) AS dup_ppm,
+       CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+_DOMAIN_CAP = 20   # max docs kept per source/domain
+_CAP_SALT = 8      # salt buckets for the two-phase top-K
+
+
+def d9_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb anti-spam step: no
+    single domain may dominate the corpus): keep at most 20 documents
+    per source, chosen by a deterministic md5 priority so the sample is
+    stable across runs and engines.
+
+    Scale shape — two-phase top-K, NOT one window per domain: a hot
+    domain with 10^9 docs would funnel into a single window partition.
+    Phase 1 salts each domain into 8 buckets and takes a local top-20
+    per (domain, salt); phase 2 re-ranks the ≤160 survivors per domain.
+    The second window sees a bounded row count per key regardless of
+    corpus size (same partial/final split as the reference's stripe →
+    file statistics merge, `ColumnStatisticsImpl.merge`)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col("doc_id").cast("string"))
+    salted = d.select("doc_id", "source", "n_chars", pri.alias("pri"),
+                      (F.col("doc_id") % _CAP_SALT).alias("salt"))
+    w_local = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
+    survivors = (
+        salted.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= _DOMAIN_CAP)
+    )
+    w_global = Window.partitionBy("source").orderBy("pri", "doc_id")
+    ranked = survivors.withColumn("rn", F.row_number().over(w_global))
+    kept = ranked.withColumn("is_kept", (F.col("rn") <= _DOMAIN_CAP).cast("int"))
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_stats = kept.groupBy("source").agg(
+        F.sum("is_kept").alias("n_kept"),
+        F.sum(F.col("is_kept") * F.col("doc_id")).alias("kept_checksum"),
+    )
+    return (
+        totals.join(kept_stats, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_checksum",
+        )
+        .orderBy("source")
+    )
+
+
+D9_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 _DECON_NGRAM = 8  # token n-gram length, the common eval-overlap unit
 _EVAL_MOD = 97  # doc_id % mod == 0 stands in for the benchmark set
 

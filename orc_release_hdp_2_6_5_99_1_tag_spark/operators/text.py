@@ -365,3 +365,118 @@ SELECT source,
        CAST(SUM(uniq_tok_ppm) AS BIGINT) AS uniq_tok_ppm_sum
 FROM ppm GROUP BY source ORDER BY source
 """
+
+
+# PII patterns — intersection of Java-regex (Spark) and RE2 (DuckDB)
+# syntax: character classes, bounded repetition, \b word boundaries.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def x7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training pipeline runs
+    before the tokenizer: find-and-mask emails, phone numbers, and IPv4
+    addresses with typed placeholder tags. The synthetic corpus carries
+    no PII, so a deterministic injection step (keyed on doc_id, applied
+    identically in the oracle) plants all three kinds first; the
+    operator under test is the redaction, which is pure
+    `regexp_extract_all`/`regexp_replace` built-ins — narrow map, full
+    codegen, no shuffle until the per-source rollup.
+
+    Reports per source: docs touched, per-kind match counts, and the
+    exact character delta between raw and redacted text."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                "", F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(
+                "",
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        injected.alias("raw"),
+    ).select(
+        "doc_id",
+        "source",
+        F.length("raw").alias("raw_len"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_IP_RE), 0)).alias("n_ip"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+                    _PHONE_RE,
+                    "<PHONE>",
+                ),
+                _IP_RE,
+                "<IP>",
+            )
+        ).alias("red_len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0).cast("int")).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ip").alias("n_ips"),
+            F.sum(F.col("raw_len") - F.col("red_len")).alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+X7_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS raw
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, source, length(raw) AS raw_len,
+         len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phone,
+         len(regexp_extract_all(raw, '{_IP_RE}')) AS n_ip,
+         length(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_IP_RE}', '<IP>', 'g')) AS red_len
+  FROM injected
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(raw_len - red_len) AS BIGINT) AS chars_redacted
+FROM per_doc GROUP BY source ORDER BY source
+"""

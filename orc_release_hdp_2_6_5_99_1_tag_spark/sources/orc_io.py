@@ -112,6 +112,63 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.orc(path)
 
 
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 10,
+    n_files: int | None = None,
+    **write_opts,
+) -> None:
+    """Z-order (Morton-curve) data layout: cluster rows so ORC row-group
+    min/max stats stay selective on EVERY listed column at once, not
+    just the leading sort key. A lexicographic sort gives perfect
+    skipping on col 1 and none on col 2; interleaving the bits of the
+    rank-scaled columns gives ~equal skipping on each dimension — the
+    multi-column generalization of the reference's split-elimination
+    layout (`examples/orc_split_elim.orc`, row-group stats
+    `proto/orc_proto.proto:84-91`).
+
+    Two passes, both distributed: (1) one aggregate computes per-column
+    min/max (a single driver row — the only collect); (2) a narrow map
+    scales each column to [0, 2^bits), interleaves bits into the Morton
+    code, then `repartitionByRange(z)` + `sortWithinPartitions(z)` so
+    output files AND row groups cover disjoint z-ranges. This is the
+    same job shape engines run for OPTIMIZE ZORDER: one extra shuffle
+    at write time buys stats-based pruning on d columns at read time.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top + 1)).cast(
+                    "bigint"
+                ),
+            )
+        )
+    z = F.lit(0)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + (F.shiftright(s, b).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(
+                1 << (b * len(scaled) + i)
+            ))
+    zdf = df.withColumn("__z", z)
+    args = ([n_files] if n_files else []) + ["__z"]
+    zdf = zdf.repartitionByRange(*args).sortWithinPartitions("__z").drop("__z")
+    write_orc(zdf, path, **write_opts)
+
+
 def orc_copy(
     spark: SparkSession,
     sf_dir: str,

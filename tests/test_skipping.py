@@ -35,6 +35,50 @@ def test_rowgroup_skipping_reduces_scan_output(spark, sf_dir):
     )
 
 
+def test_zorder_layout_skips_on_second_column(spark, tmp_path):
+    """Z-order layout (zorder_write) must make row-group stats
+    selective on the SECOND clustering column, where a lexicographic
+    sort surfaces ~the whole table. 200k rows, two independent uniform
+    dims, row groups of 1000: a 1/16-range predicate on `y` should
+    scan a small multiple of the matching rows in the z-layout and
+    ~everything in the x-sorted layout."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc, zorder_write
+
+    df = (
+        spark.range(200_000)
+        .select(
+            F.col("id"),
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10) % 1024)
+            .cast("bigint")
+            .alias("x"),
+            (F.conv(F.substring(F.md5(F.concat(F.lit("y"), F.col("id").cast("string"))), 1, 4), 16, 10) % 1024)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    lex = str(tmp_path / "lex")
+    zed = str(tmp_path / "zed")
+    write_orc(
+        df.repartitionByRange(4, "x").sortWithinPartitions("x"),
+        lex,
+        compression="none",
+        row_index_stride=1000,
+    )
+    zorder_write(
+        df, zed, ["x", "y"], n_files=4, compression="none", row_index_stride=1000
+    )
+    pred = (F.col("y") >= 0) & (F.col("y") < 64)
+    n_match = spark.read.orc(zed).filter(pred).count()
+    assert n_match == spark.read.orc(lex).filter(pred).count()
+    lex_surfaced = scan_output_rows(spark.read.orc(lex).filter(pred).select("y"))
+    z_surfaced = scan_output_rows(spark.read.orc(zed).filter(pred).select("y"))
+    # lexicographic layout can't skip on y at all; z-order must cut the
+    # scan to well under half of it (ideally ~1/16 + row-group slop)
+    assert z_surfaced < lex_surfaced / 2, (lex_surfaced, z_surfaced, n_match)
+
+
 def test_orc_v011_format_roundtrip(spark, sf_dir, tmp_path):
     """E1: `orc.write.format=0.11` (RLEv1-era files,
     `RunLengthIntegerWriter.java`) round-trips and stamps the file
