@@ -158,6 +158,8 @@ def _build() -> None:
     register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
     register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
+    register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
+    register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -480,3 +480,116 @@ SELECT source,
        CAST(SUM(raw_len - red_len) AS BIGINT) AS chars_redacted
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+_SEQ_LEN = 512       # training sequence length (tokens)
+_PACK_BUCKET = 1024  # doc_id bucket width for the two-phase offsets
+
+
+def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns variable
+    -length documents into fixed 512-token training sequences: within
+    each source, documents concatenate in doc_id order; each doc's
+    start offset is the running token total before it; its bin is
+    `start DIV 512`. Reports per source: docs, tokens, bins produced,
+    and how many documents straddle a bin boundary.
+
+    Scale shape — the same two-phase distributed offset as
+    `f12_row_seek`, because a naive per-source cumulative window is a
+    single reducer per source: phase 1 aggregates token sums per
+    (source, 1024-doc bucket) and runs the running-offset window over
+    BUCKET SUMS only (tiny); phase 2 joins the bucket offset back and
+    windows within each bounded bucket. No window ever sees more than
+    1024 rows or one bucket-sum row per 1024 docs."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("bigint").alias("b"),
+    )
+    bsum = docs.groupBy("source", "b").agg(F.sum("n_tok").alias("bt"))
+    w_boff = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsum.withColumn("boff", F.coalesce(F.sum("bt").over(w_boff), F.lit(0))).select(
+        "source", "b", "boff"
+    )
+    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        docs.join(offs, ["source", "b"])
+        .withColumn("start", F.col("boff") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+        .select(
+            "source",
+            "n_tok",
+            F.expr(f"start DIV {_SEQ_LEN}").alias("bin_start"),
+            F.expr(f"(start + n_tok - 1) DIV {_SEQ_LEN}").alias("bin_end"),
+        )
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.max("bin_end") + 1).alias("n_bins"),
+            F.sum((F.col("bin_start") != F.col("bin_end")).cast("int")).alias("n_spanning"),
+        )
+        .orderBy("source")
+    )
+
+
+X8_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), placed AS (
+  SELECT source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM docs
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX((start + n_tok - 1) // {_SEQ_LEN}) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(CASE WHEN start // {_SEQ_LEN} != (start + n_tok - 1) // {_SEQ_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM placed GROUP BY source ORDER BY source
+"""
+
+
+_VOCAB_TOP_K = 50
+
+
+def x9_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head — the term-frequency table a tokenizer
+    trainer reads first: top-50 tokens by total occurrences, with
+    document frequency. The canonical word-count shape: explode is a
+    narrow map, the count is one shuffle with map-side partial
+    aggregation, and the top-K is `orderBy(...).limit(k)` which Spark
+    executes as per-partition TakeOrdered + a k-row merge on the
+    driver — no global sort materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), F.asc("tok")).limit(_VOCAB_TOP_K)
+
+
+X9_ORACLE = f"""
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM documents, LATERAL (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+) u
+GROUP BY tok
+ORDER BY tf DESC, tok ASC
+LIMIT {_VOCAB_TOP_K}
+"""
