@@ -54,6 +54,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import pipeline as pl
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import relational as r
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import setops as so
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
@@ -160,6 +161,7 @@ def _build() -> None:
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
+    register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "
