@@ -43,6 +43,7 @@ HEADLINE = [
     "w3_asof_join",
     "f12_row_seek",
     "c2_cast_matrix",
+    "pipe1_training_data_prep",
 ]
 
 
