@@ -54,13 +54,38 @@ def _shingles(d: DataFrame) -> DataFrame:
     )
 
 
+def normalized_fp_col():
+    """Normalized-text exact-dedup fingerprint (shared by d1 and pipe1;
+    SQL twin: SQL_NORMALIZED_FP)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+
+
+SQL_NORMALIZED_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def ngram_shingle_col(n: int):
+    """Word n-gram array over the token array column `t` (shared by d7
+    and pipe1; SQL twin: sql_ngram_shingles)."""
+    return F.when(
+        F.size("t") >= n,
+        F.expr(f"transform(sequence(0, size(t)-{n}), i -> concat_ws(' ', slice(t, i+1, {n})))"),
+    ).otherwise(F.array())
+
+
+def sql_ngram_shingles(n: int) -> str:
+    """DuckDB twin of ngram_shingle_col: CTE body producing (doc_id, s)
+    from a CTE `t(doc_id, l)` of token lists."""
+    return f"""
+  SELECT doc_id, array_to_string(l[i:i+{n - 1}], ' ') AS s
+  FROM t, unnest(range(1, len(l) - {n - 2})) AS u(i)
+  WHERE len(l) >= {n}"""
+
+
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint hash-groupBy: one
     shuffle on the fingerprint; canonical row = min doc_id."""
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp")
-    )
+    fp = d.select("doc_id", normalized_fp_col().alias("fp"))
     groups = fp.groupBy("fp").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical")
     )
@@ -72,9 +97,9 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D1_ORACLE = """
+D1_ORACLE = f"""
 WITH fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  SELECT doc_id, {SQL_NORMALIZED_FP} AS fp
   FROM documents
 ), g AS (
   SELECT fp, COUNT(*) AS n, MIN(doc_id) AS canonical FROM fp GROUP BY fp
@@ -344,11 +369,13 @@ def d8_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction in exact ppm, and how many documents carry any duplicated
     chunk.
 
-    Scale shape: chunking is a narrow explode; the only data-sized
-    shuffle is one exchange on the chunk hash (uniform md5 keys — no
-    skew), and the per-source rollup shuffles two orders of magnitude
-    fewer rows. The row_number window runs per chunk-hash partition
-    whose expected size is the duplication factor, not the corpus."""
+    Scale shape: chunking is a narrow explode; first-occurrence
+    detection is `groupBy(hash).agg(min(struct(doc_id, chunk_idx)))`
+    — partial-aggregatable, so a boilerplate chunk duplicated across
+    10^8 documents (cookie banner, license header — exactly what
+    paragraph dedup exists to remove) collapses map-side instead of
+    funneling every occurrence into one window partition. The join
+    back on the hash is skew-splittable by AQE."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
     n = _CHUNK_TOKENS
@@ -361,10 +388,16 @@ def d8_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     ).withColumn("h", F.md5("chunk"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
-    marked = chunks.withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    marked = chunks.join(firsts, "h").withColumn(
+        "is_dup",
+        (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("chunk_idx") != F.col("first.chunk_idx"))
+        ).cast("int"),
+    )
     per_doc = marked.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_chunks"), F.sum("is_dup").alias("n_dup")
     )
@@ -429,7 +462,7 @@ def d9_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pri = F.md5(F.col("doc_id").cast("string"))
-    salted = d.select("doc_id", "source", "n_chars", pri.alias("pri"),
+    salted = d.select("doc_id", "source", pri.alias("pri"),
                       (F.col("doc_id") % _CAP_SALT).alias("salt"))
     w_local = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
     survivors = (
@@ -495,14 +528,7 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast hash lookup before any exchange."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
-    n = _DECON_NGRAM
-    shingle_expr = F.when(
-        F.size("t") >= n,
-        F.expr(
-            f"transform(sequence(0, size(t)-{n}), i -> concat_ws(' ', slice(t, i+1, {n})))"
-        ),
-    ).otherwise(F.array())
-    sh = toks.select("doc_id", F.explode(shingle_expr).alias("s"))
+    sh = toks.select("doc_id", F.explode(ngram_shingle_col(_DECON_NGRAM)).alias("s"))
     eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
     contaminated = (
         sh.join(F.broadcast(eval_sh), "s", "left_semi")
@@ -536,10 +562,7 @@ D7_ORACLE = f"""
 WITH t AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
 ),
-sh AS (
-  SELECT doc_id, array_to_string(l[i:i+{_DECON_NGRAM - 1}], ' ') AS s
-  FROM t, unnest(range(1, len(l) - {_DECON_NGRAM - 2})) AS u(i)
-  WHERE len(l) >= {_DECON_NGRAM}
+sh AS ({sql_ngram_shingles(_DECON_NGRAM)}
 ),
 eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
 contaminated AS (

@@ -6,13 +6,20 @@ Catalyst sees the whole pipeline (filters merge into the scan;
 projection pruning crosses stage boundaries; nothing materializes
 between stages).
 
+The stage expressions are shared with the standalone operators
+(`dedup.normalized_fp_col` / `dedup.ngram_shingle_col` /
+`text.split_label_col`, each with its SQL twin), so a threshold or
+n-gram change in one place updates both the standalone query and the
+pipeline, engine and oracle alike.
+
 Scale notes per stage: the language/quality filters are scan-time
 predicates (pushed to the parquet/ORC reader); exact dedup is one
-shuffle on the md5 fingerprint; decontamination broadcasts the tiny
-eval-set shingle table (same shape as `dedup.d7_decontaminate`); the
-split is a stateless md5-bucket map. Total cost at 100 TB: one scan +
-one fingerprint shuffle + one broadcast semi-join — no stage-to-stage
-checkpoint unless the operator is reused downstream.
+shuffle on the md5 fingerprint; decontamination shingle-explodes ONLY
+the eval set (tiny, broadcast) and the surviving deduped docs — never
+the discarded part of the corpus — and checks membership via a
+broadcast semi-join. Total cost at 100 TB: the corpus scan (plus the
+cheap eval-subset re-scan), one fingerprint shuffle, and broadcast
+joins — no corpus-sized exchange after the fingerprint one.
 """
 
 from __future__ import annotations
@@ -20,6 +27,17 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+    SQL_NORMALIZED_FP,
+    ngram_shingle_col,
+    normalized_fp_col,
+    sql_ngram_shingles,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+    SQL_SPLIT_BUCKET,
+    SQL_SPLIT_LABEL,
+    split_label_col,
+)
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
 _MIN_CHARS = 150
@@ -36,39 +54,27 @@ def pipe1_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1+2: language + quality gate (scan-time predicates)
     base = d.filter((F.col("lang") == "en") & (F.col("n_chars") >= _MIN_CHARS))
     # stage 3: exact dedup — keep the min doc_id per fingerprint
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-    with_fp = base.withColumn("fp", fp)
+    with_fp = base.withColumn("fp", normalized_fp_col())
     canon = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = with_fp.join(canon, ["fp", "doc_id"], "left_semi")
-    # stage 4: decontamination — eval 8-grams from the FULL corpus
-    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= _NGRAM,
-                F.expr(
-                    f"transform(sequence(0, size(t)-{_NGRAM}), i -> concat_ws(' ', slice(t, i+1, {_NGRAM})))"
-                ),
-            ).otherwise(F.array())
-        ).alias("s"),
-    )
-    eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
+    # stage 4: decontamination — eval 8-grams from the full corpus's
+    # eval subset; the corpus side shingles ONLY the surviving docs
+    # (contamination of already-discarded docs is irrelevant)
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        return toks.select("doc_id", F.explode(ngram_shingle_col(_NGRAM)).alias("s"))
+
+    eval_sh = shingled(d.filter(F.col("doc_id") % _EVAL_MOD == 0)).select("s").distinct()
     contaminated = (
-        sh.join(F.broadcast(eval_sh), "s", "left_semi").select("doc_id").distinct()
+        shingled(deduped)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
     clean = deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")
     # stage 5: deterministic split
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "bigint"
-    ) % 100
-    split = (
-        F.when(bucket < 98, F.lit("train"))
-        .when(bucket < 99, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        clean.select("doc_id", "n_chars", split.alias("split"))
+        clean.select("doc_id", "n_chars", split_label_col().alias("split"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -84,8 +90,7 @@ WITH base AS (
   SELECT doc_id, text, n_chars FROM documents
   WHERE lang = 'en' AND n_chars >= {_MIN_CHARS}
 ), with_fp AS (
-  SELECT doc_id, n_chars,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  SELECT doc_id, n_chars, {SQL_NORMALIZED_FP} AS fp
   FROM base
 ), canon AS (
   SELECT fp, MIN(doc_id) AS doc_id FROM with_fp GROUP BY fp
@@ -94,10 +99,7 @@ WITH base AS (
     ON w.fp = c.fp AND w.doc_id = c.doc_id
 ), t AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
-), sh AS (
-  SELECT doc_id, array_to_string(l[i:i+{_NGRAM - 1}], ' ') AS s
-  FROM t, unnest(range(1, len(l) - {_NGRAM - 2})) AS u(i)
-  WHERE len(l) >= {_NGRAM}
+), sh AS ({sql_ngram_shingles(_NGRAM)}
 ), eval_sh AS (
   SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
 ), contaminated AS (
@@ -105,11 +107,10 @@ WITH base AS (
 ), clean AS (
   SELECT d.doc_id, d.n_chars FROM deduped d ANTI JOIN contaminated c USING (doc_id)
 ), labeled AS (
-  SELECT doc_id, n_chars,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+  SELECT doc_id, n_chars, {SQL_SPLIT_BUCKET} AS b
   FROM clean
 )
-SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+SELECT {SQL_SPLIT_LABEL} AS split,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS chars_total,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum

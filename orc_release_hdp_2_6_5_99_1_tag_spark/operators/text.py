@@ -205,6 +205,26 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def split_label_col():
+    """Deterministic 98/1/1 train/val/test label from the md5(doc_id)
+    bucket (shared by x5 and pipe1; SQL twins: SQL_SPLIT_BUCKET /
+    SQL_SPLIT_LABEL)."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket < 99, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+SQL_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+)
+SQL_SPLIT_LABEL = "CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END"
+
+
 def x5_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus splitting — the held-out-set primitive every
     training pipeline needs: each document lands in train/val/test by
@@ -213,16 +233,8 @@ def x5_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling drift). Narrow map + one aggregate; the split column also
     serves as a partition key for split-separated writes."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "bigint"
-    ) % 100
-    split = (
-        F.when(bucket < 98, F.lit("train"))
-        .when(bucket < 99, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select("doc_id", "n_chars", split.alias("split"))
+        d.select("doc_id", "n_chars", split_label_col().alias("split"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -233,13 +245,12 @@ def x5_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-X5_ORACLE = """
+X5_ORACLE = f"""
 WITH s AS (
-  SELECT doc_id, n_chars,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+  SELECT doc_id, n_chars, {SQL_SPLIT_BUCKET} AS b
   FROM documents
 )
-SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+SELECT {SQL_SPLIT_LABEL} AS split,
        COUNT(*) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
        CAST(SUM(n_chars) AS BIGINT) AS chars_total
@@ -508,7 +519,7 @@ def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
-        (F.col("doc_id") / _PACK_BUCKET).cast("bigint").alias("b"),
+        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("b"),
     )
     bsum = docs.groupBy("source", "b").agg(F.sum("n_tok").alias("bt"))
     w_boff = Window.partitionBy("source").orderBy("b").rowsBetween(

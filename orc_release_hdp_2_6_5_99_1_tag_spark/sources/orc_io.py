@@ -137,13 +137,28 @@ def zorder_write(
     output files AND row groups cover disjoint z-ranges. This is the
     same job shape engines run for OPTIMIZE ZORDER: one extra shuffle
     at write time buys stats-based pruning on d columns at read time.
+
+    `bits` is auto-capped at 63//len(cols) so the Morton code fits a
+    signed long; an empty input writes as-is, and an all-NULL or
+    non-numeric clustering column raises a clear ValueError.
     """
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // max(1, len(cols)))  # Morton code must fit a signed long
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(c).try_cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).try_cast("double").alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    if stats["n_rows"] == 0:
+        write_orc(df, path, **write_opts)  # nothing to cluster
+        return
+    bad = [c for c in cols if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"zorder_write: column(s) {bad} have no numeric min/max "
+            "(all-NULL or non-numeric) — cannot be used as clustering keys"
+        )
     top = (1 << bits) - 1
     scaled = []
     for c in cols:

@@ -79,6 +79,30 @@ def test_zorder_layout_skips_on_second_column(spark, tmp_path):
     assert z_surfaced < lex_surfaced / 2, (lex_surfaced, z_surfaced, n_match)
 
 
+def test_zorder_edge_cases(spark, tmp_path):
+    """zorder_write degrades cleanly: empty input writes as-is, many
+    columns auto-cap bits to fit a signed long, and a non-numeric
+    clustering column raises a clear error (not a py4j TypeError)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import zorder_write
+
+    df = spark.range(100).select(
+        "id",
+        *[(F.col("id") * (i + 3) % 97).alias(f"c{i}") for i in range(7)],
+        F.lit("s").alias("label"),
+    )
+    empty = str(tmp_path / "empty")
+    zorder_write(df.filter(F.lit(False)), empty, ["c0", "c1"])
+    assert spark.read.orc(empty).count() == 0
+    many = str(tmp_path / "many")  # 7 cols x default 10 bits would overflow
+    zorder_write(df, many, [f"c{i}" for i in range(7)])
+    assert spark.read.orc(many).count() == 100
+    with pytest.raises(ValueError, match="label"):
+        zorder_write(df, str(tmp_path / "bad"), ["c0", "label"])
+
+
 def test_orc_v011_format_roundtrip(spark, sf_dir, tmp_path):
     """E1: `orc.write.format=0.11` (RLEv1-era files,
     `RunLengthIntegerWriter.java`) round-trips and stamps the file
