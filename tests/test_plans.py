@@ -80,6 +80,41 @@ def test_q3_broadcasts_customer(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "customer dim should broadcast, not shuffle"
 
 
+def test_pipe1_plan_shape(spark, sf_dir):
+    """pipe1's scale claims, plan-verified: the lang/quality gates are
+    pushed into the scan, the decontamination semi/anti joins
+    broadcast, and no Window node appears anywhere."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.pipeline import (
+        pipe1_training_data_prep,
+    )
+
+    df = pipe1_training_data_prep(spark, sf_dir)
+    plan = formatted_plan(df)
+    pf = plan.split("PushedFilters:")[1].splitlines()[0] if "PushedFilters:" in plan else ""
+    assert "lang" in pf and "n_chars" in pf, f"gates not pushed to scan: {pf!r}"
+    assert "BroadcastHashJoin" in plan, "decontamination joins should broadcast"
+    assert "Window" not in plan, "pipeline must not contain window operators"
+
+
+def test_d8_first_occurrence_is_partial_aggregatable(spark, sf_dir):
+    """d8's hot-chunk-proof shape: first-occurrence detection must be a
+    partial+final aggregate (min(struct)) with NO per-hash window."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import d8_paragraph_dedup
+
+    plan = formatted_plan(d8_paragraph_dedup(spark, sf_dir))
+    assert "Window" not in plan, "d8 must not use a window for first-occurrence"
+    assert "partial_min" in plan, "expected map-side partial min(struct) aggregation"
+
+
+def test_x9_topk_uses_take_ordered(spark, sf_dir):
+    """x9's limit must execute as TakeOrderedAndProject (per-partition
+    top-K + driver merge), not a global Sort."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import x9_vocab_topk
+
+    plan = formatted_plan(x9_vocab_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_q1_whole_stage_codegen(spark, sf_dir):
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.relational import q1_pricing_summary
 
