@@ -445,37 +445,48 @@ _DOMAIN_CAP = 20   # max docs kept per source/domain
 _CAP_SALT = 8      # salt buckets for the two-phase top-K
 
 
+def domain_cap_kept(d: DataFrame, cap: int = _DOMAIN_CAP, salt_buckets: int = _CAP_SALT) -> DataFrame:
+    """Two-phase per-domain top-`cap` selection over (doc_id, source)
+    rows: phase 1 salts each domain into `salt_buckets` buckets and
+    takes a local top-`cap` per (domain, salt); phase 2 re-ranks the
+    ≤ cap×salt_buckets survivors per domain. Equivalent to one
+    ROW_NUMBER() per domain (the oracle form, and
+    `tests/test_scale_shapes.py` asserts the equivalence on a skewed
+    2M-row corpus) but no window partition ever exceeds
+    max(rows/salt_buckets-per-hot-key, cap×salt_buckets) rows.
+    Returns the kept rows (doc_id, source)."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col("doc_id").cast("string"))
+    salted = d.select("doc_id", "source", pri.alias("pri"),
+                      (F.col("doc_id") % salt_buckets).alias("salt"))
+    w_local = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
+    survivors = (
+        salted.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= cap)
+    )
+    w_global = Window.partitionBy("source").orderBy("pri", "doc_id")
+    ranked = survivors.withColumn("rn", F.row_number().over(w_global))
+    return ranked.filter(F.col("rn") <= cap).select("doc_id", "source")
+
+
 def d9_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (the C4/RefinedWeb anti-spam step: no
     single domain may dominate the corpus): keep at most 20 documents
     per source, chosen by a deterministic md5 priority so the sample is
     stable across runs and engines.
 
-    Scale shape — two-phase top-K, NOT one window per domain: a hot
-    domain with 10^9 docs would funnel into a single window partition.
-    Phase 1 salts each domain into 8 buckets and takes a local top-20
-    per (domain, salt); phase 2 re-ranks the ≤160 survivors per domain.
-    The second window sees a bounded row count per key regardless of
-    corpus size (same partial/final split as the reference's stripe →
-    file statistics merge, `ColumnStatisticsImpl.merge`)."""
+    Scale shape — two-phase top-K via `domain_cap_kept`, NOT one
+    window per domain: a hot domain with 10^9 docs would funnel into a
+    single window partition (same partial/final split as the
+    reference's stripe → file statistics merge,
+    `ColumnStatisticsImpl.merge`)."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    pri = F.md5(F.col("doc_id").cast("string"))
-    salted = d.select("doc_id", "source", pri.alias("pri"),
-                      (F.col("doc_id") % _CAP_SALT).alias("salt"))
-    w_local = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
-    survivors = (
-        salted.withColumn("lrn", F.row_number().over(w_local))
-        .filter(F.col("lrn") <= _DOMAIN_CAP)
-    )
-    w_global = Window.partitionBy("source").orderBy("pri", "doc_id")
-    ranked = survivors.withColumn("rn", F.row_number().over(w_global))
-    kept = ranked.withColumn("is_kept", (F.col("rn") <= _DOMAIN_CAP).cast("int"))
+    kept = domain_cap_kept(d)
     totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     kept_stats = kept.groupBy("source").agg(
-        F.sum("is_kept").alias("n_kept"),
-        F.sum(F.col("is_kept") * F.col("doc_id")).alias("kept_checksum"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_checksum"),
     )
     return (
         totals.join(kept_stats, "source")

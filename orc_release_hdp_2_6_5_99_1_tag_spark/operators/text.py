@@ -497,6 +497,34 @@ _SEQ_LEN = 512       # training sequence length (tokens)
 _PACK_BUCKET = 1024  # doc_id bucket width for the two-phase offsets
 
 
+def pack_start_offsets(docs: DataFrame) -> DataFrame:
+    """Running token offset per (source, doc_id-ordered) document over
+    (doc_id, source, n_tok) rows, computed with the two-phase
+    distributed-offset shape (see x8 docstring): bucket token sums →
+    running offset over SUMS → bounded in-bucket window. Equivalent to
+    one cumulative window per source (the oracle form;
+    `tests/test_scale_shapes.py` asserts equivalence on a skewed 2M-row
+    corpus). Adds column `start`."""
+    from pyspark.sql import Window
+
+    docs = docs.withColumn("b", F.expr(f"doc_id DIV {_PACK_BUCKET}"))
+    bsum = docs.groupBy("source", "b").agg(F.sum("n_tok").alias("bt"))
+    w_boff = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsum.withColumn("boff", F.coalesce(F.sum("bt").over(w_boff), F.lit(0))).select(
+        "source", "b", "boff"
+    )
+    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        docs.join(offs, ["source", "b"])
+        .withColumn("start", F.col("boff") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+        .drop("b", "boff")
+    )
+
+
 def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the concat-and-chunk step that turns variable
     -length documents into fixed 512-token training sequences: within
@@ -513,33 +541,16 @@ def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows within each bounded bucket. No window ever sees more than
     1024 rows or one bucket-sum row per 1024 docs."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     docs = d.select(
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
-        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("b"),
     )
-    bsum = docs.groupBy("source", "b").agg(F.sum("n_tok").alias("bt"))
-    w_boff = Window.partitionBy("source").orderBy("b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = bsum.withColumn("boff", F.coalesce(F.sum("bt").over(w_boff), F.lit(0))).select(
-        "source", "b", "boff"
-    )
-    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    placed = (
-        docs.join(offs, ["source", "b"])
-        .withColumn("start", F.col("boff") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
-        .select(
-            "source",
-            "n_tok",
-            F.expr(f"start DIV {_SEQ_LEN}").alias("bin_start"),
-            F.expr(f"(start + n_tok - 1) DIV {_SEQ_LEN}").alias("bin_end"),
-        )
+    placed = pack_start_offsets(docs).select(
+        "source",
+        "n_tok",
+        F.expr(f"start DIV {_SEQ_LEN}").alias("bin_start"),
+        F.expr(f"(start + n_tok - 1) DIV {_SEQ_LEN}").alias("bin_end"),
     )
     return (
         placed.groupBy("source")
