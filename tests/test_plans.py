@@ -115,6 +115,48 @@ def test_x9_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """§4 optimizer surface: Catalyst's runtime bloom-filter injection
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) builds a bloom
+    filter from the selective dim side of a shuffle join and applies
+    `might_contain` on the fact side BEFORE the shuffle — the
+    engine-level generalization of the reference's bloom-filter
+    row-group skipping (`RecordReaderImpl.checkInBloomFilter:606-654`),
+    happening at runtime over any source. Thresholds are lowered so the
+    toy scale qualifies; at 100 TB the defaults fire on their own."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected on fact side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q1_whole_stage_codegen(spark, sf_dir):
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.relational import q1_pricing_summary
 
