@@ -150,6 +150,7 @@ def _build() -> None:
     )
     register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
     register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE, graded=False)
+    register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE, graded=False)
     register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE, graded=False)
     register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
     register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE, graded=False)

@@ -255,3 +255,126 @@ SELECT COUNT(*) AS inserts,
        COUNT(CASE WHEN o_orderkey % 100 = 0 THEN 1 END) AS deletes
 FROM orders
 """
+
+
+def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PRE-ACID upgrade layout (reference
+    `acid.md:30-43`): plain non-event bucket files (the `00000_0`
+    table as it existed before ACID was enabled) plus event-schema
+    deltas that reference those rows by synthesized
+    (originalTransaction=0, bucket, rowId).
+
+    rowId is the row's position within its bucket file; the files are
+    written bucket-sorted by the natural key, so the position is
+    derivable deterministically on both the writer and reader side.
+    txn 4 updates o_orderkey%7==0 (status→'V', totalprice+50);
+    txn 5 deletes o_orderkey%50==0."""
+    root = os.path.join(scratch_dir(sf_dir), "acid", "orders_original")
+    if os.path.exists(os.path.join(root, "_done")):
+        return root
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = (F.col("o_orderkey") % _N_BUCKETS).cast("int")
+    plain = o.withColumn("bucket", bucket)
+    write_orc(
+        plain.repartition(_N_BUCKETS, "bucket").sortWithinPartitions("bucket", "o_orderkey"),
+        os.path.join(root, "original"),
+    )
+    w_row = Window.partitionBy("bucket").orderBy("o_orderkey")
+    keyed = plain.withColumn("rowId", F.row_number().over(w_row).cast("bigint") - 1)
+
+    def event(df: DataFrame, operation: int, txn: int) -> DataFrame:
+        return df.select(
+            F.lit(operation).alias("operation"),
+            F.lit(0).cast("bigint").alias("originalTransaction"),
+            "bucket",
+            "rowId",
+            F.lit(txn).cast("bigint").alias("currentTransaction"),
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("totalprice"),
+            ).alias("row"),
+        )
+
+    updated = keyed.filter(F.col("o_orderkey") % 7 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("V"),
+            "o_totalprice": (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                + F.lit(50.00).cast("decimal(18,2)")
+            ).cast("double"),
+        }
+    )
+    deleted = keyed.filter(F.col("o_orderkey") % 50 == 0)
+    for df, sub in [
+        (event(updated, OP_UPDATE, 4), "delta_0000004_0000004"),
+        (event(deleted, OP_DELETE, 5), "delta_0000005_0000005"),
+    ]:
+        write_orc(
+            _to_physical(
+                df.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                    "originalTransaction", "bucket", "rowId"
+                )
+            ),
+            os.path.join(root, sub),
+        )
+    open(os.path.join(root, "_done"), "w").close()
+    return root
+
+
+def t6_original_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-adjacent: merge-on-read over ORIGINAL (pre-ACID, plain
+    schema) bucket files plus ACID deltas — the upgrade path
+    `acid.md:30-43` requires: plain rows are read as synthetic INSERT
+    events with originalTransaction=0 and per-bucket positional
+    rowIds, then the standard latest-txn-wins merge applies.
+
+    Scale note: the per-bucket row_number mirrors the reference's
+    per-bucket-file row numbering — the bucket file is the unit of
+    parallelism in the ACID layout itself; a production reader derives
+    the position while streaming the bucket file (constant memory),
+    which is what the sorted-file layout here stands in for."""
+    root = original_files_dir(spark, sf_dir)
+    plain = read_orc(spark, os.path.join(root, "original"))
+    w_row = Window.partitionBy("bucket").orderBy("o_orderkey")
+    synth = plain.select(
+        F.lit(OP_INSERT).alias("operation"),
+        F.lit(0).cast("bigint").alias("originalTransaction"),
+        "bucket",
+        (F.row_number().over(w_row).cast("bigint") - 1).alias("rowId"),
+        F.lit(0).cast("bigint").alias("currentTransaction"),
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("totalprice"),
+        ).alias("row"),
+    )
+    events = synth
+    for d in sorted(os.listdir(root)):
+        if d.startswith("delta_"):
+            events = events.unionByName(_read_events(spark, os.path.join(root, d)))
+    w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
+        F.desc("currentTransaction")
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
+        .select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction")
+        .orderBy("id")
+    )
+
+
+T6_ORACLE = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'V' ELSE o_orderstatus END AS status,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50.00 AS DECIMAL(18,2)) AS DOUBLE)
+            ELSE o_totalprice END AS totalprice,
+       CAST(o_orderkey % 4 AS INT) AS bucket,
+       CAST(CASE WHEN o_orderkey % 7 = 0 THEN 4 ELSE 0 END AS BIGINT) AS currentTransaction
+FROM orders
+WHERE o_orderkey % 50 != 0
+ORDER BY o_orderkey
+"""
