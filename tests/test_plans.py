@@ -115,6 +115,30 @@ def test_x9_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """§4 optimizer surface: a join against a filtered dim prunes the
+    Hive-partitioned fact's directories at RUNTIME (dynamicpruning
+    expression in PartitionFilters) — the join-driven counterpart of
+    s5's static partition pruning, and the directory-level analog of
+    the reference's stripe-range split selection."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import (
+        s5_partition_pruning,
+    )
+
+    s5_partition_pruning(spark, sf_dir).collect()  # materialize layout
+    import os
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+    fact = spark.read.orc(os.path.join(scratch_dir(sf_dir), "orc", "orders_by_status"))
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], ["st", "label"]
+    ).filter(F.col("label") == "finished")
+    j = fact.join(dim, fact.o_orderstatus == dim.st).agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP expression missing from PartitionFilters"
+
+
 def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     """§4 optimizer surface: Catalyst's runtime bloom-filter injection
     (`spark.sql.optimizer.runtime.bloomFilter.enabled`) builds a bloom
