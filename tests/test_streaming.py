@@ -95,3 +95,51 @@ def test_watermark_append_flushes_closed_windows(spark, sf_dir, tmp_path):
     # so at least those windows must have been emitted
     expected_min = early.select(F.date_trunc("day", "ts")).distinct().count()
     assert emitted >= expected_min, f"append mode emitted {emitted} < {expected_min} closed windows"
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: an event stream enriched against a static
+    dimension (user tier by user_id % 3). The static side is
+    broadcast per micro-batch — no stream-side shuffle, no state — the
+    standard 100-TB enrichment shape (stateful stream-stream join is
+    only needed when BOTH sides move)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "enrich_test_out"
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .filter(F.col("ts") < "2024-01-03")
+    )
+    n_events = events.count()
+    events.write.parquet(src + "/b1")
+
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], ["tier_key", "tier"]
+    )
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .parquet(src + "/*")
+        .withColumn("tier_key", F.col("user_id") % 3)
+    )
+    enriched = stream.join(F.broadcast(tiers), "tier_key").drop("tier_key")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(out_name)
+    assert out.count() == n_events, "every event must be enriched (inner join, total dim)"
+    expected = events.withColumn("tier_key", F.col("user_id") % 3).join(
+        tiers, "tier_key"
+    )
+    assert (
+        out.groupBy("tier").count().exceptAll(expected.groupBy("tier").count()).count() == 0
+    )
