@@ -139,6 +139,11 @@ def _build() -> None:
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
     register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
     register("q22_not_exists", sq.q22_not_exists, sq.Q22_SQL, graded=False)
+    register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL, graded=False)
+    register("q10_returned_items", sq.q10_returned_items, sq.Q10_SQL, graded=False)
+    register("q14_promo_revenue", sq.q14_promo_revenue, sq.Q14_SQL, graded=False)
+    register("q16_parts_supplier", sq.q16_parts_supplier, sq.Q16_SQL, graded=False)
+    register("q18_large_orders", sq.q18_large_orders, sq.Q18_SQL, graded=False)
     register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE, graded=False)
     register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE, graded=False)
     register("a7_percentiles", xt.a7_percentiles, xt.A7_ORACLE, graded=False)

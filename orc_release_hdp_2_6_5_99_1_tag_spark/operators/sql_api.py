@@ -49,3 +49,102 @@ def q22_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS anti-join shape (TPC-H Q22 flavor)."""
     _register(spark, sf_dir, ["customer", "orders"])
     return spark.sql(Q22_SQL)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join + aggregate (TPC-H Q4 shape, adapted to the
+    reduced schema: 'shipped after order date' replaces
+    commitdate<receiptdate)."""
+    _register(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(Q4_SQL)
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join + top-20 by exact-decimal revenue (TPC-H Q10
+    shape): dims broadcast, revenue summed in DECIMAL for cross-engine
+    determinism, one final cast to DOUBLE."""
+    _register(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(Q10_SQL)
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4)) ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14): numerator and
+    denominator are exact DECIMAL sums; the division runs in DOUBLE on
+    both engines (decimal-division scale rules differ between Spark
+    and DuckDB — doing the quotient in decimal diverges)."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(Q14_SQL)
+
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 25
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 20
+"""
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN null-aware anti-join + distinct aggregate (TPC-H Q16
+    shape; the exclusion predicate adapts to the reduced schema)."""
+    _register(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(Q16_SQL)
+
+
+Q18_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+GROUP BY o.o_orderkey, o.o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + grouped HAVING subquery (TPC-H Q18 shape): the subquery's
+    aggregate semi-joins back against the same fact table."""
+    _register(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(Q18_SQL)
