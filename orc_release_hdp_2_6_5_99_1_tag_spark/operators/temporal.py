@@ -85,3 +85,56 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
+
+
+def w4_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-range window (feature-store staple: 'activity in
+    the last hour at event time'): per user, for every event, the
+    count and exact-decimal sum of that user's events in the preceding
+    hour INCLUDING the current row — a RANGE frame over exact epoch
+    MICROSECONDS (identical integer keys in both engines; DuckDB's
+    epoch() returns fractional doubles while Spark's unix_timestamp
+    truncates, so second-granularity keys would disagree on frame
+    membership), not a ROWS frame, so simultaneous events aggregate
+    identically regardless of tie order.
+
+    Scale: one shuffle on user_id with in-partition ordering; the
+    range frame is evaluated by a sliding cursor, never materializing
+    the frame. Output is capped to event_id < 2000 to keep the oracle
+    compare small; the window itself runs over the full table."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vals = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        vals.withColumn("n_trailing_1h", F.count(F.lit(1)).over(w))
+        .withColumn("sum_trailing_1h", F.sum("v").over(w).cast("double"))
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "n_trailing_1h", "sum_trailing_1h")
+        .orderBy("event_id")
+    )
+
+
+W4_ORACLE = """
+SELECT event_id, user_id, n_trailing_1h, sum_trailing_1h
+FROM (
+  SELECT event_id, user_id,
+         COUNT(*) OVER w AS n_trailing_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+  )
+) t
+WHERE event_id < 2000
+ORDER BY event_id
+"""
