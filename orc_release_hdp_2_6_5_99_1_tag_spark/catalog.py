@@ -168,6 +168,7 @@ def _build() -> None:
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
     register("w4_trailing_window", tp.w4_trailing_window, tp.W4_ORACLE, graded=False)
+    register("u3_model_inference", xt.u3_model_inference, xt.U3_ORACLE, graded=False)
     register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (

@@ -120,3 +120,92 @@ SELECT doc_id,
        ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6) AS digit_ratio
 FROM documents ORDER BY doc_id
 """
+
+
+_U3_BUCKETS = 64
+_U3_BIAS = 7
+_U3_THRESHOLD = 40_000
+
+
+def _u3_weights() -> list[int]:
+    """Deterministic integer 'model' weights: bucket i's weight is the
+    first 4 hex chars of md5(str(i)) mod 1000. Integer arithmetic end
+    to end so Spark and the oracle agree exactly (no libm sigmoid)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 1000
+        for i in range(_U3_BUCKETS)
+    ]
+
+
+def u3_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference at scale — the quality-classifier scoring pass a
+    training pipeline runs over every document: a 64-bucket linear
+    model whose weight vector ships to executors inside the pandas-UDF
+    closure (the broadcast-weights pattern; a real model rides the same
+    path as a numpy array / ONNX session per worker). Each Arrow batch
+    hashes tokens to buckets (md5, oracle-replicable) and accumulates
+    integer weights with numpy — no per-row Python round trips.
+
+    The oracle replays the identical model relationally: explode
+    tokens, join the 64-row weight table, sum. Per-source rollup plus
+    a threshold classification count."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array(_u3_weights(), dtype=np.int64)
+    bias = _U3_BIAS
+
+    @pandas_udf("bigint")
+    def score(texts):
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.strip().split() if t and t.strip() else [""]
+            idx = np.fromiter(
+                (
+                    int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _U3_BUCKETS
+                    for tok in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            out[i] = bias + int(w[idx].sum())
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", score(F.col("text")).alias("s"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").alias("score_sum"),
+            F.sum((F.col("s") > _U3_THRESHOLD).cast("int")).alias("n_positive"),
+        )
+        .orderBy("source")
+    )
+
+
+_U3_WEIGHT_ROWS = ", ".join(f"({i}, {wv})" for i, wv in enumerate(_u3_weights()))
+
+U3_ORACLE = f"""
+WITH weights(bucket, w) AS (VALUES {_U3_WEIGHT_ROWS}),
+toks AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) % {_U3_BUCKETS} AS bucket
+  FROM documents, LATERAL (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  ) u
+), scored AS (
+  SELECT t.doc_id, t.source, {_U3_BIAS} + SUM(w.w) AS s
+  FROM toks t JOIN weights w ON w.bucket = t.bucket
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(s) AS BIGINT) AS score_sum,
+       CAST(SUM(CASE WHEN s > {_U3_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM scored GROUP BY source ORDER BY source
+"""
