@@ -112,17 +112,17 @@ def acid_table_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def merged_view(spark: SparkSession, root: str) -> DataFrame:
-    """T2 merge-on-read: latest currentTransaction wins per
-    (originalTransaction, bucket, rowId); deletes drop out."""
-    parts = [
-        _read_events(spark, os.path.join(root, d))
-        for d in sorted(os.listdir(root))
-        if d.startswith(("base_", "delta_"))
-    ]
+def _union_events(parts: list) -> DataFrame:
     events = parts[0]
     for p in parts[1:]:
         events = events.unionByName(p)
+    return events
+
+
+def _latest_visible_rows(events: DataFrame) -> DataFrame:
+    """The one ACID merge rule, shared by every view (t2/t5/t6): latest
+    currentTransaction wins per (originalTransaction, bucket, rowId);
+    deletes drop out; project back to the logical row."""
     w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
         F.desc("currentTransaction")
     )
@@ -131,6 +131,16 @@ def merged_view(spark: SparkSession, root: str) -> DataFrame:
         .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
         .select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction")
     )
+
+
+def merged_view(spark: SparkSession, root: str) -> DataFrame:
+    """T2 merge-on-read over a base+delta directory layout."""
+    parts = [
+        _read_events(spark, os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if d.startswith(("base_", "delta_"))
+    ]
+    return _latest_visible_rows(_union_events(parts))
 
 
 def t2_acid_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,9 +249,7 @@ def t4_acid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in sorted(os.listdir(root))
         if d.startswith(("base_", "delta_"))
     ]
-    events = parts[0]
-    for p in parts[1:]:
-        events = events.unionByName(p)
+    events = _union_events(parts)
     return events.agg(
         F.count(F.when(F.col("operation") == OP_INSERT, 1)).alias("inserts"),
         F.count(F.when(F.col("operation") == OP_UPDATE, 1)).alias("updates"),
@@ -264,11 +272,12 @@ def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
     deltas that reference those rows by synthesized
     (originalTransaction=0, bucket, rowId).
 
-    rowId is the row's position within its bucket file; the files are
-    written bucket-sorted by the natural key, so the position is
-    derivable deterministically on both the writer and reader side.
-    txn 4 updates o_orderkey%7==0 (status→'V', totalprice+50);
-    txn 5 deletes o_orderkey%50==0."""
+    rowId is the row's position within its bucket file; the layout is
+    written with repartitionByRange(bucket) so each output file holds
+    exactly one bucket value, sorted by the natural key — the position
+    IS derivable from the file alone, matching the Hive original-files
+    contract. txn 4 updates o_orderkey%7==0 (status→'V',
+    totalprice+50); txn 5 deletes o_orderkey%50==0."""
     root = os.path.join(scratch_dir(sf_dir), "acid", "orders_original")
     if os.path.exists(os.path.join(root, "_done")):
         return root
@@ -278,7 +287,9 @@ def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
     bucket = (F.col("o_orderkey") % _N_BUCKETS).cast("int")
     plain = o.withColumn("bucket", bucket)
     write_orc(
-        plain.repartition(_N_BUCKETS, "bucket").sortWithinPartitions("bucket", "o_orderkey"),
+        plain.repartitionByRange(_N_BUCKETS, "bucket").sortWithinPartitions(
+            "bucket", "o_orderkey"
+        ),
         os.path.join(root, "original"),
     )
     w_row = Window.partitionBy("bucket").orderBy("o_orderkey")
@@ -314,7 +325,7 @@ def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
     ]:
         write_orc(
             _to_physical(
-                df.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
+                df.repartitionByRange(_N_BUCKETS, "bucket").sortWithinPartitions(
                     "originalTransaction", "bucket", "rowId"
                 )
             ),
@@ -351,19 +362,15 @@ def t6_original_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("totalprice"),
         ).alias("row"),
     )
-    events = synth
-    for d in sorted(os.listdir(root)):
-        if d.startswith("delta_"):
-            events = events.unionByName(_read_events(spark, os.path.join(root, d)))
-    w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
-        F.desc("currentTransaction")
+    events = _union_events(
+        [synth]
+        + [
+            _read_events(spark, os.path.join(root, d))
+            for d in sorted(os.listdir(root))
+            if d.startswith("delta_")
+        ]
     )
-    return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
-        .select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction")
-        .orderBy("id")
-    )
+    return _latest_visible_rows(events).orderBy("id")
 
 
 T6_ORACLE = """

@@ -150,8 +150,12 @@ def u3_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replays the identical model relationally: explode
     tokens, join the 64-row weight table, sum. Per-source rollup plus
-    a threshold classification count."""
+    a threshold classification count. Tokenization is pinned to ASCII
+    whitespace on BOTH sides (Python's default str.split honors
+    Unicode whitespace, DuckDB's RE2 \\s does not); a document with no
+    tokens (NULL/empty text) scores exactly `bias` on both sides."""
     import hashlib
+    import re
 
     import numpy as np
     import pandas as pd
@@ -159,12 +163,13 @@ def u3_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = np.array(_u3_weights(), dtype=np.int64)
     bias = _U3_BIAS
+    token_re = re.compile(r"[^ \t\n\r\f\v]+")
 
     @pandas_udf("bigint")
     def score(texts):
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = t.strip().split() if t and t.strip() else [""]
+            toks = token_re.findall(t) if t else []
             idx = np.fromiter(
                 (
                     int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _U3_BUCKETS
@@ -194,15 +199,19 @@ _U3_WEIGHT_ROWS = ", ".join(f"({i}, {wv})" for i, wv in enumerate(_u3_weights())
 U3_ORACLE = f"""
 WITH weights(bucket, w) AS (VALUES {_U3_WEIGHT_ROWS}),
 toks AS (
-  SELECT doc_id, source,
+  SELECT doc_id,
          CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) % {_U3_BUCKETS} AS bucket
   FROM documents, LATERAL (
-    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+')) AS tok
   ) u
-), scored AS (
-  SELECT t.doc_id, t.source, {_U3_BIAS} + SUM(w.w) AS s
+  WHERE u.tok <> ''
+), tok_scores AS (
+  SELECT t.doc_id, SUM(w.w) AS tw
   FROM toks t JOIN weights w ON w.bucket = t.bucket
-  GROUP BY t.doc_id, t.source
+  GROUP BY t.doc_id
+), scored AS (
+  SELECT d.source, {_U3_BIAS} + COALESCE(ts.tw, 0) AS s
+  FROM documents d LEFT JOIN tok_scores ts ON ts.doc_id = d.doc_id
 )
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(s) AS BIGINT) AS score_sum,

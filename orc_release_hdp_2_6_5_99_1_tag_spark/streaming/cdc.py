@@ -19,6 +19,7 @@ the reference's design.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -63,7 +64,13 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-tombstoned state per user."""
     root = os.path.join(scratch_dir(sf_dir), "acid", "users_cdc")
     done = os.path.join(root, "_stream_done")
+    ckpt = os.path.join(scratch_dir(sf_dir), "stream", "cdc_ckpt")
     if not os.path.exists(done):
+        # no marker ⇒ the output is absent or partial; a surviving
+        # checkpoint would make the availableNow replay a no-op, so the
+        # sink and checkpoint must be rebuilt as a unit
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -80,9 +87,7 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             _events_stream(spark, sf_dir)
             .writeStream.foreachBatch(write_batch)
-            .option(
-                "checkpointLocation", os.path.join(scratch_dir(sf_dir), "stream", "cdc_ckpt")
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -25,6 +25,7 @@ path is exercised in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,10 @@ def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "stream", "events_orc_ckpt")
     done = os.path.join(base, "stream", "events_orc._done")
     if not os.path.exists(done):
+        # rebuild sink + checkpoint as a unit (a stale checkpoint would
+        # turn the availableNow replay into a no-op over an empty sink)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         stream = _events_stream(spark, sf_dir).filter(F.col("event_type") != "error")
         q = (
             stream.writeStream.format("orc")

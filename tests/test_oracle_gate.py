@@ -70,3 +70,42 @@ def test_m1_oracle_byte_true_on_non_ascii(spark, tmp_path):
         compare_query(m1_multimodal_features(spark, sf), con, M1_ORACLE)
     finally:
         con.close()
+
+
+def test_u3_oracle_on_hostile_text(spark, tmp_path):
+    """u3's tokenizer must agree with the oracle's RE2 split on
+    non-ASCII whitespace (NBSP stays inside a token on both sides) and
+    on NULL/empty/whitespace-only text (doc scores exactly `bias`)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.extras import (
+        U3_ORACLE,
+        u3_model_inference,
+    )
+
+    rows = [
+        (1, "a b nbsp-joined", "web-1"),          # NBSP inside a token
+        (2, None, "web-1"),                             # NULL text
+        (3, "", "web-2"),                               # empty text
+        (4, " \t\n ", "web-2"),                         # ASCII whitespace only
+        (5, "plain ascii words here", "web-3"),
+        (6, "tabs\tand\nnewlines\rsplit", "web-3"),
+        (7, " em-space token", "web-3"),      # Unicode space, not ASCII
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sfu")
+    os.makedirs(sf, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf, "documents.parquet"))
+
+    con = duckdb_con(sf)
+    try:
+        compare_query(u3_model_inference(spark, sf), con, U3_ORACLE)
+    finally:
+        con.close()

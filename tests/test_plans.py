@@ -90,8 +90,12 @@ def test_pipe1_plan_shape(spark, sf_dir):
 
     df = pipe1_training_data_prep(spark, sf_dir)
     plan = formatted_plan(df)
-    pf = plan.split("PushedFilters:")[1].splitlines()[0] if "PushedFilters:" in plan else ""
-    assert "lang" in pf and "n_chars" in pf, f"gates not pushed to scan: {pf!r}"
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any(
+        "lang" in pf and "n_chars" in pf for pf in pushed
+    ), f"gates not pushed to any scan: {pushed!r}"
     assert "BroadcastHashJoin" in plan, "decontamination joins should broadcast"
     assert "Window" not in plan, "pipeline must not contain window operators"
 
