@@ -164,6 +164,7 @@ def _build() -> None:
     register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE, graded=False)
     register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
     register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
+    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)

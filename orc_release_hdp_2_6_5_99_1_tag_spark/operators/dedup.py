@@ -137,11 +137,10 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
     )
 
 
-def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection: shingle → 16-perm signature →
-    4×4 banding → bucket-equality candidate pairs → exact-Jaccard
-    verification at 0.8. Returns verified duplicate pairs."""
-    d = load_table(spark, sf_dir, "documents")
+def verified_dup_pairs(d: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification:
+    the shared pair engine behind d2 (pair listing) and d10 (cluster
+    formation). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     # the shingle set feeds the signature, the size table, and the
     # verification join — cache it once instead of re-shingling 3x
     # (at 100 TB: persist(DISK_ONLY) or a checkpoint table instead)
@@ -183,8 +182,15 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle → 16-perm signature →
+    4×4 banding → bucket-equality candidate pairs → exact-Jaccard
+    verification at 0.8. Returns verified duplicate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return verified_dup_pairs(d).orderBy("doc_a", "doc_b")
 
 
 def _sql_shingles() -> str:
@@ -217,8 +223,10 @@ def _sql_buckets() -> str:
     return "buckets AS (" + " UNION ALL ".join(rows) + ")"
 
 
-D2_ORACLE = f"""
-WITH {_sql_shingles()}, {_sql_signature()}, {_sql_buckets()},
+def _sql_verified_pairs() -> str:
+    """CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL
+    twin of verified_dup_pairs(), shared by D2 and D10 oracles."""
+    return f"""{_sql_shingles()}, {_sql_signature()}, {_sql_buckets()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b
@@ -231,12 +239,99 @@ cand AS (
   JOIN shh sa ON sa.doc_id = c.doc_a
   JOIN shh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
+), pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) AS jaccard
+  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) >= {_JACCARD_THRESHOLD}
+)"""
+
+
+D2_ORACLE = f"""
+WITH {_sql_verified_pairs()}
+SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
+"""
+
+
+_CC_MAX_ROUNDS = 25
+
+
+def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation (SURVEY §2.13): connected components
+    over the verified LSH pairs via iterative min-label propagation —
+    the step a production dedup pipeline runs after pair detection to
+    pick one survivor per duplicate group (pairs alone over-delete:
+    A~B and B~C must collapse to ONE cluster even when A!~C).
+
+    Iterative algorithm, genuinely beyond one SQL pass on the Spark
+    side: labels start as each doc's own id and each round takes the
+    min over neighbors, truncating lineage with localCheckpoint per
+    round; convergence is detected by the (monotonically decreasing)
+    label-sum fixpoint. Rounds = dup-graph diameter — small for dedup
+    graphs, whose components are near-cliques of rewrites; the
+    production upgrade for adversarial diameters is large-star/
+    small-star alternation (O(log n) rounds), same per-round shape.
+    Per-round cost is ONE shuffle join on doc_id; the pair graph is
+    orders of magnitude smaller than the corpus, so the loop runs on
+    the reduced data only. The oracle replays the components exactly
+    with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    return dup_clusters(d).orderBy("doc_id")
+
+
+def dup_clusters(d: DataFrame) -> DataFrame:
+    """Min-label-propagation loop behind d10; takes any documents frame
+    and returns (doc_id, cluster_id, is_survivor) for clustered docs.
+    localCheckpoint per round is load-bearing: without it the lineage
+    doubles every round and the plan blows up exponentially."""
+    pairs = verified_dup_pairs(d).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = object()
+    for _ in range(_CC_MAX_ROUNDS):
+        nb_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nb_lab"))
+        )
+        # every node has >=1 neighbor (nodes are edge endpoints), so the
+        # join is inner; own label competes via least()
+        labels = (
+            labels.join(nb_min, labels["doc_id"] == nb_min["src"])
+            .select(labels["doc_id"], F.least("lab", "nb_lab").alias("lab"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lab")).cast("int").alias("is_survivor"),
+    )
+
+
+D10_ORACLE = f"""
+WITH RECURSIVE {_sql_verified_pairs()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc, lab) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.doc
 )
-SELECT i.doc_a, i.doc_b,
-       ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) AS jaccard
-FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE ROUND(CAST(i.inter AS DOUBLE)/(na.n + nb.n - i.inter), 6) >= {_JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+SELECT doc AS doc_id, MIN(lab) AS cluster_id,
+       CAST(CASE WHEN doc = MIN(lab) THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM walk GROUP BY doc ORDER BY doc_id
 """
 
 

@@ -37,3 +37,33 @@ def test_lsh_recalls_high_similarity_pairs(spark, sf_dir):
     assert truth, "corpus should contain planted near-duplicates"
     missed = truth - found
     assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_d10_transitive_chain_forms_one_cluster(spark):
+    """A~B and B~C must land in ONE cluster with survivor min(doc_id),
+    even when A and C themselves are below the pair threshold — the
+    exact property pair listings (d2) cannot express. The chain is
+    built from a long shared core with small disjoint edits so adjacent
+    docs clear Jaccard>=0.8 while the endpoints may not."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        verified_dup_pairs,
+    )
+    import orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup as dd
+
+    core = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, core + " alpha beta", "web-1"),
+        (2, core + " alpha gamma", "web-1"),   # ~1: share core+alpha
+        (3, core + " delta gamma", "web-2"),   # ~2: share core+gamma
+        (10, "совершенно другой текст " * 20, "web-3"),  # unrelated
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    pairs = {(r.doc_a, r.doc_b) for r in verified_dup_pairs(d).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+
+    got = {
+        (r.doc_id, r.cluster_id, r.is_survivor)
+        for r in dd.dup_clusters(d).collect()
+    }
+    assert got == {(1, 1, 1), (2, 1, 0), (3, 1, 0)}, got
