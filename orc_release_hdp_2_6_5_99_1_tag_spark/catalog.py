@@ -46,6 +46,7 @@ def _build() -> None:
     if _QUERIES:
         return
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import acid as ac
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import clustering as cl
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import encodings as en
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import evolution as ev
@@ -165,6 +166,7 @@ def _build() -> None:
     register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
     register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
     register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
+    register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE, graded=False)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)

@@ -1,0 +1,152 @@
+"""Embedding-space clustering for corpus curation (SURVEY §2.13
+extension): Lloyd's k-means over the `embeddings` table — the
+SemDeDup / cluster-then-sample shape used to diversify or prune
+training corpora (cluster the corpus, then cap or reweight per
+cluster).
+
+Iterative like d10's label propagation, but with float model state:
+each round assigns every vector to its nearest centroid (JVM-side
+`zip_with`/`aggregate` squared-L2, no Python in the hot path) and
+recomputes centroids as per-dimension means. The centroids are model
+state — k×dim doubles — so collecting them to the driver each round
+and re-broadcasting as literal arrays is the scale-correct pattern
+(Spark MLlib's own KMeans does exactly this); the corpus itself is
+never collected. Per round: one scan + one (cluster, dim)-keyed
+aggregation with map-side partials — at 100 TB that is 3 scans total
+for 3 rounds, each embarrassingly parallel.
+
+Determinism/oracle: init = the first K vectors by vec_id, fixed 3
+rounds, ties on distance break to the lower centroid id (struct
+ordering on (dist, cid) in Spark; ORDER BY dist, cid in the DuckDB
+oracle, which replays all 3 rounds in chained CTEs). The output is
+the discrete assignment only — the label-centroid separation in the
+test data (min relative argmin gap ~1e-5 at sf0.01) is orders of
+magnitude above cross-engine float-summation noise (~1e-14), so the
+assignments are exactly reproducible.
+
+Reference analog: none (the reference is a storage engine); this is
+a north-star training-data operator alongside d2/d6/v1-v3.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+_K = 8
+_ITERS = 3
+
+
+def _lit_vec(vals) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _sq_dist(v: F.Column, lit_vec: F.Column) -> F.Column:
+    """Squared L2 between a double-array column and a literal centroid,
+    summed in list order (argmin-equivalent to the oracle's
+    list_distance, which is the sqrt of the same sum)."""
+    return F.aggregate(
+        F.zip_with(v, lit_vec, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment via array_min over (dist, cid)
+    structs — struct ordering gives the tie-break to the lower cid."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_sq_dist(F.col("v"), _lit_vec(c)).alias("d"), F.lit(int(cid)).alias("cid"))
+                for cid, c in cents
+            ]
+        )
+    )
+    return e.select("vec_id", "v", best["cid"].alias("cluster"))
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroids = per-dimension mean; k×dim rows collected as
+    model state (not data)."""
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+        .select("cluster", F.transform("dims", lambda p: p["m"]).alias("c"))
+        .collect()
+    )
+    return sorted((r["cluster"], list(r["c"])) for r in rows)
+
+
+def kmeans_assignments(e: DataFrame, k: int = _K, iters: int = _ITERS) -> DataFrame:
+    """Run `iters` Lloyd rounds from the first-k-by-vec_id init and
+    return the round-`iters` assignment (the one computed from the
+    round-(iters-1) centroids, matching the oracle's CTE chain)."""
+    e = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).collect()
+    ]
+    assigned = _assign(e, cents)
+    for _ in range(iters - 1):
+        cents = _update(assigned)
+        assigned = _assign(e, cents)
+    return assigned
+
+
+def k1_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus clustering: 8 centroids, 3 Lloyd rounds, exact
+    per-vector assignment plus per-cluster sizes via a window (the
+    quantity a cluster-capping curation step consumes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(e)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "cluster")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_assign(cent_cte: str, out: str) -> str:
+    """One Lloyd assignment round: nearest centroid by (distance, cid)."""
+    return f"""{out} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.c), c.cid) AS rn
+    FROM e CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_update(assign_cte: str, out: str) -> str:
+    """One centroid update: per-dimension mean of the assigned vectors."""
+    return f"""{out} AS (
+  SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
+    SELECT a.cluster, gs.i, AVG(e.v[gs.i]) AS m
+    FROM {assign_cte} a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range(1, 4097)) AS i) gs
+    WHERE gs.i <= len(e.v)
+    GROUP BY a.cluster, gs.i
+  ) GROUP BY cluster
+)"""
+
+
+K1_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_K}
+), {_sql_assign('c0', 'a1')}, {_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')}, {_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')}
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       CAST(COUNT(*) OVER (PARTITION BY a.cluster) AS BIGINT) AS cluster_size
+FROM a3 a ORDER BY a.vec_id
+"""
