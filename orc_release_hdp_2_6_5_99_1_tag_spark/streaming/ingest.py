@@ -139,3 +139,70 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+
+def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows on the stream: per-user sessions
+    close after 30 idle minutes (`F.session_window`), the streaming
+    twin of the batch gaps-and-islands `w2_sessionize`. Sessions are
+    MERGED state — unlike tumbling windows the assignment depends on
+    neighboring events, which is exactly what the stateful session
+    operator maintains incrementally; the oracle replays the merge
+    with LAG + cumulative flags.
+
+    State at 100 TB: keyed by user_id only while a session is open; a
+    watermark (tests) lets Spark emit and DROP closed sessions, so
+    state is bounded by concurrently-active users, not history."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "r5_sessions_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+# session merge rule (pinned by tests/test_streaming.py's boundary
+# test): an event at EXACTLY last_ts + gap still extends the session —
+# Spark merges on touching windows — so the oracle uses `<= INTERVAL`,
+# with LAG's initial NULL falling to the ELSE branch
+R5_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

@@ -143,3 +143,28 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
     assert (
         out.groupBy("tier").count().exceptAll(expected.groupBy("tier").count()).count() == 0
     )
+
+
+def test_session_window_gap_boundary(spark):
+    """Pin the session merge rule the r5 oracle encodes: an event at
+    EXACTLY `gap` after the previous one still extends the session
+    (Spark merges touching windows — the r5 oracle's `<=`), while one
+    microsecond more starts a new one."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, t0), (1, t0 + gap),            # exactly 30 min apart → merged
+        (2, t0), (2, t0 + gap + us),       # 30:00.000001 → 2 sessions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    assert {(r.user_id, r.n_sessions) for r in got.collect()} == {(1, 1), (2, 2)}
