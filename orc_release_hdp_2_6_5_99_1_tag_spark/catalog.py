@@ -168,6 +168,7 @@ def _build() -> None:
     register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
     register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE, graded=False)
     register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE, graded=False)
+    register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE, graded=False)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)

@@ -615,3 +615,73 @@ GROUP BY tok
 ORDER BY tf DESC, tok ASC
 LIMIT {_VOCAB_TOP_K}
 """
+
+
+def x10_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the data-mixture step that turns
+    per-source corpora into a training blend with target proportions
+    (e.g. upweight wiki, downweight crawl). Target weight here derives
+    from the source name (index+1) so the spec is engine-reproducible;
+    production passes a weights dict the same way.
+
+    Two-phase, like d9's domain cap: (1) a tiny per-source count
+    aggregate (|sources| rows — model state, broadcastable) fixes the
+    largest feasible total T = min n(s)/p(s) and per-source keep-rates
+    r(s) = T·p(s)/n(s); (2) one narrow map keeps each doc iff its
+    md5 bucket-fraction < r(source) — deterministic "sampling" with no
+    RNG, stable across runs/engines/partitionings. The keep-rate
+    arithmetic uses the identical operation order in both engines, so
+    the float compare is bit-reproducible. At 100 TB phase 1 is a
+    map-side-combined agg over source only; phase 2 is shuffle-free
+    (the rates broadcast-join back on source)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") + 1).alias("w"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+                "bigint"
+            )
+            % 1_000_000
+        ).alias("b"),
+    )
+    n = d.groupBy("source").agg(F.any_value("w").alias("w"), F.count(F.lit(1)).alias("n"))
+    m = n.agg(F.min(F.col("n").cast("double") / F.col("w")).alias("mr"))
+    rates = n.crossJoin(F.broadcast(m)).select(
+        "source", "n", (F.col("mr") * F.col("w") / F.col("n")).alias("keep_rate")
+    )
+    kept = F.when(F.col("b").cast("double") / F.lit(1000000.0) < F.col("keep_rate"), 1)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n").cast("long").alias("n_in"),
+            F.count(kept).cast("long").alias("n_kept"),
+            F.printf(F.lit("%.6f"), F.any_value("keep_rate")).alias("keep_rate"),
+            F.sum(F.when(kept.isNotNull(), F.col("doc_id"))).cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+X10_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(SUBSTR(source, 4) AS INT) + 1 AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000 AS b
+  FROM documents
+), n AS (
+  SELECT source, ANY_VALUE(w) AS w, COUNT(*) AS n FROM d GROUP BY source
+), m AS (
+  SELECT MIN(CAST(n AS DOUBLE) / w) AS mr FROM n
+), r AS (
+  SELECT n.source, n.n, m.mr * n.w / n.n AS keep_rate FROM n, m
+)
+SELECT d.source,
+       CAST(ANY_VALUE(r.n) AS BIGINT) AS n_in,
+       CAST(COUNT(CASE WHEN CAST(d.b AS DOUBLE)/1000000.0 < r.keep_rate THEN 1 END) AS BIGINT) AS n_kept,
+       printf('%.6f', ANY_VALUE(r.keep_rate)) AS keep_rate,
+       CAST(SUM(CASE WHEN CAST(d.b AS DOUBLE)/1000000.0 < r.keep_rate THEN d.doc_id END) AS BIGINT) AS id_checksum
+FROM d JOIN r ON r.source = d.source
+GROUP BY d.source ORDER BY d.source
+"""
