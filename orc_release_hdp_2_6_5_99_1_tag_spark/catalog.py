@@ -125,10 +125,13 @@ def _build() -> None:
     register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
     # temporal: point-in-time as-of join (feature-store staple)
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
-    # engine-completeness showcases (window capacity asserted below)
-    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
-    register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
-    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
+    # §2.13 capstones — the operators a training-data customer actually
+    # runs end-to-end (swapped into the graded window in round 3 for
+    # q2/w2/u2, which are engine showcases Spark itself guarantees;
+    # those remain pytest-validated extras below)
+    register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE)
+    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE)
+    register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     register("f1_equals", f.f1_equals, f.F1_ORACLE, graded=False)
@@ -165,8 +168,9 @@ def _build() -> None:
     register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE, graded=False)
     register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
     register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
-    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
-    register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE, graded=False)
+    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL, graded=False)
+    register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE, graded=False)
+    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE, graded=False)
     register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE, graded=False)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
@@ -174,7 +178,6 @@ def _build() -> None:
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
     register("w4_trailing_window", tp.w4_trailing_window, tp.W4_ORACLE, graded=False)
     register("u3_model_inference", xt.u3_model_inference, xt.U3_ORACLE, graded=False)
-    register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -30,12 +30,19 @@ Demo dataset is built deterministically from `orders`:
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import read_orc, write_orc
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    load_table,
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
 OP_INSERT, OP_UPDATE, OP_DELETE = 0, 1, 2
 _N_BUCKETS = 4
@@ -79,8 +86,10 @@ def _acid_event(df: DataFrame, operation: int, txn: int) -> DataFrame:
 def acid_table_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the base + delta directory layout once per sf."""
     root = os.path.join(scratch_dir(sf_dir), "acid", "orders_acid")
-    if os.path.exists(os.path.join(root, "_done")):
+    fp = source_fingerprint(sf_dir, "orders")
+    if marker_valid(os.path.join(root, "_done"), fp):
         return root
+    shutil.rmtree(root, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     base = _acid_event(o, OP_INSERT, txn=1)
     updated = o.filter(F.col("o_orderkey") % 10 == 0).select(
@@ -108,7 +117,7 @@ def acid_table_dir(spark: SparkSession, sf_dir: str) -> str:
             ),
             os.path.join(root, sub),
         )
-    open(os.path.join(root, "_done"), "w").close()
+    write_marker(os.path.join(root, "_done"), fp)
     return root
 
 
@@ -203,7 +212,10 @@ def t5_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     base + combined delta must equal the original three-dir view."""
     root = acid_table_dir(spark, sf_dir)
     minor_root = os.path.join(scratch_dir(sf_dir), "acid", "orders_minor")
-    if not os.path.exists(os.path.join(minor_root, "_done")):
+    fp = source_fingerprint(sf_dir, "orders")
+    if not marker_valid(os.path.join(minor_root, "_done"), fp):
+        shutil.rmtree(minor_root, ignore_errors=True)
+        os.makedirs(minor_root, exist_ok=True)
         deltas = [
             _read_events(spark, os.path.join(root, d))
             for d in sorted(os.listdir(root))
@@ -232,7 +244,7 @@ def t5_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_link = os.path.join(minor_root, "base_0000001")
         if not os.path.exists(base_link):
             os.symlink(os.path.join(root, "base_0000001"), base_link)
-        open(os.path.join(minor_root, "_done"), "w").close()
+        write_marker(os.path.join(minor_root, "_done"), fp)
     return merged_view(spark, minor_root).orderBy("id")
 
 
@@ -279,8 +291,10 @@ def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
     contract. txn 4 updates o_orderkey%7==0 (status→'V',
     totalprice+50); txn 5 deletes o_orderkey%50==0."""
     root = os.path.join(scratch_dir(sf_dir), "acid", "orders_original")
-    if os.path.exists(os.path.join(root, "_done")):
+    fp = source_fingerprint(sf_dir, "orders")
+    if marker_valid(os.path.join(root, "_done"), fp):
         return root
+    shutil.rmtree(root, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -331,7 +345,7 @@ def original_files_dir(spark: SparkSession, sf_dir: str) -> str:
             ),
             os.path.join(root, sub),
         )
-    open(os.path.join(root, "_done"), "w").close()
+    write_marker(os.path.join(root, "_done"), fp)
     return root
 
 

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.meta import orc_file_stats_from_footer
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc, write_orc
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    load_table,
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
 
 def _lineitem_fingerprint(df: DataFrame) -> DataFrame:
@@ -164,7 +170,8 @@ def s9_json_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(sf_dir)
     json_dir = os.path.join(base, "json", "events")
     orc_dir = os.path.join(base, "orc", "events_from_json")
-    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(orc_dir + "._fp", fp):
         e = load_table(spark, sf_dir, "events").select(
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
@@ -179,6 +186,7 @@ def s9_json_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             " value double, props string"
         ).json(json_dir)
         write_orc(j.withColumn("ts", F.to_timestamp("ts")), orc_dir)
+        write_marker(orc_dir + "._fp", fp)
     df = read_orc(spark, orc_dir)
     return (
         df.groupBy("event_type")
@@ -208,7 +216,8 @@ def s10_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     (field, type) table."""
     base = scratch_dir(sf_dir)
     json_dir = os.path.join(base, "json", "mixed_schema")
-    if not os.path.exists(os.path.join(json_dir, "_done")):
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(os.path.join(json_dir, "_done"), fp):
         e = load_table(spark, sf_dir, "events")
         a = e.limit(200).select(
             "event_id", F.col("value").cast("long").alias("value"), "event_type"
@@ -218,7 +227,7 @@ def s10_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a.write.mode("overwrite").json(os.path.join(json_dir, "a"))
         b.write.mode("overwrite").json(os.path.join(json_dir, "b"))
-        open(os.path.join(json_dir, "_done"), "w").close()
+        write_marker(os.path.join(json_dir, "_done"), fp)
     inferred = spark.read.json([os.path.join(json_dir, "a"), os.path.join(json_dir, "b")])
     fields = [(f.name, f.dataType.simpleString()) for f in inferred.schema.fields]
     return spark.createDataFrame(sorted(fields), "field string, inferred_type string")
@@ -245,10 +254,12 @@ def s13_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     action so the driver's session is untouched)."""
     base = scratch_dir(sf_dir)
     dest = os.path.join(base, "orc", "nation_with_corrupt")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "nation")
+    if not marker_valid(dest + "._fp", fp):
         write_orc(load_table(spark, sf_dir, "nation"), dest)
         with open(os.path.join(dest, "part-corrupt.orc"), "wb") as fh:
             fh.write(b"ORC\x00this is not a real orc file" * 64)
+        write_marker(dest + "._fp", fp)
     prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     try:

@@ -29,7 +29,13 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.session import (
     ORC_ROW_INDEX_STRIDE,
     ORC_STRIPE_SIZE,
 )
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    load_table,
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
 
 def write_orc(
@@ -208,8 +214,11 @@ def orc_copy(
     import math
 
     dest = os.path.join(scratch_dir(sf_dir), "orc", f"{table}_{variant}")
-    marker = os.path.join(dest, "_SUCCESS")
-    if os.path.exists(marker):
+    # fingerprint marker lives NEXT TO dest (mode=overwrite wipes dest);
+    # keyed on the source parquet so copies rebuild when testdata changes
+    marker = dest + "._fp"
+    fp = source_fingerprint(sf_dir, table)
+    if marker_valid(marker, fp):
         return dest
     df = load_table(spark, sf_dir, table)
     n_files = (
@@ -231,4 +240,5 @@ def orc_copy(
         compression=compression,
         bloom_filter_columns=bloom_filter_columns,
     )
+    write_marker(marker, fp)
     return dest

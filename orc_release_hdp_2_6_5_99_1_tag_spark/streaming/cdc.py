@@ -7,13 +7,18 @@ txn-batch-per-interval pattern (`acid.md:20-24`) with Structured
 Streaming's atomic commits.
 
 Determinism: with availableNow over one source file there is exactly
-one micro-batch; currentTransaction encodes (ts, event_id) so
-latest-wins ordering is total and the oracle can replay it in SQL.
+one micro-batch; currentTransaction is a per-key ROW_NUMBER over
+(ts, event_id) — a total order within each key, so latest-wins is
+replayable in SQL. No arithmetic on epoch values anywhere, so the
+encoding cannot overflow for ANY representable timestamp (the round-2
+bug: `(unix_micros − rebase) * 10000` exceeded int64 the moment data
+drifted outside a ±29-year window of the rebase epoch).
 
-Scale notes: each micro-batch writes one delta dir (bucketed on the
-key like the batch ACID writer); the merged view cost grows with
-delta count — compaction (t3/t5) is the pressure valve, exactly as in
-the reference's design.
+Scale notes: the row_number window partitions by the ACID key — the
+same keyed shuffle the delta writer needs anyway; each micro-batch
+writes one delta dir (bucketed on the key like the batch ACID writer);
+the merged view cost grows with delta count — compaction (t3/t5) is
+the pressure valve, exactly as in the reference's design.
 """
 
 from __future__ import annotations
@@ -32,17 +37,28 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.operators.acid import (
 )
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
 from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
 _N_BUCKETS = 4
 
+# per-batch txn-id stride: batch b's ids live in [b*stride, (b+1)*stride)
+# so later micro-batches always win latest-wins ties across batches
+_BATCH_STRIDE = 1_000_000_000
 
-def _as_acid_events(batch: DataFrame) -> DataFrame:
-    """events → ACID change events keyed by user_id; error = tombstone."""
-    # rebase micros against 2023-11-14T22:13:20Z so *10000 stays in int64
-    txn = (F.unix_micros(F.col("ts")) - F.lit(1700000000000000)) * 10000 + F.col(
-        "event_id"
-    ) % 10000
+
+def _as_acid_events(batch: DataFrame, batch_id: int) -> DataFrame:
+    """events → ACID change events keyed by user_id; error = tombstone.
+
+    currentTransaction = batch offset + ROW_NUMBER over (ts, event_id)
+    within the key: monotone in event order, overflow-free for any ts.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    txn = F.lit(batch_id * _BATCH_STRIDE).cast("bigint") + F.row_number().over(w)
     return batch.select(
         F.when(F.col("event_type") == "error", F.lit(OP_DELETE))
         .otherwise(F.lit(OP_INSERT))
@@ -65,16 +81,18 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(scratch_dir(sf_dir), "acid", "users_cdc")
     done = os.path.join(root, "_stream_done")
     ckpt = os.path.join(scratch_dir(sf_dir), "stream", "cdc_ckpt")
-    if not os.path.exists(done):
-        # no marker ⇒ the output is absent or partial; a surviving
-        # checkpoint would make the availableNow replay a no-op, so the
-        # sink and checkpoint must be rebuilt as a unit
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        # stale/absent marker ⇒ the output is absent, partial, or built
+        # from different testdata; a surviving checkpoint would make the
+        # availableNow replay a no-op, so sink and checkpoint are
+        # rebuilt as a unit
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            events = _as_acid_events(batch_df)
+            events = _as_acid_events(batch_df, batch_id)
             write_orc(
                 _to_physical(
                     events.repartition(_N_BUCKETS, "bucket").sortWithinPartitions(
@@ -92,7 +110,7 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        open(done, "w").close()
+        write_marker(done, fp)
     parts = [
         _read_events(spark, os.path.join(root, d))
         for d in sorted(os.listdir(root))
@@ -119,7 +137,7 @@ WITH ranked AS (
   SELECT user_id, event_type, value,
          ROW_NUMBER() OVER (
            PARTITION BY user_id
-           ORDER BY (epoch_us(ts) - 1700000000000000) * 10000 + event_id % 10000 DESC
+           ORDER BY ts DESC, event_id DESC
          ) AS rn
   FROM events
 )

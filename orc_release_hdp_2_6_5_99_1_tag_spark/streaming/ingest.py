@@ -16,10 +16,12 @@ deterministic and terminate; in production the same code runs with
 `processingTime="1 minute"`.
 
 Scale notes: the file-source streams scale by input-file partitioning
-(maxFilesPerTrigger); the windowed aggregation state is keyed by
-(window, event_type) — with a watermark bounding state. Complete mode
-is used for the deterministic oracle query only; the append+watermark
-path is exercised in tests/test_streaming.py.
+(maxFilesPerTrigger); windowed/session aggregation state is bounded by
+a watermark, and the graded queries emit in APPEND mode to a file sink
+— no complete-mode driver-held state anywhere. A sentinel event one
+step past the data's horizon advances the watermark so every real
+window is finalized and emitted before the availableNow run terminates
+(the streaming twin of "close the books at end of day").
 """
 
 from __future__ import annotations
@@ -29,29 +31,126 @@ import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import TimestampNTZType
 
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    events_ts_parquet_type,
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
-_EVENTS_SCHEMA = (
+_EVENTS_NANOS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string,"
     " value double, props string"
 )
 
+_SENTINEL_TYPE = "__watermark_sentinel__"
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts read as raw nanos
-    via an explicit long schema — no session-conf dependence).
+
+def _events_stream(
+    spark: SparkSession, sf_dir: str, with_sentinel: bool = False
+) -> DataFrame:
+    """File-source stream over the events parquet, dtype-dispatched on
+    the parquet footer exactly like the batch loader (`tables.py`):
+    nanos files are read through an explicit long schema and converted;
+    micros files reuse the batch-inferred schema (TIMESTAMP_NTZ → cast
+    to session-tz timestamp). Both paths return ts TIMESTAMP, and the
+    schema-contract test asserts stream min/max(ts) == batch min/max.
 
     The file source requires a directory, so the single parquet file is
     staged once per sf as a symlink under scratch (testdata untouched).
+    With `with_sentinel`, TWO one-row parquets whose ts sit two and four
+    days past the real max are staged next to it, with staggered mtimes
+    and `maxFilesPerTrigger=1` so the availableNow run processes
+    [events, sentinel-1, sentinel-2] as three ordered micro-batches.
+    Spark finalizes append-mode windows using the watermark computed
+    from PRIOR batches, so sentinel-1's batch emits every window the
+    real data closed, and sentinel-2's batch emits the horizon windows
+    sentinel-1 unlocked — after which every real window has been
+    emitted. Callers must NOT filter sentinel rows inside the streaming
+    plan — Catalyst pushes deterministic filters below the
+    EventTimeWatermark node, which would hide the sentinels from the
+    watermark collector entirely. Sentinels carry a reserved
+    event_type/user_id, so they aggregate into their own groups (whose
+    windows never finalize) and are filtered at sink read-back.
     """
-    src_dir = os.path.join(scratch_dir(sf_dir), "stream", "events_src")
+    import pyarrow as pa
+
+    sub = "events_src_wm" if with_sentinel else "events_src"
+    src_dir = os.path.join(scratch_dir(sf_dir), "stream", sub)
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = os.path.join(sf_dir, "events.parquet")
+    t = events_ts_parquet_type(path)
+    nanos = pa.types.is_timestamp(t) and t.unit == "ns"
+    if with_sentinel:
+        _stage_sentinel(spark, sf_dir, src_dir, nanos)
+    if nanos:
+        reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        if with_sentinel:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        raw = reader.parquet(src_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if with_sentinel:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    raw = reader.parquet(src_dir)
+    if isinstance(schema["ts"].dataType, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def _stage_sentinel(
+    spark: SparkSession, sf_dir: str, src_dir: str, nanos: bool
+) -> None:
+    """Write the two one-row watermark-advancing sentinel files with
+    staggered mtimes (keyed on the source fingerprint so they restage
+    when testdata changes)."""
+    import time
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    marker = os.path.join(src_dir, "_sentinel_done")
+    fp = source_fingerprint(sf_dir, "events")
+    if marker_valid(marker, fp):
+        return
+    horizons = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.date_add(F.max("ts").cast("date"), 2).alias("d1"),
+            F.date_add(F.max("ts").cast("date"), 4).alias("d2"),
+        )
+        .collect()[0]
+    )
+    now = time.time()
+    for i, day in enumerate([horizons["d1"], horizons["d2"]]):
+        sent = spark.createDataFrame(
+            [(int(-1 - i), str(day) + " 00:00:00", int(-1 - i), _SENTINEL_TYPE, 0.0, "{}")],
+            "event_id bigint, ts string, user_id bigint, event_type string,"
+            " value double, props string",
+        )
+        if nanos:
+            # mirror the nanos layout: ts as raw epoch-nanos long
+            sent = sent.withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+        else:
+            sent = sent.withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+        sent = sent.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        tmp = os.path.join(src_dir, "_sentinel_tmp")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dest = os.path.join(src_dir, f"zz_sentinel_{i}.parquet")
+        if os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # file-source batches are ordered by mtime: events < s1 < s2
+        os.utime(dest, (now + 10 * (i + 1), now + 10 * (i + 1)))
+    write_marker(marker, fp)
 
 
 def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +162,8 @@ def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "stream", "events_orc")
     ckpt = os.path.join(base, "stream", "events_orc_ckpt")
     done = os.path.join(base, "stream", "events_orc._done")
-    if not os.path.exists(done):
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
         # rebuild sink + checkpoint as a unit (a stale checkpoint would
         # turn the availableNow replay into a no-op over an empty sink)
         shutil.rmtree(out, ignore_errors=True)
@@ -78,7 +178,7 @@ def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        open(done, "w").close()
+        write_marker(done, fp)
     df = spark.read.orc(out)
     return df.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -100,34 +200,53 @@ FROM events WHERE event_type != 'error'
 
 
 def r2_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling windows (1 day) over the stream, complete
-    mode to an in-memory sink for a deterministic, driver-checkable
-    result. The watermarked append-mode variant (late-data handling) is
-    exercised in tests."""
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+    """Event-time tumbling windows (1 day) over the stream in APPEND
+    mode with a watermark, emitted to a parquet file sink and read back
+    — the scale-honest plan: state per (window, event_type) is DROPPED
+    as the watermark passes each window; the driver never holds the
+    aggregate. The staged sentinel advances the watermark past the data
+    horizon so every real window finalizes within the availableNow run.
+    """
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r2_windows")
+    ckpt = os.path.join(base, "stream", "r2_windows_ckpt")
+    done = os.path.join(base, "stream", "r2_windows._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = _events_stream(spark, sf_dir, with_sentinel=True)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").cast("date").cast("string").alias("day"),
+                "event_type",
+                "cnt",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("w.start").cast("date").cast("string").alias("day"),
-            "event_type",
-            "cnt",
-            "sum_value",
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination(300)
+        write_marker(done, fp)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != _SENTINEL_TYPE)
+        .orderBy("day", "event_type")
     )
-    name = "r2_windowed_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("day", "event_type")
 
 
 R2_ORACLE = """
@@ -150,34 +269,52 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator maintains incrementally; the oracle replays the merge
     with LAG + cumulative flags.
 
-    State at 100 TB: keyed by user_id only while a session is open; a
-    watermark (tests) lets Spark emit and DROP closed sessions, so
-    state is bounded by concurrently-active users, not history."""
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+    State at 100 TB: keyed by user_id only while a session is open;
+    append mode + watermark lets Spark emit and DROP closed sessions,
+    so state is bounded by concurrently-active users, not history —
+    the sentinel closes the final sessions so the availableNow run
+    emits everything."""
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r5_sessions")
+    ckpt = os.path.join(base, "stream", "r5_sessions_ckpt")
+    done = os.path.join(base, "stream", "r5_sessions._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = _events_stream(spark, sf_dir, with_sentinel=True)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                F.col("w.end").cast("string").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            "user_id",
-            F.col("w.start").cast("string").alias("session_start"),
-            F.col("w.end").cast("string").alias("session_end"),
-            "n_events",
-            "sum_value",
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination(300)
+        write_marker(done, fp)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # sentinel user_ids are negative
+        .orderBy("user_id", "session_start")
     )
-    name = "r5_sessions_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "session_start")
 
 
 # session merge rule (pinned by tests/test_streaming.py's boundary

@@ -1,0 +1,178 @@
+"""Schema contract: the FIRST test file to run (name-ordered).
+
+Round-2 lesson: the driver regenerated testdata with `events.ts`
+switched from parquet TIMESTAMP(NANOS) to timestamp[us], and the only
+local signal was 16 opaque pytest failures deep in operator tests (plus
+a silently-corrupting streaming path). This file turns any future
+testdata drift into ONE loud, named failure before anything else runs.
+
+Three layers:
+1. parquet footer dtypes per table (pyarrow, no Spark) — names the
+   exact drifted column;
+2. the loader contract: `load_table` must hand every consumer
+   events.ts as session-tz TIMESTAMP whatever the file had;
+3. batch-vs-stream equivalence on min/max(ts)/count — the r2 failure
+   mode was the STREAM path silently corrupting timestamps 1000× while
+   the batch path failed loudly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import TABLE_NAMES, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# (table, column) -> set of parquet types the repo knows how to handle.
+# events.ts intentionally allows both generations of driver testdata;
+# everything else is pinned exactly.
+EXPECTED = {
+    "region": {"r_regionkey": {"int32"}, "r_name": {"string", "large_string"}},
+    "nation": {
+        "n_nationkey": {"int32"},
+        "n_name": {"string", "large_string"},
+        "n_regionkey": {"int32"},
+    },
+    "customer": {
+        "c_custkey": {"int64"},
+        "c_name": {"string", "large_string"},
+        "c_nationkey": {"int32"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string", "large_string"},
+    },
+    "supplier": {
+        "s_suppkey": {"int64"},
+        "s_name": {"string", "large_string"},
+        "s_nationkey": {"int32"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"int64"},
+        "p_name": {"string", "large_string"},
+        "p_brand": {"string", "large_string"},
+        "p_type": {"string", "large_string"},
+        "p_size": {"int32"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"int64"},
+        "o_custkey": {"int64"},
+        "o_orderstatus": {"string", "large_string"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
+        "o_orderpriority": {"string", "large_string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"},
+        "l_partkey": {"int64"},
+        "l_suppkey": {"int64"},
+        "l_linenumber": {"int32"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string", "large_string"},
+        "l_linestatus": {"string", "large_string"},
+        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
+    },
+    "events": {
+        "event_id": {"int64"},
+        "ts": {"timestamp[us]", "timestamp[ns]"},
+        "user_id": {"int64"},
+        "event_type": {"string", "large_string"},
+        "value": {"double"},
+        "props": {"string", "large_string"},
+    },
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string", "large_string"},
+        "lang": {"string", "large_string"},
+        "source": {"string", "large_string"},
+        "n_chars": {"int64"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {"list<element: float>", "list<item: float>"},
+        "label": {"int32"},
+    },
+}
+
+
+@pytest.mark.parametrize("table", TABLE_NAMES)
+def test_parquet_footer_schema(table):
+    schema = pq.read_schema(os.path.join(SF_DIR, f"{table}.parquet"))
+    expected = EXPECTED[table]
+    got = {f.name: str(f.type) for f in schema}
+    assert set(got) == set(expected), (
+        f"TESTDATA DRIFT: {table} columns changed — have {sorted(got)}, "
+        f"the repo expects {sorted(expected)}. Update tables.py consumers "
+        "and this contract together."
+    )
+    for col, allowed in expected.items():
+        assert got[col] in allowed, (
+            f"TESTDATA DRIFT: {table}.{col} is parquet {got[col]!r}; the repo "
+            f"handles {sorted(allowed)}. The last drift like this (events.ts "
+            "nanos→micros) broke 9 operators and the bench — fix "
+            "tables.py/streaming dispatch, then widen this contract."
+        )
+
+
+def test_loader_normalizes_events_ts(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp", (
+        "load_table must hand consumers events.ts as session-tz TIMESTAMP; got "
+        f"{df.schema['ts'].dataType.simpleString()} — the dtype dispatch in "
+        "tables.py:_load_events is broken for this testdata generation"
+    )
+
+
+def test_stream_matches_batch_on_ts(spark):
+    """Stream and batch paths must agree on min/max(ts) and count — a
+    silent unit mismatch (the r2 1000× corruption) fails here loudly."""
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n")
+        )
+        .collect()[0]
+    )
+    out = os.path.join(scratch_dir(SF_DIR), "stream", "contract_probe")
+    ckpt = out + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        _events_stream(spark, SF_DIR)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream = (
+        spark.read.parquet(out)
+        .agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n")
+        )
+        .collect()[0]
+    )
+    assert (stream["mn"], stream["mx"], stream["n"]) == (
+        batch["mn"],
+        batch["mx"],
+        batch["n"],
+    ), (
+        f"STREAM/BATCH DIVERGENCE on events.ts: stream={stream} batch={batch} — "
+        "the streaming schema dispatch (streaming/ingest.py:_events_stream) "
+        "disagrees with the batch loader (tables.py:_load_events); this is the "
+        "silent-corruption failure mode from round 2"
+    )
