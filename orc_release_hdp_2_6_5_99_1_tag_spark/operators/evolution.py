@@ -129,6 +129,41 @@ def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(14,4)")
         .cast("string")
         .alias("dec_rescale_str"),
+        # --- round-3: the exotic tail of the lattice -----------------
+        # char/varchar ↔ timestamp corners (reference
+        # ConvertTreeReaderFactory char/varchar group delegates to the
+        # string readers with pad/truncate semantics)
+        as_char(F.col("l_shipdate").cast("date").cast("string"), 10)
+        .try_cast("date")
+        .cast("string")
+        .alias("char_to_date_str"),
+        as_char(F.col("l_shipdate").cast("string"), 13).alias("ts_to_char13"),
+        as_varchar(
+            F.concat(F.col("l_shipdate").cast("date").cast("string"), F.lit(" 00:00:00")),
+            19,
+        )
+        .try_cast("timestamp")
+        .cast("string")
+        .alias("varchar_to_ts_str"),
+        # char padded numeric → int (cast trims the pad spaces)
+        as_char(F.col("l_linenumber").cast("string"), 5).try_cast("int").alias("char_to_int"),
+        # boolean → integer → string chain (BooleanConvert → AnyInteger)
+        (F.col("l_quantity") > 25).cast("int").cast("string").alias("bool_to_int_str"),
+        # timestamp → decimal: epoch seconds with fractional micros
+        (F.unix_micros(F.timestamp_seconds(F.col("l_orderkey"))).cast("decimal(20,0)")
+         / 1000000)
+        .cast("decimal(20,6)")
+        .cast("string")
+        .alias("ts_to_dec_str"),
+        # double (fractional seconds) → timestamp
+        F.date_format(
+            (F.col("l_linenumber").cast("double") * 86400.5).cast("timestamp"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("dbl_to_ts_str"),
+        # date → timestamp (midnight promotion)
+        F.col("l_shipdate").cast("date").cast("timestamp").cast("string").alias(
+            "date_to_ts_str"
+        ),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -168,7 +203,15 @@ SELECT
   TRY_CAST(l_returnflag AS DECIMAL(10,2)) AS str_to_dec_null,
   CAST(l_orderkey % 100 AS SMALLINT) AS big_to_small,
   CAST(l_linenumber AS TINYINT) AS int_to_tiny,
-  CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS VARCHAR) AS dec_rescale_str
+  CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS VARCHAR) AS dec_rescale_str,
+  CAST(TRY_CAST(rpad(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), 10, ' ') AS DATE) AS VARCHAR) AS char_to_date_str,
+  rpad(substr(CAST(CAST(l_shipdate AS TIMESTAMP) AS VARCHAR), 1, 13), 13, ' ') AS ts_to_char13,
+  CAST(TRY_CAST(substr(CAST(CAST(l_shipdate AS DATE) AS VARCHAR) || ' 00:00:00', 1, 19) AS TIMESTAMP) AS VARCHAR) AS varchar_to_ts_str,
+  TRY_CAST(rpad(CAST(l_linenumber AS VARCHAR), 5, ' ') AS INT) AS char_to_int,
+  CAST(CAST(l_quantity > 25 AS INT) AS VARCHAR) AS bool_to_int_str,
+  CAST(CAST(l_orderkey AS DECIMAL(20,6)) AS VARCHAR) AS ts_to_dec_str,
+  strftime(to_timestamp(l_linenumber * 86400.5), '%Y-%m-%d %H:%M:%S.%f') AS dbl_to_ts_str,
+  CAST(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS VARCHAR) AS date_to_ts_str
 FROM lineitem
 WHERE l_orderkey <= 200
 ORDER BY l_orderkey, l_linenumber
