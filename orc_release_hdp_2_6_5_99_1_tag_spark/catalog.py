@@ -178,6 +178,12 @@ def _build() -> None:
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
     register("w4_trailing_window", tp.w4_trailing_window, tp.W4_ORACLE, graded=False)
     register("u3_model_inference", xt.u3_model_inference, xt.U3_ORACLE, graded=False)
+    # round-3 additions
+    register("x11_doc_chunking", tx.x11_doc_chunking, tx.X11_ORACLE, graded=False)
+    register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE, graded=False)
+    register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE, graded=False)
+    register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE, graded=False)
+    register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -138,3 +138,46 @@ FROM (
 WHERE event_id < 2000
 ORDER BY event_id
 """
+
+
+def w5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by their first-activity
+    day (the cohort), counted distinct on each subsequent day offset
+    0..7 — the product-analytics staple over an event stream.
+
+    Scale: cohort assignment is one groupBy(user_id) (the user dim);
+    joining it back onto events shuffles once on user_id; the final
+    (cohort, offset) aggregate is tiny. No window functions, no global
+    sort — identical shape at 100 TB, and AQE handles user skew.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day"))
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .withColumn("offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset") <= 7)
+        .groupBy("cohort_day", "offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("offset").cast("int").alias("offset"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "offset")
+    )
+
+
+W5_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS INT) AS "offset",
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f USING (user_id)
+WHERE date_diff('day', f.cohort_day, d.day) <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -685,3 +685,167 @@ SELECT d.source,
 FROM d JOIN r ON r.source = d.source
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: chunking, corpus-frequency quality, TF-IDF
+# ---------------------------------------------------------------------------
+
+# chunking constants: 64-token windows, 16-token overlap → 48-token step
+_CHUNK, _OVERLAP = 64, 16
+_STEP = _CHUNK - _OVERLAP
+
+
+def x11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / pretraining sequence
+    prep): each document yields ceil((n_tokens-overlap)/step) chunks of
+    up to 64 tokens with 16-token overlap, each with a content hash.
+
+    Scale: one narrow projection + an explode — no shuffle at all; the
+    chunk multiplier (~n_tokens/48) is the only data growth, identical
+    at 100 TB. Chunk assembly is slice/array_join inside codegen, never
+    Python.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - F.lit(_OVERLAP)) / F.lit(_STEP))
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
+    )
+    chunk = F.slice("toks", F.col("chunk_ix") * _STEP + 1, F.lit(_CHUNK))
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_ix",
+            F.size(chunk).alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_ix")
+    )
+
+
+X11_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents WHERE doc_id < 100
+), c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, GREATEST(1, CAST(CEIL((n - {_OVERLAP}) / {_STEP}.0) AS INT)) - 1)) AS chunk_ix
+  FROM t
+)
+SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+       CAST(len(list_slice(toks, chunk_ix*{_STEP}+1, chunk_ix*{_STEP}+{_CHUNK})) AS INT) AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_ix*{_STEP}+1, chunk_ix*{_STEP}+{_CHUNK}), ' ')) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_ix
+"""
+
+
+def x12_token_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality proxy (the integer-exact core of
+    CCNet-style LM filtering): phase 1 computes the corpus token
+    document-frequency table; phase 2 scores each document by the
+    summed corpus frequency of its tokens (common-token mass) — low
+    sums flag gibberish, extreme sums flag boilerplate.
+
+    Scale: one explode + one groupBy(token) for the frequency table
+    (vocab-sized — small), broadcast back onto the token stream, one
+    groupBy(doc). No window, no global sort; the vocab table is the
+    classic broadcast dimension.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.max("freq").alias("max_freq"),
+        )
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id")
+    )
+
+
+X12_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+       CAST(MAX(f.freq) AS BIGINT) AS max_freq
+FROM toks t JOIN freq f USING (tok)
+WHERE t.doc_id < 50
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def x13_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms, integer-exact: score =
+    (tf * 1e6) div df — term frequency within the doc scaled against
+    corpus document frequency, ties broken lexicographically.
+
+    Scale: tf is one groupBy(doc, token); df is one groupBy(token)
+    (vocab-sized, broadcast); the top-3 window partitions by doc_id —
+    per-key tiny. This is the standard two-phase sparse feature
+    extraction shape; nothing grows superlinearly at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "score", F.expr("(tf * 1000000) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+X13_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+  FROM tf JOIN df USING (tok)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rk <= 3 AND doc_id < 100
+ORDER BY doc_id, rk
+"""

@@ -343,3 +343,76 @@ SELECT user_id,
 FROM sess GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def r6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the events file is staged TWICE
+    into the source directory (every record arrives as a duplicate) and
+    `dropDuplicatesWithinWatermark` on the event key emits each exactly
+    once — the streaming twin of batch `d1_exact_dedup`, and the shape
+    a 100 TB ingest pipeline uses to make at-least-once delivery
+    effectively-once.
+
+    Scale: dedup state is keyed by event_id and DROPPED once the
+    watermark passes the event's time (state bounded by the delay
+    horizon, not history). The sink checksum equals the batch table's —
+    proof no duplicate survived and no original was lost.
+    """
+    base = scratch_dir(sf_dir)
+    src_dir = os.path.join(base, "stream", "events_src_dup")
+    out = os.path.join(base, "stream", "r6_dedup")
+    ckpt = os.path.join(base, "stream", "r6_dedup_ckpt")
+    done = os.path.join(base, "stream", "r6_dedup._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        for copy in ("a", "b"):
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, f"events_{copy}.parquet"),
+            )
+        import pyarrow as pa
+
+        path = os.path.join(sf_dir, "events.parquet")
+        t = events_ts_parquet_type(path)
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(src_dir)
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            schema = spark.read.parquet(path).schema
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            if isinstance(schema["ts"].dataType, TimestampNTZType):
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        write_marker(done, fp)
+    df = spark.read.parquet(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("event_id").alias("nd_event"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        F.max(F.col("ts").cast("string")).alias("max_ts"),
+    )
+
+
+R6_ORACLE = """
+SELECT COUNT(*) AS cnt,
+       COUNT(DISTINCT event_id) AS nd_event,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts
+FROM events
+"""
