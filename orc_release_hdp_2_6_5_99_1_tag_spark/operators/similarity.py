@@ -382,3 +382,187 @@ def cosine_topk_vectorized(
         .select("query_id", "vec_id", "cosine_raw", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v4: product quantization (PQ) ANN — the memory-bound 100 TB scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_DSUB = 16    # dims per subspace (64-dim embeddings)
+_PQ_K = 8        # codewords per subspace
+_PQ_NQ = 3       # queries
+_PQ_TOPK = 5
+
+
+def _pq_sqdist_py(a, b):
+    """Driver-side squared L2 matching the oracle's
+    POWER(list_distance, 2): dim-order sum, sqrt'd then squared so the
+    float path is identical on both engines."""
+    import math
+
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return math.sqrt(s) ** 2
+
+
+def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: split 64-dim embeddings into 4×16-dim
+    subspaces; per subspace learn an 8-codeword codebook (first-8 init
+    + one Lloyd update, the deterministic k1 recipe); encode the corpus
+    as 4 byte-sized codes; answer queries by asymmetric distance — a
+    per-query 4×8 lookup table of subspace distances, summed via code
+    indexing, never touching the original vectors.
+
+    This is the memory-bound ANN shape for 100 TB: the corpus scan
+    reads 4 small codes per row (32× compression at these parameters)
+    and the per-row cost is 4 table lookups; codebooks and LUTs are
+    kilobyte model state (driver-held, broadcast as literals — MLlib's
+    own pattern). Top-k per query is orderBy+limit (TakeOrdered), not
+    a global-sort window. Codebook training is one scan per Lloyd
+    round, same as k1.
+
+    Oracle: full SQL replay — per-subspace CTE chains for init/assign/
+    update/encode, LUT via POWER(list_distance,2), ADC as the same
+    left-associated 4-term sum.
+    """
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
+        _assign,
+        _lit_vec,
+        _sq_dist,
+        _update,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # per-subspace codebooks: first-8 init, one Lloyd update (k1 recipe)
+    codebooks = []  # [m] -> list[(cid, 16-dim centroid)]
+    for m in range(_PQ_M):
+        sub = e.select("vec_id", F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("v"))
+        init = [
+            (int(r["vec_id"]), list(r["v"]))
+            for r in sub.filter(F.col("vec_id") < _PQ_K).collect()
+        ]
+        codebooks.append(_update(_assign(sub, init)))
+
+    # one-pass corpus encoding: per subspace, argmin codeword id
+    def code_expr(m):
+        sub = F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(sub, _lit_vec(c)).alias("d"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, c in codebooks[m]
+                ]
+            )
+        )["cid"]
+
+    codes = e.select(
+        "vec_id", *[code_expr(m).alias(f"c{m}") for m in range(_PQ_M)]
+    )
+
+    # queries (model state): LUT[m][cid] = sqdist(query subvector, codeword)
+    qrows = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in e.filter(F.col("vec_id") < _PQ_NQ).collect()
+    )
+    per_query = []
+    for qid, qv in qrows:
+        adc = None
+        for m in range(_PQ_M):
+            qsub = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            lut = {cid: _pq_sqdist_py(qsub, c) for cid, c in codebooks[m]}
+            term = None
+            for cid, d in sorted(lut.items()):
+                cond = F.col(f"c{m}") == cid
+                term = F.when(cond, F.lit(d)) if term is None else term.when(cond, F.lit(d))
+            adc = term if adc is None else adc + term
+        per_query.append(
+            codes.select(
+                F.lit(qid).alias("query_id"), "vec_id", adc.alias("adc_raw")
+            )
+            .orderBy("adc_raw", "vec_id")
+            .limit(_PQ_TOPK)
+        )
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.format_string("%.4f", F.col("adc_raw")).alias("adc"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_oracle() -> str:
+    subs = []
+    for m in range(_PQ_M):
+        a, b = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        subs.append(
+            f"""cb0_{m} AS (
+  SELECT vec_id AS cid, list_slice(v, {a}, {b}) AS c FROM e WHERE vec_id < {_PQ_K}
+), as1_{m} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(list_slice(e.v, {a}, {b}), c.c), c.cid) AS rn
+    FROM e CROSS JOIN cb0_{m} c
+  ) WHERE rn = 1
+), cb1_{m} AS (
+  SELECT cluster AS cid, list(mn ORDER BY i) AS c FROM (
+    SELECT s.cluster, gs.i, AVG(list_slice(e.v, {a}, {b})[gs.i]) AS mn
+    FROM as1_{m} s JOIN e USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range(1, {_PQ_DSUB + 1})) AS i) gs
+    GROUP BY s.cluster, gs.i
+  ) GROUP BY cluster
+), code_{m} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(list_slice(e.v, {a}, {b}), c.c), c.cid) AS rn
+    FROM e CROSS JOIN cb1_{m} c
+  ) WHERE rn = 1
+), lut_{m} AS (
+  SELECT q.qid, c.cid, POWER(list_distance(list_slice(q.v, {a}, {b}), c.c), 2) AS d
+  FROM q CROSS JOIN cb1_{m} c
+)"""
+        )
+    lut_joins = "\n  ".join(
+        f"JOIN code_{m} k{m} ON k{m}.vec_id = ids.vec_id\n  "
+        f"JOIN lut_{m} l{m} ON l{m}.qid = q.qid AND l{m}.cid = k{m}.cluster"
+        for m in range(_PQ_M)
+    )
+    adc_sum = " + ".join(f"l{m}.d" for m in range(_PQ_M))
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v FROM e WHERE vec_id < {_PQ_NQ}
+), {', '.join(subs)},
+ids AS (SELECT vec_id FROM e),
+adc AS (
+  SELECT q.qid AS query_id, ids.vec_id, ({adc_sum}) AS adc_raw
+  FROM q CROSS JOIN ids
+  {lut_joins}
+), ranked AS (
+  SELECT query_id, vec_id, adc_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_raw, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, printf('%.4f', adc_raw) AS adc
+FROM ranked WHERE rank <= {_PQ_TOPK} ORDER BY query_id, rank
+"""
+
+
+V4_ORACLE = _pq_oracle()

@@ -176,3 +176,59 @@ def test_stream_matches_batch_on_ts(spark):
         "disagrees with the batch loader (tables.py:_load_events); this is the "
         "silent-corruption failure mode from round 2"
     )
+
+
+def test_loader_handles_nanos_generation(spark, tmp_path):
+    """The dispatch must keep working if the driver ever reverts to the
+    TIMESTAMP(NANOS) testdata generation: write a nanos events file and
+    assert batch AND stream loaders return identical micros values."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    sf = str(tmp_path / "sfnanos")
+    os.makedirs(sf, exist_ok=True)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i, microseconds=137 * i), i % 5,
+         "click", float(i), "{}")
+        for i in range(20)
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq2.write_table(table, os.path.join(sf, "events.parquet"))
+
+    df = load_table(spark, sf, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got == [r[1] for r in rows], "nanos branch corrupted values"
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+    out = os.path.join(scratch_dir(sf), "stream", "nanos_probe")
+    ckpt = out + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sgot = [r["ts"] for r in spark.read.parquet(out).orderBy("event_id").collect()]
+    assert sgot == got, "stream nanos branch disagrees with batch"
+    shutil.rmtree(os.path.join("/root/repo/.scratch", "sfnanos"), ignore_errors=True)
