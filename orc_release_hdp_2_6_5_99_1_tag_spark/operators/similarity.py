@@ -428,27 +428,17 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-associated 4-term sum.
     """
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
-        _assign,
         _lit_vec,
         _sq_dist,
-        _update,
     )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # per-subspace codebooks: first-8 init, one Lloyd update (k1 recipe)
-    codebooks = []  # [m] -> list[(cid, 16-dim centroid)]
-    for m in range(_PQ_M):
-        sub = e.select("vec_id", F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("v"))
-        init = [
-            (int(r["vec_id"]), list(r["v"]))
-            for r in sub.filter(F.col("vec_id") < _PQ_K).collect()
-        ]
-        codebooks.append(_update(_assign(sub, init)))
 
-    # one-pass corpus encoding: per subspace, argmin codeword id
-    def code_expr(m):
+    def code_expr(books, m):
+        """Argmin codeword id for subspace m against literal codebook
+        `books[m]` (struct ordering ties to the lower cid)."""
         sub = F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)
         return F.array_min(
             F.array(
@@ -457,14 +447,48 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _sq_dist(sub, _lit_vec(c)).alias("d"),
                         F.lit(int(cid)).alias("cid"),
                     )
-                    for cid, c in codebooks[m]
+                    for cid, c in books[m]
                 ]
             )
         )["cid"]
 
-    codes = e.select(
-        "vec_id", *[code_expr(m).alias(f"c{m}") for m in range(_PQ_M)]
+    # init codebooks: ONE collect of the first-K vectors, sliced per
+    # subspace driver-side (k1's first-k recipe, all subspaces at once)
+    init_rows = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
     )
+    books0 = [
+        [(cid, v[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]) for cid, v in init_rows]
+        for m in range(_PQ_M)
+    ]
+
+    # one Lloyd update for ALL subspaces in a single distributed job:
+    # assign all M codes in one projection, explode dims once, and
+    # aggregate per (subspace, cluster, sub-dim) with map-side partials
+    assigned0 = e.select(
+        "v", F.array(*[code_expr(books0, m) for m in range(_PQ_M)]).alias("cs")
+    )
+    dim_rows = (
+        assigned0.select(F.posexplode("v").alias("pos", "x"), "cs")
+        .select(
+            (F.col("pos") / _PQ_DSUB).cast("int").alias("m"),
+            (F.col("pos") % _PQ_DSUB).alias("sd"),
+            F.element_at("cs", (F.col("pos") / _PQ_DSUB).cast("int") + 1).alias("cluster"),
+            "x",
+        )
+        .groupBy("m", "cluster", "sd")
+        .agg(F.avg("x").alias("mn"))
+        .collect()
+    )
+    books = [dict() for _ in range(_PQ_M)]
+    for r in dim_rows:
+        books[r["m"]].setdefault(r["cluster"], [0.0] * _PQ_DSUB)[r["sd"]] = r["mn"]
+    codebooks = [sorted(b.items()) for b in books]
+
+    codes = e.select(
+        "vec_id", *[code_expr(codebooks, m).alias(f"c{m}") for m in range(_PQ_M)]
+    ).persist()  # the encoded index IS the materialized artifact in PQ
 
     # queries (model state): LUT[m][cid] = sqdist(query subvector, codeword)
     qrows = sorted(
@@ -493,7 +517,7 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_query[1:]:
         out = out.unionByName(p)
     w = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
-    return (
+    result = (
         out.withColumn("rank", F.row_number().over(w))
         .select(
             "query_id",
@@ -503,6 +527,9 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+    rows = result.collect()
+    codes.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def _pq_oracle() -> str:

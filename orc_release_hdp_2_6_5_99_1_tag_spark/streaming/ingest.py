@@ -416,3 +416,82 @@ SELECT COUNT(*) AS cnt,
        CAST(MAX(CAST(date_trunc('microsecond', ts) AS TIMESTAMP)) AS VARCHAR) AS max_ts
 FROM events
 """
+
+
+def r7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every click joined to the same
+    user's purchases in the preceding 30 minutes — two independently
+    watermarked streams, equality key + event-time range condition.
+
+    Scale: Spark keeps each side's join state only within the watermark
+    horizon (the range condition tells it exactly how long a row can
+    still match), so state is bounded by the 30-minute window per user,
+    not history. Inner-join matches emit as soon as both sides arrive —
+    no sentinel needed. The pair stream lands in a parquet sink; the
+    checksum over the sink equals the batch SQL join.
+    """
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r7_pairs")
+    ckpt = os.path.join(base, "stream", "r7_pairs_ckpt")
+    done = os.path.join(base, "stream", "r7_pairs._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        clicks = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        pairs = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("p_ts") <= F.col("c_ts")),
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        write_marker(done, fp)
+    df = spark.read.parquet(out)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("c_user").alias("nd_users"),
+        F.sum(F.col("click_id") + F.col("purchase_id")).alias("id_checksum"),
+        F.max(
+            F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("p_ts"))
+        ).alias("max_gap_us"),
+    )
+
+
+R7_ORACLE = """
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c.user_id) AS nd_users,
+       CAST(SUM(c.event_id + p.event_id) AS BIGINT) AS id_checksum,
+       CAST(MAX(epoch_us(CAST(date_trunc('microsecond', c.ts) AS TIMESTAMP))
+              - epoch_us(CAST(date_trunc('microsecond', p.ts) AS TIMESTAMP))) AS BIGINT) AS max_gap_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+"""
