@@ -194,3 +194,54 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
     assert "codegen id" in plan, "aggregation should stay in whole-stage codegen (JVM-side)"
     assert "partial_sum" in plan, "expected map-side partial aggregation before the exchange"
     assert "HashAggregate" in plan
+
+
+def test_x11_chunking_is_shuffle_free(spark, sf_dir):
+    """x11's chunk emission must be a narrow explode — ANY Exchange in
+    the plan means the chunk multiplier is riding a shuffle at 100 TB.
+    (The final orderBy exists only for the deterministic oracle; assert
+    on the pre-sort plan.)"""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        _CHUNK,
+        _OVERLAP,
+        _STEP,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - F.lit(_OVERLAP)) / F.lit(_STEP))
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ix")
+    )
+    chunk = F.slice("toks", F.col("ix") * _STEP + 1, F.lit(_CHUNK))
+    pre_sort = chunks.select(
+        "doc_id", "ix", F.md5(F.array_join(chunk, " ")).alias("h")
+    )
+    plan = formatted_plan(pre_sort)
+    assert "Exchange" not in plan, f"chunking plan shuffles:\n{plan}"
+
+
+def test_x13_broadcasts_vocab_tables(spark, sf_dir):
+    """x13's df (and x12's freq) tables are vocab-sized dimensions —
+    they must broadcast, not shuffle-join the corpus-sized token
+    stream."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import x13_tfidf_topk
+
+    plan = formatted_plan(x13_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"vocab join is not broadcast:\n{plan}"
+
+
+def test_w5_has_no_window_operator(spark, sf_dir):
+    """w5 must compute cohorts via aggregation + join — a Window here
+    would mean a per-user global sort shape that w5 exists to avoid."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import (
+        w5_retention_cohorts,
+    )
+
+    plan = formatted_plan(w5_retention_cohorts(spark, sf_dir))
+    assert "Window" not in plan, f"w5 unexpectedly uses a window:\n{plan}"

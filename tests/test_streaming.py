@@ -168,3 +168,52 @@ def test_session_window_gap_boundary(spark):
         .withColumnRenamed("count", "n_sessions")
     )
     assert {(r.user_id, r.n_sessions) for r in got.collect()} == {(1, 1), (2, 2)}
+
+
+def test_cdc_txn_encoding_extreme_timestamps(spark):
+    """Round-2's CDC txn id was epoch-arithmetic and overflowed int64
+    under ANSI the moment data left a ±29-year window. The row_number
+    encoding must survive ANY representable timestamp and still order
+    latest-wins correctly — including year-1000 and year-9999 events
+    and exact-tie timestamps broken by event_id."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.cdc import _as_acid_events
+
+    rows = [
+        # user 1: ancient + far-future; far-future must win
+        (1, datetime.datetime(1000, 1, 1, 0, 0, 0), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(9999, 12, 31, 23, 59, 59, 999999), 1, "purchase", 2.0, "{}"),
+        # user 2: exact-tie ts; higher event_id must win
+        (10, datetime.datetime(2024, 6, 1, 12, 0, 0), 2, "view", 3.0, "{}"),
+        (11, datetime.datetime(2024, 6, 1, 12, 0, 0), 2, "signup", 4.0, "{}"),
+        # user 3: single delete tombstone
+        (20, datetime.datetime(1969, 7, 20, 20, 17, 40), 3, "error", 5.0, "{}"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    events = _as_acid_events(batch, batch_id=0)  # must not raise (no overflow)
+    got = {
+        r["rowId"]: (r["operation"], r["currentTransaction"], r["row"]["last_type"])
+        for r in events.collect()
+        if r["currentTransaction"]
+        == max(
+            x["currentTransaction"]
+            for x in events.collect()
+            if x["rowId"] == r["rowId"]
+        )
+    }
+    assert got[1][2] == "purchase", "far-future event must win latest-wins"
+    assert got[2][2] == "signup", "exact-tie must break to higher event_id"
+    assert got[3][0] == 2, "tombstone operation preserved"  # OP_DELETE
+    # second micro-batch strictly outranks the first for the same key
+    later = _as_acid_events(batch, batch_id=1)
+    assert (
+        later.agg(F.min("currentTransaction")).collect()[0][0]
+        > events.agg(F.max("currentTransaction")).collect()[0][0]
+    )
