@@ -849,3 +849,44 @@ SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, CAST(df AS BIGINT) AS df,
 FROM ranked WHERE rk <= 3 AND doc_id < 100
 ORDER BY doc_id, rk
 """
+
+
+def x14_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per-source corpus statistics (docs, token
+    mass, char mass, language spread) with pivoted language counts —
+    the datasheet a curation run publishes next to each shard.
+
+    Scale: one scan, one groupBy(source) with map-side partials; the
+    pivot's language set is declared (not inferred), so no extra
+    distinct pass and the output width is fixed. Exact integers only.
+    """
+    langs = ["en", "de", "es", "zh"]
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        *[
+            F.count(F.when(F.col("lang") == lg, 1)).alias(f"n_{lg}")
+            for lg in langs
+        ],
+    )
+    return base.orderBy("source")
+
+
+X14_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       COUNT(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+       COUNT(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
+       COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
+FROM documents
+GROUP BY source ORDER BY source
+"""
