@@ -102,6 +102,10 @@ def _events_stream(
     raw = reader.parquet(src_dir)
     if isinstance(schema["ts"].dataType, TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif pa.types.is_integer(t):
+        from orc_release_hdp_2_6_5_99_1_tag_spark.tables import _epoch_micros_expr
+
+        raw = raw.withColumn("ts", F.timestamp_micros(_epoch_micros_expr(path)))
     return raw
 
 

@@ -42,7 +42,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    return _load_generic(spark, path)
+
+
+def _footer_file(path: str) -> str:
+    if os.path.isdir(path):
+        for n in sorted(os.listdir(path)):
+            if n.endswith(".parquet"):
+                return os.path.join(path, n)
+    return path
 
 
 def events_ts_parquet_type(path: str):
@@ -54,13 +62,37 @@ def events_ts_parquet_type(path: str):
     """
     import pyarrow.parquet as pq
 
-    f = path
-    if os.path.isdir(path):
-        for n in sorted(os.listdir(path)):
-            if n.endswith(".parquet"):
-                f = os.path.join(path, n)
-                break
-    return pq.read_schema(f).field("ts").type
+    return pq.read_schema(_footer_file(path)).field("ts").type
+
+
+def _load_generic(spark: SparkSession, path: str) -> DataFrame:
+    """Generic table load, robust to a nanos-generation drift in ANY
+    timestamp column (Spark's reader rejects TIMESTAMP(NANOS)): read
+    nanos columns as long via the legacy conf and convert to micros.
+    Zero-cost when no column is nanos (the footer check is metadata
+    only, and today none are).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    schema = pq.read_schema(_footer_file(path))
+    ns_cols = [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -72,6 +104,9 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
       sub-microsecond bits, so this is lossless vs the oracle).
     - timestamp[us] → Spark TIMESTAMP_NTZ: cast to timestamp (identity
       under UTC session tz, matching DuckDB's naive reading).
+    - raw integer epochs: unit resolved from the column's footer-stat
+      magnitude (nanos/micros/millis/seconds around the 2001-2033
+      epoch band), then converted to micros.
     - already TIMESTAMP: pass through.
     """
     import pyarrow as pa
@@ -86,10 +121,50 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if pa.types.is_integer(t):
+        to_micros = _epoch_micros_expr(path)
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(to_micros))
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _epoch_micros_expr(path: str):
+    """For a raw-integer events.ts, infer the epoch unit from the
+    footer's column max (metadata only — no data pages) and return the
+    expression converting values to epoch microseconds. Unit bands are
+    disjoint for any date between ~1973 and ~2500; a max outside every
+    band raises rather than guesses."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    md = pq.ParquetFile(_footer_file(path)).metadata
+    mx = None
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        col = next(
+            group.column(i)
+            for i in range(group.num_columns)
+            if group.column(i).path_in_schema == "ts"
+        )
+        if col.statistics is not None and col.statistics.has_min_max:
+            v = col.statistics.max
+            mx = v if mx is None else max(mx, v)
+    if mx is None:
+        raise ValueError(f"events.ts at {path}: integer column without footer stats")
+    if int(1e17) <= mx < int(2e19):
+        return F.expr("ts div 1000")  # nanos
+    if int(1e14) <= mx < int(1e17):
+        return F.col("ts")  # micros
+    if int(1e11) <= mx < int(1e14):
+        return F.col("ts") * 1000  # millis
+    if int(1e8) <= mx < int(1e11):
+        return F.col("ts") * 1000000  # seconds
+    raise ValueError(
+        f"events.ts at {path}: integer epoch max {mx} outside every known unit band"
+    )
 
 
 def scratch_dir(sf_dir: str) -> str:

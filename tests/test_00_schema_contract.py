@@ -82,7 +82,7 @@ EXPECTED = {
     },
     "events": {
         "event_id": {"int64"},
-        "ts": {"timestamp[us]", "timestamp[ns]"},
+        "ts": {"timestamp[us]", "timestamp[ns]", "int64"},
         "user_id": {"int64"},
         "event_type": {"string", "large_string"},
         "value": {"double"},
@@ -232,3 +232,63 @@ def test_loader_handles_nanos_generation(spark, tmp_path):
     sgot = [r["ts"] for r in spark.read.parquet(out).orderBy("event_id").collect()]
     assert sgot == got, "stream nanos branch disagrees with batch"
     shutil.rmtree(os.path.join("/root/repo/.scratch", "sfnanos"), ignore_errors=True)
+
+
+@pytest.mark.parametrize("unit,mult", [("ns", 1000000000), ("us", 1000000), ("ms", 1000), ("s", 1)])
+def test_loader_handles_integer_epoch_generation(spark, tmp_path, unit, mult):
+    """If events.ts ever arrives as a RAW integer epoch column, the
+    loader must resolve the unit from footer-stat magnitude and
+    normalize to timestamp — for nanos, micros, millis, and seconds."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    sf = str(tmp_path / f"sfint_{unit}")
+    os.makedirs(sf, exist_ok=True)
+    base = datetime.datetime(2024, 5, 1, 8, 30, 0, tzinfo=datetime.timezone.utc)
+    expect = [base + datetime.timedelta(seconds=i * 60) for i in range(10)]
+    raw = [int(t.timestamp()) * mult for t in expect]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array(raw, pa.int64()),
+            "user_id": pa.array([i % 3 for i in range(10)], pa.int64()),
+            "event_type": pa.array(["click"] * 10, pa.string()),
+            "value": pa.array([float(i) for i in range(10)], pa.float64()),
+            "props": pa.array(["{}"] * 10, pa.string()),
+        }
+    )
+    pq2.write_table(table, os.path.join(sf, "events.parquet"))
+    df = load_table(spark, sf, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got == [t.replace(tzinfo=None) for t in expect], (
+        f"integer-epoch {unit} dispatch wrong: {got[0]} vs {expect[0]}"
+    )
+
+
+def test_generic_loader_handles_nanos_in_any_table(spark, tmp_path):
+    """A nanos drift in a NON-events table (e.g. lineitem.l_shipdate)
+    must load through the generic nanos fallback, not crash."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    sf = str(tmp_path / "sflns")
+    os.makedirs(sf, exist_ok=True)
+    d0 = datetime.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [d0 + datetime.timedelta(days=i) for i in range(3)], pa.timestamp("ns")
+            ),
+        }
+    )
+    pq2.write_table(table, os.path.join(sf, "lineitem.parquet"))
+    df = load_table(spark, sf, "lineitem")
+    assert df.schema["l_shipdate"].dataType.simpleString() == "timestamp"
+    got = [r["l_shipdate"] for r in df.orderBy("l_orderkey").collect()]
+    assert got == [d0 + datetime.timedelta(days=i) for i in range(3)]
