@@ -682,3 +682,101 @@ SELECT d.source,
 FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
 GROUP BY d.source ORDER BY d.source
 """
+
+
+def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster the embedding corpus
+    (k1's deterministic k-means), then WITHIN each cluster drop every
+    vector that has a smaller-id near-neighbor (cosine ≥ 0.35). Returns
+    the per-cluster curation summary (total, kept, kept-id checksum).
+
+    The one-pass smaller-id drop rule is deliberate: it is
+    deterministic, order-free, and exactly SQL-replayable (the greedy
+    chain variant depends on iteration order).
+
+    Scale: the pairwise cosine join is bounded PER CLUSTER — the whole
+    point of SemDeDup's cluster-then-compare design: corpus² becomes
+    Σ cluster_i², and the cluster sizes are controlled by k. One
+    shuffle on cluster id for the self-join; norms computed once per
+    row; the k-means rounds are k1's (one scan each).
+    """
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        _cosine,
+        _norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(e).withColumn("nrm", _norm(F.col("v")))
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.35)
+        .select("idb")
+        .distinct()
+    )
+    return (
+        assigned.join(pairs, assigned["vec_id"] == pairs["idb"], "left")
+        .select("cluster", "vec_id", F.col("idb").isNull().alias("kept"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("vec_id"))).alias("kept_checksum"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vecs",
+            "n_kept",
+            "kept_checksum",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _d11_oracle() -> str:
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
+        _K,
+        _sql_assign,
+        _sql_update,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_K}
+), {_sql_assign('c0', 'a1')}, {_sql_update('a1', 'c1')},
+{_sql_assign('c1', 'a2')}, {_sql_update('a2', 'c2')},
+{_sql_assign('c2', 'a3')},
+pairs AS (
+  SELECT DISTINCT m2.vec_id AS idb
+  FROM a3 m1 JOIN a3 m2 ON m1.cluster = m2.cluster AND m1.vec_id < m2.vec_id
+  JOIN e x ON x.vec_id = m1.vec_id
+  JOIN e y ON y.vec_id = m2.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+)
+SELECT CAST(m.cluster AS INT) AS cluster,
+       COUNT(*) AS n_vecs,
+       COUNT(CASE WHEN p.idb IS NULL THEN 1 END) AS n_kept,
+       CAST(SUM(CASE WHEN p.idb IS NULL THEN m.vec_id END) AS BIGINT) AS kept_checksum
+FROM a3 m LEFT JOIN pairs p ON p.idb = m.vec_id
+GROUP BY m.cluster ORDER BY cluster
+"""
+
+
+D11_ORACLE = _d11_oracle()
