@@ -188,6 +188,7 @@ def _build() -> None:
     register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE, graded=False)
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
     register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE, graded=False)
+    register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -499,3 +499,104 @@ FROM events c JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
 """
+
+
+def r8_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-prep capstone (the streaming twin of pipe1):
+    at-least-once delivery (every file staged TWICE) → event-time
+    watermark → exactly-once via dropDuplicatesWithinWatermark →
+    quality filter → day-windowed per-type aggregation, emitted in
+    APPEND mode to a parquet sink. Two chained stateful operators in
+    one continuous plan.
+
+    Scale: dedup state and window state are both watermark-bounded;
+    the second delivery's rows are either deduplicated in-state (recent
+    rows) or dropped as late data (old rows) — both are the correct
+    exactly-once outcome, demonstrating late-data handling on a real
+    redelivery pattern. Sentinels ride the quality filter via their
+    reserved type and close the final windows.
+    """
+    base = scratch_dir(sf_dir)
+    src_dir = os.path.join(base, "stream", "events_src_pipe")
+    out = os.path.join(base, "stream", "r8_pipeline")
+    ckpt = os.path.join(base, "stream", "r8_pipeline_ckpt")
+    done = os.path.join(base, "stream", "r8_pipeline._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        import pyarrow as pa
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        path = os.path.join(sf_dir, "events.parquet")
+        for copy in ("a", "b"):
+            os.symlink(path, os.path.join(src_dir, f"events_{copy}.parquet"))
+        t = events_ts_parquet_type(path)
+        nanos = pa.types.is_timestamp(t) and t.unit == "ns"
+        _stage_sentinel(spark, sf_dir, src_dir, nanos)
+        if nanos:
+            raw = (
+                spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            schema = spark.read.parquet(path).schema
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            stream = raw
+            if isinstance(schema["ts"].dataType, TimestampNTZType):
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        quality = (F.col("event_type") != "error") & (F.col("value") >= 1.0)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            # sentinel rows must pass the (pushed-down) quality filter
+            # so they still reach the watermark collector
+            .filter(quality | (F.col("event_type") == _SENTINEL_TYPE))
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").cast("date").cast("string").alias("day"),
+                "event_type",
+                "cnt",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        write_marker(done, fp)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != _SENTINEL_TYPE)
+        .orderBy("day", "event_type")
+    )
+
+
+R8_ORACLE = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type != 'error' AND value >= 1.0
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
