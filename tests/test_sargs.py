@@ -1,0 +1,115 @@
+"""SearchArgument builder parity: the reference's builder shapes
+(`TestVectorOrcFile.java:2262-2269`, `TestRecordReaderImpl.java:1968`)
+transliterated through `functions/sargs.py` must (a) select exactly the
+rows the equivalent direct predicate selects, (b) push down into the
+file scan, and (c) keep SQL three-valued logic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.functions.sargs import (
+    new_builder,
+    scan_with_sarg,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.plans import pushed_filters
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def test_reference_builder_shape_matches_direct_filter(spark, sf_dir):
+    """The exact TestVectorOrcFile shape: AND(NOT(lt(x, a)), lt(x, b))."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sarg = (
+        new_builder()
+        .startAnd()
+        .startNot()
+        .lessThan("l_orderkey", 300)
+        .end()
+        .lessThan("l_orderkey", 600)
+        .end()
+        .build()
+    )
+    got = l.filter(sarg).count()
+    want = l.filter(~(F.col("l_orderkey") < 300) & (F.col("l_orderkey") < 600)).count()
+    assert got == want > 0
+
+
+def test_leaves_match_direct_predicates(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    cases = [
+        (new_builder().equals("l_returnflag", "R").build(), F.col("l_returnflag") == "R"),
+        (
+            new_builder().null_safe_equals("l_returnflag", "R").build(),
+            F.col("l_returnflag").eqNullSafe(F.lit("R")),
+        ),
+        (
+            new_builder().in_("l_linenumber", 1, 3, 5).build(),
+            F.col("l_linenumber").isin(1, 3, 5),
+        ),
+        (
+            new_builder().between("l_quantity", 10, 20).build(),
+            F.col("l_quantity").between(10, 20),
+        ),
+    ]
+    for sarg, direct in cases:
+        assert l.filter(sarg).count() == l.filter(direct).count()
+
+
+def test_is_null_leaf(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, s string")
+    got = [r["id"] for r in df.filter(new_builder().is_null("s").build()).collect()]
+    assert got == [1]
+
+
+def test_or_and_nesting(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    sarg = (
+        new_builder()
+        .startOr()
+        .startAnd()
+        .equals("l_returnflag", "R")
+        .lessThan("l_quantity", 10)
+        .end()
+        .equals("l_linestatus", "O")
+        .end()
+        .build()
+    )
+    direct = ((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10)) | (
+        F.col("l_linestatus") == "O"
+    )
+    assert l.filter(sarg).count() == l.filter(direct).count()
+
+
+def test_sarg_pushes_into_orc_scan(spark, sf_dir):
+    path = orc_copy(spark, sf_dir, "lineitem")
+    sarg = new_builder().startAnd().lessThan("l_quantity", 10).end().build()
+    df = scan_with_sarg(read_orc(spark, path), ["l_orderkey", "l_quantity"], sarg)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"sarg not pushed to ORC scan: {pf!r}"
+
+
+def test_three_valued_not_over_null(spark):
+    """NOT over NULL stays UNKNOWN (row filtered) — reference/SQL 3VL."""
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, 20.0)], "id int, v double")
+    sarg = new_builder().startNot().lessThan("v", 10).end().build()
+    got = sorted(r["id"] for r in df.filter(sarg).collect())
+    assert got == [3], f"3VL violated: {got}"
+
+
+def test_builder_errors():
+    with pytest.raises(ValueError):
+        new_builder().startAnd().build()  # unclosed group
+    with pytest.raises(ValueError):
+        new_builder().end()  # end without start
+    with pytest.raises(ValueError):
+        new_builder().startAnd().end().build()  # empty group
+    with pytest.raises(ValueError):
+        (
+            new_builder()
+            .startNot()
+            .equals("a", 1)
+            .equals("a", 2)
+            .end()
+        )  # NOT with two children
