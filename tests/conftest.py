@@ -22,3 +22,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sargs_fuzz_df(spark):
+    """Tiny cached table (with NULLs) for sarg property fuzzing."""
+    rows = [(i, None if i % 7 == 3 else i % 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id int, n int").cache()
+    df.count()
+    return df

@@ -113,3 +113,68 @@ def test_builder_errors():
             .equals("a", 2)
             .end()
         )  # NOT with two children
+
+
+# --- property-based: random predicate trees ≡ direct Column filters ---
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _leaf_pair(draw):
+    kind = draw(st.sampled_from(["eq", "lt", "lte", "in", "between", "nse"]))
+    if kind == "eq":
+        v = draw(st.integers(0, 9))
+        return lambda b: b.equals("n", v), F.col("n") == v
+    if kind == "lt":
+        v = draw(st.integers(0, 9))
+        return lambda b: b.less_than("n", v), F.col("n") < v
+    if kind == "lte":
+        v = draw(st.integers(0, 9))
+        return lambda b: b.less_than_equals("n", v), F.col("n") <= v
+    if kind == "in":
+        vs = draw(st.lists(st.integers(0, 9), min_size=1, max_size=3))
+        return lambda b: b.in_("n", *vs), F.col("n").isin(*vs)
+    if kind == "between":
+        lo = draw(st.integers(0, 9))
+        hi = draw(st.integers(0, 9))
+        return lambda b: b.between("n", lo, hi), F.col("n").between(lo, hi)
+    v = draw(st.one_of(st.none(), st.integers(0, 9)))
+    return lambda b: b.null_safe_equals("n", v), F.col("n").eqNullSafe(F.lit(v))
+
+
+@st.composite
+def _tree(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return ("leaf", _leaf_pair(draw))
+    op = draw(st.sampled_from(["and", "or", "not"]))
+    n = 1 if op == "not" else draw(st.integers(2, 3))
+    return (op, [draw(_tree(depth=depth + 1)) for _ in range(n)])
+
+
+def _apply(tree, builder):
+    kind, payload = tree
+    if kind == "leaf":
+        bf, direct = payload
+        bf(builder)
+        return direct
+    start = {"and": builder.start_and, "or": builder.start_or, "not": builder.start_not}[kind]
+    start()
+    directs = [_apply(c, builder) for c in payload]
+    builder.end()
+    if kind == "not":
+        return ~directs[0]
+    out = directs[0]
+    for d in directs[1:]:
+        out = (out & d) if kind == "and" else (out | d)
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tree=_tree())
+def test_random_sarg_trees_match_direct(spark, sargs_fuzz_df, tree):
+    builder = new_builder()
+    direct = _apply(tree, builder)
+    sarg = builder.build()
+    got = sorted(r["id"] for r in sargs_fuzz_df.filter(sarg).collect())
+    want = sorted(r["id"] for r in sargs_fuzz_df.filter(direct).collect())
+    assert got == want
