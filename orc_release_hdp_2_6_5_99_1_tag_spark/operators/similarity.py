@@ -490,11 +490,10 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[code_expr(codebooks, m).alias(f"c{m}") for m in range(_PQ_M)]
     ).persist()  # the encoded index IS the materialized artifact in PQ
 
-    # queries (model state): LUT[m][cid] = sqdist(query subvector, codeword)
-    qrows = sorted(
-        (int(r["vec_id"]), list(r["v"]))
-        for r in e.filter(F.col("vec_id") < _PQ_NQ).collect()
-    )
+    # queries (model state): LUT[m][cid] = sqdist(query subvector, codeword).
+    # The query vectors are a prefix of the already-collected init rows
+    # (_PQ_NQ < _PQ_K) — no second collect job.
+    qrows = init_rows[:_PQ_NQ]
     per_query = []
     for qid, qv in qrows:
         adc = None

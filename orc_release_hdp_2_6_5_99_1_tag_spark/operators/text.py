@@ -696,18 +696,13 @@ _CHUNK, _OVERLAP = 64, 16
 _STEP = _CHUNK - _OVERLAP
 
 
-def x11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (RAG / pretraining sequence
-    prep): each document yields ceil((n_tokens-overlap)/step) chunks of
-    up to 64 tokens with 16-token overlap, each with a content hash.
-
-    Scale: one narrow projection + an explode — no shuffle at all; the
-    chunk multiplier (~n_tokens/48) is the only data growth, identical
-    at 100 TB. Chunk assembly is slice/array_join inside codegen, never
-    Python.
-    """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = d.select(
+def _x11_chunks(d: DataFrame) -> DataFrame:
+    """The shuffle-free chunk-emission plan (shared by the operator and
+    the plan-shape test so the Exchange-free assertion binds to the
+    shipped code). NULL-text documents yield no chunks — made explicit
+    with a filter because Spark's legacy size(NULL) = -1 would
+    otherwise fabricate one junk chunk where the oracle emits none."""
+    toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).withColumn("n", F.size("toks"))
     n_chunks = F.greatest(
@@ -719,22 +714,33 @@ def x11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
     )
     chunk = F.slice("toks", F.col("chunk_ix") * _STEP + 1, F.lit(_CHUNK))
-    return (
-        chunks.select(
-            "doc_id",
-            "chunk_ix",
-            F.size(chunk).alias("chunk_tokens"),
-            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-        )
-        .orderBy("doc_id", "chunk_ix")
+    return chunks.select(
+        "doc_id",
+        "chunk_ix",
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+def x11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / pretraining sequence
+    prep): each document yields ceil((n_tokens-overlap)/step) chunks of
+    up to 64 tokens with 16-token overlap, each with a content hash.
+
+    Scale: one narrow projection + an explode — no shuffle at all; the
+    chunk multiplier (~n_tokens/48) is the only data growth, identical
+    at 100 TB. Chunk assembly is slice/array_join inside codegen, never
+    Python.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return _x11_chunks(d).orderBy("doc_id", "chunk_ix")
 
 
 X11_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
          len(string_split_regex(trim(text), '\\s+')) AS n
-  FROM documents WHERE doc_id < 100
+  FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 ), c AS (
   SELECT doc_id, toks,
          unnest(generate_series(0, GREATEST(1, CAST(CEIL((n - {_OVERLAP}) / {_STEP}.0) AS INT)) - 1)) AS chunk_ix
@@ -861,8 +867,14 @@ def x14_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct pass and the output width is fixed. Exact integers only.
     """
     langs = ["en", "de", "es", "zh"]
+    # null-guarded: Spark's legacy size(NULL) = -1 would skew the token
+    # SUM where the oracle's len(NULL) is NULL (skipped by SUM)
     d = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        "n_tokens",
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        ),
     )
     base = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

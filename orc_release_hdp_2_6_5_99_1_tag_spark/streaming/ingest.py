@@ -31,9 +31,12 @@ import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import TimestampNTZType
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    _epoch_micros_expr,
+    _epoch_units_per_second,
     events_ts_parquet_type,
     marker_valid,
     scratch_dir,
@@ -48,74 +51,109 @@ _EVENTS_NANOS_SCHEMA = (
 
 _SENTINEL_TYPE = "__watermark_sentinel__"
 
+_STREAM_TIMEOUT_S = 570
+
+
+def _await(q: StreamingQuery, timeout: int = _STREAM_TIMEOUT_S) -> None:
+    """awaitTermination with a HARD failure on timeout. Round-3 review
+    finding: `awaitTermination(t)` returns False (it does not raise)
+    when the query is still running — writing the completion marker
+    after an unchecked await would fingerprint-stamp a PARTIAL sink as
+    done and serve it forever."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not terminate within {timeout}s; "
+            "sink left unmarked so the next call rebuilds it"
+        )
+
+
+def _not_sentinel(col: str):
+    """Sentinel read-back filter that keeps NULL keys (a plain `!=`
+    would drop NULL-keyed groups the oracles keep)."""
+    c = F.col(col)
+    return (c != _SENTINEL_TYPE) | c.isNull()
+
 
 def _events_stream(
-    spark: SparkSession, sf_dir: str, with_sentinel: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_sentinel: bool = False,
+    sub: str | None = None,
+    copies: int = 1,
 ) -> DataFrame:
     """File-source stream over the events parquet, dtype-dispatched on
     the parquet footer exactly like the batch loader (`tables.py`):
     nanos files are read through an explicit long schema and converted;
     micros files reuse the batch-inferred schema (TIMESTAMP_NTZ → cast
-    to session-tz timestamp). Both paths return ts TIMESTAMP, and the
+    to session-tz timestamp); raw-integer files convert via the
+    footer-stat unit inference. Every caller — including the dedup and
+    pipeline variants — goes through THIS function, so the dispatch
+    lives in exactly one place. All paths return ts TIMESTAMP, and the
     schema-contract test asserts stream min/max(ts) == batch min/max.
 
-    The file source requires a directory, so the single parquet file is
-    staged once per sf as a symlink under scratch (testdata untouched).
-    With `with_sentinel`, TWO one-row parquets whose ts sit two and four
-    days past the real max are staged next to it, with staggered mtimes
-    and `maxFilesPerTrigger=1` so the availableNow run processes
-    [events, sentinel-1, sentinel-2] as three ordered micro-batches.
-    Spark finalizes append-mode windows using the watermark computed
-    from PRIOR batches, so sentinel-1's batch emits every window the
-    real data closed, and sentinel-2's batch emits the horizon windows
-    sentinel-1 unlocked — after which every real window has been
-    emitted. Callers must NOT filter sentinel rows inside the streaming
-    plan — Catalyst pushes deterministic filters below the
-    EventTimeWatermark node, which would hide the sentinels from the
-    watermark collector entirely. Sentinels carry a reserved
+    The file source requires a directory, so the parquet file is staged
+    as `copies` symlinks under scratch (testdata untouched; copies > 1
+    models at-least-once redelivery). With `with_sentinel`, TWO one-row
+    parquets whose ts sit two and four days past the real max are
+    staged next to it, with staggered mtimes and `maxFilesPerTrigger=1`
+    so the availableNow run processes [events…, sentinel-1, sentinel-2]
+    as ordered micro-batches. Spark finalizes append-mode windows using
+    the watermark computed from PRIOR batches, so sentinel-1's batch
+    emits every window the real data closed, and sentinel-2's batch
+    emits the horizon windows sentinel-1 unlocked — after which every
+    real window has been emitted. Callers must NOT filter sentinel rows
+    inside the streaming plan — Catalyst pushes deterministic filters
+    below the EventTimeWatermark node, which would hide the sentinels
+    from the watermark collector entirely. Sentinels carry a reserved
     event_type/user_id, so they aggregate into their own groups (whose
-    windows never finalize) and are filtered at sink read-back.
+    windows never finalize) and are filtered at sink read-back via
+    `_not_sentinel`.
     """
     import pyarrow as pa
 
-    sub = "events_src_wm" if with_sentinel else "events_src"
+    sub = sub or ("events_src_wm" if with_sentinel else "events_src")
     src_dir = os.path.join(scratch_dir(sf_dir), "stream", sub)
     os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     path = os.path.join(sf_dir, "events.parquet")
+    for i in range(copies):
+        suffix = "" if copies == 1 else f"_{chr(97 + i)}"
+        link = os.path.join(src_dir, f"events{suffix}.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
     t = events_ts_parquet_type(path)
     nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     if with_sentinel:
-        _stage_sentinel(spark, sf_dir, src_dir, nanos)
+        _stage_sentinel(spark, sf_dir, src_dir)
+    multi_batch = with_sentinel or copies > 1
     if nanos:
         reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        if with_sentinel:
+        if multi_batch:
             reader = reader.option("maxFilesPerTrigger", "1")
         raw = reader.parquet(src_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
-    if with_sentinel:
+    if multi_batch:
         reader = reader.option("maxFilesPerTrigger", "1")
     raw = reader.parquet(src_dir)
     if isinstance(schema["ts"].dataType, TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    elif pa.types.is_integer(t):
-        from orc_release_hdp_2_6_5_99_1_tag_spark.tables import _epoch_micros_expr
-
+    elif isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(_epoch_micros_expr(path)))
     return raw
 
 
-def _stage_sentinel(
-    spark: SparkSession, sf_dir: str, src_dir: str, nanos: bool
-) -> None:
+def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     """Write the two one-row watermark-advancing sentinel files with
     staggered mtimes (keyed on the source fingerprint so they restage
-    when testdata changes)."""
+    when testdata changes). The sentinel ts column mirrors the SOURCE
+    file's physical layout — raw nanos long for the nanos generation,
+    raw unit-faithful long for the integer generation, NTZ/timestamp
+    otherwise — so the stream's one reader schema fits every file."""
     import time
+
+    import pyarrow as pa
 
     from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
@@ -123,6 +161,10 @@ def _stage_sentinel(
     fp = source_fingerprint(sf_dir, "events")
     if marker_valid(marker, fp):
         return
+    path = os.path.join(sf_dir, "events.parquet")
+    t = events_ts_parquet_type(path)
+    nanos = pa.types.is_timestamp(t) and t.unit == "ns"
+    integer = pa.types.is_integer(t)
     horizons = (
         load_table(spark, sf_dir, "events")
         .agg(
@@ -141,6 +183,15 @@ def _stage_sentinel(
         if nanos:
             # mirror the nanos layout: ts as raw epoch-nanos long
             sent = sent.withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+        elif integer:
+            ups = _epoch_units_per_second(path)
+            micros = F.unix_micros(F.to_timestamp("ts"))
+            if ups >= 1_000_000:
+                sent = sent.withColumn("ts", micros * (ups // 1_000_000))
+            else:
+                sent = sent.withColumn(
+                    "ts", F.expr(f"unix_micros(to_timestamp(ts)) div {1_000_000 // ups}")
+                )
         else:
             sent = sent.withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
         sent = sent.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -181,7 +232,7 @@ def r1_streaming_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     df = spark.read.orc(out)
     return df.agg(
@@ -244,11 +295,11 @@ def r2_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
-        .filter(F.col("event_type") != _SENTINEL_TYPE)
+        .filter(_not_sentinel("event_type"))
         .orderBy("day", "event_type")
     )
 
@@ -312,11 +363,13 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
+    # sentinel user_ids are negative; NULL user_ids (none today) kept
+    keep = (F.col("user_id") >= 0) | F.col("user_id").isNull()
     return (
         spark.read.parquet(out)
-        .filter(F.col("user_id") >= 0)  # sentinel user_ids are negative
+        .filter(keep)
         .orderBy("user_id", "session_start")
     )
 
@@ -363,33 +416,15 @@ def r6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof no duplicate survived and no original was lost.
     """
     base = scratch_dir(sf_dir)
-    src_dir = os.path.join(base, "stream", "events_src_dup")
     out = os.path.join(base, "stream", "r6_dedup")
     ckpt = os.path.join(base, "stream", "r6_dedup_ckpt")
     done = os.path.join(base, "stream", "r6_dedup._done")
     fp = source_fingerprint(sf_dir, "events")
     if not marker_valid(done, fp):
-        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(base, "stream", "events_src_dup"), ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        os.makedirs(src_dir, exist_ok=True)
-        for copy in ("a", "b"):
-            os.symlink(
-                os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src_dir, f"events_{copy}.parquet"),
-            )
-        import pyarrow as pa
-
-        path = os.path.join(sf_dir, "events.parquet")
-        t = events_ts_parquet_type(path)
-        if pa.types.is_timestamp(t) and t.unit == "ns":
-            raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(src_dir)
-            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            schema = spark.read.parquet(path).schema
-            stream = spark.readStream.schema(schema).parquet(src_dir)
-            if isinstance(schema["ts"].dataType, TimestampNTZType):
-                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = _events_stream(spark, sf_dir, sub="events_src_dup", copies=2)
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
             ["event_id"]
         )
@@ -400,7 +435,7 @@ def r6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     df = spark.read.parquet(out)
     return df.agg(
@@ -475,7 +510,7 @@ def r7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     df = spark.read.parquet(out)
     return df.agg(
@@ -517,41 +552,17 @@ def r8_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reserved type and close the final windows.
     """
     base = scratch_dir(sf_dir)
-    src_dir = os.path.join(base, "stream", "events_src_pipe")
     out = os.path.join(base, "stream", "r8_pipeline")
     ckpt = os.path.join(base, "stream", "r8_pipeline_ckpt")
     done = os.path.join(base, "stream", "r8_pipeline._done")
     fp = source_fingerprint(sf_dir, "events")
     if not marker_valid(done, fp):
-        import pyarrow as pa
-
-        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(base, "stream", "events_src_pipe"), ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        os.makedirs(src_dir, exist_ok=True)
-        path = os.path.join(sf_dir, "events.parquet")
-        for copy in ("a", "b"):
-            os.symlink(path, os.path.join(src_dir, f"events_{copy}.parquet"))
-        t = events_ts_parquet_type(path)
-        nanos = pa.types.is_timestamp(t) and t.unit == "ns"
-        _stage_sentinel(spark, sf_dir, src_dir, nanos)
-        if nanos:
-            raw = (
-                spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(src_dir)
-            )
-            stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            schema = spark.read.parquet(path).schema
-            raw = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(src_dir)
-            )
-            stream = raw
-            if isinstance(schema["ts"].dataType, TimestampNTZType):
-                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = _events_stream(
+            spark, sf_dir, with_sentinel=True, sub="events_src_pipe", copies=2
+        )
         quality = (F.col("event_type") != "error") & (F.col("value") >= 1.0)
         agg = (
             stream.withWatermark("ts", "1 hour")
@@ -581,11 +592,11 @@ def r8_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
-        .filter(F.col("event_type") != _SENTINEL_TYPE)
+        .filter(_not_sentinel("event_type"))
         .orderBy("day", "event_type")
     )
 

@@ -131,14 +131,13 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def _epoch_micros_expr(path: str):
+def _epoch_units_per_second(path: str) -> int:
     """For a raw-integer events.ts, infer the epoch unit from the
-    footer's column max (metadata only — no data pages) and return the
-    expression converting values to epoch microseconds. Unit bands are
-    disjoint for any date between ~1973 and ~2500; a max outside every
-    band raises rather than guesses."""
+    footer's column max (metadata only — no data pages). Returns units
+    per second (1e9/1e6/1e3/1). Unit bands are disjoint for any date
+    between ~1973 and ~2500; a max outside every band raises rather
+    than guesses."""
     import pyarrow.parquet as pq
-    import pyspark.sql.functions as F
 
     md = pq.ParquetFile(_footer_file(path)).metadata
     mx = None
@@ -155,16 +154,29 @@ def _epoch_micros_expr(path: str):
     if mx is None:
         raise ValueError(f"events.ts at {path}: integer column without footer stats")
     if int(1e17) <= mx < int(2e19):
-        return F.expr("ts div 1000")  # nanos
+        return 1_000_000_000  # nanos
     if int(1e14) <= mx < int(1e17):
-        return F.col("ts")  # micros
+        return 1_000_000  # micros
     if int(1e11) <= mx < int(1e14):
-        return F.col("ts") * 1000  # millis
+        return 1_000  # millis
     if int(1e8) <= mx < int(1e11):
-        return F.col("ts") * 1000000  # seconds
+        return 1  # seconds
     raise ValueError(
         f"events.ts at {path}: integer epoch max {mx} outside every known unit band"
     )
+
+
+def _epoch_micros_expr(path: str):
+    """Expression converting a raw-integer events.ts to epoch micros,
+    unit-dispatched via `_epoch_units_per_second`."""
+    import pyspark.sql.functions as F
+
+    ups = _epoch_units_per_second(path)
+    if ups == 1_000_000_000:
+        return F.expr("ts div 1000")
+    if ups == 1_000_000:
+        return F.col("ts")
+    return F.col("ts") * (1_000_000 // ups)
 
 
 def scratch_dir(sf_dir: str) -> str:

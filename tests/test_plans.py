@@ -199,30 +199,14 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
 def test_x11_chunking_is_shuffle_free(spark, sf_dir):
     """x11's chunk emission must be a narrow explode — ANY Exchange in
     the plan means the chunk multiplier is riding a shuffle at 100 TB.
-    (The final orderBy exists only for the deterministic oracle; assert
-    on the pre-sort plan.)"""
-    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
-        _CHUNK,
-        _OVERLAP,
-        _STEP,
-    )
+    Asserts on the SHIPPED pre-sort plan (`_x11_chunks`, the same
+    function the operator calls), so a shuffle regression in the
+    operator fails here."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import _x11_chunks
     from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    ).withColumn("n", F.size("toks"))
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil((F.col("n") - F.lit(_OVERLAP)) / F.lit(_STEP))
-    ).cast("int")
-    chunks = toks.select(
-        "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ix")
-    )
-    chunk = F.slice("toks", F.col("ix") * _STEP + 1, F.lit(_CHUNK))
-    pre_sort = chunks.select(
-        "doc_id", "ix", F.md5(F.array_join(chunk, " ")).alias("h")
-    )
-    plan = formatted_plan(pre_sort)
+    plan = formatted_plan(_x11_chunks(d))
     assert "Exchange" not in plan, f"chunking plan shuffles:\n{plan}"
 
 

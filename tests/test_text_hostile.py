@@ -20,6 +20,7 @@ ROWS = [
     (5, "nbsp joined stays one-ish", "es", "src2", 25),  # NBSP not ASCII ws
     (6, "x " * 100, "zh", "src2", 200),                # long + trailing space
     (7, "MIXED case Repeat repeat REPEAT", "en", "src2", 31),
+    (8, None, "en", "src3", 0),                        # NULL text
 ]
 
 
