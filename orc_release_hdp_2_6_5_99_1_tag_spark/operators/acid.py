@@ -177,7 +177,8 @@ def t3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost afterwards — reference `acid.md:45-62`)."""
     root = acid_table_dir(spark, sf_dir)
     compacted = os.path.join(scratch_dir(sf_dir), "acid", "orders_compacted")
-    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "orders")
+    if not marker_valid(compacted + "._fp", fp):
         base = merged_view(spark, root).select(
             F.lit(OP_INSERT).alias("operation"),
             F.lit(1).cast("bigint").alias("originalTransaction"),
@@ -196,6 +197,7 @@ def t3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             compacted,
         )
+        write_marker(compacted + "._fp", fp)
     out = _read_events(spark, compacted)
     return out.select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction").orderBy(
         "id"

@@ -25,7 +25,13 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.functions import (
     union_tag,
 )
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc, write_orc
-from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
+    load_table,
+    marker_valid,
+    scratch_dir,
+    source_fingerprint,
+    write_marker,
+)
 
 
 def c1_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +231,8 @@ def u1_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's tag-stream invariant)."""
     dest = os.path.join(scratch_dir(sf_dir), "orc", "union_demo")
     l = load_table(spark, sf_dir, "lineitem")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(dest + "._fp", fp):
         tag = (F.col("l_linenumber") % 2).cast("tinyint")
         u = l.select(
             "l_orderkey",
@@ -233,6 +240,7 @@ def u1_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             union_encode(tag, F.col("l_orderkey"), F.col("l_returnflag")).alias("u"),
         )
         write_orc(u, dest)
+        write_marker(dest + "._fp", fp)
     df = read_orc(spark, dest)
     return (
         df.select(
@@ -273,7 +281,8 @@ def t1_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     dest = os.path.join(scratch_dir(sf_dir), "orc", "nested_demo")
     l = load_table(spark, sf_dir, "lineitem")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(dest + "._fp", fp):
         nested = l.select(
             "l_orderkey",
             "l_linenumber",
@@ -293,6 +302,7 @@ def t1_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("middle"),
         )
         write_orc(nested, dest)
+        write_marker(dest + "._fp", fp)
     df = read_orc(spark, dest)
     return df.agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -139,7 +139,8 @@ def s5_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's stripe-range split selection. Plan shows the pruned
     partition count (asserted in tests)."""
     dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_by_status")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "orders")
+    if not marker_valid(dest + "._fp", fp):
         o = load_table(spark, sf_dir, "orders")
         (
             o.repartition("o_orderstatus")
@@ -148,6 +149,7 @@ def s5_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_orderstatus")
             .orc(dest)
         )
+        write_marker(dest + "._fp", fp)
     df = spark.read.orc(dest).filter(F.col("o_orderstatus") == "F")
     return df.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -290,8 +292,10 @@ def s11_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed file count so the result is scale-stable and oracle-checkable
     against a full count."""
     dest = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_meta4")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(dest + "._fp", fp):
         write_orc(load_table(spark, sf_dir, "lineitem").repartition(4), dest)
+        write_marker(dest + "._fp", fp)
     return orc_file_stats_from_footer(spark, dest)
 
 
