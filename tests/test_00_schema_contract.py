@@ -292,3 +292,43 @@ def test_generic_loader_handles_nanos_in_any_table(spark, tmp_path):
     assert df.schema["l_shipdate"].dataType.simpleString() == "timestamp"
     got = [r["l_shipdate"] for r in df.orderBy("l_orderkey").collect()]
     assert got == [d0 + datetime.timedelta(days=i) for i in range(3)]
+
+
+def test_scratch_caches_rebuild_on_source_change(spark, tmp_path):
+    """The fingerprint-marker mechanism end-to-end: a derived ORC copy
+    must rebuild when its source parquet changes (the round-2 failure
+    was a marker surviving a testdata regeneration)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy
+
+    sf = str(tmp_path / "sffp")
+    os.makedirs(sf, exist_ok=True)
+
+    def write_nation(keys):
+        table = pa.table(
+            {
+                "n_nationkey": pa.array(keys, pa.int32()),
+                "n_name": pa.array([f"N{k}" for k in keys], pa.string()),
+                "n_regionkey": pa.array([k % 3 for k in keys], pa.int32()),
+            }
+        )
+        pq2.write_table(table, os.path.join(sf, "nation.parquet"))
+
+    write_nation([1, 2, 3])
+    dest = orc_copy(spark, sf, "nation")
+    assert spark.read.orc(dest).count() == 3
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    write_nation([1, 2, 3, 4, 5])
+    dest2 = orc_copy(spark, sf, "nation")
+    assert dest2 == dest
+    assert spark.read.orc(dest2).count() == 5, (
+        "stale fingerprint marker: ORC copy did not rebuild after the "
+        "source parquet changed"
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join("/root/repo/.scratch", "sffp"), ignore_errors=True)
