@@ -189,6 +189,9 @@ def _build() -> None:
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
     register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE, graded=False)
     register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE, graded=False)
+    register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL, graded=False)
+    register("q15_top_supplier", sq.q15_top_supplier, sq.Q15_SQL, graded=False)
+    register("q17_small_qty_revenue", sq.q17_small_qty_revenue, sq.Q17_SQL, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -148,3 +148,76 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate semi-joins back against the same fact table."""
     _register(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(Q18_SQL)
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+    AND n2.n_name IN ('NATION_0', 'NATION_1')
+    AND n1.n_name <> n2.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations by year):
+    5-way join where nation is broadcast twice under two aliases;
+    revenue summed over exact decimals for cross-engine stability."""
+    _register(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    return spark.sql(Q7_SQL)
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by revenue): CTE reused twice —
+    once aggregated to a scalar — exercising Catalyst's subquery
+    handling; decimal accumulation keeps the MAX comparison exact."""
+    _register(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(Q15_SQL)
+
+
+Q17_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated
+    scalar AVG subquery against the fact table itself — Catalyst
+    decorrelates it into an aggregate+join; the 0.2*AVG threshold is
+    evaluated per part."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(Q17_SQL)
