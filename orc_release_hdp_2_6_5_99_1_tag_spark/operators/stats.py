@@ -198,6 +198,9 @@ _SIZE_MODEL = {
 
 
 def a5_raw_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: deserialized raw-data-size estimate. The per-column `_bytes`
+    outputs are the projected form — `Reader.getRawDataSizeOfColumns`
+    (reference `ReaderImpl.java`) is the sum over any column subset."""
     l = load_table(spark, sf_dir, "lineitem")
     aggs = [
         F.sum(F.expr(model.replace("LENGTH", "length"))).alias(f"{c}_bytes")
