@@ -7,13 +7,16 @@ cluster).
 Iterative like d10's label propagation, but with float model state:
 each round assigns every vector to its nearest centroid (JVM-side
 `zip_with`/`aggregate` squared-L2, no Python in the hot path) and
-recomputes centroids as per-dimension means. The centroids are model
-state — k×dim doubles — so collecting them to the driver each round
-and re-broadcasting as literal arrays is the scale-correct pattern
-(Spark MLlib's own KMeans does exactly this); the corpus itself is
-never collected. Per round: one scan + one (cluster, dim)-keyed
-aggregation with map-side partials — at 100 TB that is 3 scans total
-for 3 rounds, each embarrassingly parallel.
+recomputes centroids as per-cluster vector means. The centroids are
+model state — k×dim doubles — so collecting them to the driver each
+round and re-broadcasting as literal arrays is the scale-correct
+pattern (Spark MLlib's own KMeans does exactly this); the corpus
+itself is never collected. Per round: one scan + one codegen'd hash
+aggregation with static per-dimension sum(v[i]) expressions (rows
+stay one-per-vector — never a posexplode to corpus×dim rows; the
+shuffle carries partitions × k × dim scalar partials) — at 100 TB
+that is 3 scans total for 3 rounds, each embarrassingly parallel
+with map-side partials.
 
 Determinism/oracle: init = the first K vectors by vec_id, fixed 3
 rounds, ties on distance break to the lower centroid id (struct
@@ -68,18 +71,28 @@ def _assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return e.select("vec_id", "v", best["cid"].alias("cluster"))
 
 
-def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
-    """New centroids = per-dimension mean; k×dim rows collected as
-    model state (not data)."""
-    rows = (
-        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
-        .groupBy("cluster", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
-        .select("cluster", F.transform("dims", lambda p: p["m"]).alias("c"))
-        .collect()
+def _update_plan(assigned: DataFrame, dim: int) -> DataFrame:
+    """New-centroid plan: ONE codegen'd hash aggregation with `dim`
+    per-dimension `sum(v[i])` expressions plus a count — rows stay
+    one-per-vector (never posexplode'd to corpus×dim rows), the
+    partials are map-side-combined, and the shuffle carries exactly
+    partitions × k × (dim+1) scalars. `dim` is driver-known model
+    state (the init centroids' length), so the expression list is
+    static and whole-stage-codegen'd."""
+    sums = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
     )
+    return sums.select(
+        "cluster",
+        F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("c"),
+    )
+
+
+def _update(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
+    """New centroids = per-cluster vector mean; k rows collected as
+    model state (not data)."""
+    rows = _update_plan(assigned, dim).collect()
     return sorted((r["cluster"], list(r["c"])) for r in rows)
 
 
@@ -92,9 +105,10 @@ def kmeans_assignments(e: DataFrame, k: int = _K, iters: int = _ITERS) -> DataFr
         (int(r["vec_id"]), list(r["v"]))
         for r in e.filter(F.col("vec_id") < k).collect()
     ]
+    dim = len(cents[0][1])
     assigned = _assign(e, cents)
     for _ in range(iters - 1):
-        cents = _update(assigned)
+        cents = _update(assigned, dim)
         assigned = _assign(e, cents)
     return assigned
 

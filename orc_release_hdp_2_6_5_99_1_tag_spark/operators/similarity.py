@@ -418,10 +418,13 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the memory-bound ANN shape for 100 TB: the corpus scan
     reads 4 small codes per row (32× compression at these parameters)
     and the per-row cost is 4 table lookups; codebooks and LUTs are
-    kilobyte model state (driver-held, broadcast as literals — MLlib's
-    own pattern). Top-k per query is orderBy+limit (TakeOrdered), not
-    a global-sort window. Codebook training is one scan per Lloyd
-    round, same as k1.
+    kilobyte model state. The LUT is materialized as a tiny DataFrame
+    (query_id, subspace, code, dist) and broadcast-hash-joined against
+    the codes table once per subspace — ONE plan regardless of query
+    batch size (no per-query plan union; Catalyst analysis cost is
+    constant in NQ). Top-k per query is a rank-limit window (Spark's
+    WindowGroupLimit pushes the k-cap into the per-partition sort).
+    Codebook training is one scan per Lloyd round, same as k1.
 
     Oracle: full SQL replay — per-subspace CTE chains for init/assign/
     update/encode, LUT via POWER(list_distance,2), ADC as the same
@@ -464,60 +467,81 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # one Lloyd update for ALL subspaces in a single distributed job:
-    # assign all M codes in one projection, explode dims once, and
-    # aggregate per (subspace, cluster, sub-dim) with map-side partials
+    # assign all M codes in one projection, widen each vector to M
+    # (subspace, cluster, subvector) rows — NOT corpus×dim rows — and
+    # run k1's codegen'd per-dimension-sum aggregation per (subspace,
+    # cluster): count + _PQ_DSUB static sum(sub[i]) expressions, rows
+    # one-per-subvector, no posexplode anywhere in the update plan.
     assigned0 = e.select(
         "v", F.array(*[code_expr(books0, m) for m in range(_PQ_M)]).alias("cs")
     )
-    dim_rows = (
-        assigned0.select(F.posexplode("v").alias("pos", "x"), "cs")
-        .select(
-            (F.col("pos") / _PQ_DSUB).cast("int").alias("m"),
-            (F.col("pos") % _PQ_DSUB).alias("sd"),
-            F.element_at("cs", (F.col("pos") / _PQ_DSUB).cast("int") + 1).alias("cluster"),
-            "x",
+    sub_rows = assigned0.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.element_at("cs", m + 1).alias("cluster"),
+                        F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB).alias("sub"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
         )
-        .groupBy("m", "cluster", "sd")
-        .agg(F.avg("x").alias("mn"))
+    )
+    cb_rows = (
+        sub_rows.groupBy("m", "cluster")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("sub", i + 1)).alias(f"s{i}") for i in range(_PQ_DSUB)],
+        )
+        .select(
+            "m",
+            "cluster",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(_PQ_DSUB)]).alias("c"),
+        )
         .collect()
     )
     books = [dict() for _ in range(_PQ_M)]
-    for r in dim_rows:
-        books[r["m"]].setdefault(r["cluster"], [0.0] * _PQ_DSUB)[r["sd"]] = r["mn"]
+    for r in cb_rows:
+        books[r["m"]][r["cluster"]] = list(r["c"])
     codebooks = [sorted(b.items()) for b in books]
 
     codes = e.select(
         "vec_id", *[code_expr(codebooks, m).alias(f"c{m}") for m in range(_PQ_M)]
-    ).persist()  # the encoded index IS the materialized artifact in PQ
+    )
 
-    # queries (model state): LUT[m][cid] = sqdist(query subvector, codeword).
-    # The query vectors are a prefix of the already-collected init rows
+    # serving: LUT[qid][m][cid] = sqdist(query subvector, codeword),
+    # materialized as one tiny DataFrame (NQ × M × K rows — kilobytes)
+    # and broadcast-joined per subspace against the codes scan. The
+    # query vectors are a prefix of the already-collected init rows
     # (_PQ_NQ < _PQ_K) — no second collect job.
-    qrows = init_rows[:_PQ_NQ]
-    per_query = []
-    for qid, qv in qrows:
-        adc = None
-        for m in range(_PQ_M):
-            qsub = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
-            lut = {cid: _pq_sqdist_py(qsub, c) for cid, c in codebooks[m]}
-            term = None
-            for cid, d in sorted(lut.items()):
-                cond = F.col(f"c{m}") == cid
-                term = F.when(cond, F.lit(d)) if term is None else term.when(cond, F.lit(d))
-            adc = term if adc is None else adc + term
-        per_query.append(
-            codes.select(
-                F.lit(qid).alias("query_id"), "vec_id", adc.alias("adc_raw")
-            )
-            .orderBy("adc_raw", "vec_id")
-            .limit(_PQ_TOPK)
+    lut_rows = [
+        (int(qid), m, int(cid), _pq_sqdist_py(qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB], c))
+        for qid, qv in init_rows[:_PQ_NQ]
+        for m in range(_PQ_M)
+        for cid, c in codebooks[m]
+    ]
+    lut = spark.createDataFrame(lut_rows, "query_id int, m int, code int, d double")
+    out = codes
+    for m in range(_PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("code").alias(f"code{m}"),
+            F.col("d").alias(f"d{m}"),
         )
-    out = per_query[0]
-    for p in per_query[1:]:
-        out = out.unionByName(p)
+        cond = F.col(f"c{m}") == F.col(f"code{m}")
+        if m > 0:
+            cond = (F.col("q0") == F.col(f"q{m}")) & cond
+        out = out.join(F.broadcast(lm), cond)
+    adc = F.col("d0")
+    for m in range(1, _PQ_M):
+        adc = adc + F.col(f"d{m}")  # left-associated, same as the oracle's sum
     w = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
-    result = (
-        out.withColumn("rank", F.row_number().over(w))
+    return (
+        out.select(F.col("q0").alias("query_id"), "vec_id", adc.alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
         .select(
             "query_id",
             "rank",
@@ -526,9 +550,6 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
-    rows = result.collect()
-    codes.unpersist()
-    return spark.createDataFrame(rows, result.schema)
 
 
 def _pq_oracle() -> str:

@@ -229,3 +229,36 @@ def test_w5_has_no_window_operator(spark, sf_dir):
 
     plan = formatted_plan(w5_retention_cohorts(spark, sf_dir))
     assert "Window" not in plan, f"w5 unexpectedly uses a window:\n{plan}"
+
+
+def test_kmeans_update_has_no_posexplode(spark, sf_dir):
+    """k1's centroid update must aggregate whole vectors (salted
+    two-phase zip_with fold) — a `Generate posexplode` here means the
+    corpus was widened to corpus×dim rows, the shape flagged at 100 TB."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
+        _K,
+        _assign,
+        _update_plan,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = [(int(r["vec_id"]), list(r["v"])) for r in e.filter(F.col("vec_id") < _K).collect()]
+    plan = formatted_plan(_update_plan(_assign(e, cents), len(cents[0][1])))
+    assert "posexplode" not in plan, f"centroid update explodes dims:\n{plan}"
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_v4_serving_is_single_plan_broadcast_lut(spark, sf_dir):
+    """v4's ADC serving must be ONE plan for the whole query batch:
+    the LUT broadcast-hash-joined to the codes scan — no per-query
+    plan union (Catalyst analysis cost must not grow with NQ) and no
+    posexplode anywhere."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import v4_pq_ann
+
+    plan = formatted_plan(v4_pq_ann(spark, sf_dir))
+    assert "Union" not in plan, f"per-query plan union shape is back:\n{plan}"
+    assert "BroadcastHashJoin" in plan, f"LUT join is not broadcast:\n{plan}"
+    assert "posexplode" not in plan
