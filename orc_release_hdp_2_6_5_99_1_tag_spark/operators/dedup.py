@@ -258,58 +258,150 @@ _CC_MAX_ROUNDS = 25
 
 def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation (SURVEY §2.13): connected components
-    over the verified LSH pairs via iterative min-label propagation —
-    the step a production dedup pipeline runs after pair detection to
-    pick one survivor per duplicate group (pairs alone over-delete:
+    over the verified LSH pairs via large-star/small-star alternation
+    — the step a production dedup pipeline runs after pair detection
+    to pick one survivor per duplicate group (pairs alone over-delete:
     A~B and B~C must collapse to ONE cluster even when A!~C).
 
     Iterative algorithm, genuinely beyond one SQL pass on the Spark
-    side: labels start as each doc's own id and each round takes the
-    min over neighbors, truncating lineage with localCheckpoint per
-    round; convergence is detected by the (monotonically decreasing)
-    label-sum fixpoint. Rounds = dup-graph diameter — small for dedup
-    graphs, whose components are near-cliques of rewrites; the
-    production upgrade for adversarial diameters is large-star/
-    small-star alternation (O(log n) rounds), same per-round shape.
-    Per-round cost is ONE shuffle join on doc_id; the pair graph is
-    orders of magnitude smaller than the corpus, so the loop runs on
-    the reduced data only. The oracle replays the components exactly
-    with a recursive CTE."""
+    side; see connected_components() for the round structure. The
+    oracle replays the components exactly with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
     return dup_clusters(d).orderBy("doc_id")
 
 
-def dup_clusters(d: DataFrame) -> DataFrame:
-    """Min-label-propagation loop behind d10; takes any documents frame
-    and returns (doc_id, cluster_id, is_survivor) for clustered docs.
-    localCheckpoint per round is load-bearing: without it the lineage
-    doubles every round and the plan blows up exponentially."""
-    pairs = verified_dup_pairs(d).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").cache()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
+def _cc_union_find(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for driver-small pair graphs (edges is
+    already materialized and bounded by the caller's threshold);
+    labels = component min, identical to the distributed star loop."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for r in rows:
+        lo, hi = r["lo"], r["hi"]
+        parent.setdefault(lo, lo)
+        parent.setdefault(hi, hi)
+        ra, rb = find(lo), find(hi)
+        if ra != rb:  # union by min so the root IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(x, find(x)) for x in parent]
+    schema = edges.select(
+        F.col("lo").alias("doc_id"), F.col("lo").alias("lab")
+    ).schema
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
+def connected_components(pairs: DataFrame, driver_cc_max_edges: int = 100_000) -> DataFrame:
+    """Distributed connected components by large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): each round rewires every node's larger
+    neighbors (large-star) then its smaller neighbors (small-star)
+    onto the minimum of its closed neighborhood, converging to star
+    graphs — one (root, child) edge per non-root node — in O(log² n)
+    rounds REGARDLESS of graph diameter (min-label propagation, the
+    naive alternative, needs diameter rounds and dies on path-shaped
+    components; pinned by the long-path pytest).
+
+    Input: an edge list with two id columns (first two columns used).
+    Output: (doc_id, lab) — component label = min id — for every edge
+    endpoint. Per-round cost: two groupBy shuffles + two joins on the
+    PAIR GRAPH only (orders of magnitude smaller than the corpus);
+    localCheckpoint per round truncates lineage, the fixpoint check
+    collects one scalar tuple per round.
+
+    Scale-adaptive (the AQE pattern: pick the physical strategy from
+    the observed size): the canonical edge list is materialized first
+    (it is needed either way), and when it is driver-small
+    (≤ driver_cc_max_edges, ~1.6 MB at the default) the components
+    come from a driver-side union-find — exact same labels, zero
+    distributed rounds. The star loop is the big-graph path; both are
+    pinned by the same tests (the long-path pytest forces each path
+    below/above the threshold)."""
+    a, b = pairs.columns[:2]
+    edges = (
+        pairs.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .withColumn("lab", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = object()
+    if edges.count() <= driver_cc_max_edges:
+        return _cc_union_find(edges)
+
+    def nbrs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def closed_min(n: DataFrame) -> DataFrame:
+        return (
+            n.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .distinct()
+        )
+
+    prev = None
     for _ in range(_CC_MAX_ROUNDS):
-        nb_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("lab").alias("nb_lab"))
+        # large-star: connect each node's strictly-larger neighbors to
+        # the min of its closed neighborhood
+        n = nbrs(edges)
+        m = closed_min(n)
+        large = (
+            n.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        # every node has >=1 neighbor (nodes are edge endpoints), so the
-        # join is inner; own label competes via least()
-        labels = (
-            labels.join(nb_min, labels["doc_id"] == nb_min["src"])
-            .select(labels["doc_id"], F.least("lab", "nb_lab").alias("lab"))
-            .localCheckpoint()
+        mid = canon(large)
+        # small-star: connect each node's smaller neighbors AND itself
+        # to the min of its closed neighborhood
+        n = nbrs(mid)
+        m = closed_min(n)
+        small = (
+            n.join(m, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        cur = labels.agg(F.sum("lab")).collect()[0][0]
-        if cur == prev_sum:
+        edges = canon(small).localCheckpoint()
+        cur = tuple(
+            edges.agg(
+                F.count("*"),
+                F.sum("lo"),
+                F.sum("hi"),
+                # set-identity digest; mod keeps the ANSI sum in int64
+                F.sum(F.pmod(F.xxhash64("lo", "hi"), F.lit(1_000_000_007))),
+            ).collect()[0]
+        )
+        if cur == prev:  # both ops are idempotent on star graphs
             break
-        prev_sum = cur
+        prev = cur
+    # star state: every edge is (root=lo, child=hi); roots label themselves
+    return edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("lab")).union(
+        edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("lab")).distinct()
+    )
+
+
+def dup_clusters(d: DataFrame) -> DataFrame:
+    """Connected components over the verified near-dup pairs; takes any
+    documents frame and returns (doc_id, cluster_id, is_survivor) for
+    clustered docs. Survivor = the component-min doc."""
+    pairs = verified_dup_pairs(d).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
     return labels.select(
         "doc_id",
         F.col("lab").alias("cluster_id"),

@@ -67,3 +67,31 @@ def test_d10_transitive_chain_forms_one_cluster(spark):
         for r in dd.dup_clusters(d).collect()
     }
     assert got == {(1, 1, 1), (2, 1, 0), (3, 1, 0)}, got
+
+
+def test_connected_components_long_path_beats_round_cap(spark):
+    """A path-shaped component of diameter 60 — min-label propagation
+    needs 60 rounds (> _CC_MAX_ROUNDS = 25) and would return split
+    clusters; large-star/small-star must converge inside the cap and
+    label every node with the path's minimum."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        _CC_MAX_ROUNDS,
+        connected_components,
+    )
+
+    n = 61  # edges (i, i+1): diameter 60 > the round cap
+    assert n - 1 > _CC_MAX_ROUNDS
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(1000, 1001)],
+        "doc_a long, doc_b long",
+    )
+    expected = {(i, 0) for i in range(n)} | {(1000, 1000), (1001, 1000)}
+    # distributed star loop (threshold 0 forces the big-graph path)
+    got = {
+        (r.doc_id, r.lab)
+        for r in connected_components(pairs, driver_cc_max_edges=0).collect()
+    }
+    assert got == expected
+    # driver union-find fast path (default threshold) — same labels
+    got_uf = {(r.doc_id, r.lab) for r in connected_components(pairs).collect()}
+    assert got_uf == expected
