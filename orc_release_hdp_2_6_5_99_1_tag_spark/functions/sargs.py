@@ -64,6 +64,12 @@ class SearchArgumentBuilder:
     def __init__(self) -> None:
         self._root = _Node("and", None)
         self._cur = self._root
+        # columns named by point-lookup-ish leaves (equals /
+        # nullSafeEquals / in_ / between) — the bloom-filter write
+        # hint, mirroring the reference's pairing of
+        # `orc.bloom.filter.columns` at write time with sarg evaluation
+        # at read time (TestVectorOrcFile.java:2262-2269)
+        self._bloom_cols: list[str] = []
 
     # -- group structure ------------------------------------------------
     def start_and(self) -> "SearchArgumentBuilder":
@@ -90,9 +96,11 @@ class SearchArgumentBuilder:
 
     # -- leaves (reference PredicateLeaf operators) ---------------------
     def equals(self, column: str, value, type=None) -> "SearchArgumentBuilder":
+        self._bloom_cols.append(column)
         return self._leaf(F.col(column) == self._lit(value, type))
 
     def null_safe_equals(self, column: str, value, type=None) -> "SearchArgumentBuilder":
+        self._bloom_cols.append(column)
         return self._leaf(F.col(column).eqNullSafe(self._lit(value, type)))
 
     def less_than(self, column: str, value, type=None) -> "SearchArgumentBuilder":
@@ -102,9 +110,13 @@ class SearchArgumentBuilder:
         return self._leaf(F.col(column) <= self._lit(value, type))
 
     def in_(self, column: str, *values, type=None) -> "SearchArgumentBuilder":
-        return self._leaf(F.col(column).isin(*values))
+        # literals go through the same typed-cast path as the other
+        # leaves (the type hint was previously accepted but ignored)
+        self._bloom_cols.append(column)
+        return self._leaf(F.col(column).isin(*[self._lit(v, type) for v in values]))
 
     def between(self, column: str, lower, upper, type=None) -> "SearchArgumentBuilder":
+        self._bloom_cols.append(column)
         return self._leaf(F.col(column).between(self._lit(lower, type), self._lit(upper, type)))
 
     def is_null(self, column: str, type=None) -> "SearchArgumentBuilder":
@@ -136,6 +148,21 @@ class SearchArgumentBuilder:
         if self._cur is not self._root:
             raise ValueError("build() with unclosed start*() group")
         return self._root.compile()
+
+    # -- write-side bloom hints -----------------------------------------
+    def bloom_filter_columns(self) -> str:
+        """Comma-joined columns this sarg point-looks-up (equals /
+        nullSafeEquals / in_ / between leaves) — pass to
+        `write_orc(..., bloom_filter_columns=...)` so the files carry
+        bloom indexes for exactly the predicates that will probe them
+        (ORC consults blooms for point ops; a hint on a range-only
+        column is harmless)."""
+        return ",".join(sorted(set(self._bloom_cols)))
+
+    def write_options(self) -> dict[str, str]:
+        """The same hint as raw ORC writer options."""
+        cols = self.bloom_filter_columns()
+        return {"orc.bloom.filter.columns": cols} if cols else {}
 
 
 def new_builder() -> SearchArgumentBuilder:

@@ -97,6 +97,16 @@ def r4_streaming_acid_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(root, exist_ok=True)
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # the graded sink is only ts-order-comparable to the oracle
+            # in the single-batch availableNow case (see _BATCH_STRIDE
+            # note) — hard-fail rather than silently build a sink whose
+            # latest-wins follows commit order across batches
+            if batch_id > 0:
+                raise RuntimeError(
+                    "r4 graded sink saw more than one micro-batch; "
+                    "multi-batch replay follows commit order, not the "
+                    "ts-ordered oracle — rebuild with a single-file source"
+                )
             events = _as_acid_events(batch_df, batch_id)
             write_orc(
                 _to_physical(

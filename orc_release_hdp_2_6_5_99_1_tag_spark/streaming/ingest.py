@@ -173,7 +173,15 @@ def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
         )
         .collect()[0]
     )
-    now = time.time()
+    # batches are mtime-ordered; anchor on max(source mtimes, now) so a
+    # source file with a FUTURE mtime (clock skew, copied testdata)
+    # cannot sort after the sentinels and leave windows unfinalized
+    src_mtimes = [
+        os.path.getmtime(os.path.join(src_dir, f))
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet") and not f.startswith("zz_sentinel")
+    ]
+    now = max([time.time(), *src_mtimes])
     for i, day in enumerate([horizons["d1"], horizons["d2"]]):
         sent = spark.createDataFrame(
             [(int(-1 - i), str(day) + " 00:00:00", int(-1 - i), _SENTINEL_TYPE, 0.0, "{}")],
@@ -333,7 +341,9 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "stream", "r5_sessions")
     ckpt = os.path.join(base, "stream", "r5_sessions_ckpt")
     done = os.path.join(base, "stream", "r5_sessions._done")
-    fp = source_fingerprint(sf_dir, "events")
+    # ";sink=v2": sink schema gained is_sentinel — a marker from the v1
+    # sink must not validate against the new read-back path
+    fp = source_fingerprint(sf_dir, "events") + ";sink=v2"
     if not marker_valid(done, fp):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -346,6 +356,13 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,3)"))
                 .cast("double")
                 .alias("sum_value"),
+                # carry the reserved event_type through the aggregation
+                # so sink read-back filters on it, not on user_id sign
+                # (a data generation with negative user_ids must not
+                # lose real sessions)
+                F.max((F.col("event_type") == _SENTINEL_TYPE).cast("int")).alias(
+                    "is_sentinel"
+                ),
             )
             .select(
                 "user_id",
@@ -353,6 +370,7 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.end").cast("string").alias("session_end"),
                 "n_events",
                 "sum_value",
+                "is_sentinel",
             )
         )
         q = (
@@ -365,11 +383,10 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
         write_marker(done, fp)
-    # sentinel user_ids are negative; NULL user_ids (none today) kept
-    keep = (F.col("user_id") >= 0) | F.col("user_id").isNull()
     return (
         spark.read.parquet(out)
-        .filter(keep)
+        .filter((F.col("is_sentinel") == 0) | F.col("is_sentinel").isNull())
+        .drop("is_sentinel")
         .orderBy("user_id", "session_start")
     )
 

@@ -65,12 +65,46 @@ def events_ts_parquet_type(path: str):
     return pq.read_schema(_footer_file(path)).field("ts").type
 
 
+def _nanos_as_long_ddl(schema) -> str:
+    """Spark DDL for a pyarrow schema with TIMESTAMP(NANOS) columns
+    mapped to bigint — the explicit-schema twin of the legacy
+    `nanosAsLong` conf, used so readers never have to flip a
+    SESSION-WIDE conf around a read (concurrent queries on the same
+    session could otherwise resolve schemas under the wrong value).
+    Conservative: raises on types it does not know rather than
+    guessing."""
+    import pyarrow as pa
+
+    def ddl(t) -> str:
+        if pa.types.is_timestamp(t):
+            if t.unit == "ns":
+                return "bigint"
+            return "timestamp" if t.tz is not None else "timestamp_ntz"
+        simple = {
+            "int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "bigint", "float": "float", "double": "double",
+            "string": "string", "large_string": "string",
+            "bool": "boolean", "binary": "binary", "large_binary": "binary",
+            "date32[day]": "date",
+        }
+        if str(t) in simple:
+            return simple[str(t)]
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{ddl(t.value_type)}>"
+        raise ValueError(f"unmapped parquet type for explicit-schema read: {t}")
+
+    return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
+
+
 def _load_generic(spark: SparkSession, path: str) -> DataFrame:
     """Generic table load, robust to a nanos-generation drift in ANY
-    timestamp column (Spark's reader rejects TIMESTAMP(NANOS)): read
-    nanos columns as long via the legacy conf and convert to micros.
-    Zero-cost when no column is nanos (the footer check is metadata
-    only, and today none are).
+    timestamp column (Spark's reader rejects TIMESTAMP(NANOS)): nanos
+    columns are read as long through an EXPLICIT schema (no session
+    conf is touched — race-free under concurrent queries) and
+    converted to micros. Zero-cost when no column is nanos (the footer
+    check is metadata only, and today none are).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -84,12 +118,7 @@ def _load_generic(spark: SparkSession, path: str) -> DataFrame:
     ]
     if not ns_cols:
         return spark.read.parquet(path)
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    df = spark.read.schema(_nanos_as_long_ddl(schema)).parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
@@ -100,8 +129,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP (session tz is pinned UTC, `session.py:47`).
 
     - timestamp[ns]: Spark's vectorized reader rejects nanos; read as
-      raw long via the legacy conf and convert (driver values carry no
-      sub-microsecond bits, so this is lossless vs the oracle).
+      raw long via an explicit schema and convert (driver values carry
+      no sub-microsecond bits, so this is lossless vs the oracle).
     - timestamp[us] → Spark TIMESTAMP_NTZ: cast to timestamp (identity
       under UTC session tz, matching DuckDB's naive reading).
     - raw integer epochs: unit resolved from the column's footer-stat
@@ -114,12 +143,10 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     t = events_ts_parquet_type(path)
     if pa.types.is_timestamp(t) and t.unit == "ns":
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-        finally:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(_footer_file(path))
+        df = spark.read.schema(_nanos_as_long_ddl(schema)).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if pa.types.is_integer(t):
         to_micros = _epoch_micros_expr(path)

@@ -178,3 +178,87 @@ def test_random_sarg_trees_match_direct(spark, sargs_fuzz_df, tree):
     got = sorted(r["id"] for r in sargs_fuzz_df.filter(sarg).collect())
     want = sorted(r["id"] for r in sargs_fuzz_df.filter(direct).collect())
     assert got == want
+
+
+def test_bloom_hint_roundtrip_all_leaf_types(spark, tmp_path):
+    """Write-side bloom-hint pass-through + the full F1-F7 leaf matrix
+    with typed literals (int, string, decimal, timestamp, date,
+    double), mirroring the reference's write-with-blooms → sarg-scan
+    round trip (TestVectorOrcFile.java:2262-2269): the builder's
+    write_options() names exactly the point-lookup columns, the ORC
+    files carry those bloom indexes, and every leaf — including
+    decimal/timestamp literals via the type hint — selects the same
+    rows as the direct Catalyst predicate."""
+    import datetime as dt
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    rows = [
+        (
+            i,
+            f"u{i % 7}",
+            float(i) / 4,
+            dt.datetime(2024, 3, 1 + i % 20, 12, 0, i % 60),
+            dt.date(2024, 3, 1 + i % 20),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, amount double, ts timestamp, d date"
+    ).withColumn("dec", F.col("amount").cast("decimal(12,2)"))
+
+    b = (
+        new_builder()
+        .startAnd()
+        .in_("name", "u1", "u3", type="string")
+        .between("dec", "1.00", "30.00", type="decimal(12,2)")
+        .startNot()
+        .lessThan("ts", "2024-03-05 00:00:00", type="timestamp")
+        .end()
+        .startOr()
+        .equals("id", 7)
+        .null_safe_equals("d", "2024-03-11", type="date")
+        .lessThanEquals("amount", 40.0)
+        .end()
+        .end()
+    )
+    assert b.bloom_filter_columns() == "d,dec,id,name"
+    assert b.write_options() == {"orc.bloom.filter.columns": "d,dec,id,name"}
+
+    path = str(tmp_path / "sarg_bloom_orc")
+    write_orc(df, path, bloom_filter_columns=b.bloom_filter_columns())
+    sarg = b.build()
+
+    direct = (
+        F.col("name").isin("u1", "u3")
+        & F.col("dec").between(
+            F.lit("1.00").cast("decimal(12,2)"), F.lit("30.00").cast("decimal(12,2)")
+        )
+        & ~(F.col("ts") < F.lit("2024-03-05 00:00:00").cast("timestamp"))
+        & (
+            (F.col("id") == 7)
+            | F.col("d").eqNullSafe(F.lit("2024-03-11").cast("date"))
+            | (F.col("amount") <= 40.0)
+        )
+    )
+    back = read_orc(spark, path)
+    got = sorted(r["id"] for r in back.filter(sarg).collect())
+    want = sorted(r["id"] for r in df.filter(direct).collect())
+    assert got == want and len(got) > 0
+
+    # the sarg (including the typed decimal/timestamp leaves) reaches
+    # the ORC scan as pushed filters
+    pf = pushed_filters(back.filter(sarg).select("id"))
+    assert "name" in pf and "ts" in pf, f"typed leaves not pushed: {pf!r}"
+
+
+def test_in_type_hint_casts_literals(spark):
+    """in_'s type hint must cast its literals like the other leaves
+    (previously accepted-but-ignored): string literals against an int
+    column select correctly when hinted."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "n int")
+    got = sorted(
+        r["n"]
+        for r in df.filter(new_builder().in_("n", "1", "3", type="int").build()).collect()
+    )
+    assert got == [1, 3]
