@@ -47,13 +47,43 @@ HEADLINE = [
 ]
 
 # timed and reported, but kept OUT of the headline total so the
-# `value` series stays comparable across rounds
+# `value` series stays comparable across rounds (round 4: widened from
+# 5 to 26 so a regression in any engine layer — ACID compaction, the
+# streaming sinks, the x-suite, the extended dedup/ANN family — shows
+# up in the bench series, not just in pytest)
 EXTENDED = [
     "d10_dup_clusters",
     "k1_kmeans_clusters",
     "v4_pq_ann",
     "x13_tfidf_topk",
     "w5_retention_cohorts",
+    # ACID / compaction
+    "t3_compaction",
+    "t5_minor_compaction",
+    # streaming sink-build + read-back (availableNow end-to-end)
+    "r1_streaming_orc_ingest",
+    "r2_streaming_windowed_agg",
+    "r3_stateful_running_totals",
+    "r4_streaming_acid_cdc",
+    "r5_session_windows",
+    "r6_stream_dedup",
+    "r7_stream_stream_join",
+    "r8_streaming_pipeline",
+    # x-suite (text/data-prep operators)
+    "x2_fingerprint",
+    "x3_lang_id",
+    "x4_quality_score",
+    "x5_train_test_split",
+    "x7_pii_redaction",
+    "x8_sequence_pack",
+    "x9_vocab_topk",
+    "x10_source_mix",
+    "x11_doc_chunking",
+    # extended dedup / ANN
+    "d7_decontaminate",
+    "d9_domain_cap",
+    "d11_semdedup",
+    "v3_ivf_ann",
 ]
 
 
@@ -103,10 +133,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # round-3 capstones, timed separately so `value` stays comparable
-    # with the BENCH_r01 series (same warm+min-of-2 protocol)
+    # round-3 capstones + round-4 widening, timed separately so `value`
+    # stays comparable with the BENCH_r01 series (warm+min-of-2 for
+    # batch operators; streaming entries report COLD sink-build time —
+    # staging + availableNow run + read-back — after clearing the
+    # streaming scratch, since a cached read-back is just a parquet
+    # scan and would hide regressions in the streaming layer itself)
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+    streaming_names = {n for n in EXTENDED if n.startswith("r")}
+    shutil.rmtree(os.path.join(scratch_dir(SF_DIR), "stream"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(scratch_dir(SF_DIR), "acid", "users_cdc"), ignore_errors=True
+    )
     extended: dict[str, float] = {}
     for name in EXTENDED:
+        if name in streaming_names:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            extended[name] = round(time.time() - t0, 3)
+            continue
         qs[name](spark, SF_DIR).collect()
         best = None
         for _ in range(2):

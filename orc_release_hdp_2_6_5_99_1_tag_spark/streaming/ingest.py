@@ -81,6 +81,7 @@ def _events_stream(
     with_sentinel: bool = False,
     sub: str | None = None,
     copies: int = 1,
+    splits: int = 1,
 ) -> DataFrame:
     """File-source stream over the events parquet, dtype-dispatched on
     the parquet footer exactly like the batch loader (`tables.py`):
@@ -116,16 +117,22 @@ def _events_stream(
     src_dir = os.path.join(scratch_dir(sf_dir), "stream", sub)
     os.makedirs(src_dir, exist_ok=True)
     path = os.path.join(sf_dir, "events.parquet")
-    for i in range(copies):
-        suffix = "" if copies == 1 else f"_{chr(97 + i)}"
-        link = os.path.join(src_dir, f"events{suffix}.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
+    if splits > 1:
+        # genuinely multi-batch source: the events rows time-sorted and
+        # sliced into `splits` physical files with staggered mtimes
+        # (each slice staged `copies` times for redelivery modeling)
+        _stage_splits(sf_dir, src_dir, splits, copies)
+    else:
+        for i in range(copies):
+            suffix = "" if copies == 1 else f"_{chr(97 + i)}"
+            link = os.path.join(src_dir, f"events{suffix}.parquet")
+            if not os.path.exists(link):
+                os.symlink(path, link)
     t = events_ts_parquet_type(path)
     nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     if with_sentinel:
         _stage_sentinel(spark, sf_dir, src_dir)
-    multi_batch = with_sentinel or copies > 1
+    multi_batch = with_sentinel or copies > 1 or splits > 1
     if nanos:
         reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
         if multi_batch:
@@ -142,6 +149,43 @@ def _events_stream(
     elif isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(_epoch_micros_expr(path)))
     return raw
+
+
+def _stage_splits(sf_dir: str, src_dir: str, splits: int, copies: int = 1) -> None:
+    """Slice the events parquet into `splits` time-ordered files with
+    staggered mtimes so the file source (maxFilesPerTrigger=1) delivers
+    them as genuinely separate micro-batches — the case that breaks
+    naive cross-batch state retention (interval-join state, dedup
+    state) which the single-file staging cannot exercise. The slices
+    preserve the source's physical schema byte-for-byte (pyarrow
+    read → sort by ts → slice → write), so the stream's footer-type
+    dispatch stays valid. With `copies` > 1 each slice is staged that
+    many times in CONSECUTIVE batches, modeling redelivery that
+    crosses a batch boundary."""
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(src_dir, "_splits_done")
+    fp = source_fingerprint(sf_dir, "events") + f";splits={splits};copies={copies}"
+    if marker_valid(marker, fp):
+        return
+    path = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(path)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    # anchor past any source-file mtime for deterministic batch order
+    base = max(time.time(), os.path.getmtime(path))
+    for i in range(splits):
+        lo, hi = i * n // splits, (i + 1) * n // splits
+        for c in range(copies):
+            dest = os.path.join(src_dir, f"events_part{i}_{chr(97 + c)}.parquet")
+            # version 2.6 keeps ns/us timestamp units unchanged
+            pq.write_table(t.slice(lo, hi - lo), dest, version="2.6")
+            seq = i * copies + c
+            os.utime(dest, (base + seq, base + seq))
+    write_marker(marker, fp)
 
 
 def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
@@ -474,7 +518,7 @@ FROM events
 """
 
 
-def r7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r7_stream_stream_join(spark: SparkSession, sf_dir: str, splits: int = 1) -> DataFrame:
     """Stream-stream interval join: every click joined to the same
     user's purchases in the preceding 30 minutes — two independently
     watermarked streams, equality key + event-time range condition.
@@ -487,15 +531,17 @@ def r7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum over the sink equals the batch SQL join.
     """
     base = scratch_dir(sf_dir)
-    out = os.path.join(base, "stream", "r7_pairs")
-    ckpt = os.path.join(base, "stream", "r7_pairs_ckpt")
-    done = os.path.join(base, "stream", "r7_pairs._done")
-    fp = source_fingerprint(sf_dir, "events")
+    tag = "r7_pairs" if splits == 1 else f"r7_pairs_s{splits}"
+    sub = None if splits == 1 else f"events_src_s{splits}"
+    out = os.path.join(base, "stream", tag)
+    ckpt = os.path.join(base, "stream", f"{tag}_ckpt")
+    done = os.path.join(base, "stream", f"{tag}._done")
+    fp = source_fingerprint(sf_dir, "events") + f";splits={splits}"
     if not marker_valid(done, fp):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         clicks = (
-            _events_stream(spark, sf_dir)
+            _events_stream(spark, sf_dir, sub=sub, splits=splits)
             .filter(F.col("event_type") == "click")
             .select(
                 F.col("event_id").alias("click_id"),
@@ -505,7 +551,7 @@ def r7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("c_ts", "1 hour")
         )
         purchases = (
-            _events_stream(spark, sf_dir)
+            _events_stream(spark, sf_dir, sub=sub, splits=splits)
             .filter(F.col("event_type") == "purchase")
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -553,7 +599,7 @@ FROM events c JOIN events p
 """
 
 
-def r8_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r8_streaming_pipeline(spark: SparkSession, sf_dir: str, splits: int = 1) -> DataFrame:
     """Streaming corpus-prep capstone (the streaming twin of pipe1):
     at-least-once delivery (every file staged TWICE) → event-time
     watermark → exactly-once via dropDuplicatesWithinWatermark →
@@ -569,16 +615,18 @@ def r8_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reserved type and close the final windows.
     """
     base = scratch_dir(sf_dir)
-    out = os.path.join(base, "stream", "r8_pipeline")
-    ckpt = os.path.join(base, "stream", "r8_pipeline_ckpt")
-    done = os.path.join(base, "stream", "r8_pipeline._done")
-    fp = source_fingerprint(sf_dir, "events")
+    tag = "r8_pipeline" if splits == 1 else f"r8_pipeline_s{splits}"
+    sub = "events_src_pipe" if splits == 1 else f"events_src_pipe_s{splits}"
+    out = os.path.join(base, "stream", tag)
+    ckpt = os.path.join(base, "stream", f"{tag}_ckpt")
+    done = os.path.join(base, "stream", f"{tag}._done")
+    fp = source_fingerprint(sf_dir, "events") + f";splits={splits}"
     if not marker_valid(done, fp):
-        shutil.rmtree(os.path.join(base, "stream", "events_src_pipe"), ignore_errors=True)
+        shutil.rmtree(os.path.join(base, "stream", sub), ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         stream = _events_stream(
-            spark, sf_dir, with_sentinel=True, sub="events_src_pipe", copies=2
+            spark, sf_dir, with_sentinel=True, sub=sub, copies=2, splits=splits
         )
         quality = (F.col("event_type") != "error") & (F.col("value") >= 1.0)
         agg = (

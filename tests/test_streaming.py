@@ -217,3 +217,42 @@ def test_cdc_txn_encoding_extreme_timestamps(spark):
         later.agg(F.min("currentTransaction")).collect()[0][0]
         > events.agg(F.max("currentTransaction")).collect()[0][0]
     )
+
+
+def test_r7_interval_join_across_batch_boundaries(spark, sf_dir):
+    """r7 against a genuinely multi-batch source: events time-sorted
+    and split into 3 staggered files (maxFilesPerTrigger=1 ⇒ 3+
+    micro-batches), so clicks in a later batch must join purchases
+    retained in state from earlier batches — the case that breaks
+    naive state retention. The sink checksum must still equal the
+    batch oracle."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+        R7_ORACLE,
+        r7_stream_stream_join,
+    )
+    from tests.oracle_utils import compare_query, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare_query(r7_stream_stream_join(spark, sf_dir, splits=3), con, R7_ORACLE)
+    finally:
+        con.close()
+
+
+def test_r8_pipeline_multi_batch_redelivery(spark, sf_dir):
+    """r8 against 3 time-ordered splits EACH delivered twice in
+    consecutive batches (6 data batches + 2 sentinel batches): dedup
+    state must absorb redelivery across batch boundaries and the
+    watermark must finalize every window — result still equals the
+    exactly-once batch oracle."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+        R8_ORACLE,
+        r8_streaming_pipeline,
+    )
+    from tests.oracle_utils import compare_query, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare_query(r8_streaming_pipeline(spark, sf_dir, splits=3), con, R8_ORACLE)
+    finally:
+        con.close()
