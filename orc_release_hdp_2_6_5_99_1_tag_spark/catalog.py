@@ -201,6 +201,16 @@ def _build() -> None:
     register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL, graded=False)
     register("q15_top_supplier", sq.q15_top_supplier, sq.Q15_SQL, graded=False)
     register("q17_small_qty_revenue", sq.q17_small_qty_revenue, sq.Q17_SQL, graded=False)
+    # round-4 additions: the remaining TPC-H shapes — the full 22-query
+    # suite is now covered (q1..q22 across relational/extended/sql_api)
+    register("q8_market_share", sq.q8_market_share, sq.Q8_SQL, graded=False)
+    register("q9_product_profit", sq.q9_product_profit, sq.Q9_SQL, graded=False)
+    register("q11_important_stock", sq.q11_important_stock, sq.Q11_SQL, graded=False)
+    register("q12_priority_split", sq.q12_priority_split, sq.Q12_SQL, graded=False)
+    register("q13_order_distribution", sq.q13_order_distribution, sq.Q13_SQL, graded=False)
+    register("q19_disjunctive_revenue", sq.q19_disjunctive_revenue, sq.Q19_SQL, graded=False)
+    register("q20_part_promotion", sq.q20_part_promotion, sq.Q20_SQL, graded=False)
+    register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

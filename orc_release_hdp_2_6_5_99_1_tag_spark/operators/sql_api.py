@@ -221,3 +221,220 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated per part."""
     _register(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the remaining TPC-H shapes (q8, q9, q11, q12, q13, q19,
+# q20, q21), adapted to the reduced testdata schema (no partsupp /
+# shipmode / commitdate columns — the join/subquery STRUCTURE is the
+# point; lineitem stands in for partsupp where needed). One SQL string
+# per query runs verbatim on Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+            / SUM(volume) AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-table snowflake join + conditional-aggregate
+    market share per year. The deepest join tree in the suite —
+    Catalyst's join reordering and broadcast selection carry it."""
+    _register(
+        spark, sf_dir,
+        ["part", "lineitem", "orders", "customer", "nation", "region", "supplier"],
+    )
+    return spark.sql(Q8_SQL)
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,4))
+           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
+             * CAST(0.10 AS DECIMAL(4,2)) AS amount
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%e%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation × year over a part-name LIKE
+    filter (supply cost replaced by a retail-price fraction — the
+    reduced schema has no partsupp)."""
+    _register(spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"])
+    return spark.sql(Q9_SQL)
+
+
+Q11_SQL = """
+SELECT l.l_partkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_partkey
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) > (
+  SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(18,2)))
+         * CAST(0.001 AS DECIMAL(6,4))
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+  WHERE n2.n_name = 'NATION_7'
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against an uncorrelated scalar subquery
+    (global-fraction threshold) — lineitem stands in for partsupp."""
+    _register(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(Q11_SQL)
+
+
+Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1999-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts split by priority
+    class over a shipdate range (returnflag stands in for shipmode)."""
+    _register(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(Q12_SQL)
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER JOIN with an ON-clause filter (kept
+    customers with zero orders count as c_count 0), double grouping."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(Q13_SQL)
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate — the disjunction
+    must still evaluate as a single hash join with a residual filter,
+    not a cross product."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(Q19_SQL)
+
+
+Q20_SQL = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l.l_shipdate >= DATE '1997-01-01'
+    GROUP BY l.l_suppkey
+    HAVING SUM(l.l_quantity) > 500
+  )
+ORDER BY s.s_name
+"""
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries (semi-join into semi-join)
+    with a grouped HAVING threshold inside."""
+    _register(spark, sf_dir, ["supplier", "nation", "lineitem", "part"])
+    return spark.sql(Q20_SQL)
+
+
+Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_5'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the
+    outer lineitem — the hardest decorrelation in the suite
+    (returnflag 'R' stands in for receipt-after-commit lateness)."""
+    _register(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(Q21_SQL)
