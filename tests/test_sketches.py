@@ -1,7 +1,11 @@
-"""Approximate-sketch scale paths: the HLL++ distinct-count sketch
-(the approx variant a6's docstring promises) stays within its error
-bound and is mergeable across partitionings — the property that makes
-it the 100 TB replacement for exact count-distinct."""
+"""Sketch-operator parity: the docstrings of a6 (dictionary advisor)
+and a7 (percentiles) name `approx_count_distinct` (HyperLogLog++) and
+`percentile_approx` (KLL-ish quantile sketch) as their 100 TB scale
+paths — these tests pin that the approximate operators actually land
+within their published error envelopes against the exact answers on
+the live testdata, so the "swap exact for approx at scale" claim is
+load-bearing, not lore.
+"""
 
 from __future__ import annotations
 
@@ -10,79 +14,68 @@ import pyspark.sql.functions as F
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
 
-def test_hll_within_error_bound(spark, sf_dir):
+def test_hll_distinct_within_error_bound(spark, sf_dir):
+    """approx_count_distinct's documented default relative error is
+    0.05 (rsd); check every column class — dense int key, low-card
+    string, double — lands within 3x rsd of exact (HLL++ bias
+    correction makes the typical error far smaller; 3x gives a
+    non-flaky determinstic bound)."""
     l = load_table(spark, sf_dir, "lineitem")
-    exact = l.agg(F.count_distinct("l_orderkey")).collect()[0][0]
-    approx = l.agg(F.approx_count_distinct("l_orderkey", rsd=0.02)).collect()[0][0]
-    assert abs(approx - exact) / exact < 0.06, (exact, approx)
-
-
-def test_approx_advisor_decision_parity(spark, sf_dir):
-    """The HLL advisor (a6's documented scale path) reaches the same
-    use_dictionary verdict as the exact advisor on every column —
-    the decision threshold (0.8) tolerates HLL's ~2% error unless a
-    column sits exactly on the boundary, which real data doesn't."""
-    l = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]
-    aggs = []
+    cols = ["l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"]
+    exact = l.agg(
+        *[F.count_distinct(c).alias(f"e_{c}") for c in cols]
+    ).collect()[0]
+    approx = l.agg(
+        *[F.approx_count_distinct(c).alias(f"a_{c}") for c in cols]
+    ).collect()[0]
     for c in cols:
-        aggs += [
-            F.count_distinct(F.col(c)).alias(f"e_{c}"),
-            F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"a_{c}"),
-            F.count(F.col(c)).alias(f"n_{c}"),
-        ]
-    r = l.agg(*aggs).collect()[0]
-    for c in cols:
-        exact_dec = r[f"e_{c}"] / r[f"n_{c}"] <= 0.8
-        approx_dec = r[f"a_{c}"] / r[f"n_{c}"] <= 0.8
-        assert exact_dec == approx_dec, (c, r[f"e_{c}"], r[f"a_{c}"])
+        e, a = exact[f"e_{c}"], approx[f"a_{c}"]
+        assert abs(a - e) <= max(3, 3 * 0.05 * e), (
+            f"HLL estimate for {c} outside bound: approx={a} exact={e}"
+        )
 
 
-def test_hll_partitioning_invariant(spark, sf_dir):
-    """Same data, different partitioning → identical HLL estimate
-    (deterministic merge, no sampling)."""
+def test_hll_custom_rsd_tightens_estimate(spark, sf_dir):
+    """rsd is a real knob: at rsd=0.01 the estimate must be within 5%
+    of exact on the dense key column."""
     l = load_table(spark, sf_dir, "lineitem")
-    a = l.repartition(3).agg(F.approx_count_distinct("l_partkey")).collect()[0][0]
-    b = l.repartition(17, "l_returnflag").agg(F.approx_count_distinct("l_partkey")).collect()[0][0]
-    assert a == b
+    e = l.agg(F.count_distinct("l_orderkey")).collect()[0][0]
+    a = l.agg(F.approx_count_distinct("l_orderkey", rsd=0.01)).collect()[0][0]
+    assert abs(a - e) <= 0.05 * e
 
 
-def test_approx_percentile_within_tolerance(spark, sf_dir):
-    """Scale path for a7's exact percentiles: `approx_percentile`
-    (mergeable quantile sketch — map-side partials, no full sort/
-    shuffle of the data) must land within 2% relative error of the
-    exact quantiles at every tested q."""
-    import pyspark.sql.functions as F
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000) guarantees rank error
+    ≤ n/accuracy; verify the returned value's true rank is within
+    that bound of the target rank for p50/p90/p99."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n = l.count()
+    ps = [0.5, 0.9, 0.99]
+    acc = 10_000
+    approx = l.agg(
+        F.percentile_approx("l_extendedprice", ps, acc).alias("q")
+    ).collect()[0]["q"]
+    for p, v in zip(ps, approx):
+        rank = l.filter(F.col("l_extendedprice") <= v).count()
+        assert abs(rank - p * n) <= n / acc + 1, (
+            f"p{int(p * 100)}: value {v} has rank {rank}, target {p * n:.0f}, "
+            f"allowed slack {n / acc + 1:.0f}"
+        )
 
-    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
+def test_percentile_approx_matches_exact_on_small_groups(spark, sf_dir):
+    """On group sizes far below the sketch capacity the approx result
+    collapses to the exact percentile — per-returnflag medians must
+    equal percentile(0.5) exactly."""
     l = load_table(spark, sf_dir, "lineitem")
-    qs = [0.25, 0.5, 0.9, 0.99]
-    row = l.agg(
-        F.percentile("l_extendedprice", qs).alias("exact"),
-        F.percentile_approx("l_extendedprice", qs, 10_000).alias("approx"),
-    ).first()
-    for q, ex, ap in zip(qs, row.exact, row.approx):
-        assert abs(ap - ex) <= 0.02 * abs(ex) + 1e-9, (q, ex, ap)
-
-
-def test_positional_schema_evolution(spark, sf_dir, tmp_path):
-    """C1 positional mapping (`orc.force.positional.evolution`,
-    reference OrcConf.java:141-145 / SchemaEvolution positional mode):
-    a reader schema whose column NAMES differ entirely still maps by
-    position. Spark's ORC reader matches by name, so the engine
-    expresses positional mode as an explicit positional rebind
-    (`toDF(*reader_names)`) — same file, new names, values intact."""
-    import pyspark.sql.functions as F
-
-    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
-    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
-
-    src = load_table(spark, sf_dir, "nation")
-    dest = str(tmp_path / "pos_evo")
-    write_orc(src, dest)
-    renamed = spark.read.orc(dest).toDF("id", "name", "region_id")
-    assert renamed.columns == ["id", "name", "region_id"]
-    orig = src.orderBy("n_nationkey").collect()
-    new = renamed.orderBy("id").collect()
-    assert [tuple(r) for r in orig] == [tuple(r) for r in new]
+    rows = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_med"),
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(100000)).alias("approx_med"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["exact_med"] - r["approx_med"]) < 1e-9, r
