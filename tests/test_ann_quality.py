@@ -1,0 +1,136 @@
+"""ANN recall quality: the approximate similarity paths (v2 sign-LSH,
+v3 IVF, v4 PQ) are graded against oracles that REPLAY the same
+approximation — which proves determinism, not usefulness. These tests
+measure the part that makes them worth running: recall against the
+exact brute-force ground truth on the live corpus, with deterministic
+bounds (fixed data, fixed hash family, no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+
+def _ground_truth(spark, sf_dir, n_queries: int, k: int, skip_self: bool = False):
+    """Exact cosine top-k per query via numpy (independent of every
+    Spark path under test)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    truth = {}
+    for q in range(n_queries):
+        sims = xn @ xn[q]
+        cand = np.argsort(-sims, kind="stable")
+        picked = []
+        for j in cand:
+            if skip_self and ids[j] == q:
+                continue
+            picked.append(int(ids[j]))
+            if len(picked) == k:
+                break
+        truth[q] = picked
+    return truth
+
+
+def test_v3_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4 of 16 lists scans ~1/4 of the corpus; on this
+    corpus it must recover at least 2/3 of the exact top-3 neighbors
+    averaged over the 5 queries (deterministic — fixed centroids)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        v3_ivf_ann,
+    )
+
+    truth = _ground_truth(spark, sf_dir, _N_QUERIES, _TOP_K, skip_self=True)
+    got: dict[int, list[int]] = {}
+    for r in v3_ivf_ann(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    hits = sum(len(set(got.get(q, [])) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall >= 2 / 3, f"IVF recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
+def test_v4_pq_recall_vs_exact(spark, sf_dir):
+    """PQ at 4×8 codewords (3-bit codes, 32× compression) is very
+    lossy on this unclustered synthetic corpus — measured recall@5 is
+    0.40; the deterministic floor pins it above 1/3 so a codebook or
+    ADC regression (which collapses recall toward the 5/2000 random
+    baseline ≈ 0.0025) cannot hide. The sharp invariant: every query's
+    own vector (distance ~0 to its own codes) must rank FIRST."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        _PQ_NQ,
+        _PQ_TOPK,
+        v4_pq_ann,
+    )
+
+    rows = v4_pq_ann(spark, sf_dir).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    # L2 ground truth (PQ approximates squared L2, not cosine)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    x = np.array([r["embedding"] for r in e], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    hits = total = 0
+    for q in range(_PQ_NQ):
+        d = ((x - x[q]) ** 2).sum(1)
+        exact = [int(ids[j]) for j in np.argsort(d, kind="stable")[:_PQ_TOPK]]
+        assert got[q][0] == q, f"query {q}'s own vector not ranked first: {got[q]}"
+        hits += len(set(got[q]) & set(exact))
+        total += _PQ_TOPK
+    recall = hits / total
+    assert recall >= 1 / 3, f"PQ recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
+def test_v2_lsh_neighbor_quality(spark, sf_dir):
+    """Sign-LSH returns each query's best same-bucket neighbor (the
+    bucket = the signs of the first 8 dims, so the other 56 dims are
+    unconstrained); the invariant is that within the bucket the
+    returned neighbor is the TRUE cosine argmax — the approximation
+    loses candidates, it never mis-ranks the ones it keeps."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        _sign_bucket,
+        v2_lsh_bucketed_ann,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in e.select("vec_id", _sign_bucket(F.col("embedding")).alias("b")).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    out = v2_lsh_bucketed_ann(spark, sf_dir).collect()
+    assert out, "every query shares its bucket with at least one corpus vector"
+    for r in out:
+        q, nb = r["query_id"], r["vec_id"]
+        assert buckets[q] == buckets[nb] == r["bucket"]
+        true_cos = cos(vecs[q], vecs[nb])
+        # argmax within the bucket
+        best = max(
+            (cos(vecs[q], v) for vid, v in vecs.items()
+             if vid != q and buckets[vid] == buckets[q]),
+        )
+        assert abs(true_cos - best) < 1e-9, (
+            f"v2 did not return the in-bucket argmax for query {q}"
+        )
