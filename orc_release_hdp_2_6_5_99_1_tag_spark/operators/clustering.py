@@ -99,8 +99,18 @@ def _update(assigned: DataFrame, dim: int) -> list[tuple[int, list[float]]]:
 def kmeans_assignments(e: DataFrame, k: int = _K, iters: int = _ITERS) -> DataFrame:
     """Run `iters` Lloyd rounds from the first-k-by-vec_id init and
     return the round-`iters` assignment (the one computed from the
-    round-(iters-1) centroids, matching the oracle's CTE chain)."""
+    round-(iters-1) centroids, matching the oracle's CTE chain).
+
+    The projected input is persisted across rounds — the standard
+    iterative-algorithm pattern (Spark MLlib's KMeans caches its norm-
+    augmented input the same way): every Lloyd round re-reads the
+    corpus, so without the cache each round repays the scan + cast.
+    MEMORY_AND_DISK spills gracefully when the corpus outgrows
+    executor memory at scale."""
+    from pyspark import StorageLevel
+
     e = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     cents = [
         (int(r["vec_id"]), list(r["v"]))
         for r in e.filter(F.col("vec_id") < k).collect()

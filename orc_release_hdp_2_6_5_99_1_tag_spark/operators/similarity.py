@@ -435,9 +435,15 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sq_dist,
     )
 
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # persisted across the training jobs (init collect, assignment,
+    # codebook update, final encode) — the MLlib iterative-input
+    # pattern; MEMORY_AND_DISK spills rather than OOMs at scale
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     def code_expr(books, m):
         """Argmin codeword id for subspace m against literal codebook
