@@ -53,6 +53,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extended as ex
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extras as xt
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import incremental as inc
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import pipeline as pl
@@ -211,6 +212,12 @@ def _build() -> None:
     register("q19_disjunctive_revenue", sq.q19_disjunctive_revenue, sq.Q19_SQL, graded=False)
     register("q20_part_promotion", sq.q20_part_promotion, sq.Q20_SQL, graded=False)
     register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL, graded=False)
+    # round-4 additions (second wave): interval join, SCD2, cube,
+    # incremental materialized-view maintenance
+    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE, graded=False)
+    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE, graded=False)
+    register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
+    register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -153,3 +153,44 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
+
+
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (o_orderstatus, o_orderpriority) with an explicit
+    grouping id — completes the grouping-sets family next to g1's
+    rollup. The grouping id (bit per column, Spark's and DuckDB's
+    GROUPING() semantics agree) disambiguates a genuine NULL group
+    value from the <all> superaggregate rows, which COALESCE alone
+    cannot. One shuffle: Spark expands the 4 grouping sets map-side
+    and partial-aggregates before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("orderpriority"),
+            "gid",
+            "cnt",
+            "sum_price",
+        )
+        .orderBy("gid", "orderstatus", "orderpriority")
+    )
+
+
+G2_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, orderstatus, orderpriority
+"""

@@ -181,3 +181,144 @@ FROM days d JOIN first f USING (user_id)
 WHERE date_diff('day', f.cohort_day, d.day) <= 7
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def w6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join: for every purchase, count and sum
+    the user's clicks inside the following hour [ts, ts+1h], both ends
+    inclusive. Purchases with no clicks in-window keep 0/NULL (left).
+
+    Spark-first formulation: a naive `c.ts BETWEEN p.ts AND p.ts+1h`
+    join degenerates to a per-user cross product (BroadcastNestedLoop
+    at scale). Because the interval length is BOUNDED (1 h), the join
+    is blocked on coarse time buckets instead: each interval covers at
+    most two 1-hour epoch buckets, so it is exploded to those buckets
+    and equi-joined on (user_id, bucket) — one hash shuffle, bounded
+    2x duplication, exact containment re-checked on the microsecond
+    key afterwards. This is the standard bounded-range-join reduction
+    (e.g. Spark's own range-join hints on Databricks): shuffle volume
+    scales with data, never with pair count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bucket_us = 3_600_000_000  # block size == max interval length
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + bucket_us).alias("end_us"),
+    )
+    p_blocked = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("start_us") / bucket_us),
+                    F.floor(F.col("end_us") / bucket_us),
+                )
+            )
+        ),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("c_us"),
+        F.col("value").alias("c_value"),
+        F.floor(us / bucket_us).alias("bucket"),
+    )
+    hits = (
+        p_blocked.join(c, ["user_id", "bucket"])
+        .filter(F.col("c_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("purchase_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("c_value").cast("decimal(18,6)")).cast("double").alias("sum_click_value"),
+        )
+    )
+    return (
+        p.join(hits, "purchase_event_id", "left")
+        .select(
+            "purchase_event_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "sum_click_value",
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+W6_ORACLE = """
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       COUNT(c.value) AS n_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + 3600000000
+GROUP BY 1, 2
+ORDER BY purchase_event_id
+"""
+
+
+def w7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: rebuild a versioned dimension
+    from an event log. Each user's purchase stream is treated as
+    attribute-change records (the attribute is the purchase value
+    bucketed to an integer tier); consecutive duplicates collapse, and
+    each surviving change gets a validity interval
+    [valid_from_us, valid_to_us) closed by the NEXT change
+    (open-ended rows carry NULL and is_current = true).
+
+    Scale: two window passes over ONE hash partitioning on user_id
+    (change detection via lag, then interval close via lead on the
+    collapsed rows) — Catalyst reuses the exchange, so it is a single
+    shuffle end-to-end, no self-join against history. Ties at the same
+    timestamp are ordered by event_id, making the history
+    deterministic under at-least-once replay.
+    """
+    e = load_table(spark, sf_dir, "events")
+    rows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("at_us"),
+        "event_id",
+        F.floor(F.col("value") / 100).cast("int").alias("tier"),
+    )
+    order = Window.partitionBy("user_id").orderBy("at_us", "event_id")
+    changed = (
+        rows.withColumn("prev_tier", F.lag("tier").over(order))
+        .filter(
+            F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier"))
+        )
+        .drop("prev_tier")
+    )
+    return (
+        changed.withColumn("valid_to_us", F.lead("at_us").over(order))
+        .select(
+            "user_id",
+            "tier",
+            F.col("at_us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+W7_ORACLE = """
+WITH rows_ AS (
+  SELECT user_id, epoch_us(ts) AS at_us, event_id,
+         CAST(FLOOR(value / 100) AS INT) AS tier
+  FROM events WHERE event_type = 'purchase'
+), changed AS (
+  SELECT user_id, at_us, event_id, tier
+  FROM (
+    SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY at_us, event_id) AS prev_tier
+    FROM rows_
+  ) t
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+)
+SELECT user_id, tier, at_us AS valid_from_us,
+       LEAD(at_us) OVER (PARTITION BY user_id ORDER BY at_us, event_id) AS valid_to_us,
+       LEAD(at_us) OVER (PARTITION BY user_id ORDER BY at_us, event_id) IS NULL AS is_current
+FROM changed
+ORDER BY user_id, valid_from_us
+"""

@@ -262,3 +262,25 @@ def test_v4_serving_is_single_plan_broadcast_lut(spark, sf_dir):
     assert "Union" not in plan, f"per-query plan union shape is back:\n{plan}"
     assert "BroadcastHashJoin" in plan, f"LUT join is not broadcast:\n{plan}"
     assert "posexplode" not in plan
+
+
+def test_w6_interval_join_is_hash_blocked(spark, sf_dir):
+    """w6 must execute as an equi-join on (user_id, bucket) — a naive
+    range-condition join would pick BroadcastNestedLoopJoin/Cartesian
+    and blow up quadratically per user at scale."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import w6_interval_join
+
+    plan = formatted_plan(w6_interval_join(spark, sf_dir))
+    assert "NestedLoop" not in plan, f"range join fell back to nested loop:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_mv1_delta_filter_pushed_down(spark, sf_dir):
+    """mv1's incremental path must scan only the delta: the ts >= split
+    predicate reaches the parquet scan (never a full-history rescan)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.incremental import (
+        mv1_incremental_agg,
+    )
+
+    plan = formatted_plan(mv1_incremental_agg(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan, plan
