@@ -84,6 +84,11 @@ EXTENDED = [
     "d9_domain_cap",
     "d11_semdedup",
     "v3_ivf_ann",
+    # round-4 second wave: temporal joins, grouping sets, incremental MV
+    "w6_interval_join",
+    "w7_scd2_history",
+    "g2_cube",
+    "mv1_incremental_agg",
 ]
 
 
