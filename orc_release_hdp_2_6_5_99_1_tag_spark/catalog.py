@@ -218,6 +218,7 @@ def _build() -> None:
     register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE, graded=False)
     register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
+    register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -401,3 +401,62 @@ FROM orders
 WHERE o_orderkey % 50 != 0
 ORDER BY o_orderkey
 """
+
+
+def _dir_txn_range(d: str) -> tuple[int, int] | None:
+    """Parse base_N / delta_LO_HI directory names to their txn range
+    (reference AcidUtils directory contract, acid.md:38-56)."""
+    parts = d.split("_")
+    if d.startswith("base_"):
+        return (0, int(parts[1]))
+    if d.startswith("delta_"):
+        return (int(parts[1]), int(parts[2]))
+    return None
+
+
+def snapshot_view(spark: SparkSession, root: str, valid_txns: list[int]) -> DataFrame:
+    """Snapshot (time-travel) read: merge-on-read against an explicit
+    committed-transaction list — the reference's ValidTxnList contract
+    (acid.md:94-101: "Only the first record with a currentTransaction
+    that is in the list of transactions to read is returned"). A list,
+    not a high-water mark, so an open/aborted transaction BELOW the
+    watermark is excluded too.
+
+    Scale: pruning happens at TWO levels — whole delta directories
+    whose txn range intersects nothing in the list are never read
+    (metadata-only, the AcidUtils.getAcidState directory walk), then
+    the per-event `currentTransaction IN valid` filter is pushed into
+    the ORC scan of the surviving dirs before the merge window."""
+    valid = set(valid_txns)
+    parts = []
+    for d in sorted(os.listdir(root)):
+        rng = _dir_txn_range(d)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if not any(lo <= t <= hi for t in valid) and not d.startswith("base_"):
+            continue
+        parts.append(_read_events(spark, os.path.join(root, d)))
+    events = _union_events(parts).filter(F.col("currentTransaction").isin(list(valid)))
+    return _latest_visible_rows(events)
+
+
+def t7_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot at valid={1,2}: the txn-3 deletes are not yet visible
+    (its delta dir is pruned without being read), while the txn-2
+    updates are."""
+    root = acid_table_dir(spark, sf_dir)
+    return snapshot_view(spark, root, [1, 2]).orderBy("id")
+
+
+T7_ORACLE = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2)) AS DOUBLE)
+            ELSE o_totalprice END AS totalprice,
+       CAST(o_orderkey % 4 AS INT) AS bucket,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS currentTransaction
+FROM orders
+ORDER BY o_orderkey
+"""
