@@ -219,6 +219,7 @@ def _build() -> None:
     register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
+    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -10,7 +10,7 @@ scan and shuffle nothing except final aggregates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
@@ -901,4 +901,59 @@ SELECT source,
        COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
 FROM documents
 GROUP BY source ORDER BY source
+"""
+
+
+_N_SHARDS = 8
+
+
+def x15_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard export — the final
+    step of every training-data pipeline: order the corpus by a hash
+    (so correlated documents scatter), cut it into N equal-ish shards,
+    and emit each shard in a stable order that is identical across
+    runs, engines, and cluster layouts.
+
+    Spark-first: shard = md5(doc_id) mod N (one hash partitioning,
+    the write-side `repartition(N, shard)`), position = rank within
+    the shard by the full md5 hex — a WITHIN-shard sort only, never a
+    global orderBy (at 100 TB a total sort is a range-exchange over
+    everything; per-shard sorts are embarrassingly parallel). The
+    query returns per-shard manifests (count, token total, and an
+    order-sensitive checksum sum(doc_id * position) that any reorder
+    or dropped row breaks) rather than the corpus itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        d.select("doc_id", "n_chars", h.alias("h"), shard.alias("shard"))
+        .withColumn("position", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(F.col("doc_id") * F.col("position")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+X15_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_N_SHARDS} AS INT) AS shard
+  FROM documents
+), pos AS (
+  SELECT shard, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS position
+  FROM h
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(doc_id * position) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard ORDER BY shard
 """

@@ -113,6 +113,11 @@ def _events_stream(
     """
     import pyarrow as pa
 
+    if sub is None and (splits > 1 or copies > 1):
+        # the default dirs hold the plain single-file staging; slicing
+        # or duplicating INTO them would silently double every other
+        # caller's stream (each variant must name its own sub dir)
+        raise ValueError("multi-batch staging (splits/copies > 1) requires an explicit sub=")
     sub = sub or ("events_src_wm" if with_sentinel else "events_src")
     src_dir = os.path.join(scratch_dir(sf_dir), "stream", sub)
     os.makedirs(src_dir, exist_ok=True)

@@ -57,3 +57,60 @@ def test_pack_offsets_match_naive_cumsum_under_skew(spark):
     )
     assert two_phase.exceptAll(naive).count() == 0
     assert naive.exceptAll(two_phase).count() == 0
+
+
+def test_interval_join_blocking_matches_naive_range_join(spark):
+    """w6's bucket-blocked equi-join must equal the naive theta-join
+    semantics on a skewed synthetic stream (one user owns ~half the
+    events, intervals straddle bucket boundaries)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import temporal as tp
+
+    n = 200_000
+    bucket_us = 3_600_000_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 50).alias("user_id"),
+        # irregular spacing so intervals cross hour boundaries unpredictably
+        (F.col("id") * 97_003_117 % (72 * bucket_us)).alias("us"),
+        F.when(F.col("id") % 3 == 0, F.lit("purchase")).otherwise(F.lit("click")).alias("event_type"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("us").alias("start_us"),
+        (F.col("us") + bucket_us).alias("end_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"), F.col("value").alias("c_value")
+    )
+    naive = (
+        p.join(
+            c,
+            (p["user_id"] == c["user_id"])
+            & F.col("c_us").between(F.col("start_us"), F.col("end_us")),
+        )
+        .groupBy("purchase_event_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_value").alias("s"))
+    )
+    p_blocked = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("start_us") / bucket_us),
+                    F.floor(F.col("end_us") / bucket_us),
+                )
+            )
+        ),
+    )
+    cb = c.withColumn("bucket", F.floor(F.col("c_us") / bucket_us))
+    blocked = (
+        p_blocked.join(cb, ["user_id", "bucket"])
+        .filter(F.col("c_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("purchase_event_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_value").alias("s"))
+    )
+    a = {r["purchase_event_id"]: (r["n"], r["s"]) for r in blocked.collect()}
+    b = {r["purchase_event_id"]: (r["n"], r["s"]) for r in naive.collect()}
+    assert a == b and len(a) > 1000
