@@ -154,6 +154,15 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
     ] + [F.count(F.lit(1)).alias("n")]
     sig = sh_hashed.groupBy("doc_id").agg(*aggs).cache()
     buckets = _band_buckets(sig)
+    # join-strategy note (measured in scripts/scale_stress.py): these
+    # joins are corpus-sized on both sides. AQE's runtime-size-based
+    # selection is the right call — it broadcasts only actually-small
+    # sides (and at real scale none of these are), falling back to
+    # sort-merge otherwise. Forcing shuffle_hash OOMs at 1M docs (SHJ
+    # build side cannot spill); forcing merge costs ~2x locally where
+    # broadcast is genuinely cheap. The one real requirement is a
+    # driver heap that can hold a threshold-sized (32 MB) broadcast
+    # build — set in session.py (local JVM default 1g was the failure)
     b2 = buckets.toDF("doc_id2", "band_idx2", "band_hash2")
     cand = (
         buckets.join(
@@ -508,6 +517,8 @@ def d4_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    # corpus-sized on both sides (see verified_dup_pairs): never let a
+    # size misestimate pick a broadcast for the shingle self-join
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     inter = (
         a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))

@@ -52,4 +52,11 @@ def get_spark(app_name: str = "orc-hdp-spark-engine") -> SparkSession:
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
+        # local-mode only (cluster deployments size executors/driver
+        # themselves): the JVM defaults to a 1 GiB heap, which a
+        # 32-thread local run exhausts long before machine memory —
+        # broadcast builds were observed to OOM at ~100k-doc corpora
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     return builder.getOrCreate()

@@ -1,0 +1,239 @@
+"""Measured scale-up stress: run the heavy operator shapes at two
+synthetic corpus sizes (default 100k and 1M docs — 10x) and report
+the wall-clock ratio against the ideal of 10. Near-linear ratios are
+the measured evidence that the banded/bucketed/broadcast shapes hold
+as data grows; a super-linear blowup flags a pair-explosion or a
+driver bottleneck long before 100 TB does.
+
+The corpora are generated deterministically with spark.range (seeded
+word-salad text, hash-derived embeddings, skewed user activity) and
+cached as parquet under .scratch/synth_{n} — /root/testdata is never
+touched. Usage:
+
+    python scripts/scale_stress.py [small] [big]   # default 100000 1000000
+
+Writes SCALE_STRESS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from orc_release_hdp_2_6_5_99_1_tag_spark import get_spark
+
+_VOCAB = 5000
+_DIM = 16
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_documents(spark, n: int) -> DataFrame:
+    """~30-token word-salad docs over a 5k vocab; every 20th doc is a
+    near-duplicate of its predecessor (one token changed) so the
+    dedup operators have real work."""
+    path = os.path.join(_REPO, ".scratch", f"synth_docs_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            # near-dups: doc 20k+1 reuses doc 20k's seed
+            F.when(F.col("id") % 20 == 1, F.col("id") - 1).otherwise(F.col("id")).alias("seed"),
+        )
+        words = F.expr(
+            f"transform(sequence(0, 29), i -> concat('w', pmod(hash(seed, i), {_VOCAB})))"
+        )
+        text = F.concat_ws(" ", words)
+        # the near-dup variant flips its last token
+        text = F.when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(F.substring_index(text, " ", 29), F.lit(" wX")),
+        ).otherwise(text)
+        base.select(
+            "doc_id",
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string")).alias("source"),
+            F.length(text).alias("n_chars"),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def synth_embeddings(spark, n: int) -> DataFrame:
+    path = os.path.join(_REPO, ".scratch", f"synth_vecs_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {_DIM - 1}), "
+                f"i -> cast(pmod(hash(id, i), 1000) / 500.0 - 1.0 as float))"
+            ).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def synth_events(spark, n: int) -> DataFrame:
+    """Skewed: user 7 owns ~30% of events."""
+    path = os.path.join(_REPO, ".scratch", f"synth_events_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(F.pmod(F.hash("id"), F.lit(5000))).alias("user_id"),
+            (F.col("id") * 9_700_311 % (720 * 3_600_000_000)).alias("us"),
+            F.when(F.col("id") % 3 == 0, F.lit("purchase")).otherwise(F.lit("click")).alias("event_type"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ---- operator drivers (corpus-parameterized forms of the engine ops)
+
+
+def run_d1_exact_dedup(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import normalized_fp_col
+
+    return (
+        docs.select("doc_id", normalized_fp_col().alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical"))
+        .agg(F.sum("n"), F.count(F.lit(1)), F.sum("canonical"))
+        .collect()
+    )
+
+
+def run_d2_pair_engine(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import verified_dup_pairs
+
+    return verified_dup_pairs(docs).agg(F.count(F.lit(1)), F.sum("doc_a")).collect()
+
+
+def run_k1_kmeans(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import kmeans_assignments
+
+    return (
+        kmeans_assignments(vecs.select("vec_id", "embedding"))
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+
+
+def run_x8_sequence_pack(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import x8_sequence_pack  # noqa: F401
+
+    # two-phase offsets shape, corpus-parameterized
+    d = docs.select(
+        "doc_id", "source", (F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tok")
+    )
+    bucket = F.floor(F.col("doc_id") / 1024)
+    per_bucket = d.groupBy("source", bucket.alias("b")).agg(F.sum("n_tok").alias("bt"))
+    w = Window.partitionBy("source").orderBy("b")
+    offsets = per_bucket.withColumn("off", F.sum("bt").over(w) - F.col("bt"))
+    return offsets.agg(F.count(F.lit(1)), F.sum("off")).collect()
+
+
+def run_w6_interval_join(spark, docs, vecs, ev):
+    bucket_us = 3_600_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("us").alias("start_us"), (F.col("us") + bucket_us).alias("end_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"), F.col("value").alias("c_value"),
+        F.floor(F.col("us") / bucket_us).alias("bucket"),
+    )
+    pb = p.withColumn(
+        "bucket",
+        F.explode(F.array_distinct(F.array(
+            F.floor(F.col("start_us") / bucket_us), F.floor(F.col("end_us") / bucket_us)
+        ))),
+    )
+    hits = (
+        pb.join(c, ["user_id", "bucket"])
+        .filter(F.col("c_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return hits.agg(F.count(F.lit(1)), F.sum("n")).collect()
+
+
+def run_v1_topk(spark, docs, vecs, ev):
+    qn = 16
+    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in vecs.filter(F.col("vec_id") < qn).collect()]
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in qs], "query_id int, qv array<float>"
+    )
+    joined = vecs.crossJoin(F.broadcast(qdf))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    topk = (
+        joined.select("query_id", "vec_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    return topk.agg(F.count(F.lit(1)), F.sum("vec_id")).collect()
+
+
+OPS = {
+    "d1_exact_dedup": run_d1_exact_dedup,
+    "d2_pair_engine": run_d2_pair_engine,
+    "k1_kmeans": run_k1_kmeans,
+    "x8_offsets": run_x8_sequence_pack,
+    "w6_interval_join": run_w6_interval_join,
+    "v1_cosine_topk": run_v1_topk,
+}
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    factor = big / small
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for n in (small, big):
+        docs, vecs, ev = synth_documents(spark, n), synth_embeddings(spark, n), synth_events(spark, n)
+        docs.count(), vecs.count(), ev.count()  # materialize inputs outside timings
+        for name, fn in OPS.items():
+            fn(spark, docs, vecs, ev)  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, docs, vecs, ev)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[n] = best
+            print(f"n={n} {name}: {best:.2f}s", flush=True)
+    lines = [
+        "# SCALE_STRESS — measured scale-up ratios (scripts/scale_stress.py)",
+        "",
+        f"Synthetic corpora at n={small:,} and n={big:,} docs/vectors/events "
+        f"({factor:.0f}x); min-of-2 wall clock on local[32]. `ratio` is "
+        f"t(big)/t(small); the ideal for a linear operator is ≤{factor:.0f} "
+        "(sub-linear when fixed job overhead dominates the small run). "
+        "Skew is built in: one user owns ~30% of events, every 20th doc "
+        "is a near-duplicate.",
+        "",
+        "| operator | t(small) s | t(big) s | ratio | linear? |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        ratio = r[big] / r[small]
+        lines.append(
+            f"| {name} | {r[small]:.2f} | {r[big]:.2f} | {ratio:.1f}x | "
+            f"{'yes' if ratio <= factor * 1.3 else 'NO'} |"
+        )
+    out = os.path.join(_REPO, "SCALE_STRESS.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
