@@ -89,6 +89,10 @@ EXTENDED = [
     "w7_scd2_history",
     "g2_cube",
     "mv1_incremental_agg",
+    # round-4 third wave: data-selection + bloom decontamination + BPE
+    "i1_importance_resampling",
+    "d12_bloom_decontaminate",
+    "x16_bpe_pair_stats",
 ]
 
 

@@ -62,6 +62,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import sql_api as sq
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import stats as st
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import sampling as smp
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import temporal as tp
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
     from orc_release_hdp_2_6_5_99_1_tag_spark.streaming import cdc
@@ -220,6 +221,11 @@ def _build() -> None:
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
+    # round-4 additions (third wave): DSIR importance resampling,
+    # Bloom-prefiltered decontamination, BPE pair statistics
+    register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE, graded=False)
+    register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE, graded=False)
+    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

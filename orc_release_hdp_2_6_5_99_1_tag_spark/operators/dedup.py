@@ -883,3 +883,120 @@ GROUP BY m.cluster ORDER BY cluster
 
 
 D11_ORACLE = _d11_oracle()
+
+
+# ---------------------------------------------------------------------------
+# d12: Bloom-prefiltered decontamination — the beyond-broadcast scale path
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 2^20-bit filter (128 KiB) — ~10 bits/key at sf0.1
+_BLOOM_K = 5           # hash probes per key
+# fixed probe constants (a, b): probe_i(h) = (a*h + b) mod _P mod _BLOOM_BITS
+_BLOOM_PROBES = [(49157, 12345), (24593, 54321), (12289, 11111),
+                 (6151, 22222), (3079, 33333)][:_BLOOM_K]
+
+
+def build_shingle_bloom(hashes) -> "numpy.ndarray":  # noqa: F821
+    """Byte-packed Bloom bit array over 32-bit shingle hashes.
+    Deterministic: fixed size, fixed probe constants — the same filter
+    bits on every build, so results are replayable."""
+    import numpy as np
+
+    h = np.asarray(list(hashes), dtype=np.int64)
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for a, b in _BLOOM_PROBES:
+        idx = ((a * h + b) % _P) % _BLOOM_BITS
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_maybe_udf(spark: SparkSession, bits):
+    """Arrow-batched membership probe against a broadcast Bloom filter.
+    The bit array rides an explicit SparkContext broadcast (one copy
+    per executor, not per task) and the probe is vectorized numpy —
+    ~5 integer ops per value, no Python-object loop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bits)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf cannot introspect; hint-less defaults to
+    # the scalar Series→Series flavor
+    @pandas_udf("boolean")
+    def maybe(h):
+        arr = bc.value
+        hv = h.to_numpy(dtype=np.int64)
+        out = np.ones(len(hv), dtype=bool)
+        for a, b in _BLOOM_PROBES:
+            idx = ((a * hv + b) % _P) % _BLOOM_BITS
+            out &= (arr[idx >> 3] >> (idx & 7)).astype(bool)
+        return pd.Series(out)
+
+    return maybe
+
+
+def d12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast BLOOM prefilter + exact verify —
+    same semantics (and oracle) as d7, different scale envelope.
+
+    d7 broadcasts the eval set's raw shingle strings; that works while
+    the benchmark suite fits in executor memory. This variant is the
+    shape for when it doesn't: the eval shingles are collapsed into a
+    fixed 128 KiB Bloom bit array (32-bit md5-derived hashes, 5 fixed
+    probes — ~40× smaller than the strings), the corpus shingle stream
+    is prefiltered by a vectorized Arrow-batched probe, and only the
+    Bloom-positive survivors (true matches + ~2% false positives at
+    these parameters) reach the exact string semi-join. Bloom filters
+    have no false negatives, so the exact verify restores precise d7
+    semantics: the output is bit-identical to d7's oracle.
+
+    At 100 TB: corpus shingle explode is narrow; the probe drops
+    ~98% of shingles BEFORE any exchange; the exact verify join runs
+    on the tiny positive set. Eval-set build is one scan of the
+    (small) eval slice + one driver collect of distinct hashes.
+    Reference anchor: the same role ORC bloom indexes play for point
+    lookups (`BloomFilterIO`, SURVEY F9/I2) — probabilistic skip,
+    exact recheck.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(ngram_shingle_col(_DECON_NGRAM)).alias("s")
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+
+    eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s", "h").distinct()
+    # driver collect is of the EVAL set only (the small side by
+    # construction); at true scale this becomes treeAggregate of
+    # per-partition bit arrays OR'd together — same fixed-size result
+    bits = build_shingle_bloom(r["h"] for r in eval_sh.select("h").collect())
+    maybe = bloom_maybe_udf(spark, bits)
+
+    candidates = sh.filter(maybe(F.col("h")))
+    contaminated = (
+        candidates.join(F.broadcast(eval_sh.select("s")), "s", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_id"))
+        .distinct()
+    )
+    clean_flag = F.when(F.col("contaminated_id").isNull(), 1).otherwise(0)
+    return (
+        d.join(
+            F.broadcast(contaminated),
+            d["doc_id"] == F.col("contaminated_id"),
+            "left_outer",
+        )
+        .select("source", clean_flag.alias("is_clean"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.lit(1) - F.col("is_clean")).alias("n_contaminated"),
+            F.sum("is_clean").alias("n_clean"),
+            F.sum(F.col("is_clean") * F.col("n_chars")).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# exact-verify restores d7 semantics bit-for-bit — same oracle
+D12_ORACLE = D7_ORACLE

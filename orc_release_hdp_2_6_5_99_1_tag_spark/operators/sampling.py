@@ -1,0 +1,132 @@
+"""Data-selection / importance-sampling operators for training-data
+pipelines (SURVEY §2.13 north-star extensions).
+
+i1 is the DSIR shape (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"): score every candidate document by
+the log-likelihood ratio of a hashed-n-gram bag-of-words model of a
+TARGET (in-domain) corpus vs the RAW candidate pool, then keep the
+top-scoring documents. All model state is a fixed B-bucket table —
+kilobytes, broadcast — so the operator is two narrow corpus scans plus
+one doc-keyed shuffle regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+_DSIR_BUCKETS = 512       # hashed feature buckets (B)
+_DSIR_TARGET = "src0"     # in-domain proxy: documents from this source
+_DSIR_KEEP = 50           # resampled candidate count
+
+
+def _bucket_col(tok):
+    """Deterministic md5-derived feature bucket for a token column —
+    the same 32-bit-hash recipe the dedup family uses, mod B, so the
+    DuckDB oracle replays it bit-for-bit."""
+    h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+    return (h % _DSIR_BUCKETS).alias("b")
+
+
+def importance_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, score) for every NON-target document.
+
+    score = mean over token occurrences of
+            ln p_target(bucket) − ln p_raw(bucket)
+    with add-one smoothing over B buckets — the unigram DSIR
+    importance weight, length-normalized so long documents are not
+    favored.
+
+    Scale shape: ONE scan builds the B-row bucket-count table (single
+    groupBy with conditional sums — map-side partials make the shuffle
+    B-bounded); the log-ratio table stays B rows (kilobytes) and is
+    BROADCAST back onto a second token scan; per-doc aggregation is
+    the only corpus-sized shuffle (keyed by doc_id, no skew: documents
+    are unique keys). No driver collect anywhere — token totals come
+    from a one-row aggregate of the B-row table, broadcast back.
+    """
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).select("doc_id", "source", _bucket_col(F.col("w")))
+    is_t = F.col("source") == _DSIR_TARGET
+    cnt = tok.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    return (
+        tok.filter(~is_t)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lr") / F.count(F.lit(1))).alias("score"),
+        )
+    )
+
+
+def i1_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: keep the 50 candidate documents whose
+    hashed-unigram distribution looks most like the target domain
+    (source 'src0'). Deterministic end-to-end: fixed hash buckets,
+    add-one smoothing, and a (rounded-score, doc_id) keep order both
+    engines reproduce identically."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = importance_scores(d)
+    return (
+        scored.orderBy(F.round(F.col("score"), 6).desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.format_string("%.5f", F.col("score")).alias("score"),
+        )
+    )
+
+
+I1_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM tok
+), cnt AS (
+  SELECT b,
+         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+  FROM tb GROUP BY b
+), lr AS (
+  SELECT b,
+         ln((ct + 1.0) / (CAST(SUM(ct) OVER () AS DOUBLE) + {_DSIR_BUCKETS}))
+       - ln((cr + 1.0) / (CAST(SUM(cr) OVER () AS DOUBLE) + {_DSIR_BUCKETS})) AS lr
+  FROM cnt
+), scored AS (
+  SELECT tb.doc_id,
+         MIN(tb.source) AS source,
+         COUNT(*) AS n_tokens,
+         SUM(lr.lr) / COUNT(*) AS score
+  FROM tb JOIN lr USING (b)
+  WHERE tb.source <> '{_DSIR_TARGET}'
+  GROUP BY tb.doc_id
+)
+SELECT doc_id, source, n_tokens, printf('%.5f', score) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {_DSIR_KEEP}
+"""

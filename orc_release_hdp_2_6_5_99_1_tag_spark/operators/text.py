@@ -957,3 +957,108 @@ SELECT shard, COUNT(*) AS n_docs,
        CAST(SUM(doc_id * position) AS BIGINT) AS order_checksum
 FROM pos GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# x16: BPE pair statistics + distributed merge learning
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def adjacent_pair_counts(toks: DataFrame) -> DataFrame:
+    """(pair, cnt) over a token-array column `t` — the inner loop of
+    BPE vocabulary training: count every ADJACENT symbol pair in the
+    corpus. A narrow transform+explode (one row per adjacency) into a
+    single map-side-combined groupBy; no joins, no windows."""
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat_ws(' ', t[i], t[i+1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def x16_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token-pair counts over the corpus — the
+    distributed primitive of BPE/WordPiece vocabulary training (each
+    merge round = this query + merge the argmax pair). Deterministic
+    order: count desc, then pair asc.
+
+    Scale: tokenization and pair formation are narrow; the single
+    groupBy(pair) shuffle is bounded by distinct adjacent pairs (≪
+    corpus tokens after map-side partial aggregation); top-20 is a
+    TakeOrdered, never a global sort. The full iterative merge loop
+    (`learn_bpe_merges`) reruns this plan once per merge with the
+    merged symbol folded in — corpus scans per round, model state
+    (the merge table) always driver-sized, exactly the k-means
+    topology.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    return (
+        adjacent_pair_counts(toks)
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+X16_ORACLE = f"""
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), p AS (
+  SELECT t[u.i] || ' ' || t[u.i + 1] AS pair
+  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+  WHERE len(t) >= 2
+)
+SELECT pair, COUNT(*) AS cnt FROM p
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+def merge_pair_col(t, pa: str, pb: str):
+    """Fold one learned BPE merge (pa, pb) -> pa+pb into a token-array
+    column: leftmost-first, non-overlapping — the canonical BPE merge
+    pass, as a single JVM `aggregate` over the array (the accumulator
+    either fuses the incoming token with the array's last element or
+    appends it). No Python in the loop."""
+    return F.aggregate(
+        t,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(pa))
+            & (x == F.lit(pb)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(pa + pb))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(toks: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges over a token-array column `t`:
+    each round takes the (count desc, pair asc)-max adjacent pair —
+    ONE distributed job returning ONE row — applies `merge_pair_col`,
+    and repeats. Model state on the driver is just the merge list."""
+    merges: list[tuple[str, str]] = []
+    cur = toks
+    for _ in range(n_merges):
+        top = (
+            adjacent_pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pa, pb = top[0]["pair"].split(" ", 1)
+        merges.append((pa, pb))
+        cur = cur.select(merge_pair_col(F.col("t"), pa, pb).alias("t"))
+    return merges

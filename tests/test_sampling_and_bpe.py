@@ -1,0 +1,146 @@
+"""Round-4 operator wave: DSIR importance resampling (i1), Bloom-
+prefiltered decontamination (d12), and BPE merge learning (x16 +
+`learn_bpe_merges`) — oracle checks plus the algorithmic properties
+the SQL oracles cannot express (bloom prefilter effectiveness, the
+iterative merge loop vs a pure-Python BPE reference).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators import sampling as sp
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
+
+from tests.oracle_utils import compare_query, duckdb_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_con(sf_dir)
+    yield c
+    c.close()
+
+
+def test_i1_importance_resampling_oracle(spark, sf_dir, con):
+    compare_query(sp.i1_importance_resampling(spark, sf_dir), con, sp.I1_ORACLE)
+
+
+def test_i1_scores_favor_target_like_docs(spark, sf_dir):
+    """Sanity on the scoring direction: a candidate doc made of tokens
+    that ONLY occur in the target domain must outscore one made of
+    tokens that never occur there."""
+    rows = (
+        [(i, "only target tokens qqq www eee", "src0", 30) for i in range(20)]
+        + [(100, "qqq www eee qqq www eee", "srcX", 22)]
+        + [(101, "zzz yyy xxx zzz yyy xxx", "srcX", 22)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string, n_chars bigint")
+    scored = {r["doc_id"]: float(r["score"]) for r in sp.importance_scores(d).collect()}
+    assert scored[100] > scored[101]
+
+
+def test_d12_bloom_matches_d7_exactly(spark, sf_dir, con):
+    """The Bloom prefilter + exact verify must restore d7 semantics
+    bit-for-bit (no false negatives, false positives killed by the
+    string semi-join)."""
+    compare_query(dd.d12_bloom_decontaminate(spark, sf_dir), con, dd.D7_ORACLE)
+
+
+def test_bloom_prefilter_is_effective_and_lossless(spark, sf_dir):
+    """The operator's scale claim, measured: the bloom probe passes
+    every true eval shingle (no false negatives — losslessness) while
+    rejecting the large majority of non-eval corpus shingles (the
+    prefilter actually prunes)."""
+    d = dd.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(dd.ngram_shingle_col(dd._DECON_NGRAM)).alias("s")
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+    eval_h = [
+        r["h"]
+        for r in sh.filter(F.col("doc_id") % dd._EVAL_MOD == 0)
+        .select("h").distinct().collect()
+    ]
+    bits = dd.build_shingle_bloom(eval_h)
+    maybe = dd.bloom_maybe_udf(spark, bits)
+    probed = sh.withColumn("maybe", maybe(F.col("h"))).cache()
+    try:
+        # losslessness: every eval-hash shingle tests positive
+        missed = probed.filter(
+            (F.col("doc_id") % dd._EVAL_MOD == 0) & ~F.col("maybe")
+        ).count()
+        assert missed == 0
+        # effectiveness: most corpus shingles are rejected pre-join
+        total = probed.count()
+        positive = probed.filter("maybe").count()
+        assert positive < total * 0.5, (positive, total)
+    finally:
+        probed.unpersist()
+
+
+def _py_bpe(docs: list[list[str]], n_merges: int) -> list[tuple[str, str]]:
+    """Reference BPE: per round, count adjacent pairs (leftmost-first
+    non-overlapping merge application), take max by (count, -pair)."""
+    merges = []
+    cur = [list(t) for t in docs]
+    for _ in range(n_merges):
+        counts = Counter()
+        for t in cur:
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        nxt = []
+        for t in cur:
+            out: list[str] = []
+            for x in t:
+                if out and out[-1] == pair[0] and x == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                else:
+                    out.append(x)
+            nxt.append(out)
+        cur = nxt
+    return merges
+
+
+def test_learn_bpe_merges_matches_python_reference(spark):
+    docs = [
+        "l o w e r".split(),
+        "l o w e s t".split(),
+        "n e w e r n e w e r".split(),
+        "w i d e r".split(),
+        "a a a a a".split(),  # overlap: leftmost-first gives (aa)(aa)a
+        "l o w l o w l o w".split(),
+    ] * 3
+    sdf = spark.createDataFrame([(t,) for t in docs], "t array<string>")
+    got = tx.learn_bpe_merges(sdf, 6)
+    want = _py_bpe(docs, 6)
+    assert got == want, (got, want)
+
+
+def test_merge_pair_col_leftmost_nonoverlapping(spark):
+    cases = [
+        (["a", "a", "a", "a"], ["aa", "aa"]),
+        (["a", "a", "a"], ["aa", "a"]),
+        (["x", "a", "a", "y", "a", "a"], ["x", "aa", "y", "aa"]),
+        (["a"], ["a"]),
+        ([], []),
+        (["b", "a"], ["b", "a"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t array<string>")
+    got = [
+        r["m"]
+        for r in df.select(tx.merge_pair_col(F.col("t"), "a", "a").alias("m")).collect()
+    ]
+    assert got == [w for _, w in cases]
+
+
+def test_x16_pair_stats_oracle(spark, sf_dir, con):
+    compare_query(tx.x16_bpe_pair_stats(spark, sf_dir), con, tx.X16_ORACLE)
