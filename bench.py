@@ -93,6 +93,9 @@ EXTENDED = [
     "i1_importance_resampling",
     "d12_bloom_decontaminate",
     "x16_bpe_pair_stats",
+    "i2_perplexity_filter",
+    "r9_stream_static_enrichment",
+    "s14_csv_to_orc_convert",
 ]
 
 

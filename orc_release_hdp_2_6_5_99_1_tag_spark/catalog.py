@@ -226,6 +226,11 @@ def _build() -> None:
     register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE, graded=False)
     register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE, graded=False)
     register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE, graded=False)
+    register("i2_perplexity_filter", smp.i2_perplexity_filter, smp.I2_ORACLE, graded=False)
+    register(
+        "r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE, graded=False
+    )
+    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -354,3 +354,78 @@ SELECT * FROM (
          MIN(l_returnflag), MAX(l_returnflag), NULL FROM lineitem
 ) t ORDER BY column_name
 """
+
+
+def s14_csv_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (engine extension beyond the reference's JSON-only
+    ConvertTool): CSV → ORC conversion — dump lineitem to
+    quoted/escaped CSV with headers, read it back with an EXPLICIT
+    schema (no inference scan: at 100 TB a schema-inference pass over
+    CSV is a full extra read) plus strict mode (FAILFAST — a malformed
+    row should fail the convert, not silently null out), write ORC
+    with reference defaults, read back, aggregate.
+
+    A synthesized note column embeds commas, double quotes, and
+    newlines-free text so the round-trip exercises CSV quote-escaping;
+    dates and decimals ride through the text representation bit-true,
+    verified by the DuckDB oracle against the original parquet."""
+    base = scratch_dir(sf_dir)
+    csv_dir = os.path.join(base, "csv", "lineitem")
+    orc_dir = os.path.join(base, "orc", "lineitem_from_csv")
+    fp = source_fingerprint(sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(15,2)")
+    note = F.concat(
+        F.lit('flag="'), F.col("l_returnflag"), F.lit('", status='),
+        F.col("l_linestatus"), F.lit(", qty,"), qty.cast("string"),
+    )
+    if not marker_valid(orc_dir + "._fp", fp):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", qty.alias("l_quantity"),
+            F.col("l_extendedprice").cast("decimal(15,2)").alias("l_extendedprice"),
+            F.col("l_discount").cast("decimal(15,2)").alias("l_discount"),
+            "l_returnflag",
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+            note.alias("note"),
+        )
+        (
+            li.write.mode("overwrite")
+            .option("header", "true")
+            .csv(csv_dir)
+        )
+        c = (
+            spark.read.schema(
+                "l_orderkey bigint, l_linenumber int,"
+                " l_quantity decimal(15,2), l_extendedprice decimal(15,2),"
+                " l_discount decimal(15,2), l_returnflag string,"
+                " l_shipdate date, note string"
+            )
+            .option("header", "true")
+            .option("mode", "FAILFAST")
+            .csv(csv_dir)
+        )
+        write_orc(c, orc_dir)
+        write_marker(orc_dir + "._fp", fp)
+    df = read_orc(spark, orc_dir)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_price"),
+            F.max(F.col("l_shipdate").cast("string")).alias("max_shipdate"),
+            F.sum(F.length("note")).alias("note_chars"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+S14_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+       CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_shipdate,
+       CAST(SUM(length(concat('flag="', l_returnflag, '", status=', l_linestatus,
+                              ', qty,', CAST(CAST(l_quantity AS DECIMAL(15,2)) AS VARCHAR))))
+            AS BIGINT) AS note_chars
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -130,3 +130,96 @@ FROM scored
 ORDER BY round(score, 6) DESC, doc_id
 LIMIT {_DSIR_KEEP}
 """
+
+
+# ---------------------------------------------------------------------------
+# i2: CCNet-style perplexity-band filter
+# ---------------------------------------------------------------------------
+
+_PPL_HEAD = 29.0   # fixed band thresholds (CCNet uses per-language
+_PPL_MIDDLE = 30.0 # constants tuned offline, exactly this shape)
+
+
+def i2_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality banding: score every document by the
+    perplexity of a hashed-unigram language model trained on the corpus
+    itself, then band into head / middle / tail with FIXED thresholds
+    (CCNet's production recipe — thresholds are per-language constants
+    tuned offline, NOT data-dependent quantiles, which keeps the
+    operator a pure map: no global sort, no ntile window over the whole
+    corpus).
+
+    ppl(doc) = exp(−mean token ln p(bucket)), add-one smoothing over
+    the B-bucket hashed vocabulary. Scale shape identical to i1: B-row
+    LM table from one conditional groupBy, broadcast back onto a second
+    token scan, one doc-keyed shuffle; banding and the final per
+    (source, band) rollup are map-side-combinable aggregations.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).select("doc_id", "source", "n_chars", _bucket_col(F.col("w")))
+    cnt = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "b", F.log((F.col("c") + 1.0) / (F.col("n") + _DSIR_BUCKETS)).alias("lp")
+    )
+    doc = (
+        tok.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+            F.exp(-F.sum("lp") / F.count(F.lit(1))).alias("ppl"),
+        )
+    )
+    band = (
+        F.when(F.round(F.col("ppl"), 6) < _PPL_HEAD, "head")
+        .when(F.round(F.col("ppl"), 6) < _PPL_MIDDLE, "middle")
+        .otherwise("tail")
+    )
+    return (
+        doc.select("source", band.alias("band"), "n_chars", "doc_id")
+        .groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+I2_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, n_chars,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM tok
+), cnt AS (
+  SELECT b, COUNT(*) AS c FROM tb GROUP BY b
+), lm AS (
+  SELECT b, ln((c + 1.0) / (CAST(SUM(c) OVER () AS DOUBLE) + {_DSIR_BUCKETS})) AS lp
+  FROM cnt
+), doc AS (
+  SELECT tb.doc_id, MIN(tb.source) AS source, MIN(tb.n_chars) AS n_chars,
+         exp(-SUM(lm.lp) / COUNT(*)) AS ppl
+  FROM tb JOIN lm USING (b) GROUP BY tb.doc_id
+), banded AS (
+  SELECT source, n_chars, doc_id,
+         CASE WHEN round(ppl, 6) < {_PPL_HEAD} THEN 'head'
+              WHEN round(ppl, 6) < {_PPL_MIDDLE} THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM doc
+)
+SELECT source, band, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM banded GROUP BY source, band ORDER BY source, band
+"""

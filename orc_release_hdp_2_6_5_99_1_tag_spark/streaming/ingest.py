@@ -681,3 +681,89 @@ WHERE event_type != 'error' AND value >= 1.0
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+
+def r9_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream joined to
+    a STATIC dimension (customer → nation, pre-joined and broadcast)
+    — the third streaming-join shape next to r7's stream-stream
+    interval join and r4's CDC: stateless, so no watermark and no join
+    state at all; every micro-batch is a broadcast hash probe.
+
+    Scale: the dimension build is batch-side (one small join, then a
+    broadcast of customer-key → nation/segment); stream rows never
+    shuffle — the enrichment is map-side in every micro-batch, and the
+    sink append is partition-parallel. A LEFT join keeps stream rows
+    whose key misses the dimension (surfaced as 'UNKNOWN' rather than
+    silently dropped). This is the production shape for enriching an
+    event firehose against slowly-changing reference data at 100 TB/day
+    — the dimension refreshes per micro-batch read, state stays zero.
+    """
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r9_enriched")
+    ckpt = os.path.join(base, "stream", "r9_enriched_ckpt")
+    done = os.path.join(base, "stream", "r9_enriched._done")
+    fp = (
+        source_fingerprint(sf_dir, "events")
+        + ";"
+        + source_fingerprint(sf_dir, "customer")
+    )
+    if not marker_valid(done, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        dim = cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        ).select("c_custkey", "n_name", "c_mktsegment")
+        stream = _events_stream(spark, sf_dir)
+        enriched = stream.join(
+            F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left"
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("n_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        write_marker(done, fp)
+    df = spark.read.parquet(out)
+    return (
+        df.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("nd_users"),
+            F.sum("event_id").alias("event_checksum"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+R9_ORACLE = """
+SELECT COALESCE(n.n_name, 'UNKNOWN') AS n_name,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS nd_users,
+       CAST(SUM(e.event_id) AS BIGINT) AS event_checksum,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY COALESCE(n.n_name, 'UNKNOWN')
+ORDER BY n_name
+"""
