@@ -180,6 +180,77 @@ def run_v1_topk(spark, docs, vecs, ev):
     return topk.agg(F.count(F.lit(1)), F.sum("vec_id")).collect()
 
 
+def run_i1_importance(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.sampling import importance_scores
+
+    s = importance_scores(docs)
+    return s.agg(F.count(F.lit(1)), F.sum("n_tokens")).collect()
+
+
+def run_d12_bloom(spark, docs, vecs, ev):
+    """Bloom build over the (small) eval slice + vectorized probe over
+    the full corpus shingle stream + exact verify — d12's exact shape
+    on the synthetic corpus (eval = every 97th doc)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        _DECON_NGRAM,
+        bloom_maybe_udf,
+        build_shingle_bloom,
+        ngram_shingle_col,
+    )
+
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(ngram_shingle_col(_DECON_NGRAM)).alias("s")
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s", "h").distinct()
+    bits = build_shingle_bloom(r["h"] for r in eval_sh.select("h").collect())
+    maybe = bloom_maybe_udf(spark, bits)
+    contaminated = (
+        sh.filter(maybe(F.col("h")))
+        .join(F.broadcast(eval_sh.select("s")), "s", "left_semi")
+        .select("doc_id").distinct()
+    )
+    return contaminated.agg(F.count(F.lit(1)), F.sum("doc_id")).collect()
+
+
+def run_x16_bpe_pairs(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import adjacent_pair_counts
+
+    toks = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    return (
+        adjacent_pair_counts(toks)
+        .orderBy(F.col("cnt").desc(), "pair").limit(20).collect()
+    )
+
+
+def run_d11_cluster_pairs(spark, docs, vecs, ev):
+    """d11's within-cluster pairwise stage with cluster COUNT scaled to
+    the corpus (SemDeDup's deployment recipe: k grows with n so the
+    mean cluster size stays ~constant — here 1000). The assignment
+    stand-in is a hash partition; the measured stage is the Σ cluster²
+    cosine self-join, which is linear in n at constant cluster size."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import _cosine, _norm
+
+    # cluster count n/1000 (cluster size ≈ 1000), via a hash of vec_id
+    total = vecs.count()
+    k = max(2, total // 1000)
+    a = vecs.select(
+        F.pmod(F.hash("vec_id"), F.lit(k)).alias("cluster"),
+        F.col("vec_id").alias("ida"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    ).withColumn("na", _norm(F.col("va")))
+    b = a.select(
+        F.col("cluster"), F.col("ida").alias("idb"),
+        F.col("va").alias("vb"), F.col("na").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.9)
+    )
+    return pairs.agg(F.count(F.lit(1))).collect()
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -187,6 +258,10 @@ OPS = {
     "x8_offsets": run_x8_sequence_pack,
     "w6_interval_join": run_w6_interval_join,
     "v1_cosine_topk": run_v1_topk,
+    "i1_importance": run_i1_importance,
+    "d12_bloom_decon": run_d12_bloom,
+    "x16_bpe_pairs": run_x16_bpe_pairs,
+    "d11_cluster_pairs": run_d11_cluster_pairs,
 }
 
 
