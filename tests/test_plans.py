@@ -284,3 +284,48 @@ def test_mv1_delta_filter_pushed_down(spark, sf_dir):
 
     plan = formatted_plan(mv1_incremental_agg(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan, plan
+
+
+def test_i1_model_joins_are_broadcast(spark, sf_dir):
+    """i1's B-row log-ratio model table must broadcast back onto the
+    token stream (a shuffle join keyed on a 512-value bucket column
+    would be a pathological skew magnet at corpus scale)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.sampling import (
+        i1_importance_resampling,
+    )
+
+    plan = formatted_plan(i1_importance_resampling(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"model join is not broadcast:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, f"top-N is a global sort:\n{plan}"
+
+
+def test_d12_bloom_probe_runs_before_exact_verify(spark, sf_dir):
+    """d12's vectorized bloom probe (the ArrowEvalPython node) must sit
+    BELOW the exact-verify semi join in the physical plan — pruning
+    before the exchange is the operator's entire scale claim."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        d12_bloom_decontaminate,
+    )
+
+    plan = formatted_plan(d12_bloom_decontaminate(spark, sf_dir))
+    probe = plan.find("ArrowEvalPython")
+    assert probe != -1, f"no vectorized bloom probe in plan:\n{plan}"
+    # formatted plans print top-down: the probe node must appear AFTER
+    # (deeper than) the semi join header that consumes it
+    semi = plan.find("LeftSemi")
+    assert semi != -1 and semi < probe, (
+        f"bloom probe is not below the exact-verify semi join:\n{plan}"
+    )
+
+
+def test_x16_pair_counts_partial_aggregate(spark, sf_dir):
+    """x16's pair count must run as partial+final hash aggregation
+    (map-side combine) with the top-K as TakeOrdered, not a global
+    sort over all distinct pairs."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        x16_bpe_pair_stats,
+    )
+
+    plan = formatted_plan(x16_bpe_pair_stats(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "TakeOrderedAndProject" in plan, f"top-K is a global sort:\n{plan}"
