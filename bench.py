@@ -96,6 +96,7 @@ EXTENDED = [
     "i2_perplexity_filter",
     "r9_stream_static_enrichment",
     "s14_csv_to_orc_convert",
+    "d13_substring_dedup",
 ]
 
 

@@ -1006,3 +1006,102 @@ def d12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # exact-verify restores d7 semantics bit-for-bit — same oracle
 D12_ORACLE = D7_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# d13: exact-substring dedup detection (rolling-window repeated spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 20  # repeated-span detection window (tokens)
+
+
+def d13_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    find every ROLLING 20-token window that occurs verbatim in more
+    than one document — unlike d8's fixed chunk grid, rolling windows
+    catch repeats at ANY alignment — and report per-source how many
+    documents carry cross-document repeated spans and how big the
+    repeated surface is.
+
+    Spark-first scale shape: the window explode is a narrow transform
+    (one row per token position, same cost class as d7's 8-gram
+    scrub); "window repeated across docs" is one groupBy(window-hash)
+    with a distinct-doc count — partial-aggregatable — and the
+    repeated set joins back against the window stream. Lee et al. use
+    a suffix array to find *maximal* repeats; the rolling fixed-W
+    formulation is its distributed-friendly standard substitute (any
+    repeat ≥ W tokens contains a repeated W-window, so recall at the
+    W-token granularity is exact; spans are trimmed/merged in a
+    downstream pass that is linear per doc).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    win = toks.select(
+        "doc_id", "source", F.explode(ngram_shingle_col(_SPAN_W)).alias("s")
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+    # windows seen in >= 2 DISTINCT docs (same-doc self-repeats are
+    # x6's repetition metric, not cross-doc duplication)
+    rep = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = win.join(rep, "h", "left_semi")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).alias("rep_windows"),
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_with_dup_span"),
+        F.sum("rep_windows").alias("rep_window_total"),
+        F.sum("doc_id").alias("doc_checksum"),
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("docs_with_dup_span", F.lit(0)).alias("docs_with_dup_span"),
+            F.coalesce("rep_window_total", F.lit(0)).alias("rep_window_total"),
+            F.coalesce("doc_checksum", F.lit(0)).alias("doc_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+D13_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+win AS (
+  SELECT t.doc_id, t.source, array_to_string(l[i:i+{_SPAN_W - 1}], ' ') AS s
+  FROM t, unnest(range(1, len(l) - {_SPAN_W - 2})) AS u(i)
+  WHERE len(l) >= {_SPAN_W}
+),
+rep AS (
+  SELECT s FROM win GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (SELECT win.doc_id, win.source FROM win SEMI JOIN rep USING (s)),
+per_doc AS (
+  SELECT doc_id, MIN(source) AS source, COUNT(*) AS rep_windows
+  FROM flagged GROUP BY doc_id
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+per_src AS (
+  SELECT source, COUNT(*) AS docs_with_dup_span,
+         SUM(rep_windows) AS rep_window_total,
+         SUM(doc_id) AS doc_checksum
+  FROM per_doc GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(p.docs_with_dup_span, 0) AS BIGINT) AS docs_with_dup_span,
+       CAST(COALESCE(p.rep_window_total, 0) AS BIGINT) AS rep_window_total,
+       CAST(COALESCE(p.doc_checksum, 0) AS BIGINT) AS doc_checksum
+FROM totals t LEFT JOIN per_src p USING (source)
+ORDER BY t.source
+"""

@@ -1062,3 +1062,15 @@ def learn_bpe_merges(toks: DataFrame, n_merges: int) -> list[tuple[str, str]]:
         merges.append((pa, pb))
         cur = cur.select(merge_pair_col(F.col("t"), pa, pb).alias("t"))
     return merges
+
+
+def apply_bpe_merges(toks: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to a token-array column `t` in merge
+    order (the BPE encode path): each merge folds into the SAME single
+    projection — Catalyst composes the chained `aggregate` calls into
+    one codegen'd expression, so encoding with an n-merge vocabulary
+    is still ONE narrow scan, no shuffle, no Python."""
+    out = F.col("t")
+    for pa, pb in merges:
+        out = merge_pair_col(out, pa, pb)
+    return toks.withColumn("t", out)

@@ -144,3 +144,60 @@ def test_merge_pair_col_leftmost_nonoverlapping(spark):
 
 def test_x16_pair_stats_oracle(spark, sf_dir, con):
     compare_query(tx.x16_bpe_pair_stats(spark, sf_dir), con, tx.X16_ORACLE)
+
+
+def test_apply_bpe_merges_matches_python_reference(spark):
+    """Encode path: applying the learned merge list reproduces the
+    pure-Python encoder token-for-token (overlap hazards included)."""
+    docs = [
+        "l o w l o w e r".split(),
+        "a a a a a b a b".split(),
+        "n e w".split(),
+        [],
+    ]
+    merges = [("l", "o"), ("lo", "w"), ("a", "a"), ("a", "b")]
+
+    def py_apply(t):
+        for pa, pb in merges:
+            out = []
+            for x in t:
+                if out and out[-1] == pa and x == pb:
+                    out[-1] = pa + pb
+                else:
+                    out.append(x)
+            t = out
+        return t
+
+    sdf = spark.createDataFrame([(t,) for t in docs], "t array<string>")
+    got = [r["t"] for r in tx.apply_bpe_merges(sdf, merges).collect()]
+    assert got == [py_apply(t) for t in docs]
+
+
+def test_d13_substring_dedup_oracle(spark, sf_dir, con):
+    compare_query(dd.d13_substring_dedup(spark, sf_dir), con, dd.D13_ORACLE)
+
+
+def test_d13_catches_unaligned_repeats(spark):
+    """The rolling-window property d8's fixed chunk grid misses: a
+    20-token span repeated at DIFFERENT offsets in two docs is caught."""
+    span = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, "x1 x2 " + span + " y1", "srcA", 0),
+        (2, span + " z1 z2 z3", "srcB", 0),   # same span, offset 0 vs 2
+        (3, "completely different tokens " + " ".join(f"q{i}" for i in range(20)), "srcA", 0),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string, n_chars bigint")
+    toks = d.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
+    win = toks.select(
+        "doc_id", F.explode(dd.ngram_shingle_col(dd._SPAN_W)).alias("s")
+    )
+    rep = (
+        win.groupBy("s").agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    flagged = sorted(
+        r["doc_id"]
+        for r in win.join(rep.select("s"), "s", "left_semi")
+        .select("doc_id").distinct().collect()
+    )
+    assert flagged == [1, 2]
