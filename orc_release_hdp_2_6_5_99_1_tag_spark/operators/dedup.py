@@ -1039,9 +1039,14 @@ def d13_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
+    # group key = FULL 128-bit md5 of the window, never a 32-bit hash:
+    # at 100 TB (and already at sf0.1's ~250k windows) 32-bit birthday
+    # collisions manufacture phantom "repeats"; 128 bits is
+    # collision-free in practice and cheaper to shuffle than the
+    # 20-token strings themselves
     win = toks.select(
         "doc_id", "source", F.explode(ngram_shingle_col(_SPAN_W)).alias("s")
-    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+    ).withColumn("h", F.md5("s")).drop("s")
     # windows seen in >= 2 DISTINCT docs (same-doc self-repeats are
     # x6's repetition metric, not cross-doc duplication)
     rep = (
@@ -1084,9 +1089,10 @@ win AS (
   WHERE len(l) >= {_SPAN_W}
 ),
 rep AS (
-  SELECT s FROM win GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT md5(s) AS h FROM win GROUP BY md5(s) HAVING COUNT(DISTINCT doc_id) >= 2
 ),
-flagged AS (SELECT win.doc_id, win.source FROM win SEMI JOIN rep USING (s)),
+wh AS (SELECT doc_id, source, md5(s) AS h FROM win),
+flagged AS (SELECT wh.doc_id, wh.source FROM wh SEMI JOIN rep USING (h)),
 per_doc AS (
   SELECT doc_id, MIN(source) AS source, COUNT(*) AS rep_windows
   FROM flagged GROUP BY doc_id
