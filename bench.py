@@ -97,6 +97,7 @@ EXTENDED = [
     "r9_stream_static_enrichment",
     "s14_csv_to_orc_convert",
     "d13_substring_dedup",
+    "d14_substring_scrub",
 ]
 
 

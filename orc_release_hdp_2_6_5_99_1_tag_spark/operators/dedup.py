@@ -1111,3 +1111,118 @@ SELECT t.source, t.n_docs,
 FROM totals t LEFT JOIN per_src p USING (source)
 ORDER BY t.source
 """
+
+
+def d14_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (the second half of Lee et al. 2022 —
+    d13 detects, this scrubs): for every rolling 20-token window that
+    appears in more than one document, keep the copy in the LOWEST
+    doc_id that contains it (the canonical survivor) and delete the
+    covered tokens from every other document, merging overlapping
+    flagged windows per doc. Returns per-source scrub metrics
+    (docs modified, tokens removed, a position-sensitive checksum).
+
+    Scale shape: window explode is the same narrow pass as d13; the
+    canonical-owner table is one groupBy(window-md5) min(doc_id); the
+    flagged (doc, start) stream joins tokens back on doc_id — the one
+    corpus-keyed shuffle — and covered-position expansion is bounded
+    by flagged windows × W, not corpus × W. The rebuild itself
+    (array_sort + filter over the token array) is a narrow projection
+    per doc; text never rides more than one shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    # (doc_id, start, window-md5) for every rolling window; start 0-based
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= _SPAN_W,
+                F.expr(
+                    f"transform(sequence(0, size(t)-{_SPAN_W}),"
+                    f" i -> struct(i as i, md5(concat_ws(' ', slice(t, i+1, {_SPAN_W}))) as h))"
+                ),
+            ).otherwise(F.array())
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    owners = win.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
+    )
+    # windows to scrub: repeated across docs AND this doc is not the owner
+    scrub = (
+        win.join(owners.filter(F.col("nd") >= 2), "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "i")
+        .distinct()
+    )
+    # covered token positions per doc (merged via distinct)
+    covered = (
+        scrub.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + _SPAN_W - 1)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("p").alias("pos_checksum"),
+        )
+    )
+    per_doc = toks.join(covered, "doc_id", "left").select(
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("pos_checksum", F.lit(0)).alias("pos_checksum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs_scrubbed"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(F.col("n_tokens") - F.col("n_removed")).alias("tokens_after"),
+            F.sum("pos_checksum").alias("pos_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+D14_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+win AS (
+  SELECT t.doc_id, u.i - 1 AS i, md5(array_to_string(l[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(l) - {_SPAN_W - 2})) AS u(i)
+  WHERE len(l) >= {_SPAN_W}
+),
+owners AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner FROM win GROUP BY h
+),
+scrub AS (
+  SELECT DISTINCT w.doc_id, w.i
+  FROM win w JOIN owners o USING (h)
+  WHERE o.nd >= 2 AND w.doc_id <> o.owner
+),
+covered AS (
+  SELECT DISTINCT doc_id, i + u.p AS p
+  FROM scrub, unnest(range(0, {_SPAN_W})) AS u(p)
+),
+per_cov AS (
+  SELECT doc_id, COUNT(*) AS n_removed, SUM(p) AS pos_checksum
+  FROM covered GROUP BY doc_id
+),
+per_doc AS (
+  SELECT t.source, len(t.l) AS n_tokens,
+         COALESCE(c.n_removed, 0) AS n_removed,
+         COALESCE(c.pos_checksum, 0) AS pos_checksum
+  FROM t LEFT JOIN per_cov c USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(COUNT(CASE WHEN n_removed > 0 THEN 1 END) AS BIGINT) AS docs_scrubbed,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_tokens - n_removed) AS BIGINT) AS tokens_after,
+       CAST(SUM(pos_checksum) AS BIGINT) AS pos_checksum
+FROM per_doc GROUP BY source ORDER BY source
+"""
