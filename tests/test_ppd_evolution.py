@@ -187,3 +187,64 @@ def test_unsafe_float_eq_returns_zero_and_safe_variant_matches(spark, evo_orc):
         "CAST(f AS DOUBLE) > 74.7199 AND CAST(f AS DOUBLE) < 74.7201",
     )
     assert len(got_rng) == 100
+
+
+# ---------------------------------------------------------------------------
+# Property-based fuzz: random predicate trees over the EVOLVED read
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _leaves(col: str, lits: list[str]) -> st.SearchStrategy[str]:
+    lit = st.sampled_from(lits)
+    return st.one_of(
+        lit.map(lambda v: f"{col} = {v}"),
+        lit.map(lambda v: f"{col} < {v}"),
+        lit.map(lambda v: f"{col} >= {v}"),
+        st.lists(lit, min_size=1, max_size=3, unique=True).map(
+            lambda vs: f"{col} IN ({', '.join(vs)})"
+        ),
+        st.just(f"{col} IS NULL"),
+        st.just(f"{col} IS NOT NULL"),
+    )
+
+
+_EVO_LEAF = st.one_of(
+    _leaves("i", ["0", "500", "999", "1500", "5000"]),
+    _leaves("s", ["-500", "-400", "0", "250", "499"]),
+    _leaves("f", ["0.0", "74.5", "74.72", "-100.0"]),
+    _leaves("st", ["''", "'k0'", "'k11'", "'k22'", "'zz'"]),
+)
+
+
+def _trees(leaf):
+    return st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.tuples(inner, inner).map(lambda t: f"({t[0]} AND {t[1]})"),
+            st.tuples(inner, inner).map(lambda t: f"({t[0]} OR {t[1]})"),
+            inner.map(lambda p: f"(NOT {p})"),
+        ),
+        max_leaves=4,
+    )
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pred=_trees(_EVO_LEAF))
+def test_evolved_ppd_fuzz(spark, evo_orc, pred):
+    """Random AND/OR/NOT predicate trees over the WIDENED reader schema
+    (int→long, short→long, float→double) must select exactly the rows
+    DuckDB's cast-then-filter replay selects, across every stats shape
+    in the file (all-null, constant, NaN-bearing, negative blocks) —
+    the property the reference's isPPDSafeConversion rule protects,
+    fuzzed instead of enumerated."""
+    path, con = evo_orc
+    got = sorted(
+        r["idx"]
+        for r in read_orc(spark, path, schema=_WIDER)
+        .filter(pred).select("idx").collect()
+    )
+    want = sorted(r[0] for r in con.sql(f"SELECT idx FROM t WHERE {pred}").fetchall())
+    assert got == want, f"evolved-PPD fuzz divergence for {pred!r}"
