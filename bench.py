@@ -98,6 +98,7 @@ EXTENDED = [
     "s14_csv_to_orc_convert",
     "d13_substring_dedup",
     "d14_substring_scrub",
+    "pipe2_curation_funnel",
 ]
 
 

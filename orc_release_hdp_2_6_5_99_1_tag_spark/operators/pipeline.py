@@ -116,3 +116,111 @@ SELECT {SQL_SPLIT_LABEL} AS split,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM labeled GROUP BY 1 ORDER BY split
 """
+
+
+def pipe2_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: the per-stage retention table every
+    dataset card publishes (docs in → language filter → quality gate →
+    exact dedup → decontamination), with doc counts, char volume, and
+    an id checksum per stage. Stage semantics are EXACTLY pipe1's —
+    the funnel is the observability view over the same pipeline.
+
+    Spark-first shape: every stage becomes a per-doc boolean flag in
+    one pass (the dedup flag via a doc_id-keyed semi-join with the
+    canonical set, the contamination flag via the same broadcast sets
+    pipe1 uses), then ONE explode over a 5-element stage array turns
+    flags into funnel rows — a single scan of the flagged frame, 5×
+    row growth (bounded), one tiny groupBy(stage). No per-stage
+    re-scans of the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lang_ok = F.col("lang") == "en"
+    qual_ok = lang_ok & (F.col("n_chars") >= _MIN_CHARS)
+
+    with_fp = d.filter(qual_ok).withColumn("fp", normalized_fp_col())
+    canon_ids = (
+        with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        return toks.select("doc_id", F.explode(ngram_shingle_col(_NGRAM)).alias("s"))
+
+    eval_sh = shingled(d.filter(F.col("doc_id") % _EVAL_MOD == 0)).select("s").distinct()
+    deduped = with_fp.join(canon_ids, "doc_id", "left_semi")
+    contaminated = (
+        shingled(deduped)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flags = (
+        d.join(canon_ids.withColumn("is_canon", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            lang_ok.alias("f1"),
+            qual_ok.alias("f2"),
+            (qual_ok & F.coalesce("is_canon", F.lit(False))).alias("f3"),
+            (
+                qual_ok
+                & F.coalesce("is_canon", F.lit(False))
+                & ~F.coalesce("is_contam", F.lit(False))
+            ).alias("f4"),
+        )
+    )
+    stages = F.array(
+        F.struct(F.lit("0_total").alias("stage"), F.lit(True).alias("ok")),
+        F.struct(F.lit("1_lang").alias("stage"), F.col("f1").alias("ok")),
+        F.struct(F.lit("2_quality").alias("stage"), F.col("f2").alias("ok")),
+        F.struct(F.lit("3_dedup").alias("stage"), F.col("f3").alias("ok")),
+        F.struct(F.lit("4_decontam").alias("stage"), F.col("f4").alias("ok")),
+    )
+    return (
+        flags.select("doc_id", "n_chars", F.explode(stages).alias("st"))
+        .filter(F.col("st.ok"))
+        .groupBy(F.col("st.stage").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("stage")
+    )
+
+
+PIPE2_ORACLE = f"""
+WITH with_fp AS (
+  SELECT doc_id, n_chars, {SQL_NORMALIZED_FP} AS fp
+  FROM documents WHERE lang = 'en' AND n_chars >= {_MIN_CHARS}
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM with_fp GROUP BY fp
+), t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), sh AS ({sql_ngram_shingles(_NGRAM)}
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM sh SEMI JOIN eval_sh USING (s)
+  WHERE doc_id IN (SELECT doc_id FROM canon)
+), flags AS (
+  SELECT d.doc_id, d.n_chars,
+         (d.lang = 'en') AS f1,
+         (d.lang = 'en' AND d.n_chars >= {_MIN_CHARS}) AS f2,
+         (d.doc_id IN (SELECT doc_id FROM canon)) AS f3,
+         (d.doc_id IN (SELECT doc_id FROM canon)
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS f4
+  FROM documents d
+), funnel AS (
+  SELECT '0_total' AS stage, doc_id, n_chars FROM flags
+  UNION ALL SELECT '1_lang', doc_id, n_chars FROM flags WHERE f1
+  UNION ALL SELECT '2_quality', doc_id, n_chars FROM flags WHERE f2
+  UNION ALL SELECT '3_dedup', doc_id, n_chars FROM flags WHERE f3
+  UNION ALL SELECT '4_decontam', doc_id, n_chars FROM flags WHERE f4
+)
+SELECT stage, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM funnel GROUP BY stage ORDER BY stage
+"""
