@@ -99,6 +99,7 @@ EXTENDED = [
     "d13_substring_dedup",
     "d14_substring_scrub",
     "pipe2_curation_funnel",
+    "w8_ohlc_downsample",
 ]
 
 

@@ -322,3 +322,62 @@ SELECT user_id, tier, at_us AS valid_from_us,
 FROM changed
 ORDER BY user_id, valid_from_us
 """
+
+
+def w8_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: downsample the
+    event stream into per-(user, hour) OHLC rows — open/close via
+    arg-min/arg-max on event time, high/low extremes, count and an
+    exact (decimal) value sum — the timeseries rollup TimescaleDB
+    calls a continuous aggregate and every metrics store materializes.
+
+    Spark-first: ONE groupBy((user_id, hour)) with min_by/max_by
+    aggregates — all partial-aggregatable (map-side combine ships one
+    candidate row per group per partition), no window function, no
+    sort. (user_id, ts) is unique in the event stream, so
+    min_by/max_by are deterministic; the hour bucket comes from
+    date_trunc in both engines. At 100 TB this is the canonical
+    downsample: a single corpus-keyed exchange on (user, hour), and
+    incremental maintenance composes with mv1's fingerprint-keyed
+    partials (new deltas only touch their own hours)."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        e.groupBy(F.col("user_id"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", "ts").alias("open"),
+            F.max_by("value", "ts").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("hour").cast("string").alias("hour"),
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+            "sum_value",
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+W8_ORACLE = """
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       COUNT(*) AS n_events,
+       arg_min(value, ts) AS open,
+       arg_max(value, ts) AS close,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, hour
+"""
