@@ -193,6 +193,8 @@ def test_unsafe_float_eq_returns_zero_and_safe_variant_matches(spark, evo_orc):
 # Property-based fuzz: random predicate trees over the EVOLVED read
 # ---------------------------------------------------------------------------
 
+import re  # noqa: E402
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
@@ -246,5 +248,14 @@ def test_evolved_ppd_fuzz(spark, evo_orc, pred):
         for r in read_orc(spark, path, schema=_WIDER)
         .filter(pred).select("idx").collect()
     )
-    want = sorted(r[0] for r in con.sql(f"SELECT idx FROM t WHERE {pred}").fetchall())
+    # the replay must CAST f to double explicitly: for a bare binary
+    # comparison DuckDB promotes the float32 column to double (matching
+    # the widened read), but IN unifies at the COLUMN type — the
+    # double literal 74.72 would silently round to float32 and match
+    # rows the evolved double read correctly misses (found by this
+    # fuzz; the cast pins cast-then-filter semantics for every shape)
+    duck_pred = re.sub(r"\bf\b", "CAST(f AS DOUBLE)", pred)
+    want = sorted(
+        r[0] for r in con.sql(f"SELECT idx FROM t WHERE {duck_pred}").fetchall()
+    )
     assert got == want, f"evolved-PPD fuzz divergence for {pred!r}"
