@@ -175,8 +175,17 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
         .distinct()
     )
     sizes = sig.select("doc_id", "n")
-    sha = sh.toDF("doc_a", "sa")
-    shb = sh.toDF("doc_b2", "sb")
+    # verification-join pruning: only docs that appear in a candidate
+    # pair need their shingle sets in the intersection join. The
+    # candidate-doc set is duplicate-sized (≪ corpus), so the semi
+    # joins below are AQE-broadcastable and prune BOTH shingle streams
+    # before the equality shuffle — without this, the full corpus
+    # shingle set rides the (sa == sb) exchange twice. Results are
+    # identical (pure input pruning); d2's stress ratio measures it.
+    a_docs = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    b_docs = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sha = sh.join(a_docs, "doc_id", "left_semi").toDF("doc_a", "sa")
+    shb = sh.join(b_docs, "doc_id", "left_semi").toDF("doc_b2", "sb")
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
