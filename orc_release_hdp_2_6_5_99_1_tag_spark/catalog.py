@@ -8,9 +8,10 @@ lesson: entries 51..66 received no verdict at all), so the registry is
 split in two:
 
 - the **graded window** (exactly ≤50 entries, `queries()`): the
-  flagship, one query per SURVEY §2 operator family, all fourteen
+  flagship, one query per SURVEY §2 operator family, the core
   LLM-data-pipeline operators, and a handful of engine-completeness
-  showcases;
+  showcases (rotated per round so pytest-only extras earn driver
+  verdicts);
 - **extras** (`extra_queries()`): redundant showcases and finer-grained
   variants (e.g. the individual f1..f5 predicate leaves folded into
   `f1_predicate_suite`, the per-stripe half of the A4 merge pair).
