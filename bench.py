@@ -100,6 +100,7 @@ EXTENDED = [
     "d14_substring_scrub",
     "pipe2_curation_funnel",
     "w8_ohlc_downsample",
+    "v5_scalar_quantized_topk",
 ]
 
 

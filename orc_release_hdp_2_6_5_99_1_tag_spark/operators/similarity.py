@@ -619,3 +619,101 @@ FROM ranked WHERE rank <= {_PQ_TOPK} ORDER BY query_id, rank
 
 
 V4_ORACLE = _pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v5: int8 scalar-quantized cosine top-k — the bandwidth-bound ANN tier
+# ---------------------------------------------------------------------------
+
+_SQ_SCALE = 127
+_SQ_NQ = 5
+_SQ_TOPK = 3
+
+
+def _sq_quantize(col):
+    """int8 scalar quantization: clamp to [-1, 1], scale by 127,
+    floor(x+0.5) — floor instead of round() because the two engines'
+    round() half-way modes need not agree, while floor is exact."""
+    return F.transform(
+        col,
+        lambda x: F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x.cast("double")))
+            * _SQ_SCALE
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+
+
+def v5_scalar_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k: quantize the corpus once,
+    answer queries entirely in integer space — dot products and
+    squared norms are EXACT int64 sums (no float accumulation order
+    anywhere), so results are bit-identical across engines, partition
+    layouts, and retries; only the final norm/divide is float, and
+    sqrt/divide are IEEE correctly-rounded.
+
+    This is the bandwidth-bound serving tier between v1 (full float)
+    and v4 (PQ): 4× less memory traffic than float32 at ~1% recall
+    loss, the standard first compression step in embedding serving.
+    Scale shape = v1's: queries broadcast, ONE corpus scan, rank-limit
+    window per query (WindowGroupLimit pushes the k-cap down)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", _sq_quantize(F.col("embedding")).alias("qv"))
+    qn = F.sqrt(
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + (x * x).cast("double"))
+    )
+    corpus = corpus.withColumn("nrm", qn)
+    q = corpus.filter(F.col("vec_id") < _SQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = F.broadcast(q).crossJoin(corpus)
+    dot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: a * b), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sim = pairs.select(
+        "query_id",
+        "vec_id",
+        (dot.cast("double") / (F.col("q_nrm") * F.col("nrm"))).alias("cos_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SQ_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            F.format_string("%.4f", F.col("cos_q")).alias("cosine_q"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+V5_ORACLE = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(greatest(-1, least(1, x)) * {_SQ_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), nz AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM qz
+), q AS (
+  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm FROM nz WHERE vec_id < {_SQ_NQ}
+), sim AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(list_sum(list_zip(q.q_qv, e.qv).apply(p -> p[1] * p[2])) AS DOUBLE)
+           / (q.q_nrm * e.nrm) AS cos_q
+  FROM q CROSS JOIN nz e
+), ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+  FROM sim
+)
+SELECT query_id, vec_id, printf('%.4f', cos_q) AS cosine_q, rank
+FROM ranked WHERE rank <= {_SQ_TOPK} ORDER BY query_id, rank
+"""

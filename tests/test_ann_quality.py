@@ -134,3 +134,26 @@ def test_v2_lsh_neighbor_quality(spark, sf_dir):
         assert abs(true_cos - best) < 1e-9, (
             f"v2 did not return the in-bucket argmax for query {q}"
         )
+
+
+def test_v5_int8_recall_vs_exact(spark, sf_dir):
+    """int8 scalar quantization is near-lossless on unit-scale
+    embeddings: the quantized top-3 per query must agree with the
+    exact float top-3 on the overwhelming majority of slots."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        v1_cosine_topk,
+        v5_scalar_quantized_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in v1_cosine_topk(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in v5_scalar_quantized_topk(spark, sf_dir).collect()
+    }
+    keys = [k for k in exact if k in quant]
+    assert keys, "no overlapping (query, rank) slots"
+    hits = sum(1 for k in keys if exact[k] == quant[k])
+    assert hits / len(keys) >= 0.8, f"int8 recall collapsed: {hits}/{len(keys)}"
