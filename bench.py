@@ -101,6 +101,7 @@ EXTENDED = [
     "pipe2_curation_funnel",
     "w8_ohlc_downsample",
     "v5_scalar_quantized_topk",
+    "v6_two_tier_rerank",
 ]
 
 

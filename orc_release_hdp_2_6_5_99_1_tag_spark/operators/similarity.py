@@ -717,3 +717,94 @@ WITH qz AS (
 SELECT query_id, vec_id, printf('%.4f', cos_q) AS cosine_q, rank
 FROM ranked WHERE rank <= {_SQ_TOPK} ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# v6: two-tier retrieval — truncated-dim prefilter + exact rerank
+# ---------------------------------------------------------------------------
+
+_TT_DIMS = 16     # prefilter dimensionality (Matryoshka-style prefix)
+_TT_CAND = 40     # candidates per query surviving tier 1
+_TT_NQ = 5
+_TT_TOPK = 3
+
+
+def v6_two_tier_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval: tier 1 scores every corpus vector with a
+    cheap TRUNCATED-dimension cosine (the first 16 of 64 dims — the
+    Matryoshka/MRL serving trick) and keeps 40 candidates per query;
+    tier 2 reranks ONLY those candidates with the exact full-dim
+    cosine. The final top-3 is exact whenever the true neighbors
+    survive tier 1 (recall measured in tests).
+
+    Scale: tier 1 touches 1/4 of the bytes per row (at serving scale,
+    a separate narrow column/file of truncated vectors — here a slice
+    on the same scan); tier 2's exact work is bounded by
+    queries × 40 candidates regardless of corpus size. Both tiers are
+    rank-limit windows (WindowGroupLimit), queries broadcast, ONE
+    corpus scan total."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _TT_DIMS).alias("head"),
+    )
+    corpus = corpus.withColumn("n_full", _norm(F.col("embedding"))).withColumn(
+        "n_head", _norm(F.col("head"))
+    )
+    q = corpus.filter(F.col("vec_id") < _TT_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("head").alias("q_head"),
+        F.col("n_full").alias("qn_full"),
+        F.col("n_head").alias("qn_head"),
+    )
+    pairs = F.broadcast(q).crossJoin(corpus)
+    t1 = pairs.select(
+        "query_id", "vec_id", "q_emb", "embedding", "qn_full", "n_full",
+        _cosine(F.col("q_head"), F.col("head"), F.col("qn_head"), F.col("n_head")).alias("c_head"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("c_head"), F.asc("vec_id"))
+    cand = t1.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= _TT_CAND)
+    t2 = cand.select(
+        "query_id", "vec_id",
+        _cosine(F.col("q_emb"), F.col("embedding"), F.col("qn_full"), F.col("n_full")).alias("c_full"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    return (
+        t2.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _TT_TOPK)
+        .select(
+            "query_id", "vec_id",
+            F.format_string("%.4f", F.col("c_full")).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+V6_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST(list_slice(embedding, 1, {_TT_DIMS}) AS DOUBLE[]) AS head
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, head AS q_head FROM c WHERE vec_id < {_TT_NQ}
+), t1 AS (
+  SELECT q.query_id, c.vec_id, q.q_emb, c.emb,
+         list_cosine_similarity(q.q_head, c.head) AS c_head,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.q_head, c.head) DESC,
+                                     c.vec_id ASC) AS r1
+  FROM q CROSS JOIN c
+), t2 AS (
+  SELECT query_id, vec_id,
+         list_cosine_similarity(q_emb, emb) AS c_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(q_emb, emb) DESC,
+                                     vec_id ASC) AS rank
+  FROM t1 WHERE r1 <= {_TT_CAND}
+)
+SELECT query_id, vec_id, printf('%.4f', c_full) AS cosine, rank
+FROM t2 WHERE rank <= {_TT_TOPK} ORDER BY query_id, rank
+"""

@@ -157,3 +157,25 @@ def test_v5_int8_recall_vs_exact(spark, sf_dir):
     assert keys, "no overlapping (query, rank) slots"
     hits = sum(1 for k in keys if exact[k] == quant[k])
     assert hits / len(keys) >= 0.8, f"int8 recall collapsed: {hits}/{len(keys)}"
+
+
+def test_v6_two_tier_recall_vs_exact(spark, sf_dir):
+    """The truncated-dim prefilter must keep the true top-3 in its 40
+    candidates for most slots (two-tier recall)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        v1_cosine_topk,
+        v6_two_tier_rerank,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in v1_cosine_topk(spark, sf_dir).collect()
+    }
+    two = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in v6_two_tier_rerank(spark, sf_dir).collect()
+    }
+    keys = [k for k in exact if k in two]
+    assert keys
+    hits = sum(1 for k in keys if exact[k] == two[k])
+    assert hits / len(keys) >= 0.6, f"two-tier recall collapsed: {hits}/{len(keys)}"
