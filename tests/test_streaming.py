@@ -256,3 +256,53 @@ def test_r8_pipeline_multi_batch_redelivery(spark, sf_dir):
         compare_query(r8_streaming_pipeline(spark, sf_dir, splits=3), con, R8_ORACLE)
     finally:
         con.close()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Commit-log recovery across RESTARTS: run an ingest to
+    completion over half the source files, then add the rest and
+    restart with the SAME checkpoint — the second run must process
+    only the new files and the final sink must hold every event
+    exactly once (file-source progress lives in the checkpoint's
+    commit log — the role the reference's `_flush_length` side file
+    plays for a long-open ORC delta, `OrcAcidUtils.java:34-71`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    path = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(path)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    quarters = [t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4) for i in range(4)]
+
+    def stage(i):
+        pq.write_table(quarters[i], os.path.join(src, f"part{i}.parquet"), version="2.6")
+
+    def run():
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    stage(0); stage(1)
+    run()
+    first = spark.read.parquet(out).count()
+    assert first == quarters[0].num_rows + quarters[1].num_rows
+    # restart with the same checkpoint after new files appear
+    stage(2); stage(3)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == n, "restart reprocessed or skipped files"
+    assert got.select("event_id").distinct().count() == n, "duplicate events after recovery"
