@@ -102,6 +102,7 @@ EXTENDED = [
     "w8_ohlc_downsample",
     "v5_scalar_quantized_topk",
     "v6_two_tier_rerank",
+    "w9_window_suite",
 ]
 
 

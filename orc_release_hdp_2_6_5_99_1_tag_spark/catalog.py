@@ -238,6 +238,7 @@ def _build() -> None:
     register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE, graded=False)
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
     register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE, graded=False)
+    register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

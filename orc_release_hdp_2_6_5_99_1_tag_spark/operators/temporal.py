@@ -381,3 +381,69 @@ FROM events
 GROUP BY user_id, date_trunc('hour', ts)
 ORDER BY user_id, hour
 """
+
+
+def w9_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function suite over the event stream: lag/lead
+    deltas, running rank/percent_rank/cume_dist, ntile quartiles, and
+    per-user first/last values in one windowed projection — the
+    remaining SQL-window surface in a single deterministic showcase
+    ((user_id, ts) is unique, so every ordering is total).
+
+    Scale: ONE hash exchange on user_id + in-partition sort serves
+    every function (all windows share the same partitioning/ordering,
+    so Catalyst chains the Window operators without re-partitioning
+    or re-sorting between them); the final per-user rollup is
+    partial-aggregatable. No unpartitioned window anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_event = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta_prev"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("value").over(w).alias("first_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        per_event.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("delta_prev"))).cast("decimal(18,3)").cast("double").alias("abs_delta_sum"),
+            F.sum("next_event").alias("next_checksum"),
+            F.format_string("%.6f", F.sum("pr")).alias("pr_sum"),
+            F.format_string("%.6f", F.sum("cd")).alias("cd_sum"),
+            F.sum(F.col("quartile") * F.col("rn")).alias("quartile_checksum"),
+            F.min("first_value").alias("first_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W9_ORACLE = """
+WITH per_event AS (
+  SELECT user_id, event_id, value,
+         value - LAG(value, 1) OVER w AS delta_prev,
+         LEAD(event_id, 1) OVER w AS next_event,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd,
+         NTILE(4) OVER w AS quartile,
+         FIRST_VALUE(value) OVER w AS first_value,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n,
+       CAST(CAST(SUM(ABS(delta_prev)) AS DECIMAL(18,3)) AS DOUBLE) AS abs_delta_sum,
+       CAST(SUM(next_event) AS BIGINT) AS next_checksum,
+       printf('%.6f', SUM(pr)) AS pr_sum,
+       printf('%.6f', SUM(cd)) AS cd_sum,
+       CAST(SUM(quartile * rn) AS BIGINT) AS quartile_checksum,
+       MIN(first_value) AS first_value
+FROM per_event GROUP BY user_id ORDER BY user_id
+"""
