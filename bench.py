@@ -103,6 +103,7 @@ EXTENDED = [
     "v5_scalar_quantized_topk",
     "v6_two_tier_rerank",
     "w9_window_suite",
+    "x17_temperature_mix",
 ]
 
 

@@ -239,6 +239,7 @@ def _build() -> None:
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
     register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE, graded=False)
     register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
+    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

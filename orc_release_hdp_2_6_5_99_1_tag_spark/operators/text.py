@@ -1074,3 +1074,82 @@ def apply_bpe_merges(toks: DataFrame, merges: list[tuple[str, str]]) -> DataFram
     for pa, pb in merges:
         out = merge_pair_col(out, pa, pb)
     return toks.withColumn("t", out)
+
+
+# ---------------------------------------------------------------------------
+# x17: temperature-scaled source mixing
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_NUM, _MIX_ALPHA_DEN = 7, 10  # α = 0.7 as an exact rational
+
+
+def x17_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing (the multilingual-balancing staple:
+    sampling probability ∝ n(s)^α with α = 0.7, so small sources are
+    upweighted relative to their raw share without letting any source
+    dominate). Unlike x10's externally-given weights, the weights here
+    DERIVE from the observed size distribution — the self-balancing
+    recipe of multilingual LLM corpora (mC4/XLM-R style).
+
+    Same two-phase scale shape as x10: a |sources|-row count aggregate
+    fixes rates driver-free (rate(s) = c · n(s)^α / n(s), scaled so
+    the largest rate is 1); phase 2 is a shuffle-free md5-bucket keep.
+    pow uses the exact rational exponent 7/10 in the SAME operation
+    order in both engines, and rate comparisons quantize through
+    round(·, 9) so an ulp of pow() divergence cannot flip a keep
+    decision."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+                "bigint"
+            )
+            % 1_000_000
+        ).alias("b"),
+    )
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # rate(s) ∝ n^(α-1); scale so max rate == 1 (the biggest source
+    # keeps everything it can, smaller sources keep relatively more)
+    pw = F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA_NUM / _MIX_ALPHA_DEN) - 1)
+    rated = n.withColumn("raw_rate", pw)
+    mx = rated.agg(F.max("raw_rate").alias("mx"))
+    rates = rated.crossJoin(F.broadcast(mx)).select(
+        "source", "n", F.round(F.col("raw_rate") / F.col("mx"), 9).alias("keep_rate")
+    )
+    kept = F.when(F.col("b").cast("double") / F.lit(1000000.0) < F.col("keep_rate"), 1)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n").cast("long").alias("n_in"),
+            F.count(kept).cast("long").alias("n_kept"),
+            F.printf(F.lit("%.6f"), F.any_value("keep_rate")).alias("keep_rate"),
+            F.sum(F.when(kept.isNotNull(), F.col("doc_id"))).cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+X17_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000 AS b
+  FROM documents
+), n AS (
+  SELECT source, COUNT(*) AS n FROM d GROUP BY source
+), rated AS (
+  SELECT source, n, pow(CAST(n AS DOUBLE), {_MIX_ALPHA_NUM / _MIX_ALPHA_DEN} - 1) AS raw_rate
+  FROM n
+), m AS (SELECT MAX(raw_rate) AS mx FROM rated),
+r AS (
+  SELECT source, n, round(raw_rate / m.mx, 9) AS keep_rate FROM rated, m
+)
+SELECT d.source,
+       CAST(ANY_VALUE(r.n) AS BIGINT) AS n_in,
+       CAST(COUNT(CASE WHEN CAST(d.b AS DOUBLE)/1000000.0 < r.keep_rate THEN 1 END) AS BIGINT) AS n_kept,
+       printf('%.6f', ANY_VALUE(r.keep_rate)) AS keep_rate,
+       CAST(SUM(CASE WHEN CAST(d.b AS DOUBLE)/1000000.0 < r.keep_rate THEN d.doc_id END) AS BIGINT) AS id_checksum
+FROM d JOIN r ON r.source = d.source
+GROUP BY d.source ORDER BY d.source
+"""
