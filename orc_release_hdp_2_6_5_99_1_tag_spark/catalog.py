@@ -143,6 +143,13 @@ def _build() -> None:
     register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
+    #
+    # Round-5 rotation candidates (added in round 4, pytest-green at
+    # sf0.001/0.01/0.1 but no driver verdict yet): i1 i2 d12 d13 d14
+    # x16 x17 r9 s14 pipe2 w8 w9 v5 v6. Swap them in for showcases
+    # that will then carry TWO driver-green rounds (e.g. q1 stays; s1
+    # s3 p1 s5 f1 f12 e1 c1 c2 a1 x1 x3 x4 m1 m2 are candidates out).
+    #
     # rotated out round 4 (driver-green in CORRECTNESS_r03):
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE, graded=False)
     register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE, graded=False)
