@@ -174,3 +174,37 @@ SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
        CAST(COUNT(*) OVER (PARTITION BY a.cluster) AS BIGINT) AS cluster_size
 FROM a3 a ORDER BY a.vec_id
 """
+
+
+def assign_bulk(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for LARGE k — centroids as a
+    broadcast TABLE (cid, c) instead of literal expressions. The
+    literal-argmin path (`_assign`) codegen's k distance expressions
+    per row, which is the fastest shape for model-sized k (≤ a few
+    hundred) but makes Catalyst analysis itself O(k·dim) — at the
+    k ≈ corpus/1000 SemDeDup deployments need (tens of thousands of
+    clusters), the broadcast-join + min_by aggregation below is the
+    scale shape: one BroadcastNestedLoopJoin row-expansion of k per
+    vector (the irreducible n·k distance evaluations), then a
+    partial-aggregatable min_by keyed on vec_id. Tie-break matches
+    `_assign` exactly: (distance, cid) struct ordering.
+
+    Both paths produce IDENTICAL assignments (pinned by
+    tests/test_clustering.py); pick by k.
+    """
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    pairs = e.crossJoin(F.broadcast(centroids))
+    return (
+        pairs.select(
+            "vec_id",
+            "v",
+            F.struct(dist.alias("d"), F.col("cid").cast("int").alias("cid")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+        .select("vec_id", "v", F.col("best.cid").alias("cluster"))
+    )
