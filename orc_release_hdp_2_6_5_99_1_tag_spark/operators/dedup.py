@@ -814,7 +814,10 @@ def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of thousands of clusters for billions of docs) — at constant
     cluster size the pair stage is linear in n, measured in
     `scripts/scale_stress.py::run_d11_cluster_pairs` (10× corpus →
-    ~10× wall-clock at cluster size 1000). One shuffle on cluster id
+    ~10× wall-clock at cluster size 1000). For that large-k regime the
+    assignment itself switches from literal-argmin expressions to the
+    broadcast-table path (`clustering.assign_bulk`, pinned
+    bit-identical to `_assign` by tests/test_clustering.py). One shuffle on cluster id
     for the self-join; norms computed once per row; the k-means
     rounds are k1's (one scan each).
     """
