@@ -173,6 +173,11 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
         )
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_id2").alias("doc_b"))
         .distinct()
+        # cand feeds the two semi-join prunes AND the verification join
+        # below; uncached, the bucket self-join + distinct re-runs three
+        # times. It is duplicate-sized (≪ corpus), so caching is cheap
+        # at any scale (at 100 TB: persist(DISK_ONLY) if dup-heavy).
+        .cache()
     )
     sizes = sig.select("doc_id", "n")
     # verification-join pruning: only docs that appear in a candidate
@@ -182,10 +187,18 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
     # before the equality shuffle — without this, the full corpus
     # shingle set rides the (sa == sb) exchange twice. Results are
     # identical (pure input pruning); d2's stress ratio measures it.
-    a_docs = cand.select(F.col("doc_a").alias("doc_id")).distinct()
-    b_docs = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    sha = sh.join(a_docs, "doc_id", "left_semi").toDF("doc_a", "sa")
-    shb = sh.join(b_docs, "doc_id", "left_semi").toDF("doc_b2", "sb")
+    # one pass: prune the shingle set against the union of BOTH pair
+    # sides, then reuse the pruned (candidate-docs-only, ≪ corpus) set
+    # for both legs of the intersection join — half the semi-join
+    # stages of pruning each side separately, identical results (the
+    # union prune is a superset of each per-side prune; the equality
+    # join below discards the slack).
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    shp = sh.join(cand_docs, "doc_id", "left_semi").cache()
+    sha = shp.toDF("doc_a", "sa")
+    shb = shp.toDF("doc_b2", "sb")
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
@@ -830,7 +843,14 @@ def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assignments(e).withColumn("nrm", _norm(F.col("v")))
+    # assigned feeds both sides of the pair self-join AND the final
+    # keep/drop join — uncached, the argmin assignment expression (k
+    # distances × dim) would be recomputed three times per row. In
+    # production this materializes to an assignments table; locally
+    # cache() is the same one-materialization contract.
+    assigned = (
+        kmeans_assignments(e).withColumn("nrm", _norm(F.col("v"))).cache()
+    )
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("ida"),
