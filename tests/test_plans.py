@@ -329,3 +329,28 @@ def test_x16_pair_counts_partial_aggregate(spark, sf_dir):
     plan = formatted_plan(x16_bpe_pair_stats(spark, sf_dir))
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "TakeOrderedAndProject" in plan, f"top-K is a global sort:\n{plan}"
+
+
+def test_d2_pair_engine_caches_shared_subplans(spark, sf_dir):
+    """The pair engine's shingle set, signature table, candidate set,
+    and pruned candidate shingles each feed multiple downstream joins;
+    every one must materialize ONCE (InMemoryRelation) rather than
+    re-running the bucket self-join / shingle explode per reference —
+    the uncached-recompute regression cost 4x at the 1M-doc stress
+    point before it was caught."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        verified_dup_pairs,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(verified_dup_pairs(d))
+    import re
+
+    # unique numbered InMemoryRelation nodes: shingles, signatures,
+    # candidate pairs, pruned candidate shingles (>= 4; cache state
+    # from other tests may add more)
+    cached = set(re.findall(r"\((\d+)\) InMemoryRelation\b", plan))
+    assert len(cached) >= 4, (
+        f"expected >=4 cached shared subplans, found {len(cached)}:\n{plan[:2000]}"
+    )
