@@ -72,32 +72,27 @@ def _build() -> None:
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
     #
-    # Round-4 rotation: the driver grades exactly this window, so each
+    # Round-5 rotation: the driver grades exactly this window, so each
     # round swaps already-passed engine showcases out for operators
     # that have only pytest verdicts. Swapped OUT this round (all
-    # carried a green driver verdict in CORRECTNESS_r03 and stay
-    # oracle-checked in pytest as extras): f6 f7 f8 s9 s10 a3 a5 a6
-    # u1 t1 d3 d4 d5 v2 x2. Swapped IN: d7 d8 d9 d11 v3 v4 r5 r6 r7
-    # r8 x7 x8 x9 w5 t5.
+    # carried a green driver verdict in CORRECTNESS_r04 and stay
+    # oracle-checked in pytest as extras): s1 s3 p1 s5 s12 s13 f1
+    # f12 e1 c1 c2 a1 x1 x3 x4 m1 m2. Swapped IN: the round-4
+    # never-graded wave (i1 i2 d12 d13 d14 x16 x17 r9 s14 pipe2 w6
+    # w7 w8 v5 v6) plus set1/h1, the last two round-1 reds whose
+    # current implementations have never received a driver verdict.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # filter / predicate surface (SURVEY §2.3)
-    register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE)
-    register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE)
     # scans / sources / sinks (§2.1, §2.2)
-    register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
-    register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE)
-    register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE)
-    register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE)
     register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
-    register("s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE)
-    register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE)
-    # encodings (§2.6)
-    register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE)
-    # schema evolution / types (§2.9, §1.2)
-    register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE)
-    register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)
+    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE)
+    # set ops / higher-order functions (round-1 reds, regraded under
+    # the current folded implementations)
+    register(
+        "set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE
+    )
+    register("h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE)
     # ACID (§2.10)
     register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE)
     register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
@@ -112,8 +107,10 @@ def _build() -> None:
     register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE)
     register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE)
     register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE)
+    register(
+        "r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE
+    )
     # statistics machinery (§2.4)
-    register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a4_merged_file_stats", st.a4_merged_file_stats, st.A4M_ORACLE)
     # LLM-data-pipeline operators (§2.13)
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
@@ -123,33 +120,62 @@ def _build() -> None:
     register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE)
     register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE)
     register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE)
+    register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE)
+    register("d13_substring_dedup", dd.d13_substring_dedup, dd.D13_ORACLE)
+    register("d14_substring_scrub", dd.d14_substring_scrub, dd.D14_ORACLE)
+    register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE)
+    register("i2_perplexity_filter", smp.i2_perplexity_filter, smp.I2_ORACLE)
     register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
     register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE)
     register("v4_pq_ann", sim.v4_pq_ann, sim.V4_ORACLE)
-    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE)
-    register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE)
-    register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE)
+    register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE)
+    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE)
     register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE)
     register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE)
     register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE)
-    register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
-    register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
-    # temporal: point-in-time as-of join + cohort retention
+    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE)
+    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE)
+    # temporal: point-in-time as-of join, cohorts, interval join,
+    # SCD2 history, OHLC downsample
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
     register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE)
+    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE)
+    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE)
+    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE)
     # §2.13 capstones
     register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE)
+    register("pipe2_curation_funnel", pl.pipe2_curation_funnel, pl.PIPE2_ORACLE)
     register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE)
     register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
-    # Round-5 rotation candidates (added in round 4, pytest-green at
-    # sf0.001/0.01/0.1 but no driver verdict yet): i1 i2 d12 d13 d14
-    # x16 x17 r9 s14 pipe2 w8 w9 v5 v6. Swap them in for showcases
-    # that will then carry TWO driver-green rounds (e.g. q1 stays; s1
-    # s3 p1 s5 f1 f12 e1 c1 c2 a1 x1 x3 x4 m1 m2 are candidates out).
+    # Round-6 rotation candidates (pytest-green but still without a
+    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9, g2, mv1,
+    # t6 t7, x5 x6 x10-x15, u3, m3, j1, a4_stripe_stats, u2.
     #
+    # rotated out round 5 (driver-green in CORRECTNESS_r04):
+    register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
+    register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE, graded=False)
+    register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE, graded=False)
+    register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE, graded=False)
+    register(
+        "s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE, graded=False
+    )
+    register(
+        "s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE, graded=False
+    )
+    register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE, graded=False)
+    register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE, graded=False)
+    register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE, graded=False)
+    register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE, graded=False)
+    register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE, graded=False)
+    register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE, graded=False)
+    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
+    register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE, graded=False)
+    register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE, graded=False)
+    register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE, graded=False)
+    register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE, graded=False)
     # rotated out round 4 (driver-green in CORRECTNESS_r03):
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE, graded=False)
     register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE, graded=False)
@@ -187,10 +213,6 @@ def _build() -> None:
     register("a7_percentiles", xt.a7_percentiles, xt.A7_ORACLE, graded=False)
     register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE, graded=False)
     register("p2_pivot", so.p2_pivot, so.P2_ORACLE, graded=False)
-    register("h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE, graded=False)
-    register(
-        "set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE, graded=False
-    )
     register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
     register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE, graded=False)
     register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
@@ -221,32 +243,13 @@ def _build() -> None:
     register("q19_disjunctive_revenue", sq.q19_disjunctive_revenue, sq.Q19_SQL, graded=False)
     register("q20_part_promotion", sq.q20_part_promotion, sq.Q20_SQL, graded=False)
     register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL, graded=False)
-    # round-4 additions (second wave): interval join, SCD2, cube,
-    # incremental materialized-view maintenance
-    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE, graded=False)
-    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE, graded=False)
+    # round-4 additions (second wave): cube, incremental
+    # materialized-view maintenance
     register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
-    # round-4 additions (third wave): DSIR importance resampling,
-    # Bloom-prefiltered decontamination, BPE pair statistics
-    register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE, graded=False)
-    register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE, graded=False)
-    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE, graded=False)
-    register("i2_perplexity_filter", smp.i2_perplexity_filter, smp.I2_ORACLE, graded=False)
-    register(
-        "r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE, graded=False
-    )
-    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE, graded=False)
-    register("d13_substring_dedup", dd.d13_substring_dedup, dd.D13_ORACLE, graded=False)
-    register("d14_substring_scrub", dd.d14_substring_scrub, dd.D14_ORACLE, graded=False)
-    register("pipe2_curation_funnel", pl.pipe2_curation_funnel, pl.PIPE2_ORACLE, graded=False)
-    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE, graded=False)
-    register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
-    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE, graded=False)
     register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
-    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

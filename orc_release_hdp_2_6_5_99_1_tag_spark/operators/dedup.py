@@ -948,6 +948,25 @@ def build_shingle_bloom(hashes) -> "numpy.ndarray":  # noqa: F821
     return bits
 
 
+def build_shingle_bloom_distributed(hash_df: DataFrame) -> "numpy.ndarray":  # noqa: F821
+    """Executor-side Bloom build: each partition folds its hashes into
+    a local 128 KiB bit array (the same vectorized `build_shingle_bloom`
+    kernel), and the fixed-size arrays are OR'd up a tree aggregate.
+    The driver receives only the combined 128 KiB filter — never the
+    raw hash stream — so the build scales to an arbitrarily large eval
+    registry (OR is associative + commutative and the result size is
+    constant regardless of input cardinality).
+
+    `hash_df` must be a single-column DataFrame of bigint hashes.
+    """
+    import numpy as np
+
+    zero = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    return hash_df.rdd.mapPartitions(
+        lambda it: [build_shingle_bloom(r[0] for r in it)]
+    ).treeAggregate(zero, np.bitwise_or, np.bitwise_or, depth=2)
+
+
 def bloom_maybe_udf(spark: SparkSession, bits):
     """Arrow-batched membership probe against a broadcast Bloom filter.
     The bit array rides an explicit SparkContext broadcast (one copy
@@ -993,7 +1012,9 @@ def d12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: corpus shingle explode is narrow; the probe drops
     ~98% of shingles BEFORE any exchange; the exact verify join runs
     on the tiny positive set. Eval-set build is one scan of the
-    (small) eval slice + one driver collect of distinct hashes.
+    (small) eval slice + a treeAggregate of per-partition 128 KiB bit
+    arrays OR'd together — the driver never sees raw hashes, only the
+    fixed-size combined filter (`build_shingle_bloom_distributed`).
     Reference anchor: the same role ORC bloom indexes play for point
     lookups (`BloomFilterIO`, SURVEY F9/I2) — probabilistic skip,
     exact recheck.
@@ -1005,10 +1026,7 @@ def d12_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
 
     eval_sh = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("s", "h").distinct()
-    # driver collect is of the EVAL set only (the small side by
-    # construction); at true scale this becomes treeAggregate of
-    # per-partition bit arrays OR'd together — same fixed-size result
-    bits = build_shingle_bloom(r["h"] for r in eval_sh.select("h").collect())
+    bits = build_shingle_bloom_distributed(eval_sh.select("h"))
     maybe = bloom_maybe_udf(spark, bits)
 
     candidates = sh.filter(maybe(F.col("h")))

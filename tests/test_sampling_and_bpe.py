@@ -83,6 +83,43 @@ def test_bloom_prefilter_is_effective_and_lossless(spark, sf_dir):
         probed.unpersist()
 
 
+def _eval_hash_df(spark, sf_dir):
+    d = dd.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(dd.ngram_shingle_col(dd._DECON_NGRAM)).alias("s")
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint"))
+    return sh.filter(F.col("doc_id") % dd._EVAL_MOD == 0).select("h").distinct()
+
+
+def test_distributed_bloom_build_parity(spark, sf_dir):
+    """The treeAggregate build must produce bit-identical filter
+    contents to the single-shot driver-side kernel on the same hash
+    set — OR-merge of per-partition arrays loses nothing."""
+    import numpy as np
+
+    hdf = _eval_hash_df(spark, sf_dir)
+    want = dd.build_shingle_bloom(r["h"] for r in hdf.collect())
+    got = dd.build_shingle_bloom_distributed(hdf.repartition(7))
+    assert np.array_equal(got, want)
+
+
+def test_distributed_bloom_build_never_collects_hashes(spark, sf_dir, monkeypatch):
+    """Scale guard: the build path must NOT pull the raw hash stream
+    to the driver via DataFrame.collect — only fixed-size bit arrays
+    travel (treeAggregate). A collect() inside the build would blow up
+    at a 100-TB eval registry."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("raw-hash DataFrame.collect on the bloom build path")
+
+    hdf = _eval_hash_df(spark, sf_dir)
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    bits = dd.build_shingle_bloom_distributed(hdf)
+    assert bits.nbytes == dd._BLOOM_BITS // 8 and int(bits.sum()) > 0
+
+
 def _py_bpe(docs: list[list[str]], n_merges: int) -> list[tuple[str, str]]:
     """Reference BPE: per round, count adjacent pairs (leftmost-first
     non-overlapping merge application), take max by (count, -pair)."""
