@@ -140,11 +140,17 @@ def main() -> None:
     # JIT/codegen so timings reflect steady-state query cost
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
-    # min of two timed runs: long-lived-JVM GC noise can inflate a
-    # single sample up to 3x; the min is the honest steady-state cost
+    # METHODOLOGY (r05, supersedes the r01-r04 series for operators
+    # that cache() internally): the SQL cache is cleared before every
+    # timed run, so each sample is end-to-end execution, never a read
+    # of the warm run's InMemoryRelation. min of THREE timed runs
+    # (r01-r04: two): long-lived-JVM GC noise can inflate a single
+    # sample up to 3x on sub-second queries; the min is the honest
+    # steady-state cost.
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             dt = time.time() - t0
@@ -154,8 +160,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # round-3 capstones + round-4 widening, timed separately so `value`
-    # stays comparable with the BENCH_r01 series (warm+min-of-2 for
-    # batch operators; streaming entries report COLD sink-build time —
+    # stays comparable with the BENCH_r01 series (warm + cache-cleared
+    # min-of-3 for batch operators; streaming entries report COLD sink-build time —
     # staging + availableNow run + read-back — after clearing the
     # streaming scratch, since a cached read-back is just a parquet
     # scan and would hide regressions in the streaming layer itself)
@@ -177,7 +183,8 @@ def main() -> None:
             continue
         qs[name](spark, SF_DIR).collect()
         best = None
-        for _ in range(2):
+        for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             dt = time.time() - t0

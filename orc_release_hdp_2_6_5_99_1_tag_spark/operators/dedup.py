@@ -958,13 +958,31 @@ def build_shingle_bloom_distributed(hash_df: DataFrame) -> "numpy.ndarray":  # n
     constant regardless of input cardinality).
 
     `hash_df` must be a single-column DataFrame of bigint hashes.
+
+    The per-partition kernel is a NESTED function capturing only
+    scalars + numpy, never this module: the external driver runs a
+    vanilla session where executors cannot import the repo package,
+    and cloudpickle ships nested closures by value (a module-level
+    reference would raise ModuleNotFoundError on the workers — caught
+    by the driver-sim verify).
     """
     import numpy as np
 
-    zero = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-    return hash_df.rdd.mapPartitions(
-        lambda it: [build_shingle_bloom(r[0] for r in it)]
-    ).treeAggregate(zero, np.bitwise_or, np.bitwise_or, depth=2)
+    bits_n, probes, prime = _BLOOM_BITS, list(_BLOOM_PROBES), _P
+
+    def _partition_bloom(it):
+        np_ = __import__("numpy")
+        h = np_.fromiter((r[0] for r in it), dtype=np_.int64)
+        bits = np_.zeros(bits_n // 8, dtype=np_.uint8)
+        for a, b in probes:
+            idx = ((a * h + b) % prime) % bits_n
+            np_.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np_.uint8))
+        return [bits]
+
+    zero = np.zeros(bits_n // 8, dtype=np.uint8)
+    return hash_df.rdd.mapPartitions(_partition_bloom).treeAggregate(
+        zero, np.bitwise_or, np.bitwise_or, depth=2
+    )
 
 
 def bloom_maybe_udf(spark: SparkSession, bits):

@@ -1064,6 +1064,82 @@ def learn_bpe_merges(toks: DataFrame, n_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
+def learn_bpe_merges_batched(
+    toks: DataFrame,
+    n_merges: int,
+    batch: int = 8,
+    _stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Exact-parity batched BPE learning: identical merge list to
+    `learn_bpe_merges`, but ONE distributed job can commit up to
+    `batch` merges, so a 10k-merge vocabulary needs ~10k/batch jobs
+    instead of 10k sequential ones (the round-4 scale flag).
+
+    Why the batch is provably exact, not approximate: per round, one
+    job collects the top `batch`+1 pairs under the canonical
+    (count desc, pair asc) order. We accept a maximal PREFIX of that
+    ranking that is pairwise symbol-disjoint — counting the merged
+    concatenation pa+pb as an occupied symbol, since a later pair
+    touching it would conflate pre-existing tokens spelled "pa+pb"
+    with newly merged ones. Applying disjoint merges cannot change
+    each other's counts, so each accepted pair still holds its rank
+    when its turn comes. The only other competitors the exact
+    algorithm could see at round j are pairs CREATED by earlier
+    accepted merges, and any such pair (x, ab) satisfies
+    count(x, ab) <= count(x, a); (x, a) shares symbol `a`, so it is
+    outside the disjoint prefix and its count is <= the best
+    non-accepted count `c_rest`. Trimming the batch to pairs with
+    count strictly greater than `c_rest` (the first pair always
+    stands) therefore guarantees no created pair can outrank any
+    accepted one, and skipped existing pairs only ever lose count.
+    Net: byte-identical merges to the job-per-merge path, by
+    construction — and the parity test re-checks it empirically on
+    the overlap-hazard corpora.
+    """
+    merges: list[tuple[str, str]] = []
+    cur = toks
+    jobs = 0
+    while len(merges) < n_merges:
+        top = (
+            adjacent_pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(batch + 1)
+            .collect()
+        )
+        jobs += 1
+        if not top:
+            break
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        c_rest = 0
+        for i, row in enumerate(top):
+            pa, pb = row["pair"].split(" ", 1)
+            if i >= batch or {pa, pb, pa + pb} & used:
+                c_rest = int(row["cnt"])  # best pair we did NOT accept
+                break
+            accepted.append((pa, pb, int(row["cnt"])))
+            used |= {pa, pb, pa + pb}
+        # strict-dominance trim: pair j>1 must outrank anything a
+        # prior merge could create (bounded by c_rest); ties go to
+        # the single-merge path next round. Counts are non-increasing
+        # along `accepted`, so the safe set is a contiguous prefix.
+        take = accepted[:1]
+        for t in accepted[1:]:
+            if t[2] > c_rest:
+                take.append(t)
+            else:
+                break
+        take = take[: n_merges - len(merges)]
+        out = F.col("t")
+        for pa, pb, _ in take:
+            merges.append((pa, pb))
+            out = merge_pair_col(out, pa, pb)
+        cur = cur.select(out.alias("t"))
+    if _stats is not None:
+        _stats["jobs"] = jobs
+    return merges
+
+
 def apply_bpe_merges(toks: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list to a token-array column `t` in merge
     order (the BPE encode path): each merge folds into the SAME single

@@ -162,6 +162,63 @@ def test_learn_bpe_merges_matches_python_reference(spark):
     assert got == want, (got, want)
 
 
+def test_learn_bpe_merges_batched_parity_on_hazard_corpus(spark):
+    """Batched learning must reproduce the exact job-per-merge merge
+    list on the overlap-hazard corpus — the strict-dominance trim may
+    fall back to one merge per round here, but never diverge."""
+    docs = [
+        "l o w e r".split(),
+        "l o w e s t".split(),
+        "n e w e r n e w e r".split(),
+        "w i d e r".split(),
+        "a a a a a".split(),
+        "l o w l o w l o w".split(),
+    ] * 3
+    sdf = spark.createDataFrame([(t,) for t in docs], "t array<string>")
+    want = _py_bpe(docs, 6)
+    for batch in (2, 4, 8):
+        stats: dict = {}
+        got = tx.learn_bpe_merges_batched(sdf, 6, batch=batch, _stats=stats)
+        assert got == want, (batch, got, want)
+        assert stats["jobs"] <= 6
+
+
+def test_learn_bpe_merges_batched_commits_many_per_job(spark):
+    """On a corpus whose top pairs are symbol-disjoint with strictly
+    separated counts, one job commits the whole batch: 4 merges in a
+    single round vs 4 rounds on the exact path."""
+    docs = (
+        [["a", "a"]] * 10
+        + [["b", "b"]] * 8
+        + [["c", "c"]] * 6
+        + [["d", "d"]] * 4
+        + [["e", "e"]] * 2
+    )
+    sdf = spark.createDataFrame([(t,) for t in docs], "t array<string>")
+    want = _py_bpe(docs, 4)
+    stats: dict = {}
+    got = tx.learn_bpe_merges_batched(sdf, 4, batch=4, _stats=stats)
+    assert got == want == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+    assert stats["jobs"] == 1
+
+
+def test_learn_bpe_merges_batched_random_corpora(spark):
+    """Fuzz parity: random small-alphabet corpora (the worst case for
+    batching — heavy symbol sharing and ties) against the pure-Python
+    reference."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(0, 12))] for _ in range(25)
+        ]
+        sdf = spark.createDataFrame([(t,) for t in docs], "t array<string>")
+        want = _py_bpe(docs, 5)
+        got = tx.learn_bpe_merges_batched(sdf, 5, batch=3)
+        assert got == want, (trial, got, want)
+
+
 def test_merge_pair_col_leftmost_nonoverlapping(spark):
     cases = [
         (["a", "a", "a", "a"], ["aa", "aa"]),
