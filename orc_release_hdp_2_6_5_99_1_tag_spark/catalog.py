@@ -250,6 +250,10 @@ def _build() -> None:
     register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
     register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
+    # round-5 additions: cross-source duplicate-overlap matrix,
+    # hourly gap fill (densify + locf forward fill)
+    register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE, graded=False)
+    register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

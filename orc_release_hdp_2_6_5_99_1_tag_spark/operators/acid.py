@@ -414,6 +414,32 @@ def _dir_txn_range(d: str) -> tuple[int, int] | None:
     return None
 
 
+def select_acid_dirs(root: str) -> list[str]:
+    """Directory selection under concurrent-writer/compaction layouts —
+    the AcidUtils.getAcidState walk (reference acid.md:45-62): pick the
+    HIGHEST base, then process deltas in (lo asc, hi desc) order
+    keeping only those that extend coverage. A delta whose range is
+    contained in an already-kept (compacted) delta, or lies entirely
+    below the base, is a pre-compaction remnant the cleaner has not
+    removed yet: reading it would double-apply its events, so it is
+    skipped at the METADATA level, before any file IO."""
+    bases = sorted(
+        (rng[1], d) for d in os.listdir(root) if (rng := _dir_txn_range(d)) and d.startswith("base_")
+    )
+    chosen = [bases[-1][1]] if bases else []
+    covered_hi = bases[-1][0] if bases else -1
+    deltas = sorted(
+        (rng[0], -rng[1], d)
+        for d in os.listdir(root)
+        if (rng := _dir_txn_range(d)) and d.startswith("delta_")
+    )
+    for _lo, neg_hi, d in deltas:
+        if -neg_hi > covered_hi:
+            chosen.append(d)
+            covered_hi = -neg_hi
+    return chosen
+
+
 def snapshot_view(spark: SparkSession, root: str, valid_txns: list[int]) -> DataFrame:
     """Snapshot (time-travel) read: merge-on-read against an explicit
     committed-transaction list — the reference's ValidTxnList contract
@@ -422,18 +448,16 @@ def snapshot_view(spark: SparkSession, root: str, valid_txns: list[int]) -> Data
     not a high-water mark, so an open/aborted transaction BELOW the
     watermark is excluded too.
 
-    Scale: pruning happens at TWO levels — whole delta directories
-    whose txn range intersects nothing in the list are never read
-    (metadata-only, the AcidUtils.getAcidState directory walk), then
-    the per-event `currentTransaction IN valid` filter is pushed into
-    the ORC scan of the surviving dirs before the merge window."""
+    Scale: pruning happens at THREE levels — subsumed pre-compaction
+    remnant dirs are dropped by `select_acid_dirs` (metadata-only),
+    delta directories whose txn range intersects nothing in the list
+    are never read (also metadata-only), then the per-event
+    `currentTransaction IN valid` filter is pushed into the ORC scan
+    of the surviving dirs before the merge window."""
     valid = set(valid_txns)
     parts = []
-    for d in sorted(os.listdir(root)):
-        rng = _dir_txn_range(d)
-        if rng is None:
-            continue
-        lo, hi = rng
+    for d in select_acid_dirs(root):
+        lo, hi = _dir_txn_range(d)
         if not any(lo <= t <= hi for t in valid) and not d.startswith("base_"):
             continue
         parts.append(_read_events(spark, os.path.join(root, d)))

@@ -15,6 +15,18 @@ Scale notes (the whole point of MinHash-LSH):
 At 100 TB the shingle explosion dominates; cap it with distinct
 shingles per doc (done) and, if needed, sample shingles by hash range
 (h % k == 0) — both engines support the same predicate.
+
+Cache policy (MEASURED, see verified_dup_pairs): only SMALL,
+expensive-to-recompute subplans are cached — the duplicate-sized
+candidate set (d2/d10) and the argmin cluster assignment (d11).
+Corpus-scale frames (shingle sets, signatures) are deliberately NOT
+cached: at the 1M-doc cold stress point, materializing them cost 2.4x
+more than recomputing their narrow lineage, and at 100 TB they don't
+fit. Cache lifetime is owned by the CALLER's session: a long-lived
+session running many dedup queries should `spark.catalog.clearCache()`
+between queries (exactly what `bench.py` / `scripts/scale_stress.py`
+do before every timed run) — unpersisting inside the operator would
+defeat the within-plan sharing the cache exists for.
 """
 
 from __future__ import annotations
@@ -141,10 +153,18 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification:
     the shared pair engine behind d2 (pair listing) and d10 (cluster
     formation). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    # the shingle set feeds the signature, the size table, and the
-    # verification join — cache it once instead of re-shingling 3x
-    # (at 100 TB: persist(DISK_ONLY) or a checkpoint table instead)
-    sh_hashed = _shingles(d).cache()
+    # Cache policy, MEASURED at the 1M-doc cold stress point (cache
+    # cleared before timing; identical outputs): caching every shared
+    # subplan costs 27.5s end-to-end, caching ONLY the duplicate-sized
+    # candidate set costs 11.2s, caching nothing 11.4s. Materializing
+    # corpus-scale frames (the 28M-row shingle set, the signature
+    # table) to memory is 2.4x MORE expensive than recomputing their
+    # narrow scan→explode→md5/agg lineage on demand — so only `cand`
+    # (small by construction, feeding three downstream joins whose
+    # recompute would re-run the banded self-join) is cached. At
+    # 100 TB the same logic holds harder: corpus-scale caches don't
+    # fit; narrow recompute is the scale-safe default.
+    sh_hashed = _shingles(d)
     sh = sh_hashed.select("doc_id", "s")
     # one groupBy produces the 16 minhashes AND the set size (merging
     # the `sizes` aggregation in saves a full shuffle of the shingle set)
@@ -152,7 +172,7 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
         for k, (a, b) in enumerate(_PERMS)
     ] + [F.count(F.lit(1)).alias("n")]
-    sig = sh_hashed.groupBy("doc_id").agg(*aggs).cache()
+    sig = sh_hashed.groupBy("doc_id").agg(*aggs)
     buckets = _band_buckets(sig)
     # join-strategy note (measured in scripts/scale_stress.py): these
     # joins are corpus-sized on both sides. AQE's runtime-size-based
@@ -196,7 +216,7 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
     cand_docs = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    shp = sh.join(cand_docs, "doc_id", "left_semi").cache()
+    shp = sh.join(cand_docs, "doc_id", "left_semi")
     sha = shp.toDF("doc_a", "sa")
     shb = shp.toDF("doc_b2", "sb")
     inter = (
@@ -1293,4 +1313,50 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens - n_removed) AS BIGINT) AS tokens_after,
        CAST(SUM(pos_checksum) AS BIGINT) AS pos_checksum
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# d15: cross-source duplicate-overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def d15_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (a < b), how many distinct normalized-text fingerprints appear in
+    BOTH sources — the dataset-curation report that tells you which
+    feeds are re-crawling each other before you mix them (the
+    source-level analogue of d7's eval-set decontamination).
+
+    Spark-first scale shape: ONE distinct over (fingerprint, source)
+    — a single corpus shuffle keyed on the fingerprint — then a
+    self-equi-join on the fingerprint. The join's fan-out is bounded
+    by (sources per fingerprint)², and the source universe is small
+    by construction (twenty feeds here, rarely more than hundreds in
+    production), so the output is matrix-sized however large the
+    corpus; the final per-pair count is partial-aggregatable.
+    Reference anchor: the same fingerprint column as d1
+    (`normalized_fp_col`), so the matrix is consistent with the
+    exact-dedup verdicts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sf = d.select(normalized_fp_col().alias("fp"), "source").distinct()
+    other = sf.toDF("fp", "source_b")
+    return (
+        sf.join(other, "fp")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+D15_ORACLE = f"""
+WITH sf AS (
+  SELECT DISTINCT {SQL_NORMALIZED_FP} AS fp, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps
+FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
 """

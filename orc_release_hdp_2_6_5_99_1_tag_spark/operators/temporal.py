@@ -447,3 +447,89 @@ SELECT user_id, COUNT(*) AS n,
        MIN(first_value) AS first_value
 FROM per_event GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# w10: time-grid densify + forward fill (gap fill)
+# ---------------------------------------------------------------------------
+
+_GF_USERS = 40  # bound the grid for the oracle compare
+
+
+def w10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: densify each user's event stream onto
+    a complete hourly grid between their first and last hour, carrying
+    the most recent observed value forward into the empty hours
+    (TimescaleDB's time_bucket_gapfill + locf, the metrics-store
+    staple for turning sparse events into regular series).
+
+    Spark-first shape, three strictly bounded steps: (1) the hourly
+    rollup is one partial-aggregatable groupBy((user, hour)); (2) the
+    grid is sequence(min_hour, max_hour, 1h) exploded per user — a
+    narrow generator whose fan-out is the series length, never a
+    join; (3) the fill is a single last(ignorenulls) running window
+    per user over the grid — one hash exchange on user_id total for
+    steps 2+3 (the window reuses the grid's partitioning). No range
+    join, no per-hour subquery. At 100 TB users partition cleanly and
+    every step stays linear in grid size.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < _GF_USERS)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(F.col("user_id"), hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("n_events").isNull().cast("int").alias("filled"),
+        )
+        .select(
+            "user_id",
+            F.col("hour").cast("string").alias("hour"),
+            "n_events",
+            "value_ff",
+            "filled",
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+W10_ORACLE = f"""
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events, arg_max(value, ts) AS last_value
+  FROM events WHERE user_id < {_GF_USERS}
+  GROUP BY user_id, date_trunc('hour', ts)
+), b AS (
+  SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx FROM h GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b
+)
+SELECT g.user_id,
+       CAST(g.hour AS VARCHAR) AS hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       LAST_VALUE(h.last_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+       CAST(h.n_events IS NULL AS INT) AS filled
+FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hour = g.hour
+ORDER BY g.user_id, hour
+"""

@@ -251,6 +251,94 @@ def run_d11_cluster_pairs(spark, docs, vecs, ev):
     return pairs.agg(F.count(F.lit(1))).collect()
 
 
+def synth_embeddings64(spark, n: int) -> str:
+    """64-dim synthetic embeddings laid out as an `embeddings.parquet`
+    sf-dir so the REAL graded ANN operators (v2-v6) run unchanged
+    against it. Every 20th vector is a planted near-duplicate of its
+    predecessor (one dimension nudged), so queries have true near
+    neighbors for recall to find; the rest is hash-random."""
+    dim = 64
+    sf_dir = os.path.join(_REPO, ".scratch", f"ann_{n}")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") % 20 == 1, F.col("id") - 1).otherwise(F.col("id")).alias("seed"),
+        )
+        emb = F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"i -> cast(pmod(hash(seed, i), 1000) / 500.0 - 1.0 as float))"
+        )
+        # near-dup: nudge dimension 0 by 0.01
+        emb = F.when(
+            F.col("vec_id") % 20 == 1,
+            F.expr(
+                f"transform(transform(sequence(0, {dim - 1}), "
+                f"i -> cast(pmod(hash(seed, i), 1000) / 500.0 - 1.0 as float)), "
+                f"(x, i) -> CASE WHEN i = 0 THEN cast(x + 0.01f as float) ELSE x END)"
+            ),
+        ).otherwise(emb)
+        base.select("vec_id", emb.alias("embedding")).write.mode("overwrite").parquet(path)
+    return sf_dir
+
+
+def ann_recall(spark, n: int) -> dict[str, tuple[float, int]]:
+    """recall@k for each approximate ANN operator vs brute-force exact
+    cosine on the SAME corpus, queries, and k — the real graded
+    operators run against the synthetic sf-dir, so what is measured is
+    exactly what ships. Returns {variant: (recall, k)}."""
+    from pyspark.sql import Window as W
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import similarity as sim
+
+    sf_dir = synth_embeddings64(spark, n)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    qn = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    sim_df = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", (dot / (nrm * qn)).alias("c")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    exact = (
+        sim_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 12)
+        .select("query_id", "vec_id", "rank")
+        .collect()
+    )
+    gt: dict[int, list[int]] = {}
+    for r in sorted(exact, key=lambda r: (r["query_id"], r["rank"])):
+        gt.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+
+    variants = [
+        # (name, fn, k, excludes_self)
+        ("v2_lsh", sim.v2_lsh_bucketed_ann, 1, True),
+        ("v3_ivf", sim.v3_ivf_ann, 3, True),
+        ("v4_pq", sim.v4_pq_ann, 5, False),
+        ("v5_sq", sim.v5_scalar_quantized_topk, 3, False),
+        ("v6_two_tier", sim.v6_two_tier_rerank, 3, False),
+    ]
+    out: dict[str, tuple[float, int]] = {}
+    for name, fn, k, selfless in variants:
+        spark.catalog.clearCache()
+        got: dict[int, set[int]] = {}
+        for r in fn(spark, sf_dir).collect():
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        hits = total = 0
+        for qid, ret in got.items():
+            truth = [v for v in gt[qid] if not (selfless and v == qid)][:k]
+            hits += len(ret & set(truth))
+            total += len(truth)
+        out[name] = (hits / total if total else 0.0, k)
+        print(f"n={n} recall@{k} {name}: {out[name][0]:.2f}", flush=True)
+    return out
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -310,6 +398,25 @@ def main() -> None:
             f"| {name} | {r[small]:.2f} | {r[big]:.2f} | {ratio:.1f}x | "
             f"{'yes' if ratio <= factor * 1.3 else 'NO'} |"
         )
+    recalls = ann_recall(spark, big)
+    lines += [
+        "",
+        f"## ANN recall at n={big:,} (64-dim synthetic, planted near-dups)",
+        "",
+        "recall@k of each approximate operator vs brute-force exact "
+        "cosine on the same corpus/queries/k — the REAL graded v2-v6 "
+        "run against the synthetic sf-dir, so quantization quality is "
+        "tracked at stress scale, not just wall-clock. v2/v3 search "
+        "non-self neighbors; v4-v6 rank the full corpus. Approximate "
+        "recall < 1.0 is the designed trade (bucket/probe/codebook "
+        "pruning), not a defect; the exact-path operators (v1, and v6's "
+        "tier-2 rerank over tier-1 candidates) are the precision levers.",
+        "",
+        "| variant | k | recall@k |",
+        "|---|---|---|",
+    ]
+    for name, (rec, k) in recalls.items():
+        lines.append(f"| {name} | {k} | {rec:.2f} |")
     out = os.path.join(_REPO, "SCALE_STRESS.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -8,11 +8,21 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+import os
+
+import pytest
+
 from orc_release_hdp_2_6_5_99_1_tag_spark.operators.acid import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    _to_physical,
     acid_table_dir,
     merged_view,
+    select_acid_dirs,
     snapshot_view,
 )
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
 
 
 def test_exceptions_list_skips_open_txn_below_watermark(spark, sf_dir):
@@ -45,6 +55,120 @@ def test_full_valid_list_equals_merged_view(spark, sf_dir):
     a = snapshot_view(spark, root, [1, 2, 3]).orderBy("id").collect()
     b = merged_view(spark, root).orderBy("id").collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Hostile layout: overlapping delta ranges (pre-compaction remnants the
+# cleaner has not removed) + an aborted txn below the watermark —
+# mirroring the reference's compaction preconditions (acid.md:45-62)
+# ---------------------------------------------------------------------------
+
+_N = 60
+
+
+def _ev(ids, op, txn, status_fn, price_fn):
+    return [
+        (op, 1, i % 4, i, txn, {"id": i, "status": status_fn(i), "totalprice": price_fn(i)})
+        for i in ids
+    ]
+
+
+_EV_DDL = (
+    "operation int, originalTransaction bigint, bucket int, rowId bigint,"
+    " currentTransaction bigint,"
+    " row struct<id: bigint, status: string, totalprice: double>"
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_root(spark, tmp_path_factory):
+    """base_1 (inserts 1..60) · delta_2_2 + delta_3_3 (pre-compaction
+    remnants) · delta_2_3 (their minor compaction — SAME events) ·
+    delta_4_4 (ABORTED writer: poison 'X' updates) · delta_5_5
+    (committed updates). The remnants overlap the compacted range, so
+    a reader that walks every dir double-reads txn 2/3 events; the
+    aborted txn sits BELOW the 5 watermark."""
+    root = str(tmp_path_factory.mktemp("acid_hostile") / "orders_acid")
+    ids = range(1, _N + 1)
+    layout = [
+        ("base_0000001", _ev(ids, OP_INSERT, 1, lambda i: "O", lambda i: float(i))),
+        ("delta_0000002_0000002",
+         _ev([i for i in ids if i % 3 == 0], OP_UPDATE, 2,
+             lambda i: "U2", lambda i: float(i) + 100.0)),
+        ("delta_0000003_0000003",
+         _ev([i for i in ids if i % 5 == 0], OP_DELETE, 3,
+             lambda i: "O", lambda i: float(i))),
+        ("delta_0000002_0000003",
+         _ev([i for i in ids if i % 3 == 0], OP_UPDATE, 2,
+             lambda i: "U2", lambda i: float(i) + 100.0)
+         + _ev([i for i in ids if i % 5 == 0], OP_DELETE, 3,
+               lambda i: "O", lambda i: float(i))),
+        ("delta_0000004_0000004",
+         _ev([i for i in ids if i % 2 == 0], OP_UPDATE, 4,
+             lambda i: "X", lambda i: -1.0)),
+        # txn 5 updates only rows that still exist (a writer cannot
+        # update a row txn 3 already deleted)
+        ("delta_0000005_0000005",
+         _ev([i for i in ids if i % 7 == 0 and i % 5 != 0], OP_UPDATE, 5,
+             lambda i: "U5", lambda i: float(i) + 500.0)),
+    ]
+    for sub, rows in layout:
+        df = spark.createDataFrame(rows, _EV_DDL)
+        write_orc(_to_physical(df), os.path.join(root, sub))
+    return root
+
+
+def test_subsumed_remnant_dirs_are_skipped(hostile_root):
+    """Directory selection must drop the pre-compaction remnants whose
+    ranges the compacted delta_2_3 covers, keep everything else."""
+    chosen = select_acid_dirs(hostile_root)
+    assert chosen == [
+        "base_0000001",
+        "delta_0000002_0000003",
+        "delta_0000004_0000004",
+        "delta_0000005_0000005",
+    ]
+
+
+def test_hostile_snapshot_matches_logical_replay(spark, hostile_root):
+    """valid={1,2,3,5} (txn 4 aborted below the watermark): the merged
+    view must equal the logical replay — txn-3 deletes applied, txn-5
+    update beating txn-2 where both touched a row, and not a single
+    aborted-'X' row surviving. Double-application of the remnant
+    events would break the per-key row_count==1 invariant; reading
+    delta_4_4 would leak 'X'."""
+    snap = snapshot_view(spark, hostile_root, [1, 2, 3, 5])
+    rows = {r["id"]: r for r in snap.collect()}
+    expected = {}
+    for i in range(1, _N + 1):
+        if i % 5 == 0:
+            continue
+        if i % 7 == 0:
+            expected[i] = ("U5", float(i) + 500.0, 5)
+        elif i % 3 == 0:
+            expected[i] = ("U2", float(i) + 100.0, 2)
+        else:
+            expected[i] = ("O", float(i), 1)
+    assert {k: (r["status"], r["totalprice"], r["currentTransaction"]) for k, r in rows.items()} == expected
+
+
+def test_hostile_snapshot_never_reads_aborted_dir(spark, hostile_root):
+    """The aborted txn's delta intersects nothing in the valid list, so
+    its directory must be pruned at the metadata level — no file IO."""
+    snap = snapshot_view(spark, hostile_root, [1, 2, 3, 5])
+    files = snap.inputFiles()
+    assert files and not any("delta_0000004_0000004" in f for f in files)
+    assert not any("delta_0000002_0000002" in f for f in files)
+    assert not any("delta_0000003_0000003" in f for f in files)
+
+
+def test_hostile_snapshot_before_compacted_txns(spark, hostile_root):
+    """valid={1,2}: the compacted delta is read (it holds txn-2 events)
+    but its txn-3 deletes are filtered out at the event level."""
+    snap = snapshot_view(spark, hostile_root, [1, 2])
+    rows = {r["id"]: r for r in snap.collect()}
+    assert len(rows) == _N  # no deletes visible yet
+    assert all(r["status"] == ("U2" if k % 3 == 0 else "O") for k, r in rows.items())
 
 
 def test_snapshot_txn_filter_pushed_to_scan(spark, sf_dir):

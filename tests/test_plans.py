@@ -331,26 +331,39 @@ def test_x16_pair_counts_partial_aggregate(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, f"top-K is a global sort:\n{plan}"
 
 
-def test_d2_pair_engine_caches_shared_subplans(spark, sf_dir):
-    """The pair engine's shingle set, signature table, candidate set,
-    and pruned candidate shingles each feed multiple downstream joins;
-    every one must materialize ONCE (InMemoryRelation) rather than
-    re-running the bucket self-join / shingle explode per reference —
-    the uncached-recompute regression cost 4x at the 1M-doc stress
-    point before it was caught."""
+def test_d2_pair_engine_caches_candidates_only(spark, sf_dir):
+    """Cache policy pin (measured at the 1M-doc COLD stress point,
+    cache cleared before timing): caching every shared subplan costs
+    27.5s vs 11.2s for caching ONLY the duplicate-sized candidate set —
+    materializing corpus-scale frames (shingles, signatures) is 2.4x
+    more expensive than recomputing their narrow lineage. So the plan
+    must contain the `cand` InMemoryRelation (it feeds three downstream
+    joins whose recompute would re-run the banded self-join) and the
+    corpus-scale subplans must NOT be cached."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
         verified_dup_pairs,
     )
     from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
+    spark.catalog.clearCache()  # isolate from other tests' cache state
     d = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(verified_dup_pairs(d))
     import re
 
-    # unique numbered InMemoryRelation nodes: shingles, signatures,
-    # candidate pairs, pruned candidate shingles (>= 4; cache state
-    # from other tests may add more)
-    cached = set(re.findall(r"\((\d+)\) InMemoryRelation\b", plan))
-    assert len(cached) >= 4, (
-        f"expected >=4 cached shared subplans, found {len(cached)}:\n{plan[:2000]}"
+    cached_headers = re.findall(r"\(\d+\) InMemoryRelation\b", plan)
+    assert cached_headers, f"candidate set not cached:\n{plan[:2000]}"
+    # distinct cached subplans (formatted explain re-prints the stored
+    # plan per reference): exactly ONE — the candidate set
+    lines = plan.splitlines()
+    sigs = set()
+    for i, ln in enumerate(lines):
+        if re.match(r"\(\d+\) InMemoryRelation\b", ln):
+            for nxt in lines[i + 1 : i + 6]:
+                if nxt.startswith("Arguments:"):
+                    # expr IDs (#NNN) differ per reference to the SAME
+                    # cache — strip them before deduping
+                    sigs.add(re.sub(r"#\d+", "", nxt))
+                    break
+    assert len(sigs) == 1, (
+        f"expected exactly 1 distinct cached subplan (cand), found {len(sigs)}"
     )
