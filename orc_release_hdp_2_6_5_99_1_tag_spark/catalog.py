@@ -151,8 +151,9 @@ def _build() -> None:
     # ---- extras: pytest-validated, not driver-registered ------------
     #
     # Round-6 rotation candidates (pytest-green but still without a
-    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9, g2, mv1,
-    # t6 t7, x5 x6 x10-x15, u3, m3, j1, a4_stripe_stats, u2.
+    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10, g2, mv1
+    # mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15, a4_stripe_stats,
+    # u2.
     #
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
@@ -254,6 +255,8 @@ def _build() -> None:
     # hourly gap fill (densify + locf forward fill)
     register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE, graded=False)
     register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE, graded=False)
+    register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE, graded=False)
+    register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -81,3 +81,64 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+
+def _user_profile(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+
+def mv2_affected_key_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for a NON-monoid view — the case mv1's
+    partial-merge cannot handle: the per-user profile contains a
+    COUNT(DISTINCT event_type), which cannot be folded from stored
+    partials plus a delta (distinctness is not a commutative monoid
+    without sketch state). The production pattern is affected-key
+    refresh: the delta names the keys it touches; untouched view rows
+    pass through from the materialized store via an anti-join, and
+    ONLY the affected keys are recomputed from the (key-pruned)
+    history plus the delta.
+
+    Scale shape: untouched = one scan of the kilobyte-scale view +
+    a broadcast anti-join against the (small) affected-key set;
+    recompute = history scan SEMI-JOIN-pruned to affected keys — at
+    100 TB with user-bucketed history this is partition-pruned IO
+    proportional to the delta's key footprint, never a full-history
+    rescan. The result must equal the full recompute (the oracle).
+    """
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "mv2_user_profile")
+    fp = source_fingerprint(sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+    if not marker_valid(dest + "._fp", fp):
+        write_orc(_user_profile(e.filter(F.col("ts") < split)), dest)
+        write_marker(dest + "._fp", fp)
+    view = read_orc(spark, dest)
+    affected = (
+        e.filter(F.col("ts") >= split).select("user_id").distinct()
+    )
+    untouched = view.join(F.broadcast(affected), "user_id", "left_anti")
+    recomputed = _user_profile(e.join(F.broadcast(affected), "user_id", "left_semi"))
+    return (
+        untouched.unionByName(recomputed)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MV2_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -1229,3 +1229,97 @@ SELECT d.source,
 FROM d JOIN r ON r.source = d.source
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# x18: Gopher-style document quality filter battery
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") §A1.1 rules,
+# restricted to the ones expressible identically in both engines
+_G_MIN_WORDS, _G_MAX_WORDS = 15, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0   # mean word length bounds
+_G_MIN_ALPHA = 0.8                   # fraction of words w/ an alphabetic char
+_G_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_G_MIN_STOP = 2                      # distinct stopwords required
+
+
+def x18_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter battery (Rae et al. 2021, the
+    standard pre-training doc screen): word-count bounds, mean-word-
+    length bounds, alphabetic-word fraction, and distinct-stopword
+    presence — evaluated per document in ONE narrow projection of
+    pyspark.sql.functions built-ins (no UDF), rolled up to per-source
+    pass / per-rule-failure counts.
+
+    Scale shape: a single scan + one |sources|-group aggregate; every
+    metric is a whole-stage-codegen'd expression over the token array
+    (size/filter/array_intersect), so the filter runs at scan speed —
+    exactly how a 100-TB quality screen must behave. Failure counts
+    are reported PER RULE (not just the conjunction) because at
+    curation time you tune thresholds rule-by-rule.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(t)
+    n_nospace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    mwl = n_nospace / n_words
+    alpha_frac = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))) / n_words
+    n_stop = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in _G_STOPWORDS])))
+    m = d.select(
+        "source",
+        ((n_words >= _G_MIN_WORDS) & (n_words <= _G_MAX_WORDS)).alias("ok_words"),
+        ((mwl >= _G_MIN_MWL) & (mwl <= _G_MAX_MWL)).alias("ok_mwl"),
+        (alpha_frac >= _G_MIN_ALPHA).alias("ok_alpha"),
+        (n_stop >= _G_MIN_STOP).alias("ok_stop"),
+    ).select(
+        "source",
+        "ok_words",
+        "ok_mwl",
+        "ok_alpha",
+        "ok_stop",
+        (F.col("ok_words") & F.col("ok_mwl") & F.col("ok_alpha") & F.col("ok_stop")).alias(
+            "ok_all"
+        ),
+    )
+    fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0))  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ok_all"), 1).otherwise(0)).alias("n_pass"),
+            fail("ok_words").alias("fail_words"),
+            fail("ok_mwl").alias("fail_mwl"),
+            fail("ok_alpha").alias("fail_alpha"),
+            fail("ok_stop").alias("fail_stop"),
+        )
+        .orderBy("source")
+    )
+
+
+X18_ORACLE = f"""
+WITH m AS (
+  SELECT source,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+                            {list(_G_STOPWORDS)})) AS n_stop
+  FROM documents
+), ok AS (
+  SELECT source,
+         n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS ok_words,
+         CAST(n_nospace AS DOUBLE)/n_words BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL} AS ok_mwl,
+         CAST(n_alpha AS DOUBLE)/n_words >= {_G_MIN_ALPHA} AS ok_alpha,
+         n_stop >= {_G_MIN_STOP} AS ok_stop
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_words AND ok_mwl AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+       CAST(SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+       CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+FROM ok GROUP BY source ORDER BY source
+"""

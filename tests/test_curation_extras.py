@@ -1,0 +1,134 @@
+"""Round-5 extras: cross-source overlap matrix (d15), gap fill (w10),
+Gopher filter battery (x18), affected-key MV refresh (mv2) — semantic
+properties beyond the contract oracle compare.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators import incremental as inc
+from orc_release_hdp_2_6_5_99_1_tag_spark.operators import temporal as tp
+
+
+def test_mv2_untouched_rows_come_from_stored_view(spark, sf_dir):
+    """The incremental contract: the result plan must READ the
+    materialized view (untouched keys pass through as stored bytes)
+    AND the event history (affected keys recompute) — not recompute
+    everything from history."""
+    df = inc.mv2_affected_key_refresh(spark, sf_dir)
+    files = df.inputFiles()
+    assert any("mv2_user_profile" in f for f in files), files
+    assert any("events.parquet" in f for f in files), files
+
+
+def test_mv2_affected_set_is_pruned(spark, sf_dir):
+    """Only keys in the delta are recomputed: a user whose events are
+    all pre-split must carry exactly the stored-view values (cross
+    checked by recomputing the profile for pre-split events only)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(inc._SPLIT).cast("timestamp")
+    delta_users = {
+        r["user_id"] for r in e.filter(F.col("ts") >= split).select("user_id").distinct().collect()
+    }
+    pre_only = inc._user_profile(e.filter(F.col("ts") < split))
+    stored = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in pre_only.collect()
+        if r["user_id"] not in delta_users
+    }
+    if not stored:  # every user has post-split events at this SF
+        return
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in inc.mv2_affected_key_refresh(spark, sf_dir).collect()
+        if r["user_id"] in stored
+    }
+    assert got == stored
+
+
+def test_w10_fill_semantics(spark):
+    """Crafted series: hours 0, 3 observed -> hours 1-2 are filled rows
+    carrying hour-0's value; n_events 0 on filled rows."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0),
+        (1, "2024-01-01 00:40:00", 7.0),
+        (1, "2024-01-01 03:05:00", 9.0),
+    ]
+    e = spark.createDataFrame(rows, "user_id bigint, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        F.lit("click").alias("event_type"), F.lit(0).alias("event_id"),
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy("user_id", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.max_by("value", "ts").alias("last_value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select("user_id", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id", "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("n_events").isNull().cast("int").alias("filled"),
+        )
+        .orderBy("hour")
+        .collect()
+    )
+    assert [(r["n_events"], r["value_ff"], r["filled"]) for r in out] == [
+        (2, 7.0, 0),   # hour 0: two events, last value 7
+        (0, 7.0, 1),   # hour 1: filled, carries 7
+        (0, 7.0, 1),   # hour 2: filled
+        (1, 9.0, 0),   # hour 3: observed
+    ]
+
+
+def test_x18_rules_fire_independently(spark):
+    """Crafted docs failing exactly one rule each, so the per-rule
+    failure counters are proven independent."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import text as tx
+
+    good = "the quick brown fox and a dog went to town in order " * 2  # passes all
+    rows = [
+        (1, good, "s", 0),
+        (2, "the a of to in x", "s", 0),                      # too few words
+        (3, ("the a to in " + "x " * 20).strip(), "s", 0),    # mean word len < 3
+        (4, "the a to in " + "1 2 3 4 5 6 7 8 9 10 11 12", "s", 0),  # alpha frac low
+        (5, good.replace("the", "cat").replace(" a ", " b ").replace("and", "dog")
+             .replace("of", "pig").replace("to", "cow").replace("in", "hen"), "s", 0),  # no stopwords
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string, n_chars bigint")
+    d.createOrReplaceTempView("x18_docs")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(t)
+    n_nospace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    mwl = n_nospace / n_words
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))) / n_words
+    n_stop = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in tx._G_STOPWORDS])))
+    m = {
+        r["doc_id"]: (r["ok_words"], r["ok_mwl"], r["ok_alpha"], r["ok_stop"])
+        for r in d.select(
+            "doc_id",
+            ((n_words >= tx._G_MIN_WORDS) & (n_words <= tx._G_MAX_WORDS)).alias("ok_words"),
+            ((mwl >= tx._G_MIN_MWL) & (mwl <= tx._G_MAX_MWL)).alias("ok_mwl"),
+            (alpha >= tx._G_MIN_ALPHA).alias("ok_alpha"),
+            (n_stop >= tx._G_MIN_STOP).alias("ok_stop"),
+        ).collect()
+    }
+    assert m[1] == (True, True, True, True)
+    assert m[2][0] is False and m[2][2] is True
+    assert m[3][1] is False and m[3][0] is True
+    assert m[4][2] is False and m[4][0] is True
+    assert m[5][3] is False and m[5][0] is True
