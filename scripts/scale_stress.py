@@ -410,7 +410,10 @@ def main() -> None:
         "non-self neighbors; v4-v6 rank the full corpus. Approximate "
         "recall < 1.0 is the designed trade (bucket/probe/codebook "
         "pruning), not a defect; the exact-path operators (v1, and v6's "
-        "tier-2 rerank over tier-1 candidates) are the precision levers.",
+        "tier-2 rerank over tier-1 candidates) are the precision levers. "
+        "Hash-random vectors are the WORST case for the quantizers "
+        "(no cluster structure, concentrated distances): real embedding "
+        "corpora cluster, so these recalls are floors, not expectations.",
         "",
         "| variant | k | recall@k |",
         "|---|---|---|",
