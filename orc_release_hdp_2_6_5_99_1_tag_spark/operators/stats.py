@@ -17,7 +17,7 @@ reference's stripe→file statistics roll-up.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
@@ -262,3 +262,94 @@ A6_ORACLE = (
     )
     + " ORDER BY column_name"
 )
+
+
+# ---------------------------------------------------------------------------
+# sk1: KMV (bottom-k) distinct-count sketch — deterministic, oracle-exact
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 1 << 32  # md5-derived 32-bit hash space
+
+
+def sk1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-token counts per source via a KMV
+    (bottom-k / k-minimum-values) sketch: keep the k smallest 32-bit
+    md5-derived hashes of the distinct tokens; the estimator is
+    (k-1) * SPACE / h_k (Bar-Yossef et al. 2002). Unlike HLL (whose
+    register layout is engine-specific, so approx_count_distinct can
+    never be oracle-compared), KMV over a SHARED hash function is
+    fully deterministic — both engines keep exactly the same k hashes
+    and produce the same estimate, so the sketch itself is graded,
+    not just its error bound.
+
+    Scale shape: one distinct over (source, hash) — the only
+    corpus-sized shuffle — then a rank-limit window per source that
+    Spark's WindowGroupLimit rewrites into per-partition top-k
+    pushdown (partial limits before the exchange, like TakeOrdered).
+    Sketch state is k longs per source: mergeable by union+re-limit,
+    the same partial/final contract as the reference's column stats
+    (`ColumnStatisticsImpl.merge`). The exact distinct count rides
+    along for the error column — at 100 TB you would drop it; the
+    estimate is the product.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    bottom_k = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    kth = bottom_k.groupBy("source").agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_kept")
+    )
+    exact = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = (
+        (F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("h_k"))
+        .cast("bigint")
+        .alias("kmv_estimate")
+    )
+    return (
+        kth.join(exact, "source")
+        .select(
+            "source",
+            "k_kept",
+            est,
+            "exact_distinct",
+            F.round(
+                (F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("h_k"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("est_over_exact"),
+        )
+        .orderBy("source")
+    )
+
+
+SK1_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(u.w), 1, 8)) AS BIGINT) AS h
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+), ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+), kth AS (
+  SELECT source, MAX(h) AS h_k, COUNT(*) AS k_kept
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY source
+), exact AS (
+  SELECT source, COUNT(*) AS exact_distinct FROM toks GROUP BY source
+)
+SELECT k.source, k.k_kept,
+       CAST(({_KMV_K - 1} * CAST({_KMV_SPACE} AS DOUBLE) / k.h_k) AS BIGINT) AS kmv_estimate,
+       e.exact_distinct,
+       ROUND(({_KMV_K - 1} * CAST({_KMV_SPACE} AS DOUBLE) / k.h_k) / e.exact_distinct, 4) AS est_over_exact
+FROM kth k JOIN exact e ON e.source = k.source
+ORDER BY k.source
+"""
