@@ -258,6 +258,7 @@ def _build() -> None:
     register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE, graded=False)
     register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE, graded=False)
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
+    register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -533,3 +533,97 @@ SELECT g.user_id,
 FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hour = g.hour
 ORDER BY g.user_id, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# w11: interval coalescing (merge overlapping activity intervals)
+# ---------------------------------------------------------------------------
+
+_IC_SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-min activity window
+
+
+def w11_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: every event opens a 30-minute activity
+    interval; overlapping/touching intervals per user merge into
+    maximal activity islands (the gaps-and-islands classic — uptime
+    stitching, session coverage, SLA windows). Reported per user:
+    island count, total covered time, longest island.
+
+    Spark-first shape: ONE user_id exchange serves both window passes
+    — a running max(end) over preceding rows detects island starts
+    (an interval starts a new island iff its start exceeds every
+    prior end), a running sum of the start flags numbers the islands,
+    and the per-island extent is a plain partial-aggregatable
+    groupBy. All arithmetic is exact microsecond integers — no float,
+    no timezone rendering — so the oracle compare is bit-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(_IC_SPAN_US)).alias("e_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("i_start"),
+        F.max("e_us").alias("i_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+            F.max(F.col("i_end") - F.col("i_start")).alias("longest_us"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("i_start") % 1_000_003).alias("start_checksum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W11_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s_us, epoch_us(ts) + {_IC_SPAN_US} AS e_us, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, s_us, e_us, event_id,
+         CASE WHEN MAX(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s_us > MAX(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), numbered AS (
+  -- the island cumulative sum MUST use the same (s_us, event_id)
+  -- tie-break as the flag pass: with a different tie order a tied
+  -- unflagged row could sort before its island's flagged opener and
+  -- be numbered into the previous island
+  SELECT user_id, s_us, e_us,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, MIN(s_us) AS i_start, MAX(e_us) AS i_end,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+       CAST(MAX(i_end - i_start) AS BIGINT) AS longest_us,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(i_start % 1000003) AS BIGINT) AS start_checksum
+FROM islands GROUP BY user_id ORDER BY user_id
+"""

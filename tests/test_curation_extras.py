@@ -168,3 +168,34 @@ def test_kmv_sketch_is_mergeable_and_accurate(spark):
     est = (_KMV_K - 1) * _KMV_SPACE / h_k
     exact = hashed.count()
     assert 0.6 < est / exact < 1.5, (est, exact)
+
+
+def test_w11_island_semantics(spark):
+    """Crafted intervals pin the coalescing rules: overlap merges,
+    TOUCHING (start == prior end) merges, a gap splits, and two
+    events at the same microsecond stay in one island."""
+    from pyspark.sql import Window
+
+    span = 30
+    rows = [  # (user, start)
+        (1, 0), (1, 10),        # overlap -> island 1
+        (1, 40),                # touches island 1's end (10+30=40) -> merges
+        (1, 100), (1, 100),     # gap -> island 2; same-start tie stays together
+    ]
+    iv = spark.createDataFrame(
+        [(u, s, s + span, i) for i, (u, s) in enumerate(rows)],
+        "user_id bigint, s_us bigint, e_us bigint, event_id bigint",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    numbered = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands = (
+        numbered.groupBy("island")
+        .agg(F.min("s_us").alias("s"), F.max("e_us").alias("e"), F.count(F.lit(1)).alias("n"))
+        .orderBy("island")
+        .collect()
+    )
+    assert [(r["s"], r["e"], r["n"]) for r in islands] == [(0, 70, 3), (100, 130, 2)]
