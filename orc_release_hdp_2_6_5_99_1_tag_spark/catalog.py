@@ -151,9 +151,9 @@ def _build() -> None:
     # ---- extras: pytest-validated, not driver-registered ------------
     #
     # Round-6 rotation candidates (pytest-green but still without a
-    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10, g2, mv1
-    # mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15, a4_stripe_stats,
-    # u2.
+    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10 w11, g2,
+    # mv1 mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15, sk1,
+    # a4_stripe_stats, u2.
     #
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
