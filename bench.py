@@ -104,6 +104,14 @@ EXTENDED = [
     "v6_two_tier_rerank",
     "w9_window_suite",
     "x17_temperature_mix",
+    # round-5 additions: overlap matrix, gap fill, Gopher battery,
+    # affected-key MV refresh, KMV sketch, interval coalescing
+    "d15_cross_source_overlap",
+    "w10_gap_fill",
+    "x18_gopher_filters",
+    "mv2_affected_key_refresh",
+    "sk1_kmv_distinct",
+    "w11_interval_merge",
 ]
 
 

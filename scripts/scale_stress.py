@@ -339,6 +339,79 @@ def ann_recall(spark, n: int) -> dict[str, tuple[float, int]]:
     return out
 
 
+def run_d15_source_overlap(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import normalized_fp_col
+
+    sf = docs.select(normalized_fp_col().alias("fp"), "source").distinct()
+    other = sf.toDF("fp", "source_b")
+    return (
+        sf.join(other, "fp")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy("source", "source_b")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    )
+
+
+def run_x18_gopher(spark, docs, vecs, ev):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        _G_MAX_MWL,
+        _G_MAX_WORDS,
+        _G_MIN_ALPHA,
+        _G_MIN_MWL,
+        _G_MIN_STOP,
+        _G_MIN_WORDS,
+        _G_STOPWORDS,
+    )
+
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(t)
+    mwl = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))) / n_words
+    n_stop = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in _G_STOPWORDS])))
+    ok = (
+        (n_words >= _G_MIN_WORDS) & (n_words <= _G_MAX_WORDS)
+        & (mwl >= _G_MIN_MWL) & (mwl <= _G_MAX_MWL)
+        & (alpha >= _G_MIN_ALPHA) & (n_stop >= _G_MIN_STOP)
+    )
+    return (
+        docs.select("source", ok.alias("ok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)), F.sum(F.when(F.col("ok"), 1).otherwise(0)))
+        .collect()
+    )
+
+
+def run_w11_interval_merge(spark, docs, vecs, ev):
+    from pyspark.sql import Window as W
+
+    span = 30 * 60 * 1_000_000
+    iv = ev.select("user_id", F.col("us").alias("s_us"), (F.col("us") + span).alias("e_us"), "event_id")
+    w = W.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev = F.max("e_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+    num = iv.withColumn(
+        "ni", F.when(prev.isNull() | (F.col("s_us") > prev), 1).otherwise(0)
+    ).withColumn("island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    islands = num.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("s"), F.max("e_us").alias("e")
+    )
+    return islands.agg(F.count(F.lit(1)), F.sum(F.col("e") - F.col("s"))).collect()
+
+
+def run_sk1_kmv(spark, docs, vecs, ev):
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    hashed = toks.select(
+        "source", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
+    ).distinct()
+    w = W.partitionBy("source").orderBy("h")
+    bk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    return bk.groupBy("source").agg(F.max("h")).collect()
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -350,6 +423,10 @@ OPS = {
     "d12_bloom_decon": run_d12_bloom,
     "x16_bpe_pairs": run_x16_bpe_pairs,
     "d11_cluster_pairs": run_d11_cluster_pairs,
+    "d15_source_overlap": run_d15_source_overlap,
+    "x18_gopher": run_x18_gopher,
+    "w11_interval_merge": run_w11_interval_merge,
+    "sk1_kmv_sketch": run_sk1_kmv,
 }
 
 
