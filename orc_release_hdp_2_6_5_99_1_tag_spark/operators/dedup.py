@@ -1360,3 +1360,113 @@ FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# d16: contamination-rate report (the measurement side of d7/d12)
+# ---------------------------------------------------------------------------
+
+
+def d16_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination RATE report — the GPT-3-appendix metric that d7's
+    filter and d12's bloom variant act on: for every eval document,
+    what fraction of its distinct n-gram shingles also occurs in the
+    training split, bucketed into the clean/partial/dirty bands an
+    eval-integrity review reads (overlap 0 / (0,0.5] / >0.5).
+
+    Spark-first shape: the eval side is small by construction, so its
+    (doc_id, shingle) set BROADCASTS onto one distinct-shingle scan of
+    the train split — the corpus-sized side streams through a
+    broadcast-hash join and only eval hits survive (bounded by the
+    eval shingle count). Per-doc rates are one tiny aggregate; the
+    band rollup is |sources|-rows. The corpus is never shuffled on
+    the shingle key. Rates are round(found/total, 6) with identical
+    integer inputs in both engines — rendering-proof.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    sh = toks.select(
+        "doc_id", "source", F.explode(ngram_shingle_col(_DECON_NGRAM)).alias("s")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("doc_id", "source", "s")
+        .distinct()
+    )
+    train_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0).select("s").distinct()
+    )
+    hits = train_sh.join(F.broadcast(eval_sh), "s").select("doc_id", "s")
+    per_doc = (
+        eval_sh.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(
+            hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_found")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        )
+        .withColumn("rate", F.round(F.col("n_found") / F.col("n_shingles"), 6))
+    )
+    band = (
+        F.when(F.col("rate") == 0, "clean")
+        .when(F.col("rate") <= 0.5, "partial")
+        .otherwise("dirty")
+    )
+    return (
+        per_doc.groupBy("source", band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rate"), 6).alias("avg_rate"),
+            F.sum("n_found").alias("total_found"),
+            F.sum("n_shingles").alias("total_shingles"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+D16_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         concat_ws(' ', {", ".join(f"t[u.i+{j}]" for j in range(1, _DECON_NGRAM + 1))}) AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t)-{_DECON_NGRAM})) AS i) u
+  WHERE len(t) >= {_DECON_NGRAM}
+), eval_sh AS (
+  SELECT doc_id, source, s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), train_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+), hits AS (
+  SELECT e.doc_id, e.s FROM train_sh t JOIN eval_sh e ON e.s = t.s
+), per_doc AS (
+  SELECT e.doc_id, ANY_VALUE(e.source) AS source,
+         COUNT(*) AS n_shingles,
+         COALESCE(ANY_VALUE(h.n_found), 0) AS n_found
+  FROM eval_sh e
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n_found FROM hits GROUP BY doc_id) h
+    ON h.doc_id = e.doc_id
+  GROUP BY e.doc_id
+), rated AS (
+  SELECT source,
+         ROUND(CAST(n_found AS DOUBLE) / n_shingles, 6) AS rate,
+         n_found, n_shingles
+  FROM per_doc
+)
+SELECT source,
+       CASE WHEN rate = 0 THEN 'clean'
+            WHEN rate <= 0.5 THEN 'partial'
+            ELSE 'dirty' END AS band,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(rate), 6) AS avg_rate,
+       CAST(SUM(n_found) AS BIGINT) AS total_found,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles
+FROM rated GROUP BY source, band ORDER BY source, band
+"""
