@@ -112,6 +112,7 @@ EXTENDED = [
     "mv2_affected_key_refresh",
     "sk1_kmv_distinct",
     "w11_interval_merge",
+    "d16_contamination_report",
 ]
 
 
