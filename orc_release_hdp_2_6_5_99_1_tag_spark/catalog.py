@@ -152,8 +152,8 @@ def _build() -> None:
     #
     # Round-6 rotation candidates (pytest-green but still without a
     # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10 w11, g2,
-    # mv1 mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15 d16, sk1,
-    # a4_stripe_stats, u2.
+    # mv1 mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15 d16 d17,
+    # sk1, p4, a4_stripe_stats, u2.
     #
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
@@ -260,6 +260,8 @@ def _build() -> None:
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
     register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE, graded=False)
     register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE, graded=False)
+    register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE, graded=False)
+    register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -1470,3 +1470,80 @@ SELECT source,
        CAST(SUM(n_shingles) AS BIGINT) AS total_shingles
 FROM rated GROUP BY source, band ORDER BY source, band
 """
+
+
+# ---------------------------------------------------------------------------
+# d17: blocked fuzzy-match join (edit-distance vocabulary pairing)
+# ---------------------------------------------------------------------------
+
+
+def d17_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join over the corpus vocabulary:
+    find distinct token pairs within Levenshtein distance 1 (the
+    typo-clustering / vocab-normalization step of corpus cleaning) —
+    the string-metric counterpart to the shingle/embedding near-dup
+    family.
+
+    Spark-first shape: the all-pairs Levenshtein join is quadratic in
+    vocabulary size, so candidates are BLOCKED first — a pair is only
+    compared if lengths differ by ≤1 AND the first or last character
+    matches (a true distance-1 pair always satisfies both: one edit
+    cannot change length by 2, nor both end characters). The block
+    predicate is an equi-joinable conjunction plus cheap filters, the
+    exact `levenshtein()` (built-in, JVM-side in Spark / native in
+    DuckDB) verifies only survivors, and the vocabulary is
+    sub-linear in corpus size, so the join cost is vocab-bounded at
+    any corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    a = vocab.select(
+        F.col("w").alias("wa"),
+        F.length("w").alias("la"),
+        F.substring("w", 1, 1).alias("fa"),
+        F.substring(F.col("w"), -1, 1).alias("za"),
+    )
+    b = a.toDF("wb", "lb", "fb", "zb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("wa") < F.col("wb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 1)
+            & ((F.col("fa") == F.col("fb")) | (F.col("za") == F.col("zb"))),
+        )
+        .filter(F.levenshtein("wa", "wb") == 1)
+        .select("wa", "wb")
+    )
+    return (
+        pairs.groupBy(F.substring("wa", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.concat_ws("|", "wa", "wb")).alias("first_pair"),
+            F.max(F.concat_ws("|", "wa", "wb")).alias("last_pair"),
+        )
+        .orderBy("bucket")
+    )
+
+
+D17_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT u.w
+  FROM documents, LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+  WHERE length(u.w) >= 3
+), pairs AS (
+  SELECT a.w AS wa, b.w AS wb
+  FROM vocab a JOIN vocab b
+    ON a.w < b.w
+   AND abs(length(a.w) - length(b.w)) <= 1
+   AND (substr(a.w, 1, 1) = substr(b.w, 1, 1) OR substr(a.w, -1, 1) = substr(b.w, -1, 1))
+  WHERE levenshtein(a.w, b.w) = 1
+)
+SELECT substr(wa, 1, 1) AS bucket, COUNT(*) AS n_pairs,
+       MIN(concat_ws('|', wa, wb)) AS first_pair,
+       MAX(concat_ws('|', wa, wb)) AS last_pair
+FROM pairs GROUP BY substr(wa, 1, 1) ORDER BY bucket
+"""

@@ -151,3 +151,58 @@ SELECT event_type,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def p4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the inverse of p2's pivot — lineitem's three
+    measure columns reshaped to (measure, value) rows via the native
+    `DataFrame.unpivot` (Spark's UNPIVOT relational operator, a
+    zero-shuffle narrow expand), then aggregated per measure with
+    exact decimal sums.
+
+    Scale: unpivot is a projection-time expand (rows × n_measures, no
+    exchange); the per-measure aggregate is a 3-group map-side
+    partial. The same reshape done with explode(array(structs)) would
+    also work — unpivot is the declared form Catalyst plans directly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+    )
+    return (
+        li.unpivot(
+            ids=["l_orderkey"],
+            values=["quantity", "extendedprice", "discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("double").alias("total"),
+            F.min("val").cast("double").alias("vmin"),
+            F.max("val").cast("double").alias("vmax"),
+        )
+        .orderBy("measure")
+    )
+
+
+P4_ORACLE = """
+WITH m AS (
+  SELECT l_orderkey,
+         CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+         CAST(l_discount AS DECIMAL(18,2)) AS discount
+  FROM lineitem
+), u AS (
+  UNPIVOT m ON quantity, extendedprice, discount
+  INTO NAME measure VALUE val
+)
+SELECT measure, COUNT(*) AS n,
+       CAST(SUM(val) AS DOUBLE) AS total,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax
+FROM u GROUP BY measure ORDER BY measure
+"""

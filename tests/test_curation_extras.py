@@ -199,3 +199,50 @@ def test_w11_island_semantics(spark):
         .collect()
     )
     assert [(r["s"], r["e"], r["n"]) for r in islands] == [(0, 70, 3), (100, 130, 2)]
+
+
+def test_d17_blocking_has_no_false_negatives(spark):
+    """The block predicate (length diff <=1 AND first-or-last char
+    equal) must pass EVERY distance-1 pair — one edit cannot change
+    the length by two or both end characters at once — so the blocked
+    join's recall is exact, not approximate. Crafted pairs cover each
+    edit type; a distance-2 pair must not appear."""
+    words = [
+        "cat", "bat",      # first-char substitution (last char anchors)
+        "car", "cat2"[:3],  # last-char substitution ("car"/"cat": first anchors)
+        "dog", "dxog",     # middle insertion
+        "xfish", "fish",   # front insertion (last char anchors)
+        "lamp", "lampo",   # end insertion (first char anchors)
+        "zebra", "yapra",  # distance > 1 -> excluded
+    ]
+    d = spark.createDataFrame(
+        [(0, " ".join(words), "s", 0)],
+        "doc_id bigint, text string, source string, n_chars bigint",
+    )
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    a = vocab.select(
+        F.col("w").alias("wa"), F.length("w").alias("la"),
+        F.substring("w", 1, 1).alias("fa"), F.substring(F.col("w"), -1, 1).alias("za"),
+    )
+    b = a.toDF("wb", "lb", "fb", "zb")
+    got = sorted(
+        (r["wa"], r["wb"])
+        for r in a.join(
+            b,
+            (F.col("wa") < F.col("wb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 1)
+            & ((F.col("fa") == F.col("fb")) | (F.col("za") == F.col("zb"))),
+        )
+        .filter(F.levenshtein("wa", "wb") == 1)
+        .collect()
+    )
+    assert ("bat", "cat") in got
+    assert ("car", "cat") in got
+    assert ("dog", "dxog") in got
+    assert ("fish", "xfish") in got
+    assert ("lamp", "lampo") in got
+    assert not any("zebra" in p or "yapra" in p for pair in got for p in pair)
