@@ -113,6 +113,8 @@ EXTENDED = [
     "sk1_kmv_distinct",
     "w11_interval_merge",
     "d16_contamination_report",
+    "d17_fuzzy_token_pairs",
+    "p4_unpivot",
 ]
 
 
