@@ -51,3 +51,45 @@ def test_wide_table_roundtrip(spark, tmp_path):
     assert len(back.columns) == 300
     row = back.collect()[0]
     assert row["c0"] == 0 and row["c299"] == 299
+
+
+def test_timestamp_ppd_exact_and_effective_across_session_tz(spark, tmp_path):
+    """The reference's timestamp-PPD hazard (F11 / TestOrcTimezonePPD):
+    row-group timestamp stats must neither skip wrongly nor shift
+    meaning when the READER session timezone differs from the writer's.
+    A fixed-INSTANT predicate (timestamp_micros literal — timezone
+    independent, unlike a parsed string literal) must select the same
+    rows under UTC / Los_Angeles / Tokyo sessions, and the scan must
+    still skip row groups (stats not poisoned by the TZ change)."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.plans.inspect import scan_output_rows
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import read_orc, write_orc
+
+    n, stride = 3000, 1000
+    df = spark.range(n).select(
+        "id", F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts")
+    )
+    path = str(tmp_path / "tz_ppd")
+    write_orc(df.coalesce(1), path, row_index_stride=stride)
+
+    target = 1_500 * 3_600_000_000  # an instant inside the second row-group block
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    results, surfaced = {}, {}
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            q = read_orc(spark, path).filter(
+                F.col("ts") == F.timestamp_micros(F.lit(target))
+            ).select("id")
+            results[tz] = sorted(r["id"] for r in q.collect())
+            surfaced[tz] = scan_output_rows(q)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    assert results["UTC"] == [1500]
+    assert results["America/Los_Angeles"] == results["UTC"] == results["Asia/Tokyo"]
+    # skipping stays effective in every session TZ: at most one
+    # row-group block surfaces, never the whole file
+    for tz, rows in surfaced.items():
+        assert rows <= stride, (tz, rows)
