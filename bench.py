@@ -115,6 +115,7 @@ EXTENDED = [
     "d16_contamination_report",
     "d17_fuzzy_token_pairs",
     "p4_unpivot",
+    "g3_hierarchy_depth",
 ]
 
 

@@ -151,7 +151,7 @@ def _build() -> None:
     # ---- extras: pytest-validated, not driver-registered ------------
     #
     # Round-6 rotation candidates (pytest-green but still without a
-    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10 w11, g2,
+    # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10 w11, g2 g3,
     # mv1 mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15 d16 d17,
     # sk1, p4, a4_stripe_stats, u2.
     #
@@ -261,6 +261,7 @@ def _build() -> None:
     register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE, graded=False)
     register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE, graded=False)
     register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE, graded=False)
+    register("g3_hierarchy_depth", ex.g3_hierarchy_depth, ex.G3_ORACLE, graded=False)
     register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (

@@ -194,3 +194,81 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, orderstatus, orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# g3: hierarchy depth via iterative pointer doubling (recursive-CTE class)
+# ---------------------------------------------------------------------------
+
+_G3_ROUNDS = 6  # doubling rounds: covers any depth <= 2^6
+
+
+def g3_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy traversal — the query class Spark SQL has no
+    WITH RECURSIVE for: compute every node's depth in a deterministic
+    forest over the (densely ranked) user universe, where
+    parent(r) = r % ceil(r/2) for r >= 2 (always < r, so the graph is
+    a forest rooted at ranks 0 and 1). Returns the depth histogram.
+
+    Spark-first formulation: POINTER DOUBLING, not per-level BFS —
+    each round joins the ancestor table to itself (anc <- anc(anc),
+    distance accumulates), so a depth-D hierarchy resolves in
+    ceil(log2 D) self-joins instead of D frontier rounds; roots carry
+    a self-loop with distance 0, making the iteration idempotent at
+    the fixpoint. 6 fixed rounds cover depth 64 — far beyond this
+    forest's log-depth — and Catalyst composes them into ONE plan
+    (no driver collect inside the loop). This is the d10 large-star
+    trick applied to depth instead of component ids. The oracle is a
+    genuine WITH RECURSIVE in DuckDB — the engines' two idioms for
+    the same recursion, value-compared.
+    """
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select("user_id").distinct()
+    wr = Window.orderBy("user_id")
+    ranked = nodes.select(
+        "user_id", (F.row_number().over(wr) - 1).alias("r")
+    )
+    par = ranked.select(
+        "r",
+        F.when(F.col("r") <= 1, F.col("r"))
+        .otherwise(F.col("r") % F.ceil(F.col("r") / 2).cast("bigint"))
+        .alias("p"),
+    )
+    cur = par.select(
+        "r",
+        F.col("p").alias("anc"),
+        F.when(F.col("p") == F.col("r"), 0).otherwise(1).alias("d"),
+    )
+    for _ in range(_G3_ROUNDS):
+        nxt = cur.select(
+            F.col("r").alias("r2"), F.col("anc").alias("anc2"), F.col("d").alias("d2")
+        )
+        cur = cur.join(nxt, cur["anc"] == nxt["r2"]).select(
+            "r", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d")
+        )
+    return (
+        cur.groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("r").alias("rank_checksum"),
+        )
+        .orderBy("depth")
+    )
+
+
+G3_ORACLE = """
+WITH RECURSIVE par AS (
+  SELECT r, CASE WHEN r <= 1 THEN r
+                 ELSE r % CAST(ceil(r / 2.0) AS BIGINT) END AS p
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS r
+    FROM (SELECT DISTINCT user_id FROM events)
+  )
+), dep(r, d) AS (
+  SELECT r, 0 FROM par WHERE p = r
+  UNION ALL
+  SELECT c.r, dep.d + 1 FROM par c JOIN dep ON dep.r = c.p AND c.p <> c.r
+)
+SELECT d AS depth, COUNT(*) AS n_nodes, CAST(SUM(r) AS BIGINT) AS rank_checksum
+FROM dep GROUP BY d ORDER BY depth
+"""
