@@ -116,6 +116,7 @@ EXTENDED = [
     "d17_fuzzy_token_pairs",
     "p4_unpivot",
     "g3_hierarchy_depth",
+    "r10_stream_ohlc",
 ]
 
 

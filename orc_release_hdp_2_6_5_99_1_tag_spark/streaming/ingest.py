@@ -767,3 +767,88 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY COALESCE(n.n_name, 'UNKNOWN')
 ORDER BY n_name
 """
+
+
+def r10_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate: w8's per-(user, hour) OHLC
+    rollup maintained by Structured Streaming — the TimescaleDB
+    continuous-aggregate story with the state machine Spark owns:
+    append mode + watermark finalizes and DROPS each hour bucket as
+    event time passes it, so the running query's state is the open
+    hours only, never the history. Open/close ride min/max over a
+    (ts, value) struct — (user_id, ts) is unique in the stream, so
+    struct ordering is deterministic and, unlike min_by/max_by, the
+    struct extremes are supported streaming aggregates.
+
+    The batch w8 query over the same events is the exact oracle: a
+    correct continuous aggregate must equal its full recompute.
+    """
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r10_ohlc")
+    ckpt = os.path.join(base, "stream", "r10_ohlc_ckpt")
+    done = os.path.join(base, "stream", "r10_ohlc._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = _events_stream(spark, sf_dir, with_sentinel=True)
+        tv = F.struct(F.col("ts"), F.col("value"))
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(tv).getField("value").alias("open"),
+                F.max(tv).getField("value").alias("close"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.max((F.col("event_type") == _SENTINEL_TYPE).cast("int")).alias(
+                    "is_sentinel"
+                ),
+            )
+            .select(
+                F.col("user_id"),
+                F.col("w.start").cast("string").alias("hour"),
+                "n_events",
+                "open",
+                "close",
+                "high",
+                "low",
+                "sum_value",
+                "is_sentinel",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        write_marker(done, fp)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("is_sentinel") == 0)
+        .drop("is_sentinel")
+        .orderBy("user_id", "hour")
+    )
+
+
+R10_ORACLE = """
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       COUNT(*) AS n_events,
+       arg_min(value, ts) AS open,
+       arg_max(value, ts) AS close,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, hour
+"""
