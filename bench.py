@@ -117,6 +117,7 @@ EXTENDED = [
     "p4_unpivot",
     "g3_hierarchy_depth",
     "r10_stream_ohlc",
+    "t8_snapshot_diff",
 ]
 
 

@@ -484,3 +484,66 @@ SELECT o_orderkey AS id,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def t8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data between two transaction snapshots: diff the table
+    as-of valid={1,2} against as-of valid={1,2,3} (txn 3 is the
+    delete transaction) — the audit/time-travel query every ACID
+    store answers ("what changed between yesterday's snapshot and
+    today's?"). Classifies per-key into removed / changed / unchanged
+    and rolls the counts up per bucket.
+
+    Scale shape: both snapshot reads share the metadata-pruned
+    directory walk (`select_acid_dirs`) and their txn IN-filters push
+    to the ORC scans; the diff itself is ONE full-outer join on the
+    row key — the same (origTxn, bucket, rowId)-keyed exchange the
+    merge view already shuffles on, so snapshot-diff costs one join
+    more than a single snapshot read, never a history replay.
+    """
+    root = acid_table_dir(spark, sf_dir)
+    old = snapshot_view(spark, root, [1, 2]).select(
+        F.col("id"), F.col("status").alias("old_status"),
+        F.col("totalprice").alias("old_price"), F.col("bucket").alias("old_bucket"),
+    )
+    new = snapshot_view(spark, root, [1, 2, 3]).select(
+        F.col("id").alias("new_id"), F.col("status").alias("new_status"),
+        F.col("totalprice").alias("new_price"), F.col("bucket").alias("new_bucket"),
+    )
+    joined = old.join(new, old["id"] == new["new_id"], "full_outer")
+    klass = (
+        F.when(F.col("new_id").isNull(), "removed")
+        .when(F.col("id").isNull(), "added")
+        .when(
+            (F.col("old_status") != F.col("new_status"))
+            | (F.col("old_price") != F.col("new_price")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("old_bucket", "new_bucket").alias("bucket"),
+            klass.alias("change"),
+            F.coalesce("id", "new_id").alias("key"),
+        )
+        .groupBy("bucket", "change")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("key").alias("key_checksum"))
+        .orderBy("bucket", "change")
+    )
+
+
+# snapshot(1,2) holds every order (txn-2 updates applied); snapshot
+# (1,2,3) additionally applies the %100 deletes — so the diff is
+# "removed" for %100 keys, "unchanged" otherwise; nothing is added or
+# changed between these two snapshots.
+T8_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS key, CAST(o_orderkey % 4 AS INT) AS bucket,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'removed' ELSE 'unchanged' END AS change
+  FROM orders
+)
+SELECT bucket, change, COUNT(*) AS n_rows,
+       CAST(SUM(key) AS BIGINT) AS key_checksum
+FROM base GROUP BY bucket, change ORDER BY bucket, change
+"""
