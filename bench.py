@@ -118,6 +118,7 @@ EXTENDED = [
     "g3_hierarchy_depth",
     "r10_stream_ohlc",
     "t8_snapshot_diff",
+    "j2_join_strategy_parity",
 ]
 
 

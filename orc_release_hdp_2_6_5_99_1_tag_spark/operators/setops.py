@@ -206,3 +206,56 @@ SELECT measure, COUNT(*) AS n,
        CAST(MAX(val) AS DOUBLE) AS vmax
 FROM u GROUP BY measure ORDER BY measure
 """
+
+
+def j2_join_strategy_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the SAME customer⋈orders aggregate
+    computed under BROADCAST, MERGE, and SHUFFLE_HASH hints, unioned
+    with a strategy label — identical per-strategy rows prove hint
+    choice changes the physical plan (verified by the companion plan
+    test) and never the answer. This is the knob a 100-TB operator
+    actually turns: broadcast for dims that fit, sort-merge for
+    spill-safe fact-fact joins, shuffle-hash when one side is small
+    enough to hash but too big to broadcast.
+    """
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def agg(hinted_c):
+        return (
+            o.join(hinted_c, o["o_custkey"] == hinted_c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
+    parts = [
+        agg(c.hint("broadcast")).withColumn("strategy", F.lit("broadcast")),
+        agg(c.hint("merge")).withColumn("strategy", F.lit("merge")),
+        agg(c.hint("shuffle_hash")).withColumn("strategy", F.lit("shuffle_hash")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("strategy", "c_mktsegment", "n_orders", "revenue").orderBy(
+        "strategy", "c_mktsegment"
+    )
+
+
+J2_ORACLE = """
+WITH a AS (
+  SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT s.strategy, a.c_mktsegment, a.n_orders, a.revenue
+FROM a CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+ORDER BY s.strategy, a.c_mktsegment
+"""

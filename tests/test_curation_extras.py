@@ -246,3 +246,25 @@ def test_d17_blocking_has_no_false_negatives(spark):
     assert ("fish", "xfish") in got
     assert ("lamp", "lampo") in got
     assert not any("zebra" in p or "yapra" in p for pair in got for p in pair)
+
+
+def test_j2_hints_change_physical_strategy_not_results(spark, sf_dir):
+    """Each hint must surface its join operator in the plan — the
+    parity query proves results identical; this proves the hints are
+    not silently ignored."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.plans import formatted_plan
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for hint, node in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        plan = formatted_plan(
+            o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"]).groupBy(
+                "c_mktsegment"
+            ).count()
+        )
+        assert node in plan, f"hint {hint} did not produce {node}"
