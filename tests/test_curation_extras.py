@@ -268,3 +268,67 @@ def test_j2_hints_change_physical_strategy_not_results(spark, sf_dir):
             ).count()
         )
         assert node in plan, f"hint {hint} did not produce {node}"
+
+
+def test_d16_bands_on_crafted_corpus(spark):
+    """Fully-copied eval doc lands in 'dirty' (rate 1.0), unique eval
+    doc in 'clean' (rate 0), half-overlapping doc in 'partial'."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import dedup as dd
+
+    n = dd._DECON_NGRAM
+    mod = dd._EVAL_MOD
+    train_text = " ".join(f"t{i}" for i in range(3 * n))
+    rows = [
+        (1, train_text, "s", 0),                      # train doc
+        (mod, train_text, "s", 0),                    # eval: fully contained -> dirty
+        (2 * mod, " ".join(f"u{i}" for i in range(3 * n)), "s", 0),  # eval: unique -> clean
+        # eval: first half copies train, second half unique -> partial
+        (3 * mod,
+         " ".join(f"t{i}" for i in range(n)) + " " + " ".join(f"v{i}" for i in range(n)),
+         "s", 0),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string, n_chars bigint")
+    import pyspark.sql.functions as F
+
+    toks = d.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    sh = toks.select("doc_id", "source", F.explode(dd.ngram_shingle_col(n)).alias("s"))
+    eval_sh = sh.filter(F.col("doc_id") % mod == 0).select("doc_id", "s").distinct()
+    train_sh = sh.filter(F.col("doc_id") % mod != 0).select("s").distinct()
+    hits = train_sh.join(F.broadcast(eval_sh), "s").groupBy("doc_id").count()
+    tot = eval_sh.groupBy("doc_id").count().withColumnRenamed("count", "tot")
+    rates = {
+        r["doc_id"]: r["count"] / r["tot"] if r["count"] is not None else 0.0
+        for r in tot.join(hits, "doc_id", "left").collect()
+    }
+    assert rates[mod] == 1.0
+    assert rates.get(2 * mod, 0.0) in (0.0, None) or rates[2 * mod] == 0.0
+    assert 0.0 < rates[3 * mod] <= 0.5
+
+
+def test_g3_depths_match_python_reference(spark, sf_dir):
+    """Pointer-doubling depths equal a direct chase of the same parent
+    function in Python over the same dense rank universe."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.extended import (
+        g3_hierarchy_depth,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+
+    def parent(r):
+        return r if r <= 1 else r % -(-r // 2)  # ceil-div
+
+    def depth(r):
+        d = 0
+        while parent(r) != r:
+            r = parent(r)
+            d += 1
+        return d
+
+    import collections
+
+    want = collections.Counter(depth(r) for r in range(n_users))
+    got = {
+        r["depth"]: r["n_nodes"] for r in g3_hierarchy_depth(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
