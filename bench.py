@@ -119,6 +119,7 @@ EXTENDED = [
     "r10_stream_ohlc",
     "t8_snapshot_diff",
     "j2_join_strategy_parity",
+    "m4_payload_dedup",
 ]
 
 

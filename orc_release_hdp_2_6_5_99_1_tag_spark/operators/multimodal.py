@@ -257,3 +257,62 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        COUNT(*) AS n_stub
 FROM feats GROUP BY source ORDER BY source
 """
+
+
+def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over the BINARY payload column — the
+    step a multimodal lake runs before any decode: hash the raw bytes
+    (md5 of the payload, the content address), count identical blobs,
+    and report per source how many bytes deduplicate away if only one
+    canonical copy per digest is stored. Identical to d1's shape but
+    on bytes, not normalized text — no text semantics, so byte-equal
+    payloads of ANY modality dedupe.
+
+    Scale: one shuffle on the digest; the payload itself never rides
+    an exchange (only its 128-bit hash and byte length do) — the
+    payload-stays-out-of-shuffles rule this module's header states.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        "source",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5("content").alias("digest"),
+        F.length("content").alias("n_bytes"),
+    )
+    per_digest = media.groupBy("source", "digest").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.first("n_bytes").alias("blob_bytes"),
+    )
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_payloads"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("blob_bytes") * F.col("copies")).alias("bytes_raw"),
+            F.sum("blob_bytes").alias("bytes_canonical"),
+            F.sum(F.col("blob_bytes") * (F.col("copies") - 1)).alias("bytes_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+M4_ORACLE = """
+WITH media AS (
+  SELECT doc_id, source, md5(text) AS digest, strlen(text) AS n_bytes
+  FROM documents
+), per_digest AS (
+  SELECT source, digest, COUNT(*) AS copies, ANY_VALUE(n_bytes) AS blob_bytes
+  FROM media GROUP BY source, digest
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_payloads,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(blob_bytes * copies) AS BIGINT) AS bytes_raw,
+       CAST(SUM(blob_bytes) AS BIGINT) AS bytes_canonical,
+       CAST(SUM(blob_bytes * (copies - 1)) AS BIGINT) AS bytes_saved
+FROM per_digest GROUP BY source ORDER BY source
+"""
