@@ -120,6 +120,7 @@ EXTENDED = [
     "t8_snapshot_diff",
     "j2_join_strategy_parity",
     "m4_payload_dedup",
+    "u4_map_in_arrow",
 ]
 
 

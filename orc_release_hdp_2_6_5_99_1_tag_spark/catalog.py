@@ -153,7 +153,7 @@ def _build() -> None:
     # Round-6 rotation candidates (pytest-green but still without a
     # driver verdict): the TPC-H tail q2 q4-q22, w4 w9 w10 w11, g2 g3,
     # mv1 mv2, t6 t7, x5 x6 x10-x15 x18, u3, m3, j1, d15 d16 d17,
-    # sk1, p4, r10, t8, j2, m4, a4_stripe_stats, u2.
+    # sk1, p4, r10, t8, j2, m4, u4, a4_stripe_stats, u2.
     #
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
@@ -266,6 +266,7 @@ def _build() -> None:
     register("t8_snapshot_diff", ac.t8_snapshot_diff, ac.T8_ORACLE, graded=False)
     register("j2_join_strategy_parity", so.j2_join_strategy_parity, so.J2_ORACLE, graded=False)
     register("m4_payload_dedup", mm.m4_payload_dedup, mm.M4_ORACLE, graded=False)
+    register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (

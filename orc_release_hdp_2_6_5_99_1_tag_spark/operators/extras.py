@@ -218,3 +218,62 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN s > {_U3_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+def u4_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the last of Spark's Python-exchange shapes next to
+    the pandas trio (u2), mapInPandas (m1), applyInPandas (m2), and
+    the stateful pair (r3/r9): the UDF receives raw
+    pyarrow.RecordBatch objects, so there is NO pandas conversion at
+    all — the fastest Python lane for columnar-native logic
+    (tokenizers, Arrow-compute kernels, FFI hand-off). Here a
+    pyarrow.compute pipeline counts whitespace tokens and utf8 bytes
+    per document; the rollup must match the pure-SQL oracle exactly.
+
+    The closure captures nothing but pyarrow (imported inside — the
+    executor has no repo on its import path under the external
+    driver's vanilla session).
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def arrow_tokens(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            toks = pc.list_value_length(
+                pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    batch.column(batch.schema.get_field_index("source")),
+                    toks.cast(pa.int64()),
+                    pc.binary_length(text).cast(pa.int64()),
+                ],
+                names=["doc_id", "source", "n_tokens", "n_bytes"],
+            )
+
+    feats = d.select("doc_id", "source", "text").mapInArrow(
+        arrow_tokens, "doc_id bigint, source string, n_tokens bigint, n_bytes bigint"
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+U4_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
