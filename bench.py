@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pyspark.sql.functions as F
 
-from orc_release_hdp_2_6_5_99_1_tag_spark import catalog, get_spark
+from orc_release_hdp_2_6_5_99_1_tag_spark import catalog, engine_clear_caches, get_spark
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +167,7 @@ def main() -> None:
     for name in HEADLINE:
         best = None
         for _ in range(3):
-            spark.catalog.clearCache()
+            engine_clear_caches(spark)
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             dt = time.time() - t0
@@ -201,26 +201,36 @@ def main() -> None:
         qs[name](spark, SF_DIR).collect()
         best = None
         for _ in range(3):
-            spark.catalog.clearCache()
+            engine_clear_caches(spark)
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extended[name] = round(best, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extended": extended,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "rows_lineitem": n_full,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_extended": extended,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_lineitem": n_full,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    # BENCH_r05 lesson: the driver parses a bounded TAIL of stdout, and
+    # the r5 capture truncated mid-series ("parsed": null). Emit the
+    # result as ONE compact line, as the VERY LAST output, explicitly
+    # flushed — and keep a repo-side copy so the full series survives
+    # even if a capture window ever clips the line again.
+    line = json.dumps(result, separators=(",", ":"))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout must not break the stdout contract
+    spark.stop()  # no JVM shutdown chatter after the result line
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ datasource; only genuinely non-relational semantics (ACID merge-on-read,
 MinHash-LSH, multimodal decode) are custom compositions or Pandas UDFs.
 """
 
-from orc_release_hdp_2_6_5_99_1_tag_spark.session import get_spark
+from orc_release_hdp_2_6_5_99_1_tag_spark.session import engine_clear_caches, get_spark
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, TABLE_NAMES
 
-__all__ = ["get_spark", "load_table", "TABLE_NAMES"]
+__all__ = ["engine_clear_caches", "get_spark", "load_table", "TABLE_NAMES"]

@@ -60,3 +60,22 @@ def get_spark(app_name: str = "orc-hdp-spark-engine") -> SparkSession:
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
     return builder.getOrCreate()
+
+
+def engine_clear_caches(spark: SparkSession) -> int:
+    """Session-level cache hygiene (round-5 ADVICE closure): unpersist
+    every RDD/DataFrame the engine's operators may have persisted
+    (d2's candidate set, d11's cluster assignment, iterative k-means
+    inputs) AND drop the SQL in-memory catalog, so no cached relation
+    outlives a query invocation in a long-lived harness session.
+    Returns the number of persistent RDDs released. Callers: bench /
+    scale-stress / driver-sim teardown; operators themselves stay
+    lifetime-agnostic (cache policy is measured per-subplan — see
+    operators/dedup.py module notes).
+    """
+    n = 0
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+        n += 1
+    spark.catalog.clearCache()
+    return n

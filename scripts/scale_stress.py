@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from orc_release_hdp_2_6_5_99_1_tag_spark import get_spark
+from orc_release_hdp_2_6_5_99_1_tag_spark import engine_clear_caches, get_spark
 
 _VOCAB = 5000
 _DIM = 16
@@ -325,7 +325,7 @@ def ann_recall(spark, n: int) -> dict[str, tuple[float, int]]:
     ]
     out: dict[str, tuple[float, int]] = {}
     for name, fn, k, selfless in variants:
-        spark.catalog.clearCache()
+        engine_clear_caches(spark)
         got: dict[int, set[int]] = {}
         for r in fn(spark, sf_dir).collect():
             got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
@@ -447,7 +447,7 @@ def main() -> None:
                 # operators that cache() internally would otherwise be
                 # timed against the warm run's InMemoryRelation — clear
                 # the SQL cache so every timed run is end-to-end
-                spark.catalog.clearCache()
+                engine_clear_caches(spark)
                 t0 = time.time()
                 fn(spark, docs, vecs, ev)
                 dt = time.time() - t0
