@@ -47,7 +47,7 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round5_graded_window_composition():
+def test_round6_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
@@ -55,28 +55,28 @@ def test_round5_graded_window_composition():
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
-        "a4_merged_file_stats", "d10_dup_clusters", "d11_semdedup",
-        "d12_bloom_decontaminate", "d13_substring_dedup",
-        "d14_substring_scrub", "d1_exact_dedup", "d2_minhash_lsh",
-        "d6_embedding_cosine_neardup", "d7_decontaminate",
-        "d8_paragraph_dedup", "d9_domain_cap",
-        "h1_higher_order_functions", "i1_importance_resampling",
-        "i2_perplexity_filter", "k1_kmeans_clusters",
+        "a4_stripe_stats", "d10_dup_clusters", "d11_semdedup",
+        "d12_bloom_decontaminate", "d15_cross_source_overlap",
+        "d16_contamination_report", "d17_fuzzy_token_pairs",
+        "d1_exact_dedup", "d2_minhash_lsh",
+        "d6_embedding_cosine_neardup", "g2_cube",
+        "g3_hierarchy_depth", "j2_join_strategy_parity",
+        "k1_kmeans_clusters", "m4_payload_dedup",
+        "mv2_affected_key_refresh", "p4_unpivot",
         "pipe1_training_data_prep", "pipe2_curation_funnel",
-        "q1_pricing_summary", "r1_streaming_orc_ingest",
+        "q1_pricing_summary", "q21_waiting_suppliers",
+        "q4_order_priority", "q8_market_share",
+        "r10_stream_ohlc", "r1_streaming_orc_ingest",
         "r2_streaming_windowed_agg", "r3_stateful_running_totals",
         "r4_streaming_acid_cdc", "r5_session_windows",
         "r6_stream_dedup", "r7_stream_stream_join",
-        "r8_streaming_pipeline", "r9_stream_static_enrichment",
-        "s11_orc_meta", "s14_csv_to_orc_convert",
-        "set1_union_intersect_except", "t2_acid_merge_on_read",
-        "t3_compaction", "t4_acid_stats", "t5_minor_compaction",
-        "v1_cosine_topk", "v3_ivf_ann", "v4_pq_ann",
-        "v5_scalar_quantized_topk", "v6_two_tier_rerank",
+        "r8_streaming_pipeline", "sk1_kmv_distinct",
+        "t2_acid_merge_on_read", "t3_compaction", "t4_acid_stats",
+        "t8_snapshot_diff", "u2_pandas_udf_parity",
+        "u4_map_in_arrow", "v1_cosine_topk", "v3_ivf_ann",
+        "v4_pq_ann", "w10_gap_fill", "w11_interval_merge",
         "w3_asof_join", "w5_retention_cohorts", "w6_interval_join",
-        "w7_scd2_history", "w8_ohlc_downsample", "x16_bpe_pair_stats",
-        "x17_temperature_mix", "x7_pii_redaction", "x8_sequence_pack",
-        "x9_vocab_topk",
+        "w7_scd2_history", "w8_ohlc_downsample", "x18_gopher_filters",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50
