@@ -314,3 +314,89 @@ def parse_tail_of_file(
             n = min(size, need.needed)
             fh.seek(size - n)
             return parse_tail(fh.read(n), include_stripe_stats=include_stripe_stats)
+
+
+# ---------------------------------------------------------------------------
+# Stripe footers: the per-column encodings the writer ACTUALLY chose
+# ---------------------------------------------------------------------------
+
+_ENCODING = {0: "DIRECT", 1: "DICTIONARY", 2: "DIRECT_V2", 3: "DICTIONARY_V2"}
+
+
+def _parse_stripe_information(buf: bytes) -> dict:
+    """OrcProto.StripeInformation (proto/orc_proto.proto): offset=1,
+    indexLength=2, dataLength=3, footerLength=4, numberOfRows=5."""
+    names = {
+        1: "offset",
+        2: "indexLength",
+        3: "dataLength",
+        4: "footerLength",
+        5: "numberOfRows",
+    }
+    s = dict.fromkeys(names.values(), 0)
+    for field, _wt, v in _fields(buf):
+        if field in names:
+            s[names[field]] = v
+    return s
+
+
+def _parse_column_encoding(buf: bytes) -> dict:
+    """OrcProto.ColumnEncoding: kind=1, dictionarySize=2."""
+    enc = {"kind": "DIRECT", "dictionary_size": 0}
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            enc["kind"] = _ENCODING.get(v, str(v))
+        elif field == 2:
+            enc["dictionary_size"] = v
+    return enc
+
+
+def parse_stripe_footers(path: str) -> list[dict]:
+    """Parse every stripe's StripeFooter — the per-column encoding
+    choices (DICTIONARY_V2 vs DIRECT_V2) the writer actually made,
+    i.e. the *output* of the reference's dictionary-cutover decision
+    (`WriterImpl.checkDictionaryEncoding`, threshold
+    `orc.dictionary.key.threshold`, `OrcConf.java:93-105`) that the
+    A6 advisor predicts from the distinct ratio. Per stripe:
+    {offset, numberOfRows, encodings} where encodings is indexed by
+    column id (0 = the root struct).
+
+    Scale note: metadata-only IO — one tail read plus one
+    `footerLength`-byte ranged read per stripe (the `orc-tools meta`
+    access pattern), never a data scan."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        n = min(size, 16 * 1024)
+        fh.seek(size - n)
+        data = fh.read(n)
+        ps_len = data[-1]
+        ps = _parse_postscript(data[-1 - ps_len : -1])
+        need = 1 + ps_len + ps["footerLength"]
+        if need > len(data):
+            fh.seek(size - need)
+            data = fh.read(need)
+        footer_end = len(data) - (1 + ps_len)
+        footer = _decompress_tail(
+            data[footer_end - ps["footerLength"] : footer_end], ps["compression"]
+        )
+        stripes = [
+            _parse_stripe_information(v) for f, _w, v in _fields(footer) if f == 3
+        ]
+        out = []
+        for st in stripes:
+            fh.seek(st["offset"] + st["indexLength"] + st["dataLength"])
+            sf = _decompress_tail(fh.read(st["footerLength"]), ps["compression"])
+            out.append(
+                {
+                    "offset": st["offset"],
+                    "numberOfRows": st["numberOfRows"],
+                    "encodings": [
+                        _parse_column_encoding(v)
+                        for f, _w, v in _fields(sf)
+                        if f == 2
+                    ],
+                }
+            )
+    return out
