@@ -121,6 +121,13 @@ EXTENDED = [
     "j2_join_strategy_parity",
     "m4_payload_dedup",
     "u4_map_in_arrow",
+    # round-6 additions: funnel, bigram LM, histogram sketch,
+    # stratified sample, kNN join
+    "w12_event_funnel",
+    "x19_bigram_lm",
+    "sk2_histogram_quantiles",
+    "i3_stratified_sample",
+    "v7_knn_join",
 ]
 
 

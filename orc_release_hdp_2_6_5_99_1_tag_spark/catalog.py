@@ -274,7 +274,17 @@ def _build() -> None:
     register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
     # round-5 additions: cross-source duplicate-overlap matrix,
     # hourly gap fill (densify + locf forward fill)
-        
+
+    # round-6 additions (graded-window candidates for round 7):
+    # sequential event funnel, bigram-LM training, mergeable
+    # histogram-quantile sketch, exact-quota stratified sampling,
+    # bucketed two-table kNN join
+    register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
+    register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE, graded=False)
+    register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE, graded=False)
+    register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
+    register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE, graded=False)
+
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "
         "would leave the overflow ungraded; move entries to graded=False"

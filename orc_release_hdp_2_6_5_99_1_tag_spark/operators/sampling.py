@@ -13,7 +13,7 @@ one doc-keyed shuffle regardless of corpus size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
 
@@ -222,4 +222,68 @@ SELECT source, band, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS chars_total,
        CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
 FROM banded GROUP BY source, band ORDER BY source, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# i3: exact-quota stratified sampling (deterministic md5 order)
+# ---------------------------------------------------------------------------
+
+_STRAT_DEN = 5  # keep ceil(n/5) per stratum (a 20% stratified sample)
+
+
+def i3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: keep ceil(n/5) documents per
+    (lang, source) stratum, chosen by md5(doc_id) rank — the
+    train-data curation staple (`sample.py --per-source-quota`) where
+    Bernoulli sampling is NOT acceptable because quotas must be hit
+    exactly and reruns must pick the same rows (md5 order is a
+    deterministic shuffle, identical across engines and retries).
+
+    Spark-first: one shuffle on the stratum key serves BOTH windows
+    (count(*) per stratum and the md5 row_number share the partition
+    key, so Catalyst plans a single exchange); the quota is integer
+    arithmetic ((n+4) div 5 — no float ceil at stratum-count
+    boundaries). Per-stratum output keeps the result driver-small at
+    any corpus size; the sampled rows themselves stay distributed.
+    Stratum skew is the only hazard at 100 TB — a hot stratum's
+    window sort is bounded by that stratum's size, and the md5 rank
+    needs no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    wk = Window.partitionBy("lang", "source")
+    ranked = d.withColumn("n", F.count(F.lit(1)).over(wk)).withColumn(
+        "rk", F.row_number().over(wk.orderBy("h", "doc_id"))
+    )
+    sampled = ranked.filter(F.col("rk") <= F.expr(f"(n + {_STRAT_DEN - 1}) div {_STRAT_DEN}"))
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.min("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+I3_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), ranked AS (
+  SELECT doc_id, lang, source,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rk
+  FROM d
+), sampled AS (
+  SELECT * FROM ranked WHERE rk <= (n + {_STRAT_DEN - 1}) // {_STRAT_DEN}
+)
+SELECT lang, source, MIN(n) AS n_total, COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM sampled GROUP BY lang, source ORDER BY lang, source
 """

@@ -891,3 +891,113 @@ WITH c AS (
 SELECT query_id, vec_id, printf('%.4f', c_full) AS cosine, rank
 FROM t2 WHERE rank <= {_TT_TOPK} ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# v7: bucketed kNN JOIN (batch query side — no broadcastable query set)
+# ---------------------------------------------------------------------------
+
+_KNN_BITS = 4   # 16 buckets: coarser than v2's 8 — the query side is a
+                # table, so candidates per bucket trade recall for the
+                # per-bucket join cost, the tunable of every LSH join
+_KNN_K = 3
+_KNN_QUERY_LABEL = 0
+
+
+def _knn_bucket(col):
+    """Sign-LSH bucket over the first _KNN_BITS dims (v2's recipe at a
+    coarser width)."""
+    bucket = None
+    for i in range(_KNN_BITS):
+        bit = F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def v7_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN: for EVERY label-0 vector, the 3 nearest
+    label-non-0 vectors by cosine, candidates restricted to the same
+    sign-LSH bucket. This is the two-TABLE retrieval shape (link every
+    new document to its nearest corpus neighbors) where v1/v5's
+    broadcast-the-queries plan is impossible — the query side is a
+    constant FRACTION of the corpus, so it must shuffle, not
+    broadcast.
+
+    Spark-first: both sides compute their bucket in a narrow map, the
+    candidate join is a plain shuffled EQUI-join on the bucket key
+    (never BroadcastNestedLoopJoin / CartesianProduct — same rule as
+    d17), and the top-k is a rank-limit window per query
+    (WindowGroupLimit). Cost is Σ |Q_b|·|C_b| over buckets — the LSH
+    join contract; at 100 TB the knobs are more bits (smaller
+    buckets) and multi-probe, and a hot bucket salts the same way any
+    skewed join key does.
+
+    Oracle: identical bucketing + DuckDB list_cosine_similarity
+    replay.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        _knn_bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    q = e.filter(F.col("label") == _KNN_QUERY_LABEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    c = e.filter(F.col("label") != _KNN_QUERY_LABEL).select(
+        "vec_id", "embedding", "nrm", "bucket"
+    )
+    pairs = q.join(c, "bucket").select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.format_string("%.4f", F.col("cos")).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _knn_sql_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_KNN_BITS)
+    )
+
+
+V7_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         {_knn_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM b
+  WHERE label = {_KNN_QUERY_LABEL}
+), c AS (
+  SELECT vec_id, emb, bucket FROM b WHERE label <> {_KNN_QUERY_LABEL}
+), pairs AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(q.q_emb, c.emb) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.q_emb, c.emb) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM q JOIN c USING (bucket)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       printf('%.4f', cos) AS cosine
+FROM pairs WHERE rank <= {_KNN_K} ORDER BY query_id, rank
+"""

@@ -353,3 +353,93 @@ SELECT k.source, k.k_kept,
 FROM kth k JOIN exact e ON e.source = k.source
 ORDER BY k.source
 """
+
+
+# ---------------------------------------------------------------------------
+# sk2: fixed-bin histogram quantile sketch — the mergeable scale tier
+# ---------------------------------------------------------------------------
+
+_H_BINS = 64
+_H_QS = (0.5, 0.9, 0.99)
+
+
+def sk2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-bin histogram
+    sketch: one tiny global min/max pass fixes 64 equal-width bin
+    edges, per-(group, bin) counts are the sketch (mergeable by plain
+    addition — partial aggregation IS the merge, pinned bit-exact by
+    `tests/test_sketches.py`), and quantile q is the lower edge of the
+    first bin whose cumulative count reaches q·total.
+
+    This is the mergeable scale tier next to a7's exact percentiles:
+    exact percentile_approx/sort-based quantiles need the values; the
+    histogram needs 64 longs per group regardless of corpus size, so
+    at 100 TB each executor emits a kilobyte partial and the shuffle
+    carries groups×64 rows. Deterministic (no sampling, no
+    engine-specific sketch layout — unlike HLL/t-digest registers,
+    the bin counts are exactly replayable in ANSI SQL).
+
+    Error bound: (max-min)/64 per quantile — the documented trade for
+    mergeability; tighter = more bins, still O(bins) state.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mn, mx = e.agg(F.min("value"), F.max("value")).collect()[0]  # scalars
+    width = (mx - mn) / _H_BINS
+    bin_ = F.least(
+        F.lit(_H_BINS - 1), F.floor((F.col("value") - F.lit(mn)) / F.lit(width))
+    ).cast("int")
+    hist = (
+        e.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    qcols = [
+        F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin"))
+        ).alias(f"b{int(q * 100)}")
+        for q in _H_QS
+    ]
+    edges = cum.groupBy("event_type").agg(F.max("total").alias("total"), *qcols)
+    out_cols = [
+        F.round(F.lit(mn) + F.col(f"b{int(q * 100)}") * F.lit(width), 6).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in _H_QS
+    ]
+    return edges.select("event_type", "total", *out_cols).orderBy("event_type")
+
+
+SK2_ORACLE = f"""
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), binned AS (
+  SELECT event_type,
+         CAST(LEAST({_H_BINS - 1},
+                    FLOOR((value - mm.mn) / ((mm.mx - mm.mn) / {_H_BINS})))
+              AS INT) AS bin
+  FROM events, mm
+), hist AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS total
+  FROM hist
+), edges AS (
+  SELECT event_type, MAX(total) AS total,
+         {', '.join(f"MIN(CASE WHEN cum >= {q} * total THEN bin END) AS b{int(q * 100)}" for q in _H_QS)}
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, CAST(total AS BIGINT) AS total,
+       {', '.join(f"ROUND(mm.mn + b{int(q * 100)} * ((mm.mx - mm.mn) / {_H_BINS}), 6) AS p{int(q * 100)}" for q in _H_QS)}
+FROM edges, mm ORDER BY event_type
+"""

@@ -627,3 +627,93 @@ SELECT user_id, COUNT(*) AS n_islands,
        CAST(SUM(i_start % 1000003) AS BIGINT) AS start_checksum
 FROM islands GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# w12: sequential event funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def w12_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest `view`, the
+    earliest `click` strictly after that view, and the earliest
+    `purchase` strictly after that click — the step-sequence
+    conversion query every product-analytics engine ships (and the
+    SQL shape behind "did the curation step run before the training
+    snapshot" pipeline audits).
+
+    Spark-first shape: the three step times are CHAINED conditional
+    window mins over the SAME partitioning key (t1 feeds t2's
+    predicate, t2 feeds t3's) — one events scan, ONE shuffle on
+    user_id, three JVM-side window passes, then a user-level rollup
+    on the already-partitioned rows and a single-row summary. A
+    join-gated formulation (step N's table joined back onto the
+    stream) re-derives step N−1's subplan inside step N — 6 scans in
+    the audit — so the window chain is the 100 TB shape. Conversion
+    delay stays exact integer microseconds (no float time math).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wu = Window.partitionBy("user_id")
+    x = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu)
+    )
+    x = x.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    x = x.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    per_user = x.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.filter(F.col("t1").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+        F.round(F.count("t2") / F.count(F.lit(1)), 6).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("click_to_purchase"),
+        F.sum(F.col("t3") - F.col("t2")).alias("purchase_delay_us_total"),
+    )
+
+
+W12_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM e
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+  FROM w3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_view,
+       COUNT(t2) AS n_click,
+       COUNT(t3) AS n_purchase,
+       ROUND(COUNT(t2) / CAST(COUNT(*) AS DOUBLE), 6) AS view_to_click,
+       ROUND(COUNT(t3) / CAST(COUNT(t2) AS DOUBLE), 6) AS click_to_purchase,
+       CAST(SUM(t3 - t2) AS BIGINT) AS purchase_delay_us_total
+FROM per_user WHERE t1 IS NOT NULL
+"""

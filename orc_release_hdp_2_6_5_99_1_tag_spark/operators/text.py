@@ -1323,3 +1323,96 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
 FROM ok GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# x19: bigram language-model training (conditional next-token table)
+# ---------------------------------------------------------------------------
+
+_LM_TOP_CTX = 10
+_LM_TOP_NEXT = 3
+
+
+def x19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram LM over the corpus: count adjacent token pairs,
+    normalize into conditional probabilities P(next | context), and
+    emit the top-3 next tokens for the 10 highest-mass contexts —
+    the training half of the n-gram pipeline whose *scoring* half is
+    i2's perplexity filter (`sampling.py`), and the classic
+    KenLM-style count/normalize shape.
+
+    Spark-first: bigrams come from zipping each token array with its
+    own tail (`slice(t,1,n-1)` × `slice(t,2,n-1)` — one narrow
+    Generate, no self-join on token position), pair counts shuffle
+    once on (context, next) and are vocabulary²-bounded (sub-linear
+    in corpus size), context totals and both rank windows run on the
+    counts table, never the corpus. At 100 TB the only corpus-sized
+    stage is the map-side explode feeding a partial-aggregated
+    count — the canonical word-count shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("w1").agg(F.sum("c").alias("tc"))
+    ctx = tot.withColumn(
+        "cxr",
+        F.row_number().over(Window.orderBy(F.desc("tc"), F.asc("w1"))),
+    ).filter(F.col("cxr") <= _LM_TOP_CTX)
+    # the global context rank runs over the CONTEXTS table
+    # (vocabulary-sized, tot is already aggregated) — the
+    # single-partition window is top-10-of-vocab model-state work,
+    # not a corpus sort
+    wn = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        cnt.join(F.broadcast(ctx.select("w1", "tc")), "w1")
+        .withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= _LM_TOP_NEXT)
+        .select(
+            F.col("w1").alias("context"),
+            F.col("w2").alias("next_token"),
+            F.col("c").alias("n_pair"),
+            F.round(F.col("c") / F.col("tc"), 6).alias("prob"),
+            F.col("r").cast("int").alias("rank"),
+        )
+        .orderBy("context", "rank")
+    )
+
+
+X19_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         unnest(list_slice(t, 2, len(t))) AS w2
+  FROM toks
+), cnt AS (
+  SELECT w1, w2, COUNT(*) AS c FROM bg
+  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+), tot AS (
+  SELECT w1, SUM(c) AS tc FROM cnt GROUP BY w1
+), ctx AS (
+  SELECT w1, tc, ROW_NUMBER() OVER (ORDER BY tc DESC, w1 ASC) AS cxr FROM tot
+), ranked AS (
+  SELECT c.w1, c.w2, c.c, x.tc,
+         ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.c DESC, c.w2 ASC) AS r
+  FROM cnt c JOIN ctx x USING (w1)
+  WHERE x.cxr <= {_LM_TOP_CTX}
+)
+SELECT w1 AS context, w2 AS next_token, CAST(c AS BIGINT) AS n_pair,
+       ROUND(CAST(c AS DOUBLE) / tc, 6) AS prob, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= {_LM_TOP_NEXT} ORDER BY context, rank
+"""

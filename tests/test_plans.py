@@ -367,3 +367,43 @@ def test_d2_pair_engine_caches_candidates_only(spark, sf_dir):
     assert len(sigs) == 1, (
         f"expected exactly 1 distinct cached subplan (cand), found {len(sigs)}"
     )
+
+
+def test_w12_funnel_is_one_scan_one_shuffle_chain(spark, sf_dir):
+    """w12's three step times must come from chained window passes on
+    ONE events scan and one user_id partitioning — the join-gated
+    formulation re-derives each step's subplan inside the next (6
+    scans) and is the shape this test forbids."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import (
+        w12_event_funnel,
+    )
+
+    import re
+
+    plan = formatted_plan(w12_event_funnel(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan ", plan, flags=re.M))
+    assert n_scans == 1, f"funnel re-scans events ({n_scans} scans):\n{plan}"
+    assert "Join" not in plan, f"join-gated funnel shape is back:\n{plan}"
+
+
+def test_v7_knn_join_is_bucketed_equi_join(spark, sf_dir):
+    """v7's candidate join must be an equi-join on the bucket key —
+    a theta/cross formulation would plan BroadcastNestedLoopJoin or
+    CartesianProduct and go quadratic in the corpus."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import v7_knn_join
+
+    plan = formatted_plan(v7_knn_join(spark, sf_dir))
+    assert "NestedLoop" not in plan, f"kNN join fell back to nested loop:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, on the bucket key
+
+
+def test_x19_context_table_broadcasts(spark, sf_dir):
+    """x19's top-context filter joins a 10-row table onto the pair
+    counts — it must broadcast, never shuffle the counts on a second
+    key."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import x19_bigram_lm
+
+    plan = formatted_plan(x19_bigram_lm(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"context join is not broadcast:\n{plan}"
+    assert "NestedLoop" not in plan

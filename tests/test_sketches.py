@@ -79,3 +79,75 @@ def test_percentile_approx_matches_exact_on_small_groups(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["exact_med"] - r["approx_med"]) < 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# sk2: fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_sk2_partial_merge_is_bit_exact(spark, sf_dir):
+    """The sketch's mergeability claim: histograms built on two
+    disjoint halves of the data and merged by plain addition must
+    equal the histogram built in one pass — bit-exact, not
+    approximately (the merge IS addition of bin counts; nothing else
+    may depend on which partition saw which row)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import _H_BINS
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    mn, mx = e.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (mx - mn) / _H_BINS
+    bin_ = F.least(
+        F.lit(_H_BINS - 1), F.floor((F.col("value") - F.lit(mn)) / F.lit(width))
+    ).cast("int")
+
+    def hist(df):
+        rows = df.select("event_type", bin_.alias("b")).groupBy(
+            "event_type", "b"
+        ).count().collect()
+        return {(r["event_type"], r["b"]): r["count"] for r in rows}
+
+    whole = hist(e)
+    h1 = hist(e.filter(F.col("event_id") % 2 == 0))
+    h2 = hist(e.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for h in (h1, h2):
+        for k, v in h.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_sk2_selected_bin_contains_exact_order_statistic(spark, sf_dir):
+    """The sketch contract, exactly: quantile q reports the lower edge
+    of the first bin whose cumulative count reaches q·n, i.e. the bin
+    CONTAINING the order statistic at rank ceil(q·n) — so that order
+    statistic must lie inside [edge, edge + width]. (A looser
+    'within one width of the interpolated percentile' bound is NOT
+    implied: interpolation at p99 straddles ranks that can sit in a
+    lower bin across empty bins.)"""
+    import math
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _H_BINS,
+        _H_QS,
+        sk2_histogram_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    mn, mx = e.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (mx - mn) / _H_BINS
+    vals: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for v in vals.values():
+        v.sort()
+    for r in sk2_histogram_quantiles(spark, sf_dir).collect():
+        v = vals[r["event_type"]]
+        for q, col in zip(_H_QS, ("p50", "p90", "p99")):
+            rank = max(1, math.ceil(q * len(v)))
+            stat = v[rank - 1]
+            edge = r[col]
+            assert edge - 1e-6 <= stat <= edge + width + 1e-6, (
+                f"{r['event_type']} {col}: order stat {stat} (rank {rank}) "
+                f"not inside selected bin [{edge}, {edge + width}]"
+            )
