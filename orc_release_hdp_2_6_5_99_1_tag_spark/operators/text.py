@@ -1368,14 +1368,12 @@ def x19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("w1").agg(F.sum("c").alias("tc"))
-    ctx = tot.withColumn(
-        "cxr",
-        F.row_number().over(Window.orderBy(F.desc("tc"), F.asc("w1"))),
-    ).filter(F.col("cxr") <= _LM_TOP_CTX)
-    # the global context rank runs over the CONTEXTS table
-    # (vocabulary-sized, tot is already aggregated) — the
-    # single-partition window is top-10-of-vocab model-state work,
-    # not a corpus sort
+    # top contexts via orderBy+limit — Spark plans TakeOrderedAndProject
+    # (per-partition top-k, merged on the driver), NOT a
+    # single-partition global window: at web scale the vocabulary is
+    # 10^7-10^9 contexts and an un-partitioned row_number would funnel
+    # all of it through one task (the g3 round-5 lesson)
+    ctx = tot.orderBy(F.desc("tc"), F.asc("w1")).limit(_LM_TOP_CTX)
     wn = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
     return (
         cnt.join(F.broadcast(ctx.select("w1", "tc")), "w1")
@@ -1405,12 +1403,11 @@ WITH toks AS (
 ), tot AS (
   SELECT w1, SUM(c) AS tc FROM cnt GROUP BY w1
 ), ctx AS (
-  SELECT w1, tc, ROW_NUMBER() OVER (ORDER BY tc DESC, w1 ASC) AS cxr FROM tot
+  SELECT w1, tc FROM tot ORDER BY tc DESC, w1 ASC LIMIT {_LM_TOP_CTX}
 ), ranked AS (
   SELECT c.w1, c.w2, c.c, x.tc,
          ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.c DESC, c.w2 ASC) AS r
   FROM cnt c JOIN ctx x USING (w1)
-  WHERE x.cxr <= {_LM_TOP_CTX}
 )
 SELECT w1 AS context, w2 AS next_token, CAST(c AS BIGINT) AS n_pair,
        ROUND(CAST(c AS DOUBLE) / tc, 6) AS prob, CAST(r AS INT) AS rank

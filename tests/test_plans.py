@@ -407,3 +407,7 @@ def test_x19_context_table_broadcasts(spark, sf_dir):
     plan = formatted_plan(x19_bigram_lm(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, f"context join is not broadcast:\n{plan}"
     assert "NestedLoop" not in plan
+    # top-10 contexts must come from a distributed top-k
+    # (TakeOrderedAndProject), never an un-partitioned row_number over
+    # the vocabulary-sized totals table
+    assert "TakeOrderedAndProject" in plan, f"context top-k is not a take-ordered:\n{plan}"
