@@ -142,7 +142,14 @@ def _parse_postscript(buf: bytes) -> dict:
 
 
 def _parse_type(buf: bytes) -> dict:
-    t = {"kind": 0, "subtypes": [], "fieldNames": [], "precision": None, "scale": None}
+    t = {
+        "kind": 0,
+        "subtypes": [],
+        "fieldNames": [],
+        "precision": None,
+        "scale": None,
+        "maximumLength": None,  # char/varchar (orc_proto Type.maximumLength=4)
+    }
     for field, _wt, v in _fields(buf):
         if field == 1:
             t["kind"] = v
@@ -150,6 +157,8 @@ def _parse_type(buf: bytes) -> dict:
             t["subtypes"] += _packed_varints(v)
         elif field == 3:
             t["fieldNames"].append(v.decode("utf-8"))
+        elif field == 4:
+            t["maximumLength"] = v
         elif field == 5:
             t["precision"] = v
         elif field == 6:
@@ -269,6 +278,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
                 "col_id": col_id,
                 "precision": t["precision"],
                 "scale": t["scale"],
+                "max_length": t["maximumLength"],
             }
             if col_id < len(stats):
                 col.update(
