@@ -128,6 +128,10 @@ EXTENDED = [
     "sk2_histogram_quantiles",
     "i3_stratified_sample",
     "v7_knn_join",
+    "d18_containment",
+    "w13_rfm_segmentation",
+    "a8_correlation_matrix",
+    "j3_salted_skew_join",
 ]
 
 

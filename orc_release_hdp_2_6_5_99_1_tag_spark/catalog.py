@@ -284,6 +284,12 @@ def _build() -> None:
     register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE, graded=False)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
     register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE, graded=False)
+    # round-6 additions, second wave: containment dedup, RFM
+    # segmentation, exact-sum correlation matrix, salted skew join
+    register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
+    register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
+    register("a8_correlation_matrix", st.a8_correlation_matrix, st.A8_ORACLE, graded=False)
+    register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

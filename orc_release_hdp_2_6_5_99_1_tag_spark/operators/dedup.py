@@ -1568,3 +1568,82 @@ SELECT substr(wa, 1, 1) AS bucket, COUNT(*) AS n_pairs,
        MAX(concat_ws('|', wa, wb)) AS last_pair
 FROM pairs GROUP BY substr(wa, 1, 1) ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# d18: asymmetric shingle containment (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+_D18_DF_CAP = 50        # same hot-shingle prune as d4
+_D18_MIN_CONTAIN = 0.8  # report pairs where >=80% of A's shingles are in B
+
+
+def d18_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A→B) = |A∩B| / |A| — the
+    inclusion metric Jaccard misses: a short document quoted whole
+    inside a long one has near-zero Jaccard (the union is huge) but
+    containment 1.0, which is why dedup pipelines (Lee et al.'s
+    suffix-array scrub is the substring-level cousin, d13/d14) screen
+    quotes and boilerplate with containment, not symmetric similarity.
+
+    Spark-first shape = d4's pair engine with a directional tail:
+    hot shingles (df > cap) are pruned from both the intersection and
+    the set sizes via a broadcast anti-join (power-law tail — the cap
+    bounds the quadratic per-shingle blow-up), the inverted-index
+    self-join materializes pairs only for docs sharing a surviving
+    shingle, and the containment divides by the CONTAINED side's set
+    size, emitting both directions of an asymmetric pair when both
+    clear the threshold. The threshold compares the ROUNDED score so
+    both engines keep the same boundary rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    all_sh = _shingles(d).select("doc_id", "s")
+    hot = (
+        all_sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _D18_DF_CAP)
+        .select("s")
+    )
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.toDF("doc_a", "na")
+    contain = (
+        inter.join(na, "doc_a")
+        .withColumn("containment", F.round(F.col("inter") / F.col("na"), 6))
+        .filter(F.col("containment") >= _D18_MIN_CONTAIN)
+    )
+    return contain.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.col("na").alias("n_shingles"),
+        "inter",
+        "containment",
+    ).orderBy(F.desc("containment"), "contained_doc", "container_doc")
+
+
+D18_ORACLE = f"""
+WITH {_sql_shingles()},
+hot AS (SELECT s FROM shh GROUP BY s HAVING COUNT(*) > {_D18_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shh ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), contain AS (
+  SELECT i.doc_a, i.doc_b, na.n, i.inter,
+         ROUND(CAST(i.inter AS DOUBLE) / na.n, 6) AS containment
+  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       n AS n_shingles, inter, containment
+FROM contain WHERE containment >= {_D18_MIN_CONTAIN}
+ORDER BY containment DESC, contained_doc, container_doc
+"""

@@ -259,3 +259,63 @@ SELECT s.strategy, a.c_mktsegment, a.n_orders, a.revenue
 FROM a CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
 ORDER BY s.strategy, a.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# j3: salted skew join — the hot-key playbook as a first-class operator
+# ---------------------------------------------------------------------------
+
+_J3_SALT = 8  # replication factor for the dim side / salt fan-out
+
+
+def j3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join: events (fact, user_id skew-prone —
+    one user owning a large share of a 100-TB stream is the norm) join
+    a user dimension derived from customer. The dim side replicates
+    each row _J3_SALT times with a salt column; each fact row picks ONE
+    deterministic salt (pmod(hash(event_id), S)), so a hot user's rows
+    spread across S reducer partitions instead of one straggler task.
+    The join key becomes (user_id, salt) — still a plain shuffled
+    equi-join, and the result is IDENTICAL to the unsalted join (the
+    oracle computes the plain join; the plan test pins the salt
+    explode + equi-join shape).
+
+    This is the manual fallback when AQE's skew-join splitting can't
+    apply (e.g. the skewed side feeds an aggregation in the same
+    stage); salting composes with any join strategy and costs one
+    narrow dim replication (S× a DIM, not the fact).
+    """
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    salted_dim = dim.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(_J3_SALT)])).alias("salt")
+    )
+    salted_e = e.withColumn(
+        "salt", F.pmod(F.hash(F.col("event_id")), F.lit(_J3_SALT))
+    )
+    joined = salted_e.join(salted_dim, ["user_id", "salt"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "value_total"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+J3_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""

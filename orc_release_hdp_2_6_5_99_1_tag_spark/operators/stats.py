@@ -443,3 +443,112 @@ SELECT event_type, CAST(total AS BIGINT) AS total,
        {', '.join(f"ROUND(mm.mn + b{int(q * 100)} * ((mm.mx - mm.mn) / {_H_BINS}), 6) AS p{int(q * 100)}" for q in _H_QS)}
 FROM edges, mm ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# a8: pairwise Pearson correlation matrix from exact integer sums
+# ---------------------------------------------------------------------------
+
+# (column, integer scale): every lineitem measure is generated with <= 2
+# decimals, so value*scale rounds to an EXACT integer — sums become
+# exact (decimal) arithmetic and the final correlation is computed in
+# double from identical integers on both engines, dodging the
+# float-sum-order trap that makes built-in corr() engine-dependent.
+_A8_COLS = [
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def a8_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem measures —
+    the profiling step before feature selection / mixing-weight fits.
+
+    Spark-first + oracle-exact: built-in corr() accumulates doubles in
+    partition order (non-associative — two engines, two answers), so
+    the moments are EXACT instead: each measure is scaled to an
+    integer (generator emits <= 2 decimals; pinned by an assertion-free
+    round()), and n, Σx, Σxy are summed as DECIMAL(38,0) — one
+    map-side-combined aggregate over one scan, 15 exact numbers total.
+    corr is then computed in double from those integers with an
+    identical expression shape in both engines. Scale: the shuffle
+    carries one 15-number partial per partition; scaling constants are
+    metadata.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    ints = l.select(
+        *[
+            F.round(F.col(c) * s).cast("decimal(38,0)").alias(c)
+            for c, s in _A8_COLS
+        ]
+    )
+    names = [c for c, _ in _A8_COLS]
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, x in enumerate(names):
+        aggs.append(F.sum(F.col(x)).alias(f"s_{x}"))
+        for y in names[i:]:
+            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"s_{x}_{y}"))
+    m = ints.agg(*aggs)
+
+    def corr(x, y):
+        # identical double expression shape in the SQL oracle
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxy = F.col(f"s_{x}_{y}").cast("double")
+        sxx = F.col(f"s_{x}_{x}").cast("double")
+        syy = F.col(f"s_{y}_{y}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]]
+    rows = [
+        F.struct(
+            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), corr(x, y).alias("corr")
+        )
+        for x, y in pairs
+    ]
+    return (
+        m.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_x", "r.col_y", "r.corr")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _a8_oracle() -> str:
+    names = [c for c, _ in _A8_COLS]
+    scaled = ", ".join(
+        f"CAST(ROUND({c} * {s}) AS HUGEINT) AS {c}" for c, s in _A8_COLS
+    )
+    sums = ["COUNT(*) AS n"]
+    for i, x in enumerate(names):
+        sums.append(f"SUM({x}) AS s_{x}")
+        for y in names[i:]:
+            sums.append(f"SUM({x} * {y}) AS s_{x}_{y}")
+    selects = []
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            expr = (
+                f"ROUND((CAST(n AS DOUBLE) * CAST(s_{x}_{y} AS DOUBLE)"
+                f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE) * CAST(s_{x}_{x} AS DOUBLE)"
+                f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+                f" * sqrt(CAST(n AS DOUBLE) * CAST(s_{y}_{y} AS DOUBLE)"
+                f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+            )
+            selects.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, {expr} AS corr FROM m"
+            )
+    return (
+        f"WITH ints AS (SELECT {scaled} FROM lineitem),\n"
+        f"m AS (SELECT {', '.join(sums)} FROM ints)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+A8_ORACLE = _a8_oracle()

@@ -717,3 +717,97 @@ SELECT COUNT(*) AS n_view,
        CAST(SUM(t3 - t2) AS BIGINT) AS purchase_delay_us_total
 FROM per_user WHERE t1 IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# w13: RFM segmentation (recency / frequency / monetary)
+# ---------------------------------------------------------------------------
+
+_RFM_ANCHOR = "2024-02-01"  # scoring date (fixed, like a nightly run date)
+_RFM_R_DAYS = (3, 7)        # R1 <= 3 days since last purchase, R2 <= 7, else R3
+_RFM_F_CUTS = (14, 10)      # F1 >= 14 purchases, F2 >= 10, else F3
+_RFM_M_CUTS = (650.0, 450.0)  # M1 >= 650 total spend, M2 >= 450, else M3
+
+
+def w13_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user, days since last purchase
+    (R), purchase count (F), total purchase value (M), banded into
+    R{1-3}F{1-3}M{1-3} segments with FIXED business thresholds —
+    the i2/CCNet pattern: production RFM uses offline-tuned constant
+    boundaries, NOT data-dependent terciles, which keeps banding a
+    pure map (an ntile(3) over all users would be an un-partitioned
+    global window — the exact single-reducer shape the g3 fix
+    removed). Users with no purchases fall through to R3/F3/M3.
+
+    Scale: one shuffle on user_id for the per-user rollup
+    (map-side-combined conditional aggregates), banding is
+    expression-only, and the final per-segment rollup is 27-group
+    tiny. Monetary sums are banded on the ROUNDED value so the float
+    boundary is engine-identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(is_p, F.col("ts").cast("date"))).alias("last_p"),
+        F.count(F.when(is_p, F.lit(1))).alias("freq"),
+        F.round(F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 2).alias(
+            "mon"
+        ),
+    )
+    rec = F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.col("last_p"))
+    r = (
+        F.when(rec.isNull(), "R3")
+        .when(rec <= _RFM_R_DAYS[0], "R1")
+        .when(rec <= _RFM_R_DAYS[1], "R2")
+        .otherwise("R3")
+    )
+    f = (
+        F.when(F.col("freq") >= _RFM_F_CUTS[0], "F1")
+        .when(F.col("freq") >= _RFM_F_CUTS[1], "F2")
+        .otherwise("F3")
+    )
+    m = (
+        F.when(F.col("mon") >= _RFM_M_CUTS[0], "M1")
+        .when(F.col("mon") >= _RFM_M_CUTS[1], "M2")
+        .otherwise("M3")
+    )
+    return (
+        u.select("user_id", "mon", F.concat(r, f, m).alias("segment"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("mon"), 2).alias("total_spend"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .orderBy("segment")
+    )
+
+
+W13_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS last_p,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS freq,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS mon
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT user_id, mon,
+         concat(
+           CASE WHEN last_p IS NULL THEN 'R3'
+                WHEN date_diff('day', last_p, DATE '{_RFM_ANCHOR}') <= {_RFM_R_DAYS[0]} THEN 'R1'
+                WHEN date_diff('day', last_p, DATE '{_RFM_ANCHOR}') <= {_RFM_R_DAYS[1]} THEN 'R2'
+                ELSE 'R3' END,
+           CASE WHEN freq >= {_RFM_F_CUTS[0]} THEN 'F1'
+                WHEN freq >= {_RFM_F_CUTS[1]} THEN 'F2'
+                ELSE 'F3' END,
+           CASE WHEN mon >= {_RFM_M_CUTS[0]} THEN 'M1'
+                WHEN mon >= {_RFM_M_CUTS[1]} THEN 'M2'
+                ELSE 'M3' END
+         ) AS segment
+  FROM u
+)
+SELECT segment, COUNT(*) AS n_users,
+       ROUND(SUM(mon), 2) AS total_spend,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum
+FROM seg GROUP BY segment ORDER BY segment
+"""

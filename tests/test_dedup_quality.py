@@ -95,3 +95,31 @@ def test_connected_components_long_path_beats_round_cap(spark):
     # driver union-find fast path (default threshold) — same labels
     got_uf = {(r.doc_id, r.lab) for r in connected_components(pairs).collect()}
     assert got_uf == expected
+
+
+def test_d18_containment_detects_planted_quote(spark, tmp_path):
+    """A short doc fully quoted inside a long one: Jaccard is tiny
+    (union is the long doc) but containment(A→B) must be 1.0 and the
+    reverse direction must NOT clear the threshold — the asymmetry is
+    the operator's reason to exist."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import d18_containment
+
+    big_words = [f"tok{i}" for i in range(120)]
+    quote = " ".join(big_words[40:70])      # 30-token span inside big
+    big = " ".join(big_words)
+    rows = [
+        (1, quote, "en", "srcA", len(quote)),
+        (2, big, "en", "srcB", len(big)),
+        (3, "completely different text entirely here now", "en", "srcC", 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in d18_containment(spark, str(tmp_path)).collect()
+    }
+    assert out.get((1, 2)) == 1.0, f"planted quote not detected: {out}"
+    assert (2, 1) not in out, "reverse direction should not clear the threshold"
+    assert not any(3 in k for k in out), "unrelated doc produced a pair"

@@ -411,3 +411,18 @@ def test_x19_context_table_broadcasts(spark, sf_dir):
     # (TakeOrderedAndProject), never an un-partitioned row_number over
     # the vocabulary-sized totals table
     assert "TakeOrderedAndProject" in plan, f"context top-k is not a take-ordered:\n{plan}"
+
+
+def test_j3_salted_join_is_equi_join_with_salt_fanout(spark, sf_dir):
+    """j3 must keep the salted join a plain shuffled equi-join — the
+    salt explode appears as a Generate on the DIM side, and no
+    nested-loop/cartesian shape sneaks in."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.setops import (
+        j3_salted_skew_join,
+    )
+
+    plan = formatted_plan(j3_salted_skew_join(spark, sf_dir))
+    assert "Generate" in plan, f"salt fan-out explode missing:\n{plan}"
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "salt" in plan  # the join key carries the salt column
