@@ -275,7 +275,9 @@ def _build() -> None:
     # round-5 additions: cross-source duplicate-overlap matrix,
     # hourly gap fill (densify + locf forward fill)
 
-    # round-6 additions (graded-window candidates for round 7):
+    # round-6 additions (graded-window candidates for round 7, along
+    # with the second wave below and the TPC-H tail q2/q5-q7/q9-q20/
+    # q22, w4, w9, x5, x6, x10-x15, u3, m3, j1, mv1, t6, t7, d3-d5):
     # sequential event funnel, bigram-LM training, mergeable
     # histogram-quantile sketch, exact-quota stratified sampling,
     # bucketed two-table kNN join

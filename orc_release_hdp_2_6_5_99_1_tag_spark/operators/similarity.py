@@ -803,30 +803,43 @@ FROM ranked WHERE rank <= {_SQ_TOPK} ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 _TT_DIMS = 32     # prefilter dimensionality (Matryoshka-style prefix)
-_TT_CAND = 40     # candidates per query surviving tier 1
+_TT_CAND = 40     # tier-1 candidate FLOOR per query; the effective cap
+                  # is max(40, ceil(n/1000)) — a fixed 40 at 1M vectors
+                  # crowded true neighbors out of tier 1 (measured
+                  # recall@3 fell 0.87 at 20k → 0.53 at 1M), while a
+                  # 0.1%-of-corpus cap keeps tier-2 cost a bounded
+                  # fraction and recall scale-stable
+_TT_CAND_FRAC = 1000  # 1/frac of the corpus (0.1%)
 _TT_NQ = 5
 _TT_TOPK = 3
 
 
 def v6_two_tier_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier retrieval: tier 1 scores every corpus vector with a
-    cheap TRUNCATED-dimension cosine (the first 16 of 64 dims — the
-    Matryoshka/MRL serving trick) and keeps 40 candidates per query;
-    tier 2 reranks ONLY those candidates with the exact full-dim
-    cosine. The final top-3 is exact whenever the true neighbors
-    survive tier 1 (recall measured in tests — on MRL-TRAINED
-    embeddings the prefix is engineered to be near-lossless; on this
-    synthetic isotropic corpus the prefix carries dims'/dims of the
-    signal, and the test asserts tier 1 beats random candidate
-    selection by a wide margin rather than near-perfect recall).
+    cheap TRUNCATED-dimension cosine (the first 32 of 64 dims — the
+    Matryoshka/MRL serving trick) and keeps max(40, ceil(n/1000))
+    candidates per query; tier 2 reranks ONLY those candidates with
+    the exact full-dim cosine. The final top-3 is exact whenever the
+    true neighbors survive tier 1 (recall measured in tests — on
+    MRL-TRAINED embeddings the prefix is engineered to be
+    near-lossless; on this synthetic corpus the prefix carries
+    dims'/dims of the signal, and the test asserts tier 1 beats
+    random candidate selection by a wide margin rather than
+    near-perfect recall).
 
     Scale: tier 1 touches half the bytes per row (at serving scale,
     a separate narrow column/file of truncated vectors — here a slice
-    on the same scan); tier 2's exact work is bounded by
-    queries × 40 candidates regardless of corpus size. Both tiers are
-    rank-limit windows (WindowGroupLimit), queries broadcast, ONE
-    corpus scan total."""
+    on the same scan); tier 2's exact work is queries × 0.1% of the
+    corpus (floor 40) — the cap is scale-AWARE because a constant cap
+    is scale-BROKEN: at 1M vectors the fixed 40 was crowded out by
+    chance-high prefix cosines and recall@3 fell to 0.53. The corpus
+    row count comes from parquet footer metadata (a count() over the
+    scan statistics, not a data pass). Both tiers are rank-limit
+    windows (WindowGroupLimit), queries broadcast, ONE data scan
+    total."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = e.count()  # parquet metadata count — no data scan
+    cand_k = max(_TT_CAND, -(-n_corpus // _TT_CAND_FRAC))
     corpus = e.select(
         "vec_id",
         "embedding",
@@ -848,7 +861,7 @@ def v6_two_tier_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine(F.col("q_head"), F.col("head"), F.col("qn_head"), F.col("n_head")).alias("c_head"),
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("c_head"), F.asc("vec_id"))
-    cand = t1.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= _TT_CAND)
+    cand = t1.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= cand_k)
     t2 = cand.select(
         "query_id", "vec_id",
         _cosine(F.col("q_emb"), F.col("embedding"), F.col("qn_full"), F.col("n_full")).alias("c_full"),
@@ -886,7 +899,9 @@ WITH c AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY list_cosine_similarity(q_emb, emb) DESC,
                                      vec_id ASC) AS rank
-  FROM t1 WHERE r1 <= {_TT_CAND}
+  FROM t1 WHERE r1 <= GREATEST({_TT_CAND},
+                               CAST(CEIL((SELECT COUNT(*) FROM embeddings)
+                                         / {_TT_CAND_FRAC}.0) AS BIGINT))
 )
 SELECT query_id, vec_id, printf('%.4f', c_full) AS cosine, rank
 FROM t2 WHERE rank <= {_TT_TOPK} ORDER BY query_id, rank

@@ -470,6 +470,80 @@ def run_d17_fuzzy_pairs(spark, docs, vecs, ev):
     return pairs.agg(F.count(F.lit(1))).collect()
 
 
+def run_d18_containment(spark, docs, vecs, ev):
+    """Directed containment at corpus scale: d4's hot-capped
+    inverted-index pair engine with the asymmetric tail — cost is
+    Σ block² over surviving shingles, bounded by the df cap."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        _D18_DF_CAP,
+        _shingles,
+    )
+
+    all_sh = _shingles(docs).select("doc_id", "s")
+    hot = (
+        all_sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _D18_DF_CAP)
+        .select("s")
+    )
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    contain = inter.join(sizes.toDF("doc_a", "na"), "doc_a").filter(
+        F.round(F.col("inter") / F.col("na"), 6) >= 0.8
+    )
+    return contain.agg(F.count(F.lit(1))).collect()
+
+
+def run_w12_funnel(spark, docs, vecs, ev):
+    """Chained conditional window mins (click -> purchase on the
+    skewed stream): one scan, one user_id shuffle — the funnel's
+    100 TB shape, with user 7 owning ~30% of rows as the skew test."""
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id")
+    x = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "click", F.col("us"))).over(wu)
+    ).withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    pu = x.groupBy("user_id").agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"))
+    return pu.agg(
+        F.count("t1"), F.count("t2"), F.sum(F.col("t2") - F.col("t1"))
+    ).collect()
+
+
+def run_j3_salted_join(spark, docs, vecs, ev):
+    """Salted fact⋈dim join on the skewed stream (user 7 = ~30% of
+    events): dim ×8 salt fan-out, fact picks pmod(hash(event_id), 8)
+    — the hot user spreads over 8 reducers."""
+    dim = spark.range(5000).select(
+        F.col("id").alias("user_id"), F.pmod(F.col("id"), F.lit(25)).alias("segment")
+    )
+    salted_dim = dim.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("salt")
+    )
+    salted_e = ev.withColumn("salt", F.pmod(F.hash(F.col("event_id")), F.lit(8)))
+    return (
+        salted_e.join(salted_dim, ["user_id", "salt"])
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)), F.sum("value"))
+        .collect()
+    )
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -486,6 +560,9 @@ OPS = {
     "w11_interval_merge": run_w11_interval_merge,
     "sk1_kmv_sketch": run_sk1_kmv,
     "d17_fuzzy_pairs": run_d17_fuzzy_pairs,
+    "d18_containment": run_d18_containment,
+    "w12_funnel": run_w12_funnel,
+    "j3_salted_join": run_j3_salted_join,
 }
 
 
