@@ -110,11 +110,17 @@ def _sign_bucket(col):
 
 
 def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed approximate NN: corpus bucketed by 8 sign bits; each
-    query scans only its own bucket (~1/256 of the corpus) for the
-    nearest non-self neighbor. Returns (query, neighbor, cosine,
-    bucket) — approximate by construction; the oracle replicates the
-    same approximation."""
+    """Bucketed approximate NN with MULTI-PROBE: corpus bucketed by 8
+    sign bits; each query scans its own bucket PLUS the 8 buckets at
+    Hamming distance 1 (~9/256 of the corpus) for the nearest non-self
+    neighbor. Single-bucket probing is brittle exactly where it
+    matters — a true near-duplicate whose perturbation flips ONE
+    near-zero sign dim lands one bucket away and is unfindable
+    (measured: recall@1 was 0.60 at 1M on planted near-dups);
+    distance-1 probing is the standard multi-probe LSH recall lever
+    (Lv et al. 2007) at 9× the probe cost, still a ~3% corpus scan.
+    Returns (query, neighbor, cosine, bucket) — approximate by
+    construction; the oracle replicates the same probe set."""
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.select(
         "vec_id",
@@ -128,9 +134,25 @@ def v2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("c_norm").alias("q_norm"),
     )
-    pairs = F.broadcast(q).join(
+    # each query explodes to its probe set: own bucket + one-bit flips
+    # (buckets are distinct, so no candidate is seen twice)
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_LSH_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    pairs = F.broadcast(probes).join(
         bucketed,
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
     sim = pairs.select(
         "query_id",
@@ -330,10 +352,14 @@ WITH b AS (
 ), q AS (
   SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
   FROM b WHERE vec_id < {_N_QUERIES}
+), probes AS (
+  SELECT query_id, q_emb,
+         unnest([q_bucket, {', '.join(f'xor(q_bucket, {1 << i})' for i in range(_LSH_BITS))}]) AS probe
+  FROM q
 ), sim AS (
-  SELECT q.query_id, b.vec_id, b.bucket,
-         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine_raw
-  FROM q JOIN b ON b.bucket = q.q_bucket AND b.vec_id != q.query_id
+  SELECT p.query_id, b.vec_id, b.bucket,
+         list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine_raw
+  FROM probes p JOIN b ON b.bucket = p.probe AND b.vec_id != p.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cosine_raw, bucket,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id ASC) AS rank
