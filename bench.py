@@ -132,6 +132,8 @@ EXTENDED = [
     "w13_rfm_segmentation",
     "a8_correlation_matrix",
     "j3_salted_skew_join",
+    "s15_small_file_compaction",
+    "pipe3_segment_funnel",
 ]
 
 

@@ -292,6 +292,8 @@ def _build() -> None:
     register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
     register("a8_correlation_matrix", st.a8_correlation_matrix, st.A8_ORACLE, graded=False)
     register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE, graded=False)
+    register("s15_small_file_compaction", oq.s15_small_file_compaction, oq.S15_ORACLE, graded=False)
+    register("pipe3_segment_funnel", pl.pipe3_segment_funnel, pl.PIPE3_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

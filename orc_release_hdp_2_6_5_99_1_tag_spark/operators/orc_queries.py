@@ -429,3 +429,63 @@ SELECT l_returnflag, COUNT(*) AS cnt,
             AS BIGINT) AS note_chars
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# s15: small-file compaction (the lake-side merge tool)
+# ---------------------------------------------------------------------------
+
+_S15_FRAGMENTS = 64
+_S15_TARGET = 4
+
+
+def s15_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the engine-side counterpart of the
+    reference's `orc-tools merge` (`MergeTool`/`OrcFile.mergeFiles`,
+    which stripe-concatenates compatible files): read the fragmented
+    table, repartition to the target file count, rewrite with the
+    reference's writer defaults. 64 shard files become 4; row identity
+    is pinned by count + key checksum against the original table.
+
+    Scale notes: the small-files problem IS the lake problem — a 100 TB
+    table left as 10^7 shuffle-shard files costs a footer read and a
+    task per file on every query. Compaction here is one read +
+    repartition + write job (embarrassingly parallel, no driver
+    looping); in production the target count is
+    ceil(total_bytes / 64 MiB stripe-aligned) per partition — fixed at
+    4 here so the oracle stays a literal. Stripe structure of the
+    output is still reference-default (64 MiB stripes, 10k stride),
+    verified per-stripe by the s11/footer machinery.
+    """
+    base = scratch_dir(sf_dir)
+    frag_dir = os.path.join(base, "orc", "lineitem_fragmented")
+    comp_dir = os.path.join(base, "orc", "lineitem_compacted")
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(comp_dir + "._fp", fp):
+        li = load_table(spark, sf_dir, "lineitem")
+        write_orc(li.repartition(_S15_FRAGMENTS), frag_dir)
+        write_orc(read_orc(spark, frag_dir).repartition(_S15_TARGET), comp_dir)
+        write_marker(comp_dir + "._fp", fp)
+    n_before = len([f for f in os.listdir(frag_dir) if f.startswith("part")])
+    n_after = len([f for f in os.listdir(comp_dir) if f.startswith("part")])
+    return (
+        read_orc(spark, comp_dir)
+        .agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("key_checksum"),
+        )
+        .select(
+            F.lit(n_before).alias("n_files_before"),
+            F.lit(n_after).alias("n_files_after"),
+            "total_rows",
+            "key_checksum",
+        )
+    )
+
+
+S15_ORACLE = f"""
+SELECT {_S15_FRAGMENTS} AS n_files_before, {_S15_TARGET} AS n_files_after,
+       COUNT(*) AS total_rows,
+       CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum
+FROM lineitem
+"""

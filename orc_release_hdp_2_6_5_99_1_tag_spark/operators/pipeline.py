@@ -224,3 +224,156 @@ SELECT stage, COUNT(*) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM funnel GROUP BY stage ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# pipe3: segment-level funnel (w12's window chain × w13's RFM banding)
+# ---------------------------------------------------------------------------
+
+
+def pipe3_segment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: conversion funnel BY customer segment — the query a
+    growth team actually runs. Composes the w12 chained-conditional-
+    window funnel with the w13 fixed-threshold RFM banding in ONE
+    Catalyst plan: both halves aggregate on user_id, so the whole
+    pipeline is one events scan, one user_id exchange reused by the
+    window chain and both rollups, then a 27-group summary.
+
+    Per segment: users, view->click and click->purchase conversion
+    rates (rounded), and total purchase spend — the segment-funnel
+    mart row.
+    """
+    from pyspark.sql import Window
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import (
+        _RFM_ANCHOR,
+        _RFM_F_CUTS,
+        _RFM_M_CUTS,
+        _RFM_R_DAYS,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.col("ts"), F.unix_micros("ts").alias("us")
+    )
+    wu = Window.partitionBy("user_id")
+    x = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu)
+    )
+    x = x.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    x = x.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(wu),
+    )
+    is_p = F.col("event_type") == "purchase"
+    u = x.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+        F.max(F.when(is_p, F.col("ts").cast("date"))).alias("last_p"),
+        F.count(F.when(is_p, F.lit(1))).alias("freq"),
+        # exact decimal accumulation (see w13): no double-sum banding
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value").cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("mon"),
+    )
+    rec = F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.col("last_p"))
+    seg = F.concat(
+        F.when(rec.isNull(), "R3")
+        .when(rec <= _RFM_R_DAYS[0], "R1")
+        .when(rec <= _RFM_R_DAYS[1], "R2")
+        .otherwise("R3"),
+        F.when(F.col("freq") >= _RFM_F_CUTS[0], "F1")
+        .when(F.col("freq") >= _RFM_F_CUTS[1], "F2")
+        .otherwise("F3"),
+        F.when(F.col("mon") >= _RFM_M_CUTS[0], "M1")
+        .when(F.col("mon") >= _RFM_M_CUTS[1], "M2")
+        .otherwise("M3"),
+    )
+    return (
+        u.select("user_id", "mon", "t1", "t2", "t3", seg.alias("segment"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("t1").alias("n_view"),
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+            F.round(F.count("t2") / F.count("t1"), 6).alias("view_to_click"),
+            F.round(F.count("t3") / F.count("t2"), 6).alias("click_to_purchase"),
+            F.sum(F.col("mon").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _pipe3_oracle() -> str:
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import (
+        _RFM_ANCHOR,
+        _RFM_F_CUTS,
+        _RFM_M_CUTS,
+        _RFM_R_DAYS,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, value, CAST(ts AS DATE) AS d, epoch_us(ts) AS us, ts
+  FROM events
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS t1 FROM e
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+              OVER (PARTITION BY user_id) AS t2 FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2
+), u AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3,
+         MAX(CASE WHEN event_type = 'purchase' THEN d END) AS last_p,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS freq,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DOUBLE) AS mon
+  FROM w3 GROUP BY user_id
+), seg AS (
+  SELECT user_id, mon, t1, t2, t3,
+         concat(
+           CASE WHEN last_p IS NULL THEN 'R3'
+                WHEN date_diff('day', last_p, DATE '{_RFM_ANCHOR}') <= {_RFM_R_DAYS[0]} THEN 'R1'
+                WHEN date_diff('day', last_p, DATE '{_RFM_ANCHOR}') <= {_RFM_R_DAYS[1]} THEN 'R2'
+                ELSE 'R3' END,
+           CASE WHEN freq >= {_RFM_F_CUTS[0]} THEN 'F1'
+                WHEN freq >= {_RFM_F_CUTS[1]} THEN 'F2'
+                ELSE 'F3' END,
+           CASE WHEN mon >= {_RFM_M_CUTS[0]} THEN 'M1'
+                WHEN mon >= {_RFM_M_CUTS[1]} THEN 'M2'
+                ELSE 'M3' END) AS segment
+  FROM u
+)
+SELECT segment, COUNT(*) AS n_users,
+       COUNT(t1) AS n_view, COUNT(t2) AS n_click, COUNT(t3) AS n_purchase,
+       ROUND(COUNT(t2) / CAST(COUNT(t1) AS DOUBLE), 6) AS view_to_click,
+       ROUND(COUNT(t3) / CAST(COUNT(t2) AS DOUBLE), 6) AS click_to_purchase,
+       CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
+PIPE3_ORACLE = _pipe3_oracle()

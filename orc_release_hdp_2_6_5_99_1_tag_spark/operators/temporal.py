@@ -750,9 +750,15 @@ def w13_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = e.groupBy("user_id").agg(
         F.max(F.when(is_p, F.col("ts").cast("date"))).alias("last_p"),
         F.count(F.when(is_p, F.lit(1))).alias("freq"),
-        F.round(F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 2).alias(
-            "mon"
-        ),
+        # exact decimal accumulation: a double SUM is partition-order
+        # dependent, and a last-ulp flip at a band boundary would band
+        # the user differently between engines/runs
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value").cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("mon"),
     )
     rec = F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.col("last_p"))
     r = (
@@ -776,7 +782,9 @@ def w13_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.round(F.sum("mon"), 2).alias("total_spend"),
+            F.sum(F.col("mon").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
             F.sum("user_id").alias("user_checksum"),
         )
         .orderBy("segment")
@@ -788,7 +796,9 @@ WITH u AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS last_p,
          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS freq,
-         ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS mon
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DOUBLE) AS mon
   FROM events GROUP BY user_id
 ), seg AS (
   SELECT user_id, mon,
@@ -807,7 +817,7 @@ WITH u AS (
   FROM u
 )
 SELECT segment, COUNT(*) AS n_users,
-       ROUND(SUM(mon), 2) AS total_spend,
+       CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
        CAST(SUM(user_id) AS BIGINT) AS user_checksum
 FROM seg GROUP BY segment ORDER BY segment
 """

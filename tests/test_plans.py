@@ -426,3 +426,19 @@ def test_j3_salted_join_is_equi_join_with_salt_fanout(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "salt" in plan  # the join key carries the salt column
+
+
+def test_pipe3_is_one_scan_no_join(spark, sf_dir):
+    """pipe3 composes the funnel window chain and RFM banding in one
+    Catalyst plan: one events scan, windows + rollups share the
+    user_id partitioning, and no join appears anywhere."""
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.pipeline import (
+        pipe3_segment_funnel,
+    )
+
+    plan = formatted_plan(pipe3_segment_funnel(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan ", plan, flags=re.M))
+    assert n_scans == 1, f"segment funnel re-scans events ({n_scans}):\n{plan}"
+    assert "Join" not in plan
