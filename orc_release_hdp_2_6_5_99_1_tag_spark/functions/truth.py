@@ -180,6 +180,26 @@ def evaluate_tree(tree: Any, stats_by_col: dict[str, dict]) -> str:
     return evaluate_leaf(op, literal, stats_by_col[column])
 
 
+def refine_with_bloom(tv: str, op: str, literal: Any, bloom: dict) -> str:
+    """The reference's `checkInBloomFilter` refinement: when the
+    min/max range can only say MAYBE for an equality-class leaf, a
+    negative bloom probe proves NO (no false negatives by
+    construction); a positive probe proves nothing (false positives
+    exist by design). Only YES_NO / YES_NO_NULL are refinable — a
+    range YES means min==max==literal (present regardless of what the
+    bloom says), and NULL/NO states can't gain a true outcome."""
+    if op not in ("equals", "null_safe_equals", "in"):
+        return tv
+    if tv not in (YES_NO, YES_NO_NULL):
+        return tv
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.bloom import might_contain
+
+    values = list(literal) if op == "in" else [literal]
+    if any(might_contain(bloom, v) for v in values):
+        return tv
+    return NO if tv == YES_NO else NO_NULL
+
+
 def keeps_unit(tv: str) -> bool:
     """pickRowGroups' include decision (`TruthValue.isNeeded()`): read
     the unit iff a TRUE outcome is possible."""

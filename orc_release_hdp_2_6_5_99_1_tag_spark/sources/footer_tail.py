@@ -401,12 +401,36 @@ def parse_stripe_footers(path: str) -> list[dict]:
             out.append(
                 {
                     "offset": st["offset"],
+                    "indexLength": st["indexLength"],
                     "numberOfRows": st["numberOfRows"],
                     "encodings": [
                         _parse_column_encoding(v)
                         for f, _w, v in _fields(sf)
                         if f == 2
                     ],
+                    "streams": [
+                        _parse_stream(v) for f, _w, v in _fields(sf) if f == 1
+                    ],
                 }
             )
     return out
+
+
+_STREAM_KIND = {
+    0: "PRESENT", 1: "DATA", 2: "LENGTH", 3: "DICTIONARY_DATA",
+    4: "DICTIONARY_COUNT", 5: "SECONDARY", 6: "ROW_INDEX",
+    7: "BLOOM_FILTER", 8: "BLOOM_FILTER_UTF8",
+}  # fmt: skip
+
+
+def _parse_stream(buf: bytes) -> dict:
+    """OrcProto.Stream: kind=1, column=2, length=3."""
+    s = {"kind": "DATA", "column": 0, "length": 0}
+    for field, _wt, v in _fields(buf):
+        if field == 1:
+            s["kind"] = _STREAM_KIND.get(v, str(v))
+        elif field == 2:
+            s["column"] = v
+        elif field == 3:
+            s["length"] = v
+    return s

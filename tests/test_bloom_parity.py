@@ -1,0 +1,130 @@
+"""Pure-Python bloom-index parity (reference `util/BloomFilter.java`,
+`util/Murmur3.java`, `RecordReaderImpl.checkInBloomFilter`): the
+hashes and bitset probe re-implemented from their public definitions
+must agree with blooms written by the embedded Java writer — ZERO
+false negatives over every inserted value (a false negative here is a
+wrong skip = a wrong query answer), a false-positive rate near the
+configured fpp, and agreement on the reference's own golden file
+(`examples/over1k_bloom.orc`, the pre-UTF8 BLOOM_FILTER stream kind
+with the repeated-fixed64 bitset)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import bloom as B
+
+_N = 20_000
+_GOLDEN = "/root/reference/examples/over1k_bloom.orc"
+
+
+@pytest.fixture(scope="module")
+def bloom_file(spark, tmp_path_factory):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    d = str(tmp_path_factory.mktemp("bloom"))
+    df = spark.range(_N).select(
+        (F.col("id") * 7 + 3).alias("k"),
+        F.concat(F.lit("val"), F.col("id").cast("string")).alias("s"),
+    )
+    write_orc(df.coalesce(1), os.path.join(d, "b"), bloom_filter_columns="k,s")
+    part = [x for x in os.listdir(os.path.join(d, "b")) if x.startswith("part")][0]
+    return os.path.join(d, "b", part)
+
+
+def test_no_false_negatives_long(bloom_file):
+    """EVERY inserted long must probe positive in its row group's
+    bloom (row groups are 10k rows at the default stride)."""
+    per_rg = B.parse_bloom_index(bloom_file, 1)[0]
+    assert len(per_rg) == -(-_N // 10_000)
+    for g, bl in enumerate(per_rg):
+        assert bl["num_hash"] > 0 and bl["bits"]
+        for rid in range(g * 10_000, min((g + 1) * 10_000, _N)):
+            assert B.might_contain_long(bl, rid * 7 + 3), (
+                f"false negative for inserted long {rid * 7 + 3} in rg {g}"
+            )
+
+
+def test_no_false_negatives_string(bloom_file):
+    per_rg = B.parse_bloom_index(bloom_file, 2)[0]
+    for g, bl in enumerate(per_rg):
+        for rid in range(g * 10_000, min((g + 1) * 10_000, _N)):
+            assert B.might_contain_string(bl, f"val{rid}"), (
+                f"false negative for inserted string val{rid} in rg {g}"
+            )
+
+
+def test_false_positive_rate_near_configured_fpp(bloom_file):
+    """Absent keys must mostly probe negative: the rate over 2000
+    probes stays within 3x the configured fpp (0.05 default) — a
+    broken probe that always answers True would pass the
+    no-false-negative tests but fail here."""
+    bl = B.parse_bloom_index(bloom_file, 1)[0][0]
+    probes = range(1, 4001, 2)  # odd → never ≡ 3 (mod 7·id+3 even ids)
+    fp = sum(1 for v in probes if B.might_contain_long(bl, v * 7 + 4))
+    rate = fp / len(list(probes))
+    assert rate < 0.15, f"false-positive rate {rate:.3f} is not bloom-like"
+
+
+def test_truthvalue_bloom_refinement(bloom_file):
+    """checkInBloomFilter wiring: a key inside the min/max range but
+    absent from the data must refine YES_NO -> NO (the range alone
+    can only say MAYBE); a present key must stay MAYBE."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions import truth as T
+
+    bl = B.parse_bloom_index(bloom_file, 1)[0][0]
+    stats = {"min": 3, "max": (_N - 1) * 7 + 3, "has_null": False, "n_values": _N}
+    present, absent = 7 * 1000 + 3, 7 * 1000 + 4  # in range, absent ≢ 3 (mod 7)
+    tv_present = T.evaluate_leaf("equals", present, stats)
+    assert tv_present == T.YES_NO
+    assert T.refine_with_bloom(tv_present, "equals", present, bl) == T.YES_NO
+    tv_absent = T.evaluate_leaf("equals", absent, stats)
+    refined = T.refine_with_bloom(tv_absent, "equals", absent, bl)
+    assert refined == T.NO, f"absent in-range key not refined to NO: {refined}"
+    assert not T.keeps_unit(refined)
+    # IN: all values absent -> NO; any present -> unchanged
+    assert T.refine_with_bloom(T.YES_NO, "in", [absent, absent + 7], bl) == T.NO
+    assert T.refine_with_bloom(T.YES_NO, "in", [absent, present], bl) == T.YES_NO
+    # range-YES is never refined (min==max==literal: present by stats)
+    assert T.refine_with_bloom(T.YES, "equals", absent, bl) == T.YES
+
+
+@pytest.mark.skipif(not os.path.exists(_GOLDEN), reason="reference examples absent")
+def test_golden_legacy_bloom_structure(spark):
+    """The reference's `over1k_bloom.orc` golden predates the
+    published BloomFilter message: its streams carry a dev-era draft
+    ({expectedEntries=1, fpp=2 as a double, repeated uint64 varint
+    bitset=3}) rather than {numHashFunctions, fixed64 bitset}. The
+    parser detects and decodes that layout; this test pins the
+    STRUCTURAL decode — word count, derived k, and a bit density
+    consistent with the column's true distinct count (k≈4 probes per
+    distinct value, near-collision-free at this density).
+
+    Membership parity on this file is a documented open item: the
+    dev-era writer's long-hash does not match either of the published
+    functions (Thomas Wang as in BloomFilter.addLong, or
+    Murmur3-of-LE/BE-bytes with either seed — all four were probed
+    against the decoded bitset and none land on the set bits), so the
+    hash predates the published algorithm. Files written by the
+    CURRENT reference writer — including everything this engine
+    writes — have exact membership parity (the tests above: zero
+    false negatives over every inserted value)."""
+    int_blooms = B.parse_bloom_index(_GOLDEN, 3)[0]
+    assert len(int_blooms) == 1  # 2098 rows < one 10k row-group stride
+    bl = int_blooms[0]
+    assert len(bl["bits"]) == 975  # 62400 bits for 10k expected @ 0.05 fpp
+    assert bl["num_hash"] == 4  # k = round(m/n * ln 2)
+    n_set = sum(bin(w).count("1") for w in bl["bits"])
+    distinct = (
+        spark.read.orc(_GOLDEN)
+        .select("_col2")
+        .distinct()
+        .count()
+    )
+    # k probes per distinct value, minus a handful of collisions
+    assert distinct * bl["num_hash"] * 0.9 <= n_set <= distinct * bl["num_hash"], (
+        f"bit density {n_set} inconsistent with {distinct} distinct values × k=4"
+    )
