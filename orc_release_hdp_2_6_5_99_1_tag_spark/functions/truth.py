@@ -159,25 +159,32 @@ def evaluate_leaf(op: str, literal: Any, stats: dict) -> str:
     return _lift_null(tv) if has_null else tv
 
 
-def evaluate_tree(tree: Any, stats_by_col: dict[str, dict]) -> str:
+def evaluate_tree(
+    tree: Any, stats_by_col: dict[str, dict], blooms: dict[str, dict] | None = None
+) -> str:
     """Evaluate a predicate tree over per-column stats. Tree grammar:
     ("and"|"or", child, child, ...), ("not", child), or a leaf
-    ("op", column, literal)."""
+    ("op", column, literal). With `blooms` ({column: bloom}), each
+    equality-class leaf is refined through the column's bloom filter
+    the way `checkInBloomFilter` does."""
     head = tree[0]
     if head == "and":
-        tv = evaluate_tree(tree[1], stats_by_col)
+        tv = evaluate_tree(tree[1], stats_by_col, blooms)
         for child in tree[2:]:
-            tv = and_(tv, evaluate_tree(child, stats_by_col))
+            tv = and_(tv, evaluate_tree(child, stats_by_col, blooms))
         return tv
     if head == "or":
-        tv = evaluate_tree(tree[1], stats_by_col)
+        tv = evaluate_tree(tree[1], stats_by_col, blooms)
         for child in tree[2:]:
-            tv = or_(tv, evaluate_tree(child, stats_by_col))
+            tv = or_(tv, evaluate_tree(child, stats_by_col, blooms))
         return tv
     if head == "not":
-        return not_(evaluate_tree(tree[1], stats_by_col))
+        return not_(evaluate_tree(tree[1], stats_by_col, blooms))
     op, column, literal = tree
-    return evaluate_leaf(op, literal, stats_by_col[column])
+    tv = evaluate_leaf(op, literal, stats_by_col[column])
+    if blooms and column in blooms:
+        tv = refine_with_bloom(tv, op, literal, blooms[column])
+    return tv
 
 
 def refine_with_bloom(tv: str, op: str, literal: Any, bloom: dict) -> str:
@@ -234,4 +241,60 @@ def explain_file_pruning(path: str, tree: Any) -> list[dict]:
             }
         tv = evaluate_tree(tree, stats_by_col)
         out.append({"stripe": i, "truth": tv, "keep": keeps_unit(tv)})
+    return out
+
+
+def _tree_columns(tree: Any) -> set[str]:
+    head = tree[0]
+    if head in ("and", "or", "not"):
+        out: set[str] = set()
+        for child in tree[1:]:
+            out |= _tree_columns(child)
+        return out
+    return {tree[1]}
+
+
+def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[dict]]:
+    """The reference's `pickRowGroups`, end to end, from ranged
+    metadata reads of a real ORC file: per stripe, each 10k-row
+    row group's TruthValue (ROW_INDEX per-row-group min/max/hasNull
+    via footer_tail, refined through the row group's bloom filter
+    when present and `use_bloom`) and the keep/skip decision. Returns
+    [[{row_group, truth, keep}, ...] per stripe]."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.bloom import parse_bloom_index
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_row_index,
+        parse_tail_of_file,
+    )
+
+    meta = parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    cols = sorted(_tree_columns(tree))
+    row_index = {c: parse_row_index(path, ids[c]) for c in cols}
+    blooms = (
+        {c: parse_bloom_index(path, ids[c]) for c in cols} if use_bloom else {}
+    )
+    n_stripes = len(next(iter(row_index.values())))
+    out: list[list[dict]] = []
+    for si in range(n_stripes):
+        n_rg = len(row_index[cols[0]][si])
+        decisions = []
+        for g in range(n_rg):
+            stats_by_col = {}
+            rg_blooms = {}
+            for c in cols:
+                e = row_index[c][si][g]
+                typed = e.get("typed") or {}
+                stats_by_col[c] = {
+                    "min": typed.get("min"),
+                    "max": typed.get("max"),
+                    "has_null": e.get("has_null"),
+                    "n_values": e.get("n_values"),
+                }
+                per_stripe = blooms.get(c, [])
+                if per_stripe and si < len(per_stripe) and g < len(per_stripe[si]):
+                    rg_blooms[c] = per_stripe[si][g]
+            tv = evaluate_tree(tree, stats_by_col, rg_blooms or None)
+            decisions.append({"row_group": g, "truth": tv, "keep": keeps_unit(tv)})
+        out.append(decisions)
     return out

@@ -434,3 +434,38 @@ def _parse_stream(buf: bytes) -> dict:
         elif field == 3:
             s["length"] = v
     return s
+
+
+def parse_row_index(path: str, column_id: int) -> list[list[dict]]:
+    """Parse a column's ROW_INDEX streams: per stripe, the list of
+    per-row-group entries ({positions, n_values, has_null, typed
+    min/max/sum}) — the reference's RowIndex/RowIndexEntry
+    (`OrcProto.RowIndexEntry`: positions=1 packed, statistics=2), the
+    granularity `pickRowGroups` actually prunes at. Ranged reads of
+    each stripe's index region only."""
+    with open(path, "rb") as fh:
+        fh.seek(-1, 2)
+        ps_len = fh.read(1)[0]
+        fh.seek(-(1 + ps_len), 2)
+        ps = _parse_postscript(fh.read(ps_len))
+        out: list[list[dict]] = []
+        for st in parse_stripe_footers(path):
+            pos = st["offset"]
+            entries: list[dict] = []
+            for s in st["streams"]:
+                if s["kind"] in ("ROW_INDEX", "BLOOM_FILTER", "BLOOM_FILTER_UTF8"):
+                    if s["kind"] == "ROW_INDEX" and s["column"] == column_id:
+                        fh.seek(pos)
+                        raw = _decompress_tail(fh.read(s["length"]), ps["compression"])
+                        for f, _w, v in _fields(raw):
+                            if f == 1:  # RowIndexEntry
+                                entry: dict = {"positions": []}
+                                for ef, _ew, ev in _fields(v):
+                                    if ef == 1:
+                                        entry["positions"] = _packed_varints(ev)
+                                    elif ef == 2:
+                                        entry.update(_parse_column_statistics(ev))
+                                entries.append(entry)
+                    pos += s["length"]
+            out.append(entries)
+    return out

@@ -276,3 +276,55 @@ def test_explain_file_pruning_on_multistripe_file(spark, tmp_path):
     assert len(lo) >= 2, "expected a multi-stripe file"
     assert lo[0]["keep"], "first stripe holds the smallest keys"
     assert not lo[-1]["keep"], "last stripe is out of range and must be skipped"
+
+
+def test_pick_row_groups_end_to_end(spark, tmp_path):
+    """Full pickRowGroups parity on a real multi-row-group file: a
+    key-sorted single-stripe file with blooms; per row group (10k-row
+    stride) the prediction must be SOUND (never skip a group holding
+    a matching row) and EFFECTIVE (skip the out-of-range groups), and
+    a bloom probe must skip in-range-but-absent keys that min/max
+    alone cannot."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") * 2).alias("k"),  # even keys only: odd = in-range absent
+        F.concat(F.lit("pad"), F.col("id").cast("string")).alias("pad"),
+    )
+    write_orc(
+        df.coalesce(1).sortWithinPartitions("k"),
+        str(tmp_path / "rg"),
+        bloom_filter_columns="k",
+    )
+    path = os.path.join(
+        str(tmp_path / "rg"),
+        [f for f in os.listdir(tmp_path / "rg") if f.startswith("part")][0],
+    )
+
+    # row group g holds keys [2*10000*g, 2*10000*(g+1))
+    def rg_of(key):
+        return (key // 2) // 10_000
+
+    # point lookup, present key
+    present = 2 * 34_567
+    picks = T.pick_row_groups(path, ("equals", "k", present))
+    assert len(picks) == 1 and len(picks[0]) == 10
+    kept = [d["row_group"] for d in picks[0] if d["keep"]]
+    assert rg_of(present) in kept, "sound: the matching group must be kept"
+    assert len(kept) == 1, f"effective: exactly one group in range, kept {kept}"
+
+    # in-range ABSENT key: min/max says maybe, the bloom proves NO
+    absent = present + 1  # odd → never inserted
+    with_bloom = T.pick_row_groups(path, ("equals", "k", absent), use_bloom=True)
+    without = T.pick_row_groups(path, ("equals", "k", absent), use_bloom=False)
+    assert sum(d["keep"] for d in without[0]) == 1, "min/max alone keeps the range group"
+    assert sum(d["keep"] for d in with_bloom[0]) == 0, (
+        "bloom must eliminate the in-range absent key"
+    )
+
+    # range predicate spanning three groups
+    lo, hi = 2 * 25_000, 2 * 45_000
+    picks = T.pick_row_groups(path, ("between", "k", (lo, hi)))
+    kept = [d["row_group"] for d in picks[0] if d["keep"]]
+    assert set(kept) == {2, 3, 4}, f"between should keep groups 2-4, kept {kept}"
