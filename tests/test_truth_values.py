@@ -69,6 +69,16 @@ _POINT = {"min": 42, "max": 42, "has_null": False, "n_values": 5}
         ("is_null", None, _NN, T.NO),
         ("is_null", None, _WN, T.YES_NO),
         ("is_null", None, _ALLNULL, T.YES),
+        # string stats: lexicographic range semantics
+        ("equals", "hello", {"min": "c", "max": "f", "has_null": False}, T.NO),
+        ("equals", "dog", {"min": "c", "max": "f", "has_null": False}, T.YES_NO),
+        ("less_than", "z", {"min": "c", "max": "f", "has_null": False}, T.YES),
+        ("between", ("a", "b"), {"min": "c", "max": "f", "has_null": False}, T.NO),
+        ("in", ["cat", "q"], {"min": "c", "max": "f", "has_null": True}, T.YES_NO_NULL),
+        # double stats
+        ("less_than", 0.5, {"min": -1.5, "max": 0.25, "has_null": False}, T.YES),
+        ("equals", 0.1, {"min": 0.1, "max": 0.1, "has_null": False}, T.YES),
+        ("between", (0.0, 1.0), {"min": -1.0, "max": 2.0, "has_null": True}, T.YES_NO_NULL),
     ],
 )
 def test_leaf_truth_values(op, lit, stats, expected):
