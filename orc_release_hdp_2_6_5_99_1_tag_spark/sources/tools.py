@@ -23,3 +23,28 @@ def orc_scan(spark: SparkSession, path: str) -> DataFrame:
     materialization beyond the count (the reference's benchmark tool,
     `ScanData.java:63-80`)."""
     return spark.read.orc(path).agg(F.count(F.lit(1)).alias("rows"))
+
+
+def orc_scan_explain(path: str, tree) -> dict:
+    """`orc-tools scan --explain`-style pruning report from metadata
+    alone (no JVM, no data pages): per-stripe TruthValue/keep from the
+    Metadata section, per-row-group decisions (ROW_INDEX min/max +
+    bloom probes) from the index regions — the decisions the
+    reference's pickRowGroups would make for this predicate tree.
+    Tree grammar is `functions.truth.evaluate_tree`'s."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        explain_file_pruning,
+        pick_row_groups,
+    )
+
+    stripes = explain_file_pruning(path, tree)
+    row_groups = pick_row_groups(path, tree)
+    return {
+        "stripes": stripes,
+        "row_groups": row_groups,
+        "n_stripes_kept": sum(1 for s in stripes if s["keep"]),
+        "n_row_groups_kept": sum(
+            1 for per_stripe in row_groups for d in per_stripe if d["keep"]
+        ),
+        "n_row_groups": sum(len(per_stripe) for per_stripe in row_groups),
+    }

@@ -338,3 +338,59 @@ def test_pick_row_groups_end_to_end(spark, tmp_path):
     picks = T.pick_row_groups(path, ("between", "k", (lo, hi)))
     kept = [d["row_group"] for d in picks[0] if d["keep"]]
     assert set(kept) == {2, 3, 4}, f"between should keep groups 2-4, kept {kept}"
+
+
+def test_orc_scan_explain_tool(spark, tmp_path):
+    """The tools-surface face of the pruning stack: one call returns
+    stripe- and row-group-level keep/skip for a predicate tree."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_scan_explain
+
+    df = spark.range(50_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("pad"),
+    )
+    write_orc(df.coalesce(1).sortWithinPartitions("k"), str(tmp_path / "t"))
+    path = os.path.join(
+        str(tmp_path / "t"),
+        [f for f in os.listdir(tmp_path / "t") if f.startswith("part")][0],
+    )
+    rep = orc_scan_explain(path, ("less_than", "k", 5_000))
+    assert rep["n_stripes_kept"] >= 1
+    assert rep["n_row_groups"] == 5  # 50k rows / 10k stride
+    assert rep["n_row_groups_kept"] == 1, rep  # only the first group qualifies
+
+
+@given(
+    mn=st.integers(-50, 50),
+    width=st.integers(0, 40),
+    lit=st.integers(-60, 100),
+    has_null=st.booleans(),
+    op=st.sampled_from(["equals", "less_than", "less_than_equals", "null_safe_equals"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_leaf_soundness_fuzz(mn, width, lit, has_null, op):
+    """Hypothesis fuzz of the leaf evaluator: for a unit whose
+    non-null values are exactly {mn, mn+width} (the stats' own
+    boundary values — the hardest case), plus a null when has_null,
+    the predicted TruthValue's outcome set must contain every actual
+    outcome. Catches boundary slips (>= vs >) the table cases miss."""
+    mx = mn + width
+    stats = {"min": mn, "max": mx, "has_null": has_null, "n_values": 2}
+    tv = T.evaluate_leaf(op, lit, stats)
+    allowed = T._TO_SET[tv]
+    values = [mn, mx] + ([None] if has_null else [])
+    for v in values:
+        if v is None:
+            got = False if op == "null_safe_equals" else None
+        elif op == "equals" or op == "null_safe_equals":
+            got = v == lit
+        elif op == "less_than":
+            got = v < lit
+        else:
+            got = v <= lit
+        mark = {True: "t", False: "f", None: "n"}[got]
+        assert mark in allowed, (
+            f"{op} lit={lit} stats=[{mn},{mx}] null={has_null}: "
+            f"value {v} -> {got} not allowed by {tv}"
+        )
