@@ -394,3 +394,36 @@ def test_leaf_soundness_fuzz(mn, width, lit, has_null, op):
             f"{op} lit={lit} stats=[{mn},{mx}] null={has_null}: "
             f"value {v} -> {got} not allowed by {tv}"
         )
+
+
+def test_row_index_positions_and_entry_count(spark, tmp_path):
+    """RowIndexEntry structure: one entry per 10k-row stride, each
+    carrying non-empty monotone stream positions (the seek offsets
+    `seekToRow` uses) and per-row-group stats whose min/max tile the
+    sorted key range without overlap."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_row_index,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    write_orc(df.coalesce(1).sortWithinPartitions("k"), str(tmp_path / "ri"))
+    path = os.path.join(
+        str(tmp_path / "ri"),
+        [f for f in os.listdir(tmp_path / "ri") if f.startswith("part")][0],
+    )
+    stripes = parse_row_index(path, 1)
+    entries = [e for st in stripes for e in st]
+    assert len(entries) == n // 10_000
+    prev_max = None
+    total = 0
+    for e in entries:
+        assert e["positions"], "every entry carries seek positions"
+        typed = e["typed"]
+        assert typed["min"] <= typed["max"]
+        if prev_max is not None:
+            assert typed["min"] > prev_max, "sorted key: row groups must tile"
+        prev_max = typed["max"]
+        total += e["n_values"]
+    assert total == n
