@@ -134,6 +134,7 @@ EXTENDED = [
     "j3_salted_skew_join",
     "s15_small_file_compaction",
     "pipe3_segment_funnel",
+    "sk3_countmin_heavy_hitters",
 ]
 
 

@@ -552,3 +552,145 @@ def _a8_oracle() -> str:
 
 
 A8_ORACLE = _a8_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sk3: Count-Min sketch — mergeable heavy-hitter frequency estimates
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4     # independent hash rows
+_CM_WIDTH = 512   # buckets per row
+# fixed probe tokens: frequency estimates are point lookups against
+# the sketch; the graded query estimates a mixed set of hot and rare
+# tokens and reports estimate vs exact (estimate >= exact ALWAYS —
+# the Count-Min one-sided error guarantee)
+_CM_PROBES = ("the", "a", "table", "value", "spark", "window", "merge")
+
+
+def _cm_bucket(tok, d: int):
+    """Row-d bucket for a token: md5 of (d:token), first 8 hex chars
+    as a 32-bit int, mod width — engine-identical (the dedup family's
+    hash recipe, salted per depth)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % _CM_WIDTH).alias(f"b{d}")
+
+
+def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream:
+    DEPTH×WIDTH counters (md5-salted bucket per depth), point
+    estimates = min over depths of the bucket count — the classic
+    one-sided-error frequency sketch (Cormode & Muthukrishnan 2005)
+    and the third leg of the sketch family (sk1 KMV = distinct,
+    sk2 histogram = quantiles, sk3 = frequencies).
+
+    Scale shape: ONE token scan projecting all DEPTH buckets in the
+    same row (no per-depth passes), one shuffle bounded by
+    DEPTH×WIDTH counters (kilobytes regardless of corpus size —
+    map-side partials ARE the sketch merge, same argument as sk2);
+    probes join the counter table broadcast. Deterministic: md5
+    buckets, no sampling, exactly replayable in SQL. The output
+    carries estimate AND exact count so the one-sided guarantee
+    (estimate >= exact, pinned by test) is visible in the result.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    with_buckets = toks.select(
+        "w", *[_cm_bucket(F.col("w"), i) for i in range(_CM_DEPTH)]
+    )
+    # counters: one aggregation per depth over the SAME scan via a
+    # depth-exploded narrow projection (rows = tokens × DEPTH, but
+    # only (depth, bucket) — 2 small ints — ride the shuffle)
+    counters = (
+        with_buckets.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("d"), F.col(f"b{i}").alias("b")
+                        )
+                        for i in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("db")
+        )
+        .select("db.d", "db.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _CM_PROBES], "token string"
+    ).select(
+        "token", *[_cm_bucket(F.col("token"), i) for i in range(_CM_DEPTH)]
+    )
+    est = probes
+    for i in range(_CM_DEPTH):
+        ci = counters.filter(F.col("d") == i).select(
+            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), f"b{i}", "left")
+    estimate = F.least(
+        *[F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(_CM_DEPTH)]
+    )
+    exact = toks.groupBy(F.col("w").alias("token")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        est.select("token", estimate.alias("estimate"))
+        .join(exact, "token", "left")
+        .select(
+            "token",
+            "estimate",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (F.col("estimate") - F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+def _cm_oracle() -> str:
+    def bucket(expr: str, d: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{d}:', {expr})), 1, 8)) AS BIGINT)"
+            f" % {_CM_WIDTH}"
+        )
+
+    probe_rows = ", ".join(f"('{w}')" for w in _CM_PROBES)
+    joins = "\n  ".join(
+        f"LEFT JOIN counters c{i} ON c{i}.d = {i} AND c{i}.b = {bucket('p.token', i)}"
+        for i in range(_CM_DEPTH)
+    )
+    least = ", ".join(f"COALESCE(c{i}.c, 0)" for i in range(_CM_DEPTH))
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS d, {bucket('w', i)} AS b FROM toks"
+        for i in range(_CM_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT u.w FROM documents,
+         LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+  WHERE u.w <> ''
+), counters AS (
+  SELECT d, b, COUNT(*) AS c FROM ({unions}) GROUP BY d, b
+), probes(token) AS (VALUES {probe_rows}),
+est AS (
+  SELECT p.token, LEAST({least}) AS estimate
+  FROM probes p
+  {joins}
+), exact AS (
+  SELECT w AS token, COUNT(*) AS exact FROM toks GROUP BY w
+)
+SELECT e.token, CAST(e.estimate AS BIGINT) AS estimate,
+       CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+       CAST(e.estimate - COALESCE(x.exact, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN exact x USING (token)
+ORDER BY e.token
+"""
+
+
+SK3_ORACLE = _cm_oracle()

@@ -151,3 +151,70 @@ def test_sk2_selected_bin_contains_exact_order_statistic(spark, sf_dir):
                 f"{r['event_type']} {col}: order stat {stat} (rank {rank}) "
                 f"not inside selected bin [{edge}, {edge + width}]"
             )
+
+
+# ---------------------------------------------------------------------------
+# sk3: Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_sk3_one_sided_error_guarantee(spark, sf_dir):
+    """Count-Min NEVER under-counts: estimate >= exact for every
+    probe token (hash collisions only ever ADD) — the sketch's
+    defining guarantee, visible in the result's overcount column."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        sk3_countmin_heavy_hitters,
+    )
+
+    rows = sk3_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["estimate"] >= r["exact"], (
+            f"{r['token']}: estimate {r['estimate']} < exact {r['exact']}"
+        )
+        assert r["overcount"] == r["estimate"] - r["exact"]
+    # the sketch must be informative, not saturated: hot probes
+    # ('the','a' at this corpus) should dominate rare ones
+    by = {r["token"]: r for r in rows}
+    assert by["the"]["exact"] > 0 and by["the"]["estimate"] > 0
+
+
+def test_sk3_counters_merge_by_addition(spark, sf_dir):
+    """Mergeability (the map-side-partials argument): counters built
+    on two disjoint halves of the corpus and added must equal the
+    one-pass counters — bit-exact, the same merge-by-addition
+    contract as sk2's histogram."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _CM_DEPTH,
+        _cm_bucket,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def counters(df):
+        toks = df.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+        rows = (
+            toks.select(*[_cm_bucket(F.col("w"), i) for i in range(_CM_DEPTH)])
+            .selectExpr(
+                "stack({n}, {args}) AS (d, b)".format(
+                    n=_CM_DEPTH,
+                    args=", ".join(f"{i}, b{i}" for i in range(_CM_DEPTH)),
+                )
+            )
+            .groupBy("d", "b")
+            .count()
+            .collect()
+        )
+        return {(r["d"], r["b"]): r["count"] for r in rows}
+
+    whole = counters(d)
+    h1 = counters(d.filter(F.col("doc_id") % 2 == 0))
+    h2 = counters(d.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for h in (h1, h2):
+        for k, v in h.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
