@@ -589,7 +589,9 @@ def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same row (no per-depth passes), one shuffle bounded by
     DEPTH×WIDTH counters (kilobytes regardless of corpus size —
     map-side partials ARE the sketch merge, same argument as sk2);
-    probes join the counter table broadcast. Deterministic: md5
+    the counter table is collected ONCE as model state and the probe
+    estimates fold driver-side (joining it per depth would re-derive
+    the token-scan lineage 4×). Deterministic: md5
     buckets, no sampling, exactly replayable in SQL. The output
     carries estimate AND exact count so the one-sided guarantee
     (estimate >= exact, pinned by test) is visible in the result.
@@ -621,25 +623,35 @@ def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    probes = spark.createDataFrame(
-        [(w,) for w in _CM_PROBES], "token string"
-    ).select(
-        "token", *[_cm_bucket(F.col("token"), i) for i in range(_CM_DEPTH)]
-    )
-    est = probes
-    for i in range(_CM_DEPTH):
-        ci = counters.filter(F.col("d") == i).select(
-            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+    # the counter table IS the model (≤ DEPTH×WIDTH rows, kilobytes):
+    # collect it once and fold the probe estimates driver-side — the
+    # v4-codebook pattern. Joining the counters DataFrame once per
+    # depth would re-derive the token-scan lineage 4× (5 corpus scans
+    # in the audit); this way the corpus is scanned exactly twice
+    # (counters + exact).
+    import hashlib
+
+    cmap = {(r["d"], r["b"]): r["c"] for r in counters.collect()}
+
+    def py_bucket(tok: str, depth: int) -> int:
+        # identical recipe to _cm_bucket: md5 hex prefix as 32-bit int
+        return int(hashlib.md5(f"{depth}:{tok}".encode()).hexdigest()[:8], 16) % _CM_WIDTH
+
+    est_rows = [
+        (
+            w,
+            min(
+                cmap.get((i, py_bucket(w, i)), 0) for i in range(_CM_DEPTH)
+            ),
         )
-        est = est.join(F.broadcast(ci), f"b{i}", "left")
-    estimate = F.least(
-        *[F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(_CM_DEPTH)]
-    )
+        for w in _CM_PROBES
+    ]
+    est = spark.createDataFrame(est_rows, "token string, estimate bigint")
     exact = toks.groupBy(F.col("w").alias("token")).agg(
         F.count(F.lit(1)).alias("exact")
     )
     return (
-        est.select("token", estimate.alias("estimate"))
+        F.broadcast(est)
         .join(exact, "token", "left")
         .select(
             "token",
