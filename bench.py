@@ -135,6 +135,7 @@ EXTENDED = [
     "s15_small_file_compaction",
     "pipe3_segment_funnel",
     "sk3_countmin_heavy_hitters",
+    "x20_vocab_growth",
 ]
 
 

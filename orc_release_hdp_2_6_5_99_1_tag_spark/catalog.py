@@ -295,6 +295,7 @@ def _build() -> None:
     register("s15_small_file_compaction", oq.s15_small_file_compaction, oq.S15_ORACLE, graded=False)
     register("pipe3_segment_funnel", pl.pipe3_segment_funnel, pl.PIPE3_ORACLE, graded=False)
     register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE, graded=False)
+    register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -1413,3 +1413,70 @@ SELECT w1 AS context, w2 AS next_token, CAST(c AS BIGINT) AS n_pair,
        ROUND(CAST(c AS DOUBLE) / tc, 6) AS prob, CAST(r AS INT) AS rank
 FROM ranked WHERE r <= {_LM_TOP_NEXT} ORDER BY context, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# x20: vocabulary growth curve (Heaps-law corpus diagnostic)
+# ---------------------------------------------------------------------------
+
+_VG_BUCKETS = 10
+
+
+def x20_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve: how many NEW distinct tokens each
+    successive tenth of the corpus contributes, plus the cumulative
+    vocabulary — the Heaps-law diagnostic curation teams read before
+    sizing tokenizers and dedup thresholds (a corpus whose curve
+    doesn't flatten is unbounded-vocabulary trouble: boilerplate IDs,
+    serial numbers, encoding noise).
+
+    Spark-first: 'first decile a token appears in' is min(doc_id) per
+    token — ONE shuffle on the token (d8's first-occurrence pattern,
+    partial-aggregatable, hot tokens collapse map-side); the decile
+    histogram is 10 rows and the cumulative sum is a window over
+    those 10 rows, not the corpus. The doc count comes from a
+    metadata count. Deterministic integer arithmetic throughout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # parquet metadata count
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    decile = F.least(
+        F.lit(_VG_BUCKETS - 1),
+        F.floor(F.col("first_doc") * _VG_BUCKETS / F.lit(n_docs)),
+    ).cast("int")
+    hist = first.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # the cumulative window runs over <= 10 rows — not a corpus sort
+    return (
+        hist.withColumn("cumulative_vocab", F.sum("new_tokens").over(w))
+        .select("decile", "new_tokens", "cumulative_vocab")
+        .orderBy("decile")
+    )
+
+
+X20_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, u.w FROM documents,
+         LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+  WHERE u.w <> ''
+), first AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+), hist AS (
+  SELECT CAST(LEAST({_VG_BUCKETS - 1},
+                    FLOOR(first_doc * {_VG_BUCKETS} / n.n_docs)) AS INT) AS decile,
+         COUNT(*) AS new_tokens
+  FROM first, n GROUP BY 1
+)
+SELECT decile, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_vocab
+FROM hist ORDER BY decile
+"""

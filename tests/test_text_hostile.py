@@ -59,3 +59,33 @@ def test_text_op_on_hostile_corpus(spark, hostile_sf, name):
         compare_query(fn(spark, hostile_sf), con, sql)
     finally:
         con.close()
+
+
+def test_x20_vocab_growth_invariants(spark, sf_dir):
+    """The growth curve's defining facts: cumulative vocabulary is
+    strictly monotone, its final value equals the corpus's exact
+    distinct-token count, and each decile's new-token count is the
+    cumulative delta."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import x20_vocab_growth
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    rows = sorted(
+        x20_vocab_growth(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r["new_tokens"] >= 1
+        assert r["cumulative_vocab"] == prev + r["new_tokens"]
+        prev = r["cumulative_vocab"]
+    d = load_table(spark, sf_dir, "documents")
+    total_vocab = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert prev == total_vocab
