@@ -136,6 +136,8 @@ EXTENDED = [
     "pipe3_segment_funnel",
     "sk3_countmin_heavy_hitters",
     "x20_vocab_growth",
+    "g4_triangle_count",
+    "g5_pagerank",
 ]
 
 

@@ -54,6 +54,7 @@ def _build() -> None:
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extended as ex
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import extras as xt
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import filters as f
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators import graph as gr
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import incremental as inc
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import multimodal as mm
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators import orc_queries as oq
@@ -296,6 +297,8 @@ def _build() -> None:
     register("pipe3_segment_funnel", pl.pipe3_segment_funnel, pl.PIPE3_ORACLE, graded=False)
     register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE, graded=False)
     register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE, graded=False)
+    register("g4_triangle_count", gr.g4_triangle_count, gr.G4_ORACLE, graded=False)
+    register("g5_pagerank", gr.g5_pagerank, gr.G5_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "
