@@ -299,6 +299,10 @@ def _build() -> None:
     register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE, graded=False)
     register("g4_triangle_count", gr.g4_triangle_count, gr.G4_ORACLE, graded=False)
     register("g5_pagerank", gr.g5_pagerank, gr.G5_ORACLE, graded=False)
+    # round-6 additions, third wave: oracle-graded HyperLogLog (the NDV
+    # sizing pass for d12's bloom filter), pairwise source-distribution
+    # divergence, z-order multi-dimensional layout
+    register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -706,3 +706,186 @@ ORDER BY e.token
 
 
 SK3_ORACLE = _cm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sk4: HyperLogLog distinct sketch — integer-exact registers, oracle-graded
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8                       # 2^8 = 256 registers (~6.5% std error)
+_HLL_M = 1 << _HLL_P
+_HLL_HASH_BITS = 56              # first 14 hex chars of md5
+_HLL_RHO_MAX = _HLL_HASH_BITS - _HLL_P + 1   # 49: rho of an all-zero value tail
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)   # alpha_m (Flajolet et al. 2007)
+# numerator alpha * m^2 * 2^(RHO_MAX) precomputed in Python and embedded
+# as the SAME literal in both engines, so the estimate is ONE float
+# division of identical operands
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX)
+_HLL_LC_THRESHOLD = 2.5 * _HLL_M
+# linear-counting lookup m*ln(m/V) for V zero registers, precomputed in
+# Python (libm at BUILD time, not query time) so neither engine calls
+# ln on data-dependent values — the 1-ulp libm divergence that would
+# break hash-exact grading
+import math as _math
+
+_HLL_LC = {v: int(round(_HLL_M * _math.log(_HLL_M / v))) for v in range(1, _HLL_M)}
+
+
+def _hll_lc_case(v_expr: str) -> str:
+    """CASE lookup `V -> round(m*ln(m/V))` shared verbatim by both
+    engines (ANSI CASE syntax)."""
+    whens = " ".join(f"WHEN {v} THEN {e}" for v, e in _HLL_LC.items())
+    return f"CASE {v_expr} {whens} ELSE 0 END"
+
+
+def _hll_estimate_sql(nb: str, s_present: str) -> str:
+    """Shared ANSI estimate expression: S = present-register mass +
+    2^RHO_MAX per empty register (rho=0), raw = alpha*m^2*2^R / S,
+    linear counting below 2.5m when empty registers exist. FLOOR (not
+    bare CAST) because DuckDB CAST(double AS BIGINT) rounds while
+    Spark truncates."""
+    s_total = (
+        f"({s_present} + CAST({_HLL_M} - {nb} AS BIGINT)"
+        f" * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}))"
+    )
+    raw = f"({_HLL_NUMER!r} / {s_total})"
+    lc = _hll_lc_case(f"({_HLL_M} - {nb})")
+    return (
+        f"CASE WHEN {raw} <= {_HLL_LC_THRESHOLD!r} AND {nb} < {_HLL_M} "
+        f"THEN CAST({lc} AS BIGINT) "
+        f"ELSE CAST(FLOOR({raw}) AS BIGINT) END"
+    )
+
+
+def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate per source plus the
+    REGISTER-MERGED '<union>' row — the NDV sizing pass a curation
+    team runs before allocating d12's decontamination bloom filter
+    (bits ≈ 1.44 * NDV * log2(1/fp)).
+
+    sk1's docstring claims HLL "can never be oracle-compared" because
+    register layouts are engine-specific; this operator refutes that
+    by pinning the whole sketch to public arithmetic: a shared 56-bit
+    md5-derived hash, bucket = h mod m, rho = leading-zero rank of
+    the value tail via LENGTH(BIN(v)) (exact integer string length,
+    no floating point), registers = MAX(rho) per bucket, and register
+    mass summed as exact bigints (sum of 2^(RHO_MAX - rho) — every
+    term a power of two, so no float-associativity hazard). The only
+    float ops are one division by identical operands and a
+    BUILD-time-precomputed linear-counting lookup, so both engines
+    produce bit-identical estimates (graded, not just error-bounded).
+
+    Mergeability IS the 100-TB story, same partial/final contract as
+    the reference's `ColumnStatisticsImpl.merge` (stripe→file
+    roll-up): the '<union>' row is computed by MAX-merging the 20
+    per-source register tables (m=256 rows each), never re-scanning the
+    corpus — `tests/test_sketches.py` pins split-merge == whole-corpus
+    bit-equality. One corpus-sized shuffle total: MAX(rho) partials
+    collapse map-side onto sources × 64 groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import ngram_shingle_col
+
+    sh = toks.select("source", F.explode(ngram_shingle_col(3)).alias("s"))
+    hashed = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("s"), 1, 14), 16, 10).cast("bigint").alias("h"),
+    )
+    per = hashed.select(
+        "source",
+        (F.col("h") % _HLL_M).alias("b"),
+        F.expr(
+            f"CASE WHEN h DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX} "
+            f"ELSE {_HLL_RHO_MAX} - length(bin(h DIV {_HLL_M})) END"
+        ).alias("rho"),
+    )
+    regs = per.groupBy("source", "b").agg(F.max("rho").alias("r"))
+    union_regs = regs.groupBy("b").agg(F.max("r").alias("r")).select(
+        F.lit("<union>").alias("source"), "b", "r"
+    )
+    all_regs = regs.unionByName(union_regs)
+    sketch = all_regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.expr(
+            f"sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - r))"
+        ).alias("s_present"),
+    )
+    est = sketch.select(
+        "source",
+        F.col("nb").cast("int").alias("buckets_used"),
+        F.expr(_hll_estimate_sql("nb", "s_present")).alias("hll_estimate"),
+    )
+    exact_src = (
+        sh.distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    exact_union = (
+        sh.select("s")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        .select(F.lit("<union>").alias("source"), "exact_distinct")
+    )
+    exact = exact_src.unionByName(exact_union)
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "buckets_used",
+            "hll_estimate",
+            "exact_distinct",
+            F.round(F.col("hll_estimate") / F.col("exact_distinct"), 4).alias(
+                "est_over_exact"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sk4_oracle() -> str:
+    est_expr = _hll_estimate_sql("nb", "s_present")
+    return f"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents
+), sh AS (
+  SELECT source, array_to_string(l[i:i+2], ' ') AS s
+  FROM t, unnest(range(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 3
+), hashed AS (
+  SELECT source, CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) AS h FROM sh
+), per AS (
+  SELECT source, h % {_HLL_M} AS b,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(h // {_HLL_M})) END AS rho
+  FROM hashed
+), regs AS (
+  SELECT source, b, MAX(rho) AS r FROM per GROUP BY source, b
+), union_regs AS (
+  SELECT '<union>' AS source, b, MAX(r) AS r FROM regs GROUP BY b
+), all_regs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM union_regs
+), sketch AS (
+  SELECT source, COUNT(*) AS nb,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - r)) AS BIGINT) AS s_present
+  FROM all_regs GROUP BY source
+), est AS (
+  SELECT source, CAST(nb AS INT) AS buckets_used,
+         {est_expr} AS hll_estimate
+  FROM sketch
+), exact AS (
+  SELECT source, COUNT(DISTINCT s) AS exact_distinct FROM sh GROUP BY source
+  UNION ALL
+  SELECT '<union>' AS source, COUNT(DISTINCT s) FROM sh
+)
+SELECT e.source, e.buckets_used, e.hll_estimate,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(CAST(e.hll_estimate AS DOUBLE) / x.exact_distinct, 4) AS est_over_exact
+FROM est e JOIN exact x USING (source)
+ORDER BY e.source
+"""
+
+
+SK4_ORACLE = _sk4_oracle()

@@ -218,3 +218,73 @@ def test_sk3_counters_merge_by_addition(spark, sf_dir):
         for k, v in h.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_sk4_registers_merge_by_max(spark, sf_dir):
+    """The sk4 HLL register tables must be mergeable by MAX: registers
+    built on two disjoint halves of the corpus, MAX-merged, must equal
+    the whole-corpus registers bit-for-bit — the partial/final
+    contract that lets stripe-level sketches roll up to file level
+    (and 1000 executors' sketches roll up to one) without re-scanning."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import ngram_shingle_col
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _HLL_M,
+        _HLL_RHO_MAX,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def registers(frame):
+        toks = frame.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        sh = toks.select(F.explode(ngram_shingle_col(3)).alias("s"))
+        per = sh.select(
+            F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        ).selectExpr(
+            f"h % {_HLL_M} AS b",
+            f"CASE WHEN h DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX} "
+            f"ELSE {_HLL_RHO_MAX} - length(bin(h DIV {_HLL_M})) END AS rho",
+        )
+        rows = per.groupBy("b").agg(F.max("rho").alias("r")).collect()
+        return {r["b"]: r["r"] for r in rows}
+
+    whole = registers(d)
+    h1 = registers(d.filter(F.col("doc_id") % 2 == 0))
+    h2 = registers(d.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for h in (h1, h2):
+        for b, r in h.items():
+            merged[b] = max(merged.get(b, 0), r)
+    assert merged == whole
+
+
+def test_sk4_linear_counting_table_matches_libm(spark):
+    """The build-time linear-counting lookup must equal m*ln(m/V) —
+    pinned against Python's libm so a table regeneration bug can't
+    silently skew the small-cardinality branch."""
+    import math
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import _HLL_LC, _HLL_M
+
+    assert set(_HLL_LC) == set(range(1, _HLL_M))
+    for v, e in _HLL_LC.items():
+        assert e == int(round(_HLL_M * math.log(_HLL_M / v)))
+    # monotone decreasing: more empty registers -> smaller estimate
+    vals = [_HLL_LC[v] for v in range(1, _HLL_M)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_sk4_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=256 has ~1.04/sqrt(m) = 6.5% relative std error; the
+    graded estimates must land within 4 sigma of exact on every source
+    and on the register-merged union row."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import sk4_hll_distinct
+
+    rows = sk4_hll_distinct(spark, sf_dir).collect()
+    assert any(r["source"] == "<union>" for r in rows)
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 4 * 0.065, (r["source"], rel)
