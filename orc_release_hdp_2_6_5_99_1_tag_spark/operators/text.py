@@ -1480,3 +1480,110 @@ SELECT decile, new_tokens,
          AS cumulative_vocab
 FROM hist ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# x21: pairwise source-distribution divergence (exact rational arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def x21_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between per-source unigram
+    distributions plus vocabulary Jaccard — the domain-shift matrix a
+    curation team reads before mixing sources (x10's mix tells you the
+    proportions; this tells you how far apart the sources actually
+    are, the input to reweighting decisions like DoReMi-style domain
+    weights).
+
+    Engine-exactness design: KL/JS divergence needs ln on
+    data-dependent ratios, and libm differs across engines by 1 ulp —
+    unhashable. TV distance needs only |pa - pb| sums, which reduce to
+    EXACT integer arithmetic over a common denominator:
+      TV = (A + 2*na*nb - B - C) / (2*na*nb), where
+      A = sum over shared tokens |ca*nb - cb*na|,
+      B = sum ca*nb, C = sum cb*na  (shared tokens only)
+    — the two one-sided tails (tokens unique to a side) are recovered
+    algebraically from B and C, so an INNER join on the token suffices
+    (no outer-join null handling). Sums accumulate as DECIMAL(38,0) /
+    HUGEINT (overflow-proof at any corpus size); the only float op is
+    one final division of identical operands. Round 6, hash-graded.
+
+    Scale shape: unigram counts are the canonical word-count (one
+    corpus-sized shuffle with map-side partials onto vocab × sources
+    rows); the pair join keys on the TOKEN (vocab-bounded, never
+    corpus-bounded) and fans out at most (#sources choose 2) rows per
+    token; totals ride along via a broadcast join. Output is
+    #source-pairs rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    e = cnt.join(F.broadcast(tot), "source")
+    a = e.select(
+        F.col("source").alias("sa"), "w", F.col("c").alias("ca"),
+        F.col("n").alias("na"), F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("source").alias("sb"), "w", F.col("c").alias("cb"),
+        F.col("n").alias("nb"), F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+    agg = pairs.groupBy("sa", "sb", "na", "nb", "va", "vb").agg(
+        F.expr(
+            "CAST(sum(abs(CAST(ca AS DECIMAL(38,0)) * nb"
+            " - CAST(cb AS DECIMAL(38,0)) * na)) AS DECIMAL(38,0))"
+        ).alias("ta"),
+        F.expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * nb) AS DECIMAL(38,0))").alias("tb"),
+        F.expr("CAST(sum(CAST(cb AS DECIMAL(38,0)) * na) AS DECIMAL(38,0))").alias("tc"),
+        F.count(F.lit(1)).alias("inter"),
+    )
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("inter").alias("vocab_overlap"),
+        F.round(
+            F.col("inter") / (F.col("va") + F.col("vb") - F.col("inter")), 6
+        ).alias("jaccard"),
+        F.expr(
+            "round(CAST(ta + 2 * CAST(na AS DECIMAL(38,0)) * nb - tb - tc AS DOUBLE)"
+            " / CAST(2 * CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE), 6)"
+        ).alias("tv_distance"),
+    ).orderBy("source_a", "source_b")
+
+
+X21_ORACLE = """
+WITH toks AS (
+  SELECT source, u.w
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+  WHERE u.w <> ''
+), cnt AS (
+  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+  FROM cnt GROUP BY source
+), e AS (
+  SELECT c.source, c.w, c.c, t.n, t.v FROM cnt c JOIN tot t USING (source)
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb,
+         ANY_VALUE(a.v) AS va, ANY_VALUE(b.v) AS vb,
+         SUM(ABS(CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n)) AS ta,
+         SUM(CAST(a.c AS HUGEINT) * b.n) AS tb,
+         SUM(CAST(b.c AS HUGEINT) * a.n) AS tc,
+         COUNT(*) AS inter
+  FROM e a JOIN e b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, CAST(inter AS BIGINT) AS vocab_overlap,
+       ROUND(CAST(inter AS DOUBLE) / (va + vb - inter), 6) AS jaccard,
+       ROUND(CAST(ta + 2 * CAST(na AS HUGEINT) * nb - tb - tc AS DOUBLE)
+             / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS tv_distance
+FROM p ORDER BY source_a, source_b
+"""

@@ -334,3 +334,49 @@ def test_g3_depths_match_python_reference(spark, sf_dir):
         r["depth"]: r["n_nodes"] for r in g3_hierarchy_depth(spark, sf_dir).collect()
     }
     assert got == dict(want)
+
+
+def test_x21_tv_matches_bruteforce_python(spark, sf_dir):
+    """x21's algebraic inner-join TV (A + 2*na*nb - B - C over shared
+    tokens) must equal the definitional 0.5*sum|pa-pb| over the FULL
+    token union, computed brute-force in Python with Fractions (exact
+    rationals) — pinning the one-sided-tail recovery algebra."""
+    from fractions import Fraction
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        x21_source_divergence,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts: dict = {}
+    for r in toks.groupBy("source", "w").count().collect():
+        counts.setdefault(r["source"], {})[r["w"]] = r["count"]
+    out = {
+        (r["source_a"], r["source_b"]): (r["tv_distance"], r["jaccard"])
+        for r in x21_source_divergence(spark, sf_dir).collect()
+    }
+    checked = 0
+    srcs = sorted(counts)
+    for i, sa in enumerate(srcs[:4]):          # a sample of pairs is enough
+        for sb in srcs[i + 1 : i + 4]:
+            ca, cb = counts[sa], counts[sb]
+            na, nb = sum(ca.values()), sum(cb.values())
+            tv = Fraction(0)
+            for w in set(ca) | set(cb):
+                tv += abs(
+                    Fraction(ca.get(w, 0), na) - Fraction(cb.get(w, 0), nb)
+                )
+            tv = tv / 2
+            inter = len(set(ca) & set(cb))
+            jac = Fraction(inter, len(set(ca) | set(cb)))
+            got_tv, got_jac = out[(sa, sb)]
+            assert abs(got_tv - float(tv)) < 5e-7, (sa, sb, got_tv, float(tv))
+            assert abs(got_jac - float(jac)) < 5e-7
+            assert 0.0 <= got_tv <= 1.0 and 0.0 <= got_jac <= 1.0
+            checked += 1
+    assert checked >= 6
