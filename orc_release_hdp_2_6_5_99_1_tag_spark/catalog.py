@@ -304,6 +304,7 @@ def _build() -> None:
     # divergence, z-order multi-dimensional layout
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("x21_source_divergence", tx.x21_source_divergence, tx.X21_ORACLE, graded=False)
+    register("s16_zorder_layout", oq.s16_zorder_layout, oq.S16_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

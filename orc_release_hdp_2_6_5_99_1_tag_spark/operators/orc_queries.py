@@ -489,3 +489,143 @@ SELECT {_S15_FRAGMENTS} AS n_files_before, {_S15_TARGET} AS n_files_after,
        CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# s16: z-order (Morton) multi-dimensional layout — zone-map skip analysis
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16            # per-dimension resolution (scaled to 0..65535)
+_Z_SPACE = 1 << _Z_BITS
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6   # keep top 6 interleaved bits -> 64 buckets
+_S_BUCKET_SHIFT = _Z_BITS - 6       # single-key layout: top 6 bits of x
+_Z_BUCKETS = 64
+
+
+def _morton_sql(xc: str, yc: str) -> str:
+    """Shared ANSI bit-interleave: z = x0 y0 x1 y1 ... msb-first. Both
+    engines support `<<`, `>>`, `&` on BIGINT; each term is shifted as
+    BIGINT so no 32-bit overflow at bit 31."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-interleaved) multi-dimensional clustering of
+    orders on (o_custkey, order day) versus single-key clustering,
+    graded by the zone-map metric that matters for scan pruning:
+    E[buckets touched by a point predicate on dim d] = sum over
+    buckets of that bucket's normalized extent on d. Single-key
+    layout is perfect on its key (E_x = 1) and useless on the other
+    dim (E_y = all buckets); z-order balances both at ~sqrt(buckets)
+    — the reason every lakehouse clusters multi-predicate tables on
+    a space-filling curve (public art: Delta/Iceberg Z-ORDER, the
+    classic Bayer/Markl UB-tree line of work) rather than a sort key.
+
+    Engine-exactness: both dims are affinely scaled to 16-bit ints
+    ((v - min) * 65535 / range, floor'd — one float division of
+    identical operands), the Morton code is a generated sum of
+    bigint shift/mask terms (`_morton_sql`, pure integer), buckets
+    are the top 6 interleaved bits, and every output aggregate is an
+    exact-integer sum with one final division. Fully hash-graded.
+
+    Scale notes: at 100 TB the WRITE side of this decision is
+    `sources/orc_io.zorder_write` (compute z, repartitionByRange(z),
+    sortWithinPartitions(z), write), whose actual row-group skipping
+    is pinned by `tests/test_skipping.py::
+    test_zorder_layout_skips_on_second_column`; this query is the
+    ANALYSIS pass that justifies it — one scan + two 64-group
+    aggregations, with the scalar min/max collect being the same
+    metadata-sized pass sk2 uses for bin edges.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("xraw"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01")).alias("yraw"),
+    )
+    mm = o.agg(
+        F.min("xraw"), F.max("xraw"), F.min("yraw"), F.max("yraw")
+    ).collect()[0]
+    minx, maxx, miny, maxy = mm
+    rx, ry = max(maxx - minx, 1), max(maxy - miny, 1)
+    scaled = o.selectExpr(
+        f"CAST(FLOOR((xraw - {minx}) * {_Z_SPACE - 1} / {rx}) AS BIGINT) AS x16",
+        f"CAST(FLOOR((yraw - {miny}) * {_Z_SPACE - 1} / {ry}) AS BIGINT) AS y16",
+    ).selectExpr(
+        "x16",
+        "y16",
+        f"{_morton_sql('x16', 'y16')} >> {_Z_BUCKET_SHIFT} AS zb",
+        f"x16 >> {_S_BUCKET_SHIFT} AS sb",
+    )
+
+    def layout_summary(frame: DataFrame, bucket_col: str, label: str) -> DataFrame:
+        ext = frame.groupBy(bucket_col).agg(
+            (F.max("x16") - F.min("x16") + 1).alias("ex"),
+            (F.max("y16") - F.min("y16") + 1).alias("ey"),
+        )
+        return ext.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum("ex") / _Z_SPACE, 6).alias("exp_scan_x"),
+            F.round(F.sum("ey") / _Z_SPACE, 6).alias("exp_scan_y"),
+            F.round(
+                F.greatest(F.sum("ex"), F.sum("ey")) / _Z_SPACE, 6
+            ).alias("worst_dim_scan"),
+        ).select(
+            F.lit(label).alias("layout"),
+            "n_buckets",
+            "exp_scan_x",
+            "exp_scan_y",
+            "worst_dim_scan",
+        )
+    return (
+        layout_summary(scaled, "zb", "zorder")
+        .unionByName(layout_summary(scaled, "sb", "single_key"))
+        .orderBy("layout")
+    )
+
+
+def _s16_oracle() -> str:
+    morton = _morton_sql("x16", "y16")
+    return f"""
+WITH raw AS (
+  SELECT o_custkey AS xraw,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS yraw
+  FROM orders
+), mm AS (
+  SELECT MIN(xraw) AS minx, GREATEST(MAX(xraw) - MIN(xraw), 1) AS rx,
+         MIN(yraw) AS miny, GREATEST(MAX(yraw) - MIN(yraw), 1) AS ry
+  FROM raw
+), scaled AS (
+  SELECT CAST(FLOOR((xraw - minx) * {_Z_SPACE - 1} / rx) AS BIGINT) AS x16,
+         CAST(FLOOR((yraw - miny) * {_Z_SPACE - 1} / ry) AS BIGINT) AS y16
+  FROM raw, mm
+), coded AS (
+  SELECT x16, y16,
+         {morton} >> {_Z_BUCKET_SHIFT} AS zb,
+         x16 >> {_S_BUCKET_SHIFT} AS sb
+  FROM scaled
+), zext AS (
+  SELECT zb, MAX(x16) - MIN(x16) + 1 AS ex, MAX(y16) - MIN(y16) + 1 AS ey
+  FROM coded GROUP BY zb
+), sext AS (
+  SELECT sb, MAX(x16) - MIN(x16) + 1 AS ex, MAX(y16) - MIN(y16) + 1 AS ey
+  FROM coded GROUP BY sb
+)
+SELECT 'single_key' AS layout, COUNT(*) AS n_buckets,
+       ROUND(CAST(SUM(ex) AS DOUBLE) / {_Z_SPACE}, 6) AS exp_scan_x,
+       ROUND(CAST(SUM(ey) AS DOUBLE) / {_Z_SPACE}, 6) AS exp_scan_y,
+       ROUND(CAST(GREATEST(SUM(ex), SUM(ey)) AS DOUBLE) / {_Z_SPACE}, 6) AS worst_dim_scan
+FROM sext
+UNION ALL
+SELECT 'zorder', COUNT(*),
+       ROUND(CAST(SUM(ex) AS DOUBLE) / {_Z_SPACE}, 6),
+       ROUND(CAST(SUM(ey) AS DOUBLE) / {_Z_SPACE}, 6),
+       ROUND(CAST(GREATEST(SUM(ex), SUM(ey)) AS DOUBLE) / {_Z_SPACE}, 6)
+FROM zext
+ORDER BY layout
+"""
+
+
+S16_ORACLE = _s16_oracle()
