@@ -775,6 +775,10 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     BUILD-time-precomputed linear-counting lookup, so both engines
     produce bit-identical estimates (graded, not just error-bounded).
 
+    The exact-distinct column rides along for the accuracy grade
+    (sk1's contract) — at 100 TB you would drop it and with it the
+    extra corpus passes; the sketch itself is ONE pass.
+
     Mergeability IS the 100-TB story, same partial/final contract as
     the reference's `ColumnStatisticsImpl.merge` (stripe→file
     roll-up): the '<union>' row is computed by MAX-merging the 20

@@ -1520,7 +1520,14 @@ def x21_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # vocab×sources-sized (NOT corpus-sized): materialize once so the
+    # a/b pair branches and the totals don't each re-scan the corpus —
+    # the same model-state-only materialization rule as d2/g3
+    cnt = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = cnt.groupBy("source").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     )

@@ -544,6 +544,69 @@ def run_j3_salted_join(spark, docs, vecs, ev):
     )
 
 
+def run_sk4_hll(spark, docs, vecs, ev):
+    """sk4's SKETCH path (registers + estimate, no exact-distinct
+    ride-along — the 100-TB shape): one corpus-sized shuffle that
+    collapses map-side onto sources x 256 register groups."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import ngram_shingle_col
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _HLL_M,
+        _HLL_RHO_MAX,
+        _hll_estimate_sql,
+    )
+
+    toks = docs.select(
+        "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    sh = toks.select("source", F.explode(ngram_shingle_col(3)).alias("s"))
+    per = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("s"), 1, 14), 16, 10).cast("bigint").alias("h"),
+    ).selectExpr(
+        "source",
+        f"h % {_HLL_M} AS b",
+        f"CASE WHEN h DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX} "
+        f"ELSE {_HLL_RHO_MAX} - length(bin(h DIV {_HLL_M})) END AS rho",
+    )
+    regs = per.groupBy("source", "b").agg(F.max("rho").alias("r"))
+    sketch = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.expr(f"sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - r))").alias("s_present"),
+    )
+    return sketch.selectExpr(
+        "source", _hll_estimate_sql("nb", "s_present") + " AS est"
+    ).collect()
+
+
+def run_x21_divergence(spark, docs, vecs, ev):
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    e = cnt.join(F.broadcast(tot), "source")
+    a = e.select(F.col("source").alias("sa"), "w", F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = e.select(F.col("source").alias("sb"), "w", F.col("c").alias("cb"), F.col("n").alias("nb"))
+    pairs = a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+    return (
+        pairs.groupBy("sa", "sb", "na", "nb")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(CAST(ca AS DECIMAL(38,0)) * nb"
+                " - CAST(cb AS DECIMAL(38,0)) * na)) AS DECIMAL(38,0))"
+            ).alias("ta"),
+            F.expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * nb) AS DECIMAL(38,0))").alias("tb"),
+            F.expr("CAST(sum(CAST(cb AS DECIMAL(38,0)) * na) AS DECIMAL(38,0))").alias("tc"),
+        )
+        .selectExpr(
+            "sa", "sb",
+            "round(CAST(ta + 2 * CAST(na AS DECIMAL(38,0)) * nb - tb - tc AS DOUBLE)"
+            " / CAST(2 * CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE), 6) AS tv"
+        )
+        .collect()
+    )
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -563,6 +626,8 @@ OPS = {
     "d18_containment": run_d18_containment,
     "w12_funnel": run_w12_funnel,
     "j3_salted_join": run_j3_salted_join,
+    "sk4_hll_sketch": run_sk4_hll,
+    "x21_tv_divergence": run_x21_divergence,
 }
 
 
