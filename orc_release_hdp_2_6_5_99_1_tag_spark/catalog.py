@@ -305,6 +305,9 @@ def _build() -> None:
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("x21_source_divergence", tx.x21_source_divergence, tx.X21_ORACLE, graded=False)
     register("s16_zorder_layout", oq.s16_zorder_layout, oq.S16_ORACLE, graded=False)
+    # round-6 additions, fourth wave: within-source boilerplate scrub
+    # (the CCNet/C4 line-removal step that precedes corpus-level dedup)
+    register("d19_boilerplate_scrub", dd.d19_boilerplate_scrub, dd.D19_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -1647,3 +1647,144 @@ SELECT doc_a AS contained_doc, doc_b AS container_doc,
 FROM contain WHERE containment >= {_D18_MIN_CONTAIN}
 ORDER BY containment DESC, contained_doc, container_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# d19: within-source boilerplate scrub (the CCNet/C4 line-removal step)
+# ---------------------------------------------------------------------------
+
+_BOILER_TOKENS = 5    # scrub unit: fixed 5-token chunk (corpus has no \n)
+_BOILER_MIN_DOCS = 2  # chunk present in >= this many docs of a source = boilerplate
+
+
+def d19_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate removal — the CCNet/C4 step that drops
+    lines repeated across many pages of the same domain (cookie
+    banners, nav menus, license footers) BEFORE corpus-level dedup.
+    A chunk is boilerplate iff it occurs in >= _BOILER_MIN_DOCS
+    distinct documents of the SAME source; every occurrence is
+    removed and the document re-assembled from the surviving chunks.
+    Reports, per source: document counts, how many docs were touched,
+    distinct boilerplate chunks, occurrences removed, and exact
+    char totals before/after (single-space re-join arithmetic:
+    sum(len(chunk)) + max(n_chunks - 1, 0)).
+
+    Scale shape: chunking is a narrow explode; the boilerplate
+    decision is one partial-aggregatable count-distinct shuffle on
+    (source, chunk_hash) — a banner repeated on 10^7 pages collapses
+    map-side; the mark-back is an equi-join on the same key
+    (AQE-skew-splittable) against the boilerplate set, which is
+    domain-bounded and small; per-doc and per-source rollups are
+    plain partial aggregations. No windows, no text re-concat — char
+    accounting is arithmetic, so the wide `text` column never rides
+    a shuffle.
+    """
+    n, k = _BOILER_TOKENS, _BOILER_MIN_DOCS
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t)-1) div {n}), i -> concat_ws(' ', slice(t, i*{n}+1, {n})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    boiler = (
+        chunks.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= k)
+        .select("source", "h", F.lit(1).alias("is_boiler"))
+    )
+    marked = chunks.join(boiler, ["source", "h"], "left").select(
+        "doc_id",
+        "source",
+        "h",
+        F.length("chunk").alias("clen"),
+        F.coalesce("is_boiler", F.lit(0)).alias("is_boiler"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_boiler").alias("n_removed"),
+        F.sum("clen").alias("len_all"),
+        F.sum(F.when(F.col("is_boiler") == 0, F.col("clen")).otherwise(0)).alias("len_kept"),
+    )
+    chars_before = F.col("len_all") + F.greatest(F.col("n_chunks") - 1, F.lit(0))
+    n_kept = F.col("n_chunks") - F.col("n_removed")
+    chars_after = F.col("len_kept") + F.greatest(n_kept - 1, F.lit(0))
+    per_doc = per_doc.select(
+        "doc_id",
+        "source",
+        "n_removed",
+        chars_before.alias("cb"),
+        chars_after.alias("ca"),
+    )
+    boiler_per_src = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("boiler_chunks")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("int")).alias("n_docs_scrubbed"),
+            F.sum("n_removed").alias("occurrences_removed"),
+            F.sum("cb").alias("chars_before"),
+            F.sum("ca").alias("chars_after"),
+        )
+        .join(boiler_per_src, "source", "left")
+        .withColumn("boiler_chunks", F.coalesce("boiler_chunks", F.lit(0)))
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_scrubbed",
+            "boiler_chunks",
+            "occurrences_removed",
+            "chars_before",
+            "chars_after",
+        )
+        .orderBy("source")
+    )
+
+
+D19_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, u.i AS chunk_idx,
+         array_to_string(l[u.i*{_BOILER_TOKENS}+1 : u.i*{_BOILER_TOKENS}+{_BOILER_TOKENS}], ' ') AS chunk
+  FROM t, LATERAL (SELECT unnest(range(0, (len(l)-1)//{_BOILER_TOKENS} + 1)) AS i) u
+),
+hashed AS (
+  SELECT doc_id, source, md5(chunk) AS h, length(chunk) AS clen FROM chunks
+),
+boiler AS (
+  SELECT source, h FROM hashed GROUP BY source, h
+  HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+marked AS (
+  SELECT hd.doc_id, hd.source, hd.clen,
+         CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS is_boiler
+  FROM hashed hd LEFT JOIN boiler b ON b.source = hd.source AND b.h = hd.h
+),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_chunks,
+         SUM(is_boiler) AS n_removed,
+         SUM(clen) + GREATEST(COUNT(*) - 1, 0) AS cb,
+         SUM(CASE WHEN is_boiler = 0 THEN clen ELSE 0 END)
+           + GREATEST(COUNT(*) - SUM(is_boiler) - 1, 0) AS ca
+  FROM marked GROUP BY doc_id, source
+),
+bsrc AS (SELECT source, COUNT(*) AS boiler_chunks FROM boiler GROUP BY source)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_scrubbed,
+       CAST(COALESCE(MAX(bsrc.boiler_chunks), 0) AS BIGINT) AS boiler_chunks,
+       CAST(SUM(n_removed) AS BIGINT) AS occurrences_removed,
+       CAST(SUM(cb) AS BIGINT) AS chars_before,
+       CAST(SUM(ca) AS BIGINT) AS chars_after
+FROM per_doc p LEFT JOIN bsrc ON bsrc.source = p.source
+GROUP BY p.source ORDER BY p.source
+"""

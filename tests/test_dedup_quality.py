@@ -123,3 +123,41 @@ def test_d18_containment_detects_planted_quote(spark, tmp_path):
     assert out.get((1, 2)) == 1.0, f"planted quote not detected: {out}"
     assert (2, 1) not in out, "reverse direction should not clear the threshold"
     assert not any(3 in k for k in out), "unrelated doc produced a pair"
+
+
+def test_d19_scrubs_planted_banner_within_source_only(spark, tmp_path):
+    """A 5-token banner planted at the head of every srcA page must be
+    identified as boilerplate and removed from ALL srcA docs — but the
+    identical banner appearing once in srcB must survive (the decision
+    is per-source), and the char accounting must be exact single-space
+    re-join arithmetic."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        d19_boilerplate_scrub,
+    )
+
+    banner = "accept all cookies to continue"  # 5 tokens = one chunk
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+    ]
+    rows = [
+        (1, f"{banner} {bodies[0]}", "en", "srcA", 0),
+        (2, f"{banner} {bodies[1]}", "en", "srcA", 0),
+        (3, f"{banner} {bodies[0]}", "en", "srcB", 0),  # lone occurrence
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r.asDict() for r in d19_boilerplate_scrub(spark, str(tmp_path)).collect()}
+
+    a = out["srcA"]
+    assert a["boiler_chunks"] == 1 and a["occurrences_removed"] == 2
+    assert a["n_docs_scrubbed"] == 2
+    # exact char math: banner chunk (30 chars) + joining space drop out
+    assert a["chars_before"] - a["chars_after"] == 2 * (len(banner) + 1)
+    assert a["chars_before"] == sum(len(f"{banner} {b}") for b in bodies)
+
+    b = out["srcB"]
+    assert b["boiler_chunks"] == 0 and b["occurrences_removed"] == 0
+    assert b["chars_after"] == b["chars_before"] == len(f"{banner} {bodies[0]}")
