@@ -138,6 +138,12 @@ EXTENDED = [
     "x20_vocab_growth",
     "g4_triangle_count",
     "g5_pagerank",
+    # round-6 third/fourth wave: HLL sketch, source divergence,
+    # z-order layout analysis, boilerplate scrub
+    "sk4_hll_distinct",
+    "x21_source_divergence",
+    "s16_zorder_layout",
+    "d19_boilerplate_scrub",
 ]
 
 

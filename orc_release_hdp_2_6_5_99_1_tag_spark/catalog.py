@@ -308,6 +308,13 @@ def _build() -> None:
     # round-6 additions, fourth wave: within-source boilerplate scrub
     # (the CCNet/C4 line-removal step that precedes corpus-level dedup)
     register("d19_boilerplate_scrub", dd.d19_boilerplate_scrub, dd.D19_ORACLE, graded=False)
+    # round-6 additions, fifth wave: theta-sketch set operations
+    # (pairwise source overlap estimates at sketch cost)
+    register("sk5_theta_intersection", st.sk5_theta_intersection, st.SK5_ORACLE, graded=False)
+    register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE, graded=False)
+    register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
+    register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE, graded=False)
+    register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

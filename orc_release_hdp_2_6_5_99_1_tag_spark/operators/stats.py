@@ -893,3 +893,276 @@ ORDER BY e.source
 
 
 SK4_ORACLE = _sk4_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sk5: theta-sketch set operations — pairwise intersection / union /
+# Jaccard ESTIMATES between sources at sketch cost
+# ---------------------------------------------------------------------------
+
+_TH_K = 256           # retained minima per source sketch
+_TH_SPACE = 1 << 32   # shared 32-bit md5-derived hash space
+
+
+def sk5_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap ESTIMATES from theta (KMV) sketches —
+    the sketch-cost companion to d15's exact overlap matrix: d15
+    answers "how many distinct tokens do srcA and srcB share" with a
+    corpus-sized fingerprint shuffle per grading run; sk5 answers the
+    same question from 7 sketches of 256 longs, the way a curation
+    team sizes cross-source contamination BEFORE paying for the exact
+    pass (the theta-sketch workflow of Dasgupta et al., "Theta
+    sketches", and the DataSketches library's intersection estimator).
+
+    Estimator (all arithmetic shared with the oracle, so the sketch
+    is graded, not just error-bounded): per source keep the k smallest
+    32-bit hashes of its distinct tokens; theta_s = k-th minimum. For
+    a pair, theta = min(theta_a, theta_b); every retained hash below
+    theta is a uniform sample of that source's token set at rate
+    theta/SPACE, so |A ∩ B| ≈ |{h in A_k ∩ B_k : h < theta}| *
+    SPACE / theta, and |A ∪ B| ≈ |{h in A_k ∪ B_k : h < theta}| *
+    SPACE / theta. Jaccard = sample-intersection / sample-union
+    (ratio of co-sampled counts — the estimator's variance-canceling
+    form). FLOOR() pins the one float division identically in both
+    engines (Spark's bigint cast truncates, DuckDB's rounds — sk1
+    dodged that by luck; sk5 pins it).
+
+    Scale shape: ONE corpus-sized shuffle — the distinct on
+    (source, hash) — then a per-source top-k window that Spark's
+    WindowGroupLimit pushes down to per-partition partial limits.
+    Everything pairwise happens on sketch rows (sources × k = 1,792
+    longs here; 256k longs even at 1,000 sources), broadcast-sized by
+    construction. The exact-intersection ride-along (one extra
+    self-join on the SKETCHED distinct frame) is the accuracy grade —
+    at 100 TB you drop it and the corpus is touched exactly once.
+    Mergeable like sk1: union+re-limit of per-split sketches is the
+    partial/final contract of `ColumnStatisticsImpl.merge`
+    (java/core/src/java/org/apache/orc/impl/ColumnStatisticsImpl.java).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TH_K)
+        .select("source", "h")
+    )
+    theta = sketch.groupBy("source").agg(F.max("h").alias("theta"))
+    a = sketch.toDF("sa", "h").join(theta.toDF("sa", "ta"), "sa")
+    b = sketch.toDF("sb", "h").join(theta.toDF("sb", "tb"), "sb")
+    pair_theta = F.least("ta", "tb")
+    # retained-hash join below the pair theta: inner = sample of A∩B
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .filter(F.col("h") < pair_theta)
+        .groupBy("sa", "sb", "ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # union sample: all (pair, h) rows from either sketch, deduped,
+    # below the pair theta
+    pairs = (
+        theta.toDF("sa", "ta")
+        .crossJoin(theta.toDF("sb", "tb"))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    side_a = pairs.join(sketch.toDF("sa", "h"), "sa")
+    side_b = pairs.join(sketch.toDF("sb", "h"), "sb")
+    union_sample = (
+        side_a.select("sa", "sb", "ta", "tb", "h")
+        .union(side_b.select("sa", "sb", "ta", "tb", "h"))
+        .filter(F.col("h") < F.least("ta", "tb"))
+        .distinct()
+        .groupBy("sa", "sb", "ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    est = (
+        union_sample.join(inter, ["sa", "sb", "ta", "tb"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("theta", F.least("ta", "tb"))
+    )
+    # exact intersection ride-along (accuracy grade; drop at 100 TB)
+    ha = hashed.toDF("sa", "h")
+    hb = hashed.toDF("sb", "h")
+    exact = (
+        ha.join(hb, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    scale = F.lit(float(_TH_SPACE)) / F.col("theta")
+    return (
+        est.join(exact, ["sa", "sb"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "sa",
+            "sb",
+            F.col("n_inter").alias("sample_inter"),
+            F.col("n_union").alias("sample_union"),
+            F.floor(F.col("n_inter") * scale).cast("bigint").alias("est_inter"),
+            F.floor(F.col("n_union") * scale).cast("bigint").alias("est_union"),
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("est_jaccard"),
+            F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+SK5_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(u.w), 1, 8)) AS BIGINT) AS h
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(w)
+  WHERE u.w <> ''
+), sketch AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM toks
+  ) WHERE rn <= {_TH_K}
+), theta AS (
+  SELECT source, MAX(h) AS theta FROM sketch GROUP BY source
+), pairs AS (
+  SELECT ta.source AS sa, tb.source AS sb,
+         LEAST(ta.theta, tb.theta) AS theta
+  FROM theta ta, theta tb WHERE ta.source < tb.source
+), inter AS (
+  SELECT p.sa, p.sb, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sketch a ON a.source = p.sa
+  JOIN sketch b ON b.source = p.sb AND b.h = a.h
+  WHERE a.h < p.theta
+  GROUP BY p.sa, p.sb
+), uni AS (
+  SELECT sa, sb, COUNT(*) AS n_union FROM (
+    SELECT DISTINCT p.sa, p.sb, a.h
+    FROM pairs p JOIN sketch a ON a.source = p.sa AND a.h < p.theta
+    UNION
+    SELECT DISTINCT p.sa, p.sb, b.h
+    FROM pairs p JOIN sketch b ON b.source = p.sb AND b.h < p.theta
+  ) GROUP BY sa, sb
+), exact AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS exact_inter
+  FROM toks a JOIN toks b ON b.h = a.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa, p.sb,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS sample_inter,
+       CAST(u.n_union AS BIGINT) AS sample_union,
+       CAST(FLOOR(COALESCE(i.n_inter, 0) * (CAST({_TH_SPACE} AS DOUBLE) / p.theta)) AS BIGINT) AS est_inter,
+       CAST(FLOOR(u.n_union * (CAST({_TH_SPACE} AS DOUBLE) / p.theta)) AS BIGINT) AS est_union,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / u.n_union, 6) AS est_jaccard,
+       CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM pairs p
+JOIN uni u ON u.sa = p.sa AND u.sb = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+LEFT JOIN exact e ON e.sa = p.sa AND e.sb = p.sb
+ORDER BY p.sa, p.sb
+"""
+
+
+# ---------------------------------------------------------------------------
+# a9: group-wise OLS regression — closed-form slope/intercept/r² from
+# exact integer sums (the distributed sufficient-statistics pattern)
+# ---------------------------------------------------------------------------
+
+
+def a9_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) ordinary-least-squares fit of
+    extendedprice against quantity — slope, intercept and r² from the
+    closed-form sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²).
+    This is the scalable form of regression: the six sums are
+    partial-aggregatable (map-side combine ships six numbers per
+    group per partition; the merge is addition), exactly the
+    partial/final merge contract of the reference's column stats
+    (`ColumnStatisticsImpl.merge`) — fitting a model per group costs
+    ONE corpus shuffle of 4×6 numbers, while the textbook "collect
+    and call a solver" approach doesn't distribute at all.
+
+    Exactness discipline (a8's rule: float SUMs are
+    partition-order-dependent and can never hash-match a second
+    engine): prices are pinned to integer CENTS via
+    floor(x*100 + 0.5) (Spark's bigint cast truncates, DuckDB's
+    rounds — +0.5-floor behaves identically in both), quantities are
+    exact small integers, every sum and cross-moment accumulates in
+    BIGINT/DECIMAL(38,0), and the closed-form numerators/denominators
+    stay integer-exact. Only the final slope/intercept/r² divisions
+    are float (identical operand order in both engines; r²'s square
+    is computed in double because num² can exceed DECIMAL(38) at
+    corpus scale). Rounded once at 6 places.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        cents.alias("y"),
+    )
+    s = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).alias("num")
+    den_x = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).alias("den_x")
+    den_y = (dec("n") * dec("syy") - dec("sy") * dec("sy")).alias("den_y")
+    t = s.select("l_returnflag", "l_linestatus", "n", "sx", "sy", num, den_x, den_y)
+    slope_cents = F.col("num").cast("double") / F.col("den_x").cast("double")
+    intercept_cents = (
+        F.col("sy").cast("double") - slope_cents * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (F.col("num").cast("double") * F.col("num").cast("double")) / (
+        F.col("den_x").cast("double") * F.col("den_y").cast("double")
+    )
+    return t.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope_cents / 100.0, 6).alias("slope"),
+        F.round(intercept_cents / 100.0, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+A9_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM base GROUP BY l_returnflag, l_linestatus
+),
+t AS (
+  SELECT l_returnflag, l_linestatus, n, sx, sy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+  FROM s
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       ROUND((CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)) / 100.0, 6) AS slope,
+       ROUND(((CAST(sy AS DOUBLE)
+               - (CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept,
+       ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2
+FROM t ORDER BY l_returnflag, l_linestatus
+"""

@@ -821,3 +821,88 @@ SELECT segment, COUNT(*) AS n_users,
        CAST(SUM(user_id) AS BIGINT) AS user_checksum
 FROM seg GROUP BY segment ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# w14: time-weighted average (TWAP) — duration-weighted rollup of an
+# irregular event stream
+# ---------------------------------------------------------------------------
+
+
+def w14_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of `value` over the irregular
+    event stream — each observation holds until the next one, so its
+    weight is the microseconds until the user's next event (the TWAP
+    of every trading/metrics store; the plain mean over-weights burst
+    periods). The last observation of a user has no duration and is
+    excluded, the standard left-closed convention. The unweighted
+    mean rides along so the burst bias is visible (twap_minus_mean).
+
+    Exactness: weights are integer microseconds (unix_micros /
+    epoch_us — no float epoch), values are cast to decimal(18,3)
+    before the multiply, and both Σ(value·dt) and Σ(dt) accumulate
+    in decimals, so the single final division is the only float op
+    in both engines (a8's exact-sum correlation rule).
+
+    Scale shape: ONE shuffle — the user_id hash exchange feeding the
+    lead() window; the per-user rollup is a partial agg riding the
+    SAME partitioning (no second exchange), and (user_id, ts) is
+    unique in the stream so the window order is total. No global
+    sort; the final orderBy is the oracle-compare tail.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dt = (F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts")))
+    seg = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,3)").alias("v"),
+        dt.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("held_us"),
+            F.round(
+                (F.sum(F.col("v") * F.col("dt_us")) / F.sum("dt_us")).cast("double"),
+                6,
+            ).alias("twap"),
+            F.round((F.sum("v") / F.count(F.lit(1))).cast("double"), 6).alias(
+                "mean_value"
+            ),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "held_us",
+            "twap",
+            "mean_value",
+            F.round(F.col("twap") - F.col("mean_value"), 6).alias("twap_minus_mean"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W14_ORACLE = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,3)) AS v,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           - epoch_us(ts) AS dt_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*) AS n_intervals,
+         SUM(dt_us) AS held_us,
+         ROUND(CAST(SUM(v * dt_us) / SUM(dt_us) AS DOUBLE), 6) AS twap,
+         ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS mean_value
+  FROM seg WHERE dt_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_intervals AS BIGINT) AS n_intervals,
+       CAST(held_us AS BIGINT) AS held_us,
+       twap, mean_value,
+       ROUND(twap - mean_value, 6) AS twap_minus_mean
+FROM agg ORDER BY user_id
+"""

@@ -1594,3 +1594,114 @@ SELECT source_a, source_b, CAST(inter AS BIGINT) AS vocab_overlap,
              / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS tv_distance
 FROM p ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# x22: n-gram novelty score — per-source share of never-seen-before
+# shingles (the marginal-information diagnostic behind dedup budgets)
+# ---------------------------------------------------------------------------
+
+_NOV_N = 5  # shingle width, matches d13/d14's window granularity
+
+
+def x22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY: of each document's distinct 5-token
+    shingles, what fraction occurs for the first time in the corpus
+    (first occurrence = the smallest doc_id containing the shingle —
+    the deterministic stand-in for arrival order)? Curation teams read
+    this before spending dedup budget: a source whose marginal docs
+    are mostly already-seen shingles (templated pages, mirrored
+    content) gets deduped or down-sampled first, and the novelty
+    trend is the stop signal for crawl expansion (the "data wall"
+    measurement of Villalobos et al., 'Will we run out of data?').
+
+    Output per source: doc count, mean per-doc novelty ratio,
+    fraction of fully-novel docs (ratio = 1), and pooled shingle
+    totals — small, stable, and exact (novelty ratios are exact
+    integer ratios rounded once).
+
+    Scale shape: the shingle explode is narrow; first-occurrence is
+    min(doc_id) per shingle — ONE corpus-sized shuffle that partial
+    aggregation collapses map-side (x20's Heaps-curve shape, d8's
+    first-occurrence pattern). The mark-back rides the SAME
+    hash-partitioned key (shingle), so AQE plans shuffle-reuse, and
+    per-doc / per-source rollups are plain partial aggs. The wide
+    text column is dropped at the explode; only 128-bit shingle
+    hashes ride shuffles (d13's rule, operators/dedup.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(t) - {_NOV_N}, 0)),"
+                    f" i -> md5(concat_ws(' ', slice(t, i+1, {_NOV_N}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()  # per-doc distinct shingles
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    marked = sh.join(first, "h").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") == F.col("first_doc")).cast("int").alias("novel"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("novel").alias("n_novel"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") / F.col("n_shingles")), 6).alias(
+                "mean_novelty"
+            ),
+            F.round(
+                F.avg((F.col("n_novel") == F.col("n_shingles")).cast("int")), 6
+            ).alias("fully_novel_frac"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_novel").alias("total_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+X22_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(l[u.i+1 : u.i+{_NOV_N}], ' ')) AS h
+  FROM t, LATERAL (
+    SELECT unnest(range(0, GREATEST(len(l) - {_NOV_N}, 0) + 1)) AS i
+  ) u
+),
+first AS (
+  SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h
+),
+per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN first f ON f.h = sh.h
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_novel AS DOUBLE) / n_shingles), 6) AS mean_novelty,
+       ROUND(AVG(CASE WHEN n_novel = n_shingles THEN 1.0 ELSE 0.0 END), 6) AS fully_novel_frac,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS total_novel
+FROM per_doc GROUP BY source ORDER BY source
+"""

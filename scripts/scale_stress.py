@@ -607,6 +607,57 @@ def run_x21_divergence(spark, docs, vecs, ev):
     )
 
 
+def run_d19_boiler(spark, docs, vecs, ev):
+    """d19's scrub pipeline with a planted 5-token banner on every 3rd
+    doc (the synthetic corpus is hash-random, so without planting the
+    boilerplate set would be empty and the mark-back join untested).
+    Cost shape under test: narrow chunk explode -> one count-distinct
+    shuffle on (source, chunk_hash) -> equi-join mark-back -> two
+    partial-agg rollups; the wide text column never rides a shuffle."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        _BOILER_MIN_DOCS,
+        _BOILER_TOKENS,
+    )
+
+    n, k = _BOILER_TOKENS, _BOILER_MIN_DOCS
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("accept all cookies to continue "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    toks = planted.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(t)-1) div {n}),"
+                f" i -> md5(concat_ws(' ', slice(t, i*{n}+1, {n}))))"
+            )
+        ).alias("h"),
+    )
+    boiler = (
+        chunks.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= k)
+        .select("source", "h")
+        .withColumn("is_boiler", F.lit(1))
+    )
+    marked = chunks.join(boiler, ["source", "h"], "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("removed"),
+        )
+        .collect()
+    )
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -628,6 +679,7 @@ OPS = {
     "j3_salted_join": run_j3_salted_join,
     "sk4_hll_sketch": run_sk4_hll,
     "x21_tv_divergence": run_x21_divergence,
+    "d19_boiler_scrub": run_d19_boiler,
 }
 
 

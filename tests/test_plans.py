@@ -442,3 +442,24 @@ def test_pipe3_is_one_scan_no_join(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan ", plan, flags=re.M))
     assert n_scans == 1, f"segment funnel re-scans events ({n_scans}):\n{plan}"
     assert "Join" not in plan
+
+
+def test_s17_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
+    """The bucketing payoff must be visible in the plan: both scans
+    read bucketed layouts (all 8 buckets selected) and the sort-merge
+    join consumes them with ZERO exchanges below it — the only
+    exchanges in the whole query are the 5-group aggregation and the
+    oracle-compare orderBy tail."""
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import (
+        s17_bucketed_join,
+    )
+
+    plan = formatted_plan(s17_bucketed_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan, f"bucketed join lost its SMJ shape:\n{plan}"
+    assert plan.count("Bucketed: true") == 2, f"scan not bucketed:\n{plan}"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 2, (
+        f"bucketed join should not shuffle its inputs ({n_exchanges} exchanges):\n{plan}"
+    )
