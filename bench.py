@@ -144,6 +144,13 @@ EXTENDED = [
     "x21_source_divergence",
     "s16_zorder_layout",
     "d19_boilerplate_scrub",
+    # round-6 fifth wave: sketch set-ops, novelty, TWAP, group-wise
+    # OLS, bucketed co-located join
+    "sk5_theta_intersection",
+    "x22_ngram_novelty",
+    "w14_twap",
+    "a9_groupwise_regression",
+    "s17_bucketed_join",
 ]
 
 
