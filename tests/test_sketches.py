@@ -288,3 +288,59 @@ def test_sk4_estimate_within_error_bound(spark, sf_dir):
     for r in rows:
         rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 4 * 0.065, (r["source"], rel)
+
+
+def test_sk5_sketches_merge_by_union_relimit(spark, sf_dir):
+    """Theta/KMV sketches must merge by union + re-limit: bottom-k
+    sets built on two disjoint halves of a source's hash universe,
+    unioned and re-limited to k, must equal the whole-source bottom-k
+    exactly — the partial/final contract that lets 1000 executors'
+    sketches roll up without re-scanning, and the property the
+    pairwise intersection/union estimators rely on."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import _TH_K
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def bottom_k(frame):
+        toks = frame.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        ).filter(F.col("w") != "")
+        hashed = toks.select(
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        ).distinct()
+        return sorted(
+            r["h"] for r in hashed.orderBy("h").limit(_TH_K).collect()
+        )
+
+    whole = bottom_k(d)
+    h1 = bottom_k(d.filter(F.col("doc_id") % 2 == 0))
+    h2 = bottom_k(d.filter(F.col("doc_id") % 2 == 1))
+    merged = sorted(set(h1) | set(h2))[:_TH_K]
+    assert merged == whole
+
+
+def test_sk5_estimates_within_theta_error_bound(spark, sf_dir):
+    """The intersection/union ESTIMATES must land within the theta
+    sketch's relative standard error (~1/sqrt(k-1), take 4 sigma) of
+    the exact values — the accuracy contract the ride-along column
+    exists to grade."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _TH_K,
+        sk5_theta_intersection,
+    )
+
+    rows = sk5_theta_intersection(spark, sf_dir).collect()
+    assert rows, "no source pairs produced"
+    rse = 4.0 / (_TH_K - 1) ** 0.5
+    for r in rows:
+        if r["exact_inter"] == 0:
+            continue
+        err = abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"]
+        assert err <= rse, (
+            f"{r['sa']}x{r['sb']}: est {r['est_inter']} vs exact "
+            f"{r['exact_inter']} ({err:.3f} > {rse:.3f})"
+        )
