@@ -948,10 +948,18 @@ def sk5_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
     ).distinct()
     w = Window.partitionBy("source").orderBy("h")
+    # The sketch frame is reused by five downstream branches (a, b,
+    # pairs, both union sides); without materialization Catalyst
+    # inlines the corpus-sized bottom-k subplan into every branch
+    # (g3's duplicated-plan lesson — PLANS.md showed 12 scans / 26
+    # shuffles for this query before the checkpoint). The sketch is
+    # model-sized state (sources × k longs), so localCheckpoint is
+    # free and the corpus is scanned once for the sketch path.
     sketch = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TH_K)
         .select("source", "h")
+        .localCheckpoint(eager=True)
     )
     theta = sketch.groupBy("source").agg(F.max("h").alias("theta"))
     a = sketch.toDF("sa", "h").join(theta.toDF("sa", "ta"), "sa")
