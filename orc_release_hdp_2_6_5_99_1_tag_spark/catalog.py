@@ -315,6 +315,13 @@ def _build() -> None:
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
     register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE, graded=False)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE, graded=False)
+    register(
+        "w15_last_touch_attribution",
+        tp.w15_last_touch_attribution,
+        tp.W15_ORACLE,
+        graded=False,
+    )
+    register("a10_winsorized_stats", st.a10_winsorized_stats, st.A10_ORACLE, graded=False)
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -1174,3 +1174,116 @@ SELECT l_returnflag, l_linestatus,
              / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2
 FROM t ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# a10: winsorized statistics — outlier-robust group means via EXACT
+# order-statistic clipping
+# ---------------------------------------------------------------------------
+
+_A10_LO = 0.05
+_A10_HI = 0.95
+
+
+def a10_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group pricing stats: winsorize
+    extendedprice at the exact [p05, p95] order statistics (type-1 /
+    lower quantile: the k-th smallest with k = floor(q*(n-1)) + 1 —
+    pure integer rank arithmetic, no interpolation, because
+    interpolated quantile DEFINITIONS differ across engines and can
+    never hash-match), clip every value into the bounds, and report
+    the winsorized vs raw mean plus clip counts. This is the standard
+    robust-aggregation step before fitting anything to heavy-tailed
+    data (a9's regression on unclipped web-scale values would be
+    leverage-dominated).
+
+    Exactness: prices pinned to integer cents (+0.5-floor, a9's
+    rule), means are exact integer sums with one final float
+    division.
+
+    Scale shape: the rank pass is ONE range-sort per group (a
+    row_number window on the group key — at 100 TB this is the
+    exact-selection tier; the sketch tier for the same question is
+    sk2's mergeable histogram quantiles, and the two bracket each
+    other). The bounds frame is groups×2 numbers, broadcast back for
+    the clip pass, whose rollup is a plain partial agg. Two corpus
+    passes total — the unavoidable price of exact order statistics
+    plus a clipped aggregate; Catalyst reuses the same scan shape for
+    both.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = li.select("l_returnflag", cents.alias("p"))
+    w = Window.partitionBy("l_returnflag").orderBy("p")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    n = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    k_lo = (F.floor(F.lit(_A10_LO) * (F.col("n") - 1)) + 1).alias("k_lo")
+    k_hi = (F.floor(F.lit(_A10_HI) * (F.col("n") - 1)) + 1).alias("k_hi")
+    ks = n.select("l_returnflag", "n", k_lo, k_hi)
+    bounds = (
+        ranked.join(F.broadcast(ks), "l_returnflag")
+        .filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
+        .groupBy("l_returnflag", "n")
+        .agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    )
+    clipped = base.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "lo",
+        "hi",
+        "p",
+        F.greatest(F.least(F.col("p"), F.col("hi")), F.col("lo")).alias("pw"),
+    )
+    return (
+        clipped.groupBy("l_returnflag", "n", "lo", "hi")
+        .agg(
+            F.sum("p").alias("sp"),
+            F.sum("pw").alias("spw"),
+            F.sum((F.col("p") < F.col("lo")).cast("int")).alias("n_clipped_low"),
+            F.sum((F.col("p") > F.col("hi")).cast("int")).alias("n_clipped_high"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("lo") / 100.0, 2).alias("p05"),
+            F.round(F.col("hi") / 100.0, 2).alias("p95"),
+            F.round(F.col("sp") / F.col("n") / 100.0, 6).alias("raw_mean"),
+            F.round(F.col("spw") / F.col("n") / 100.0, 6).alias("winsorized_mean"),
+            F.col("n_clipped_low").cast("bigint").alias("n_clipped_low"),
+            F.col("n_clipped_high").cast("bigint").alias("n_clipped_high"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A10_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, p,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY p) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base
+),
+bounds AS (
+  SELECT l_returnflag, n, MIN(p) AS lo, MAX(p) AS hi
+  FROM ranked
+  WHERE rn = FLOOR({_A10_LO} * (n - 1)) + 1
+     OR rn = FLOOR({_A10_HI} * (n - 1)) + 1
+  GROUP BY l_returnflag, n
+)
+SELECT b.l_returnflag,
+       CAST(bd.n AS BIGINT) AS n,
+       ROUND(bd.lo / 100.0, 2) AS p05,
+       ROUND(bd.hi / 100.0, 2) AS p95,
+       ROUND(SUM(b.p) / bd.n / 100.0, 6) AS raw_mean,
+       ROUND(SUM(GREATEST(LEAST(b.p, bd.hi), bd.lo)) / bd.n / 100.0, 6) AS winsorized_mean,
+       CAST(SUM(CASE WHEN b.p < bd.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN b.p > bd.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM base b JOIN bounds bd ON bd.l_returnflag = b.l_returnflag
+GROUP BY b.l_returnflag, bd.n, bd.lo, bd.hi
+ORDER BY b.l_returnflag
+"""

@@ -906,3 +906,92 @@ SELECT user_id,
        ROUND(twap - mean_value, 6) AS twap_minus_mean
 FROM agg ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# w15: last-touch attribution — credit each conversion to the user's
+# most recent preceding touch event
+# ---------------------------------------------------------------------------
+
+_W15_TOUCHES = ("click", "view", "signup")  # attributable channels
+
+
+def w15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution over the event stream:
+    each purchase is credited to the user's most recent PRECEDING
+    touch event (click / view / signup; errors and other purchases
+    never carry credit), and purchases with no preceding touch land
+    in the '(none)' bucket so credit always sums to the purchase
+    total. Output per channel: conversions, attributed value (exact
+    decimal accumulation), and share of total purchase value.
+
+    Spark-first: the carried 'last touch' is
+    last(when(type in touches, type), ignorenulls=True) over
+    (user, ts) rows UNBOUNDED PRECEDING..1 PRECEDING — the running
+    state machine every attribution system implements, as ONE window
+    function (DuckDB: LAST_VALUE ... IGNORE NULLS, same frame).
+
+    Scale shape: ONE user_id hash exchange feeds the window; the
+    channel rollup is a handful of groups. (user_id, ts) is unique in
+    the stream so the frame order is total — no tiebreak hazard. The
+    share-of-total is computed from the rollup's own sums (a 4-row
+    window), never a second corpus pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin(*_W15_TOUCHES), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = e.withColumn("touch", F.last(touch, ignorenulls=True).over(w))
+    purchases = carried.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("touch", F.lit("(none)")).alias("touch_type"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+    )
+    rollup = purchases.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("v").alias("attributed_value"),
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        rollup.select(
+            "touch_type",
+            "n_conversions",
+            F.col("attributed_value").cast("double").alias("attributed_value"),
+            F.round(
+                (
+                    F.col("attributed_value")
+                    / F.sum("attributed_value").over(total)
+                ).cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+W15_ORACLE = f"""
+WITH carried AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN {_W15_TOUCHES} THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+),
+rollup AS (
+  SELECT COALESCE(touch, '(none)') AS touch_type,
+         COUNT(*) AS n_conversions,
+         SUM(CAST(value AS DECIMAL(18,3))) AS attributed_value
+  FROM carried WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT touch_type,
+       CAST(n_conversions AS BIGINT) AS n_conversions,
+       CAST(attributed_value AS DOUBLE) AS attributed_value,
+       ROUND(CAST(attributed_value / SUM(attributed_value) OVER () AS DOUBLE), 6) AS value_share
+FROM rollup ORDER BY touch_type
+"""
