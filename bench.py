@@ -151,6 +151,9 @@ EXTENDED = [
     "w14_twap",
     "a9_groupwise_regression",
     "s17_bucketed_join",
+    # round-6 sixth wave: attribution, winsorized stats
+    "w15_last_touch_attribution",
+    "a10_winsorized_stats",
 ]
 
 
