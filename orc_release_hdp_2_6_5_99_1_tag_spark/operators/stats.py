@@ -1215,14 +1215,17 @@ def a10_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     base = li.select("l_returnflag", cents.alias("p"))
     w = Window.partitionBy("l_returnflag").orderBy("p")
-    ranked = base.withColumn("rn", F.row_number().over(w))
-    n = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-    k_lo = (F.floor(F.lit(_A10_LO) * (F.col("n") - 1)) + 1).alias("k_lo")
-    k_hi = (F.floor(F.lit(_A10_HI) * (F.col("n") - 1)) + 1).alias("k_hi")
-    ks = n.select("l_returnflag", "n", k_lo, k_hi)
+    # group count via an unordered window over the SAME partitioning as
+    # the rank window — both window specs share one exchange, so the
+    # bounds pass costs one scan instead of a scan per aggregate
+    wn = Window.partitionBy("l_returnflag")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k_lo = F.floor(F.lit(_A10_LO) * (F.col("n") - 1)) + 1
+    k_hi = F.floor(F.lit(_A10_HI) * (F.col("n") - 1)) + 1
     bounds = (
-        ranked.join(F.broadcast(ks), "l_returnflag")
-        .filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
         .groupBy("l_returnflag", "n")
         .agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
     )
