@@ -151,9 +151,11 @@ EXTENDED = [
     "w14_twap",
     "a9_groupwise_regression",
     "s17_bucketed_join",
-    # round-6 sixth wave: attribution, winsorized stats
+    # round-6 sixth wave: attribution, winsorized stats, stream-stream
+    # LEFT OUTER join (watermark-proven null emission)
     "w15_last_touch_attribution",
     "a10_winsorized_stats",
+    "r11_stream_outer_join",
 ]
 
 

@@ -82,6 +82,7 @@ def _events_stream(
     sub: str | None = None,
     copies: int = 1,
     splits: int = 1,
+    only_type: str | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet, dtype-dispatched on
     the parquet footer exactly like the batch loader (`tables.py`):
@@ -113,16 +114,26 @@ def _events_stream(
     """
     import pyarrow as pa
 
-    if sub is None and (splits > 1 or copies > 1):
+    if sub is None and (splits > 1 or copies > 1 or only_type is not None):
         # the default dirs hold the plain single-file staging; slicing
         # or duplicating INTO them would silently double every other
         # caller's stream (each variant must name its own sub dir)
-        raise ValueError("multi-batch staging (splits/copies > 1) requires an explicit sub=")
+        raise ValueError(
+            "multi-batch/filtered staging (splits/copies/only_type) requires an explicit sub="
+        )
     sub = sub or ("events_src_wm" if with_sentinel else "events_src")
     src_dir = os.path.join(scratch_dir(sf_dir), "stream", sub)
     os.makedirs(src_dir, exist_ok=True)
     path = os.path.join(sf_dir, "events.parquet")
-    if splits > 1:
+    if only_type is not None:
+        # type-filtered SOURCE staging for per-entity streams (e.g. a
+        # clicks topic and a purchases topic). The filter must happen at
+        # the source, never inside the streaming plan: Catalyst pushes
+        # deterministic filters below the EventTimeWatermark node, which
+        # would hide the watermark sentinels from the collector and
+        # stall outer-join/window finalization.
+        _stage_filtered(sf_dir, src_dir, only_type)
+    elif splits > 1:
         # genuinely multi-batch source: the events rows time-sorted and
         # sliced into `splits` physical files with staggered mtimes
         # (each slice staged `copies` times for redelivery modeling)
@@ -154,6 +165,25 @@ def _events_stream(
     elif isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(_epoch_micros_expr(path)))
     return raw
+
+
+def _stage_filtered(sf_dir: str, src_dir: str, only_type: str) -> None:
+    """Stage a type-filtered copy of the events parquet (pyarrow
+    filter, physical schema preserved byte-for-byte so the stream's
+    footer-type dispatch stays valid) — models a per-entity topic."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(src_dir, "_filtered_done")
+    fp = source_fingerprint(sf_dir, "events") + f";only_type={only_type}"
+    if marker_valid(marker, fp):
+        return
+    path = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(path)
+    t = t.filter(pc.equal(t["event_type"], only_type))
+    dest = os.path.join(src_dir, "events_filtered.parquet")
+    pq.write_table(t, dest, version="2.6")
+    write_marker(marker, fp)
 
 
 def _stage_splits(sf_dir: str, src_dir: str, splits: int, copies: int = 1) -> None:
@@ -851,4 +881,104 @@ SELECT user_id,
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)
 ORDER BY user_id, hour
+"""
+
+
+def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click joined to
+    the same user's purchases in the preceding 30 minutes, and clicks
+    with NO such purchase emitted as null-extended rows — the
+    semantics r7's inner join cannot express, and the hardest state
+    contract in Structured Streaming: an outer row may only be
+    emitted once the watermark PROVES no future match can arrive.
+
+    The two sides are staged as type-filtered SOURCES (a clicks topic
+    and a purchases topic — `_stage_filtered`), never filtered inside
+    the streaming plan: a pushed-down type filter would drop the
+    watermark sentinels below the EventTimeWatermark collector, the
+    purchase-side watermark would stall at (real max − delay), and
+    every click in the last horizon would hold its outer row forever
+    (exactly the "missing tail nulls" bug users hit with finite
+    outer-join streams). The two sentinel batches advance both sides'
+    watermarks past the data, so the availableNow run emits the
+    COMPLETE outer result and the sink equals the batch LEFT JOIN.
+
+    Scale: join state on each side is evicted at the watermark
+    horizon (the range condition bounds how long a click can wait:
+    once wm > c_ts the purchase side can no longer match it) — state
+    is minutes of stream, not history. One user-keyed stateful
+    exchange per side.
+    """
+    base = scratch_dir(sf_dir)
+    out = os.path.join(base, "stream", "r11_outer")
+    ckpt = os.path.join(base, "stream", "r11_outer_ckpt")
+    done = os.path.join(base, "stream", "r11_outer._done")
+    fp = source_fingerprint(sf_dir, "events")
+    if not marker_valid(done, fp):
+        for d in ("r11_clicks_src", "r11_purch_src"):
+            shutil.rmtree(os.path.join(base, "stream", d), ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        clicks = (
+            _events_stream(
+                spark, sf_dir, with_sentinel=True, sub="r11_clicks_src", only_type="click"
+            )
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_type").alias("c_type"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            _events_stream(
+                spark, sf_dir, with_sentinel=True, sub="r11_purch_src", only_type="purchase"
+            )
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("p_ts") <= F.col("c_ts")),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        write_marker(done, fp)
+    df = spark.read.parquet(out).filter(_not_sentinel("c_type"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("purchase_id").alias("n_matched"),
+        F.sum(F.col("purchase_id").isNull().cast("int")).alias("n_unmatched_clicks"),
+        F.count_distinct("click_id").alias("nd_clicks"),
+        F.sum(F.col("click_id") + F.coalesce(F.col("purchase_id"), F.lit(0))).alias(
+            "id_checksum"
+        ),
+    )
+
+
+R11_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(p.event_id) AS n_matched,
+       CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_clicks,
+       COUNT(DISTINCT c.event_id) AS nd_clicks,
+       CAST(SUM(c.event_id + COALESCE(p.event_id, 0)) AS BIGINT) AS id_checksum
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+WHERE c.event_type = 'click'
 """
