@@ -277,11 +277,14 @@ def _build() -> None:
     # hourly gap fill (densify + locf forward fill)
 
     # round-6 additions (graded-window candidates for round 7, along
-    # with the second wave below and the TPC-H tail q2/q5-q7/q9-q20/
+    # with the later waves below and the TPC-H tail q2/q5-q7/q9-q20/
     # q22, w4, w9, x5, x6, x10-x15, u3, m3, j1, mv1, t6, t7, d3-d5):
-    # sequential event funnel, bigram-LM training, mergeable
-    # histogram-quantile sketch, exact-quota stratified sampling,
-    # bucketed two-table kNN join
+    # round-7 rotation shortlist (hardest never-graded shapes first):
+    # r11 (stream outer join), s17 (bucketed join), sk5/sk4/sk3/sk2
+    # (sketch tier), g4/g5 (graph), d18/d19 (containment/boilerplate),
+    # w12-w15, a8-a10, x19-x22, i3, v7, j3, s15, s16, pipe3, x21.
+    # Waves: 1) event funnel, bigram LM, histogram sketch, stratified
+    # sample, kNN join
     register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
     register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE, graded=False)
     register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE, graded=False)
