@@ -156,6 +156,7 @@ EXTENDED = [
     "w15_last_touch_attribution",
     "a10_winsorized_stats",
     "r11_stream_outer_join",
+    "s18_dynamic_partition_pruning",
 ]
 
 

@@ -326,6 +326,12 @@ def _build() -> None:
     )
     register("a10_winsorized_stats", st.a10_winsorized_stats, st.A10_ORACLE, graded=False)
     register("r11_stream_outer_join", ig.r11_stream_outer_join, ig.R11_ORACLE, graded=False)
+    register(
+        "s18_dynamic_partition_pruning",
+        oq.s18_dynamic_partition_pruning,
+        oq.S18_ORACLE,
+        graded=False,
+    )
 
     assert len(_QUERIES) <= GRADED_WINDOW, (
         f"graded window overflow: {len(_QUERIES)} > {GRADED_WINDOW} — the driver "

@@ -717,3 +717,85 @@ SELECT c_mktsegment,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# s18: dynamic partition pruning — runtime partition elimination from a
+# dim-side filter (the join-time analog of s5's static pruning)
+# ---------------------------------------------------------------------------
+
+
+def _s18_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per testdata fingerprint) an order-month
+    PARTITIONED parquet copy of orders — the hive-style layout whose
+    directories static (s5) and dynamic (s18) pruning eliminate."""
+    out = os.path.join(scratch_dir(sf_dir), "parquet", "orders_by_month")
+    fp = source_fingerprint(sf_dir, "orders")
+    if not marker_valid(out + "._fp", fp):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_month", F.month("o_orderdate")
+        )
+        o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+        write_marker(out + "._fp", fp)
+    return out
+
+
+def _s18_month_dim(spark: SparkSession, sf_dir: str) -> str:
+    """A 12-row month dimension (month -> quarter) written as parquet:
+    DPP requires a real relation on the dim side (a LocalRelation
+    would constant-fold instead of exercising the runtime filter)."""
+    out = os.path.join(scratch_dir(sf_dir), "parquet", "month_dim")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        spark.range(1, 13).select(
+            F.col("id").cast("int").alias("m_month"),
+            # floor-based quarter: Spark's int cast truncates but
+            # DuckDB's rounds, so derive via explicit FLOOR both sides
+            F.floor((F.col("id") + 2) / 3).cast("int").alias("m_quarter"),
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def s18_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly order rollup over a month-PARTITIONED fact table where
+    the quarter filter lives on the DIMENSION: static pruning cannot
+    help (the fact filter is only known after joining), so Catalyst
+    inserts a DYNAMIC partition-pruning subquery — the broadcasted
+    dim's surviving month keys become a runtime PartitionFilter on the
+    fact scan, and 9 of 12 month directories are never opened.
+    `tests/test_plans.py` pins the `dynamicpruning` expression in the
+    fact scan's partition filters.
+
+    This is the dominant scan-elimination mechanism in star-schema
+    warehouses at 100 TB: the fact table is partitioned on the join
+    key's natural hierarchy (day/month), every dim-side predicate
+    prunes fact IO at runtime, and the cost is one broadcast the join
+    needed anyway. (Reference counterpart: stripe/file elimination via
+    SARGs — SURVEY §2.3 — which s3/s5/f-suite cover; DPP is the
+    Spark-native layer above it.)
+    """
+    fact = spark.read.parquet(_s18_partitioned_orders(spark, sf_dir))
+    dim = spark.read.parquet(_s18_month_dim(spark, sf_dir))
+    j = fact.join(
+        F.broadcast(dim.filter(F.col("m_quarter") == 2)),
+        fact["o_month"] == dim["m_month"],
+    )
+    return (
+        j.groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("o_month")
+    )
+
+
+S18_ORACLE = """
+SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders
+WHERE CAST(FLOOR((month(o_orderdate) + 2) / 3.0) AS INT) = 2
+GROUP BY 1 ORDER BY 1
+"""

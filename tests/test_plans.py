@@ -463,3 +463,16 @@ def test_s17_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
     assert n_exchanges <= 2, (
         f"bucketed join should not shuffle its inputs ({n_exchanges} exchanges):\n{plan}"
     )
+
+
+def test_s18_fact_scan_has_dynamic_pruning_filter(spark, sf_dir):
+    """The dim-side quarter filter must become a RUNTIME partition
+    filter on the month-partitioned fact scan (dynamicpruning
+    expression) — static pruning cannot express it, and without DPP
+    the scan reads all 12 month directories."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import (
+        s18_dynamic_partition_pruning,
+    )
+
+    plan = formatted_plan(s18_dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruning" in plan, f"no DPP filter on the fact scan:\n{plan}"
