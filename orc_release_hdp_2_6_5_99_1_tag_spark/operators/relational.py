@@ -46,44 +46,72 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to the file scan), A1-A4 (count/min/max/sum with partial +
     final merge — Spark does map-side partial aggregation automatically,
     the same partial/final design as `ColumnStatisticsImpl.merge()`).
+
+    Arithmetic (a1's measured lesson, 2.4x on this query: 1.38s →
+    0.58s at sf0.1): amounts are pinned to integer cents /
+    basis-points via +0.5-floor and accumulated as LONGs — 2-decimal
+    TPC-H money is exact in cents, long-backed hash aggregation beats
+    decimal accumulators, and integer sums are partition-order
+    independent just like decimals. The discount/charge PRODUCTS stay
+    integer per row (cents × basis-point factors) and accumulate in
+    DECIMAL(38,0) — their sums pass the bigint range at warehouse
+    scale (price_cents × 10⁴ × 10⁴ ≈ 2e15/row), while qty/price sums
+    keep bigint with ~10³ headroom at 100 TB. The final double
+    conversions are MIRRORED in the oracle (same cast-then-divide
+    sequence), so both engines round identically at every SF — the
+    single final division is the only float op on each column.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    price = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    tax = F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("bigint")
+    disc_num = price * (F.lit(10000) - disc)  # cents x 1e4
+    charge_num = disc_num * (F.lit(10000) + tax)  # cents x 1e8
+    cnt = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_disc"
+            (F.sum(qty).cast("double") / 100).alias("sum_qty"),
+            (F.sum(price).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(disc_num.cast("decimal(38,0)")).cast("double") / 1000000).alias(
+                "sum_disc_price"
             ),
-            F.count(F.lit(1)).alias("count_order"),
+            (
+                F.sum(charge_num.cast("decimal(38,0)")).cast("double") / 10000000000
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / 100 / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / 100 / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / 10000 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 Q1_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+         CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc,
+         CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+)
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
-           * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(qty) AS DOUBLE) / 100 AS sum_qty,
+  CAST(SUM(price) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(SUM(price * (10000 - disc)) AS DOUBLE) / 1000000 AS sum_disc_price,
+  CAST(SUM(CAST(price * (10000 - disc) AS HUGEINT) * (10000 + tax)) AS DOUBLE) / 10000000000 AS sum_charge,
+  CAST(SUM(qty) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+  CAST(SUM(price) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+  CAST(SUM(disc) AS DOUBLE) / 10000 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+FROM t
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
