@@ -23,19 +23,26 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(8,4)")
-            )
-            .cast("double")
-            .alias("revenue"),
+            # q1's measured lesson: integer cents x basis points per
+            # row, DECIMAL(38,0) accumulation, one double conversion;
+            # the oracle mirrors the identical cast-then-divide chain
+            (
+                F.sum(
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                        * F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
 Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
