@@ -380,3 +380,93 @@ def test_x21_tv_matches_bruteforce_python(spark, sf_dir):
             assert 0.0 <= got_tv <= 1.0 and 0.0 <= got_jac <= 1.0
             checked += 1
     assert checked >= 6
+
+
+_D19_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _d19_python_model(rows, n_tok=5, min_docs=2):
+    """Brute-force reference implementation of the d19 spec: fixed
+    n-token chunks, per-source document-frequency >= min_docs marks
+    boilerplate, single-space re-join char accounting."""
+    from collections import defaultdict
+
+    chunks_by_doc = {}
+    df = defaultdict(set)  # (source, chunk) -> {doc_id}
+    for doc_id, source, text in rows:
+        toks = text.strip().split() or [""]
+        cs = [" ".join(toks[i * n_tok : i * n_tok + n_tok])
+              for i in range((len(toks) - 1) // n_tok + 1)]
+        chunks_by_doc[doc_id] = (source, cs)
+        for c in set(cs):
+            df[(source, c)].add(doc_id)
+    boiler = {k for k, docs in df.items() if len(docs) >= min_docs}
+    out = {}
+    for doc_id, (source, cs) in chunks_by_doc.items():
+        kept = [c for c in cs if (source, c) not in boiler]
+        removed = len(cs) - len(kept)
+        cb = sum(len(c) for c in cs) + max(len(cs) - 1, 0)
+        ca = sum(len(c) for c in kept) + max(len(kept) - 1, 0)
+        out.setdefault(source, []).append((removed, cb, ca))
+    agg = {}
+    for source, docs in out.items():
+        agg[source] = (
+            len(docs),
+            sum(1 for r, _, _ in docs if r > 0),
+            len({c for (s, c) in boiler if s == source}),
+            sum(r for r, _, _ in docs),
+            sum(cb for _, cb, _ in docs),
+            sum(ca for _, _, ca in docs),
+        )
+    return agg
+
+
+def test_d19_matches_python_model_on_random_corpora(spark, tmp_path):
+    """Property test: d19's distributed pipeline must equal a
+    brute-force Python implementation of the same spec on random
+    small-vocab corpora (tiny vocab forces chunk collisions both
+    within and across sources)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.dedup import (
+        d19_boilerplate_scrub,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "longword"])
+    text = st.lists(word, min_size=0, max_size=17).map(" ".join)
+    corpus = st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), text),
+        min_size=1,
+        max_size=12,
+    )
+
+    idx = [0]
+
+    @settings(
+        suppress_health_check=list(HealthCheck), **_D19_SETTINGS
+    )
+    @given(docs=corpus)
+    def run(docs):
+        rows = [(i, src, txt) for i, (src, txt) in enumerate(docs)]
+        df = spark.createDataFrame(
+            [(i, txt, "en", src, len(txt)) for i, src, txt in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        idx[0] += 1
+        path = tmp_path / f"c{idx[0]}"
+        df.write.mode("overwrite").parquet(str(path / "documents.parquet"))
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["n_docs_scrubbed"],
+                r["boiler_chunks"],
+                r["occurrences_removed"],
+                r["chars_before"],
+                r["chars_after"],
+            )
+            for r in d19_boilerplate_scrub(spark, str(path)).collect()
+        }
+        assert got == _d19_python_model(rows)
+
+    run()
