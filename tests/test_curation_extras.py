@@ -470,3 +470,56 @@ def test_d19_matches_python_model_on_random_corpora(spark, tmp_path):
         assert got == _d19_python_model(rows)
 
     run()
+
+
+def test_w14_twap_matches_python_model(spark, tmp_path):
+    """Property: TWAP must equal the brute-force per-user computation
+    (duration-weighted mean with the last observation excluded), and
+    a constant-valued user's TWAP must equal that constant."""
+    import random
+
+    random.seed(42)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = 1_700_000_000_000_000  # epoch micros
+        for _ in range(random.randint(1, 9)):
+            t += random.randint(1, 10**7)
+            val = 25.0 if uid == 0 else round(random.uniform(0, 100), 3)
+            rows.append((eid, t, uid, "view", val, "{}"))
+            eid += 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from decimal import Decimal
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import w14_twap
+
+    got = {r["user_id"]: r for r in w14_twap(spark, str(tmp_path)).collect()}
+    by_user = {}
+    for _, t, uid, _, val, _ in rows:
+        by_user.setdefault(uid, []).append((t, Decimal(str(val)).quantize(Decimal("0.001"))))
+    for uid, evs in by_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            assert uid not in got
+            continue
+        num = sum(v * (evs[i + 1][0] - t) for i, (t, v) in enumerate(evs[:-1]))
+        den = sum(evs[i + 1][0] - t for i, (t, _) in enumerate(evs[:-1]))
+        r = got[uid]
+        assert r["n_intervals"] == len(evs) - 1
+        assert r["held_us"] == den
+        assert r["twap"] == round(float(num / den), 6)
+    assert got[0]["twap"] == 25.0 and got[0]["twap_minus_mean"] == 0.0

@@ -114,3 +114,48 @@ def test_interval_join_blocking_matches_naive_range_join(spark):
     a = {r["purchase_event_id"]: (r["n"], r["s"]) for r in blocked.collect()}
     b = {r["purchase_event_id"]: (r["n"], r["s"]) for r in naive.collect()}
     assert a == b and len(a) > 1000
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's OptimizeSkewedJoin must fire on a hot-key join — the
+    Spark-native complement to j3's manual salting: one synthetic key
+    owns ~90% of the fact side, and with skew thresholds lowered to
+    toy scale the executed plan must mark the sort-merge join
+    `skew=true` (the hot partition is split into parallel subtasks
+    instead of serializing one reducer). At 100 TB this is the
+    difference between a 5-minute join and one straggler running for
+    hours; the session-default AQE confs enable it everywhere."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 17 % 1000).alias("v"),
+            F.concat(F.lit("pad-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        j = fact.join(dim, "k").groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        rows = {r["grp"]: r["n"] for r in j.collect()}
+        # correctness: key 7 carries 180k fact rows into grp 2
+        assert rows[2] >= 180_000
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, (
+            f"OptimizeSkewedJoin did not fire:\n{executed[:2000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
