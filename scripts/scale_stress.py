@@ -658,6 +658,76 @@ def run_d19_boiler(spark, docs, vecs, ev):
     )
 
 
+def run_x22_novelty(spark, docs, vecs, ev):
+    """x22's corpus shape: per-doc distinct 5-token shingle hashes,
+    min(doc_id) first-occurrence shuffle, mark-back join on the same
+    key, per-source rollup. The near-dup pairs (every 20th doc) give
+    the novelty column real variance."""
+    n = 5
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t) - {n}, 0)),"
+                f" i -> md5(concat_ws(' ', slice(t, i+1, {n}))))"
+            )
+        ).alias("h"),
+    ).distinct()
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    marked = sh.join(first, "h").select(
+        "doc_id", "source", (F.col("doc_id") == F.col("fd")).cast("int").alias("nv")
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("nv").alias("nn")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.avg(F.col("nn") / F.col("ns")), F.sum("ns"), F.sum("nn"))
+        .collect()
+    )
+
+
+def run_sk5_theta(spark, docs, vecs, ev):
+    """sk5's SKETCH path (no exact ride-along — the 100-TB shape):
+    one distinct shuffle on (source, hash), WindowGroupLimit bottom-k,
+    then all pairwise estimates on sketch rows."""
+    from pyspark.sql import Window as W
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import _TH_K, _TH_SPACE
+
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    w = W.partitionBy("source").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TH_K)
+        .select("source", "h")
+        .localCheckpoint(eager=True)
+    )
+    theta = sketch.groupBy("source").agg(F.max("h").alias("theta"))
+    a = sketch.toDF("sa", "h").join(theta.toDF("sa", "ta"), "sa")
+    b = sketch.toDF("sb", "h").join(theta.toDF("sb", "tb"), "sb")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .filter(F.col("h") < F.least("ta", "tb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("ni"), F.least(F.min("ta"), F.min("tb")).alias("th"))
+    )
+    return inter.selectExpr(
+        "sa", "sb", f"CAST(floor(ni * ({float(_TH_SPACE)} / th)) AS BIGINT) AS est"
+    ).collect()
+
+
 OPS = {
     "d1_exact_dedup": run_d1_exact_dedup,
     "d2_pair_engine": run_d2_pair_engine,
@@ -680,6 +750,8 @@ OPS = {
     "sk4_hll_sketch": run_sk4_hll,
     "x21_tv_divergence": run_x21_divergence,
     "d19_boiler_scrub": run_d19_boiler,
+    "x22_novelty": run_x22_novelty,
+    "sk5_theta_sketch": run_sk5_theta,
 }
 
 
