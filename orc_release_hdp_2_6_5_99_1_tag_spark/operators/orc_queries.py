@@ -655,7 +655,24 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     name = f"bkt_{table}_{tag}"
     path = os.path.join(scratch_dir(sf_dir), "bucketed", table)
     fp = source_fingerprint(sf_dir, table)
-    if spark.catalog.tableExists(name) and marker_valid(path + "._fp", fp):
+    if marker_valid(path + "._fp", fp):
+        if spark.catalog.tableExists(name):
+            return name
+        # Data files are valid but the in-memory catalog (per-session)
+        # lost the entry — a fresh session must NOT pay the clustering
+        # shuffle again. Re-register the existing bucketed files:
+        # saveAsTable's bucket layout lives in the file layout + the
+        # table metadata, so CREATE TABLE ... CLUSTERED BY over the
+        # same LOCATION restores a fully bucketed (exchange-free) scan.
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_S17_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
         return name
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(path, ignore_errors=True)

@@ -1117,8 +1117,12 @@ def a9_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # every cross-moment accumulates in decimal(38,0): sum(x*y) over
+        # plain BIGINT wraps silently (or ANSI-fails) past int64 at
+        # ~1e11 rows/group, while the oracle's HUGEINT survives — so the
+        # per-row product is widened BEFORE the SUM, exactly like syy
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
         F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731

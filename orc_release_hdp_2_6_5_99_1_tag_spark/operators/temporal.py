@@ -841,8 +841,12 @@ def w14_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: weights are integer microseconds (unix_micros /
     epoch_us — no float epoch), values are cast to decimal(18,3)
     before the multiply, and both Σ(value·dt) and Σ(dt) accumulate
-    in decimals, so the single final division is the only float op
-    in both engines (a8's exact-sum correlation rule).
+    exactly (decimal / bigint). Each sum is then cast to DOUBLE
+    *before* the division, so both engines replay the identical
+    IEEE sequence cast(Σvd)→double ÷ cast(Σd)→double (the a9/q1
+    mirror rule) — dividing the decimals directly would hash-split
+    the engines, because Spark quantizes decimal÷integer HALF_UP
+    at a fixed scale while DuckDB evaluates it as double division.
 
     Scale shape: ONE shuffle — the user_id hash exchange feeding the
     lead() window; the per-user rollup is a partial agg riding the
@@ -864,12 +868,13 @@ def w14_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dt_us").alias("held_us"),
             F.round(
-                (F.sum(F.col("v") * F.col("dt_us")) / F.sum("dt_us")).cast("double"),
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
                 6,
             ).alias("twap"),
-            F.round((F.sum("v") / F.count(F.lit(1))).cast("double"), 6).alias(
-                "mean_value"
-            ),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_value"),
         )
         .select(
             "user_id",
@@ -895,8 +900,8 @@ agg AS (
   SELECT user_id,
          COUNT(*) AS n_intervals,
          SUM(dt_us) AS held_us,
-         ROUND(CAST(SUM(v * dt_us) / SUM(dt_us) AS DOUBLE), 6) AS twap,
-         ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS mean_value
+         ROUND(CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap,
+         ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
   FROM seg WHERE dt_us IS NOT NULL GROUP BY user_id
 )
 SELECT user_id,
@@ -963,11 +968,13 @@ def w15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_type",
             "n_conversions",
             F.col("attributed_value").cast("double").alias("attributed_value"),
+            # cast-then-divide: both operands become doubles BEFORE the
+            # division so both engines replay the same IEEE op (dividing
+            # the decimals would quantize HALF_UP in Spark but run as
+            # double division in DuckDB — a 6th-decimal tie hazard)
             F.round(
-                (
-                    F.col("attributed_value")
-                    / F.sum("attributed_value").over(total)
-                ).cast("double"),
+                F.col("attributed_value").cast("double")
+                / F.sum("attributed_value").over(total).cast("double"),
                 6,
             ).alias("value_share"),
         )
@@ -992,6 +999,7 @@ rollup AS (
 SELECT touch_type,
        CAST(n_conversions AS BIGINT) AS n_conversions,
        CAST(attributed_value AS DOUBLE) AS attributed_value,
-       ROUND(CAST(attributed_value / SUM(attributed_value) OVER () AS DOUBLE), 6) AS value_share
+       ROUND(CAST(attributed_value AS DOUBLE)
+             / CAST(SUM(attributed_value) OVER () AS DOUBLE), 6) AS value_share
 FROM rollup ORDER BY touch_type
 """

@@ -1617,8 +1617,13 @@ def x22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per source: doc count, mean per-doc novelty ratio,
     fraction of fully-novel docs (ratio = 1), and pooled shingle
-    totals — small, stable, and exact (novelty ratios are exact
-    integer ratios rounded once).
+    totals. The per-doc ratio is QUANTIZED to integer parts-per-
+    million (floor(n_novel·1e6 / n_shingles), the identical IEEE
+    mul-div-floor in both engines) before averaging, and the mean is
+    one cast-then-divide over the exact BIGINT ppm sum — a bare
+    AVG over per-doc double ratios would be a partition-order-
+    dependent float accumulation (the a8 rule) and could flip the
+    6th rounded decimal between engines or even between runs.
 
     Scale shape: the shingle explode is narrow; first-occurrence is
     min(doc_id) per shingle — ONE corpus-sized shuffle that partial
@@ -1657,14 +1662,22 @@ def x22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = marked.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("novel").alias("n_novel"),
+    ).withColumn(
+        "novelty_ppm",
+        F.floor(
+            F.col("n_novel") * F.lit(1000000.0) / F.col("n_shingles")
+        ).cast("bigint"),
     )
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.col("n_novel") / F.col("n_shingles")), 6).alias(
-                "mean_novelty"
-            ),
+            F.round(
+                F.sum("novelty_ppm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("mean_novelty"),
             F.round(
                 F.avg((F.col("n_novel") == F.col("n_shingles")).cast("int")), 6
             ).alias("fully_novel_frac"),
@@ -1696,12 +1709,19 @@ per_doc AS (
          SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
   FROM sh JOIN first f ON f.h = sh.h
   GROUP BY sh.doc_id, sh.source
+),
+ppm AS (
+  SELECT source, n_shingles, n_novel,
+         CAST(FLOOR(CAST(n_novel AS DOUBLE) * 1000000.0 / n_shingles) AS BIGINT)
+           AS novelty_ppm
+  FROM per_doc
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(AVG(CAST(n_novel AS DOUBLE) / n_shingles), 6) AS mean_novelty,
+       ROUND(CAST(SUM(novelty_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_novelty,
        ROUND(AVG(CASE WHEN n_novel = n_shingles THEN 1.0 ELSE 0.0 END), 6) AS fully_novel_frac,
        CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
        CAST(SUM(n_novel) AS BIGINT) AS total_novel
-FROM per_doc GROUP BY source ORDER BY source
+FROM ppm GROUP BY source ORDER BY source
 """

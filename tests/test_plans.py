@@ -465,6 +465,42 @@ def test_s17_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
     )
 
 
+def test_s17_fresh_session_reregisters_without_rewriting(spark, sf_dir):
+    """A fresh session (empty in-memory catalog) over valid bucketed
+    data files must re-register the existing files — CREATE TABLE ...
+    CLUSTERED BY over the same LOCATION — not rmtree + rewrite: the
+    pay-the-clustering-shuffle-ONCE story is the whole point of the
+    layout. Pinned by file mtimes across a simulated session loss,
+    and the re-registered table must still join bucketed (SMJ, zero
+    exchanges below the join)."""
+    import os
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import (
+        _bucketed_table,
+        s17_bucketed_join,
+        scratch_dir,
+    )
+
+    name = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    path = os.path.join(scratch_dir(sf_dir), "bucketed", "orders")
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    # simulate the fresh session: the external table vanishes from the
+    # (per-session, in-memory) catalog while the data files survive
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    name2 = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    assert name2 == name
+    after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    assert after == mtimes, "re-registration rewrote the bucketed files"
+    plan = formatted_plan(s17_bucketed_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, (
+        f"re-registered table lost its bucketed scan:\n{plan}"
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 2, plan
+
+
 def test_s18_fact_scan_has_dynamic_pruning_filter(spark, sf_dir):
     """The dim-side quarter filter must become a RUNTIME partition
     filter on the month-partitioned fact scan (dynamicpruning
