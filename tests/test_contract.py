@@ -47,36 +47,45 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round6_graded_window_composition():
+def test_round7_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
-    instead. Update alongside each round's deliberate rotation."""
+    instead. Update alongside each round's deliberate rotation.
+
+    Round-7 window = backlog burn-down per the round-6 verdict: the
+    28 round-6 additions, the TPC-H mid-tail q7/q9..q20, the eight
+    remaining judge-named never-graded extras, and the flagship."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
-        "a4_stripe_stats", "d10_dup_clusters", "d11_semdedup",
-        "d12_bloom_decontaminate", "d15_cross_source_overlap",
-        "d16_contamination_report", "d17_fuzzy_token_pairs",
-        "d1_exact_dedup", "d2_minhash_lsh",
-        "d6_embedding_cosine_neardup", "g2_cube",
-        "g3_hierarchy_depth", "j2_join_strategy_parity",
-        "k1_kmeans_clusters", "m4_payload_dedup",
-        "mv2_affected_key_refresh", "p4_unpivot",
-        "pipe1_training_data_prep", "pipe2_curation_funnel",
-        "q1_pricing_summary", "q21_waiting_suppliers",
-        "q4_order_priority", "q8_market_share",
-        "r10_stream_ohlc", "r1_streaming_orc_ingest",
-        "r2_streaming_windowed_agg", "r3_stateful_running_totals",
-        "r4_streaming_acid_cdc", "r5_session_windows",
-        "r6_stream_dedup", "r7_stream_stream_join",
-        "r8_streaming_pipeline", "sk1_kmv_distinct",
-        "t2_acid_merge_on_read", "t3_compaction", "t4_acid_stats",
-        "t8_snapshot_diff", "u2_pandas_udf_parity",
-        "u4_map_in_arrow", "v1_cosine_topk", "v3_ivf_ann",
-        "v4_pq_ann", "w10_gap_fill", "w11_interval_merge",
-        "w3_asof_join", "w5_retention_cohorts", "w6_interval_join",
-        "w7_scd2_history", "w8_ohlc_downsample", "x18_gopher_filters",
+        "q1_pricing_summary",
+        # TPC-H mid-tail
+        "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
+        "q11_important_stock", "q12_priority_split",
+        "q13_order_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_parts_supplier",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q20_part_promotion",
+        # round-6 additions
+        "s15_small_file_compaction", "s16_zorder_layout",
+        "s17_bucketed_join", "s18_dynamic_partition_pruning",
+        "sk2_histogram_quantiles", "sk3_countmin_heavy_hitters",
+        "sk4_hll_distinct", "sk5_theta_intersection",
+        "a8_correlation_matrix", "a9_groupwise_regression",
+        "a10_winsorized_stats", "g4_triangle_count", "g5_pagerank",
+        "d18_containment", "d19_boilerplate_scrub",
+        "w12_event_funnel", "w13_rfm_segmentation", "w14_twap",
+        "w15_last_touch_attribution", "x19_bigram_lm",
+        "x20_vocab_growth", "x21_source_divergence",
+        "x22_ngram_novelty", "i3_stratified_sample", "v7_knn_join",
+        "j3_salted_skew_join", "r11_stream_outer_join",
+        "pipe3_segment_funnel",
+        # judge-named never-graded extras
+        "w4_trailing_window", "w9_window_suite",
+        "x5_train_test_split", "x6_repetition_metrics",
+        "u3_model_inference", "m3_frame_sample",
+        "j1_json_path_extract", "mv1_incremental_agg",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50
