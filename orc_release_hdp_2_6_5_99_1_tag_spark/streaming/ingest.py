@@ -51,6 +51,13 @@ _EVENTS_NANOS_SCHEMA = (
 
 _SENTINEL_TYPE = "__watermark_sentinel__"
 
+# State partitions for r11's stream-stream outer join (checkpoint-
+# pinned at first run). Micro-batch fixed cost scales with partition
+# count (4 state-store commits per partition per side per batch), so
+# this is sized to the stream, not to the CPU count — a deployment
+# would raise it with stream key-cardinality/throughput.
+_R11_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_R11_STATE_PARTITIONS", "8"))
+
 _STREAM_TIMEOUT_S = 570
 
 
@@ -83,6 +90,7 @@ def _events_stream(
     copies: int = 1,
     splits: int = 1,
     only_type: str | None = None,
+    single_batch: bool = False,
 ) -> DataFrame:
     """File-source stream over the events parquet, dtype-dispatched on
     the parquet footer exactly like the batch loader (`tables.py`):
@@ -148,7 +156,16 @@ def _events_stream(
     nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     if with_sentinel:
         _stage_sentinel(spark, sf_dir, src_dir)
-    multi_batch = with_sentinel or copies > 1 or splits > 1
+    # single_batch: deliver data + sentinels in ONE micro-batch and let
+    # the engine's no-data finalization batch (run by availableNow once
+    # the watermark advances past the last batch's max event time) do
+    # the state flush. Correct for STATEFUL JOINS, where emission
+    # eligibility is purely watermark-vs-event-time: the experiment in
+    # r11's docstring shows identical output to staged per-file batches
+    # at half the micro-batch count. Append-mode WINDOW aggregations
+    # keep the staged two-sentinel delivery (r2/r10), which is the
+    # pattern their finalization was validated against.
+    multi_batch = (with_sentinel and not single_batch) or copies > 1 or splits > 1
     if nanos:
         reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
         if multi_batch:
@@ -171,19 +188,36 @@ def _stage_filtered(sf_dir: str, src_dir: str, only_type: str) -> None:
     """Stage a type-filtered copy of the events parquet (pyarrow
     filter, physical schema preserved byte-for-byte so the stream's
     footer-type dispatch stays valid) — models a per-entity topic."""
+    _stage_filtered_topics(sf_dir, [(src_dir, only_type)])
+
+
+def _stage_filtered_topics(sf_dir: str, topics: list[tuple[str, str]]) -> None:
+    """Stage several type-filtered topics in ONE pass over the events
+    parquet: the source table is read once and each (dir, type) pair
+    gets its filtered slice — callers that need a clicks topic AND a
+    purchases topic (r11) pay one table scan instead of one per topic.
+    Markers are per-topic, so a partially-valid set only restages the
+    missing topics."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    marker = os.path.join(src_dir, "_filtered_done")
-    fp = source_fingerprint(sf_dir, "events") + f";only_type={only_type}"
-    if marker_valid(marker, fp):
+    fp_base = source_fingerprint(sf_dir, "events")
+    todo = []
+    for src_dir, only_type in topics:
+        marker = os.path.join(src_dir, "_filtered_done")
+        fp = fp_base + f";only_type={only_type}"
+        if not marker_valid(marker, fp):
+            todo.append((src_dir, only_type, marker, fp))
+    if not todo:
         return
     path = os.path.join(sf_dir, "events.parquet")
     t = pq.read_table(path)
-    t = t.filter(pc.equal(t["event_type"], only_type))
-    dest = os.path.join(src_dir, "events_filtered.parquet")
-    pq.write_table(t, dest, version="2.6")
-    write_marker(marker, fp)
+    for src_dir, only_type, marker, fp in todo:
+        os.makedirs(src_dir, exist_ok=True)
+        filtered = t.filter(pc.equal(t["event_type"], only_type))
+        dest = os.path.join(src_dir, "events_filtered.parquet")
+        pq.write_table(filtered, dest, version="2.6")
+        write_marker(marker, fp)
 
 
 def _stage_splits(sf_dir: str, src_dir: str, splits: int, copies: int = 1) -> None:
@@ -223,18 +257,108 @@ def _stage_splits(sf_dir: str, src_dir: str, splits: int, copies: int = 1) -> No
     write_marker(marker, fp)
 
 
+_SENTINEL_DAYS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _footer_max_day(path: str):
+    """date(max ts) read from the parquet FOOTER column statistics —
+    no table scan. Returns None when stats are missing or the layout
+    is unrecognized (caller falls back to a Spark agg). Date-level
+    precision is all the sentinel needs (it sits 2/4 DAYS past max,
+    against a 1-hour watermark delay), so unit/timezone rounding at
+    the day boundary is immaterial."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import _epoch_units_per_second
+
+    try:
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.names.index("ts")
+        md = pf.metadata
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or st.max is None:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            return None
+        t = events_ts_parquet_type(path)
+        if isinstance(mx, datetime.datetime):
+            return mx.date()
+        if isinstance(mx, int):
+            if pa.types.is_timestamp(t):
+                ups = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit]
+            elif pa.types.is_integer(t):
+                ups = _epoch_units_per_second(path)
+            else:
+                return None
+            return datetime.datetime.fromtimestamp(
+                mx // ups, datetime.timezone.utc
+            ).date()
+        return None
+    except Exception:
+        return None
+
+
+def _sentinel_days(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The two sentinel days (date(max ts) + 2 and + 4). Sourced from
+    the parquet footer stats when present — the r7 profile showed the
+    per-side Spark max(ts) scan dominating r11's cold run (28s of
+    34s at sf0.1) — with a per-source-mtime cached Spark-agg fallback
+    so even stat-less files pay at most ONE scan per session."""
+    import datetime
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    path = os.path.join(sf_dir, "events.parquet")
+    key = f"{path}:{os.path.getmtime(path)}"
+    if key in _SENTINEL_DAYS_CACHE:
+        return _SENTINEL_DAYS_CACHE[key]
+    day = _footer_max_day(path)
+    if day is not None:
+        days = (
+            str(day + datetime.timedelta(days=2)),
+            str(day + datetime.timedelta(days=4)),
+        )
+    else:
+        row = (
+            load_table(spark, sf_dir, "events")
+            .agg(
+                F.date_add(F.max("ts").cast("date"), 2).alias("d1"),
+                F.date_add(F.max("ts").cast("date"), 4).alias("d2"),
+            )
+            .collect()[0]
+        )
+        days = (str(row["d1"]), str(row["d2"]))
+    _SENTINEL_DAYS_CACHE[key] = days
+    return days
+
+
 def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     """Write the two one-row watermark-advancing sentinel files with
     staggered mtimes (keyed on the source fingerprint so they restage
     when testdata changes). The sentinel ts column mirrors the SOURCE
     file's physical layout — raw nanos long for the nanos generation,
-    raw unit-faithful long for the integer generation, NTZ/timestamp
-    otherwise — so the stream's one reader schema fits every file."""
+    raw unit-faithful long for the integer generation, NTZ micros
+    otherwise — so the stream's one reader schema fits every file.
+
+    Written directly with pyarrow: the previous Spark route
+    (createDataFrame of one Python row → coalesce(1) write) planned a
+    32-partition pickled RDD and spun a Python worker per task — 6-9s
+    PER one-row sentinel file, ~24s of r11's 34s cold run. The
+    physical bytes are identical (int64 / timestamp[us] NTZ columns,
+    snappy), only the writer changed."""
+    import datetime
     import time
 
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import _epoch_units_per_second
 
     marker = os.path.join(src_dir, "_sentinel_done")
     fp = source_fingerprint(sf_dir, "events")
@@ -244,14 +368,7 @@ def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     t = events_ts_parquet_type(path)
     nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     integer = pa.types.is_integer(t)
-    horizons = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            F.date_add(F.max("ts").cast("date"), 2).alias("d1"),
-            F.date_add(F.max("ts").cast("date"), 4).alias("d2"),
-        )
-        .collect()[0]
-    )
+    d1, d2 = _sentinel_days(spark, sf_dir)
     # batches are mtime-ordered; anchor on max(source mtimes, now) so a
     # source file with a FUTURE mtime (clock skew, copied testdata)
     # cannot sort after the sentinels and leave windows unfinalized
@@ -261,35 +378,32 @@ def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
         if f.endswith(".parquet") and not f.startswith("zz_sentinel")
     ]
     now = max([time.time(), *src_mtimes])
-    for i, day in enumerate([horizons["d1"], horizons["d2"]]):
-        sent = spark.createDataFrame(
-            [(int(-1 - i), str(day) + " 00:00:00", int(-1 - i), _SENTINEL_TYPE, 0.0, "{}")],
-            "event_id bigint, ts string, user_id bigint, event_type string,"
-            " value double, props string",
-        )
+    for i, day in enumerate([d1, d2]):
+        dt = datetime.datetime.strptime(str(day), "%Y-%m-%d")
+        epoch_s = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp())
         if nanos:
             # mirror the nanos layout: ts as raw epoch-nanos long
-            sent = sent.withColumn("ts", F.unix_micros(F.to_timestamp("ts")) * 1000)
+            ts_arr = pa.array([epoch_s * 1_000_000_000], type=pa.int64())
         elif integer:
-            ups = _epoch_units_per_second(path)
-            micros = F.unix_micros(F.to_timestamp("ts"))
-            if ups >= 1_000_000:
-                sent = sent.withColumn("ts", micros * (ups // 1_000_000))
-            else:
-                sent = sent.withColumn(
-                    "ts", F.expr(f"unix_micros(to_timestamp(ts)) div {1_000_000 // ups}")
-                )
+            ts_arr = pa.array([epoch_s * _epoch_units_per_second(path)], type=t)
         else:
-            sent = sent.withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
-        sent = sent.select("event_id", "ts", "user_id", "event_type", "value", "props")
-        tmp = os.path.join(src_dir, "_sentinel_tmp")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            # timestamp_ntz micros — what the Spark writer produced for
+            # both NTZ and tz-adjusted sources (physical int64 micros)
+            ts_arr = pa.array([dt], type=pa.timestamp("us"))
+        sent = pa.table(
+            {
+                "event_id": pa.array([-1 - i], type=pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1 - i], type=pa.int64()),
+                "event_type": pa.array([_SENTINEL_TYPE], type=pa.string()),
+                "value": pa.array([0.0], type=pa.float64()),
+                "props": pa.array(["{}"], type=pa.string()),
+            }
+        )
         dest = os.path.join(src_dir, f"zz_sentinel_{i}.parquet")
         if os.path.exists(dest):
             os.remove(dest)
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp, ignore_errors=True)
+        pq.write_table(sent, dest, version="2.6")
         # file-source batches are ordered by mtime: events < s1 < s2
         os.utime(dest, (now + 10 * (i + 1), now + 10 * (i + 1)))
     write_marker(marker, fp)
@@ -908,6 +1022,23 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     once wm > c_ts the purchase side can no longer match it) — state
     is minutes of stream, not history. One user-keyed stateful
     exchange per side.
+
+    Cold-run cost (r7 verdict item): the dominant cost is micro-batch
+    fixed overhead — each batch commits 4 state stores per partition
+    per join side. Three amortizations, measured at sf0.1/local[32]
+    (39.2s → ~2.5s stream time, identical oracle output):
+    (1) both topics staged in ONE pass over events
+    (`_stage_filtered_topics`: single read, two filtered writes);
+    (2) each side delivered as ONE micro-batch (`single_batch=True`)
+    — outer-row emission needs only that the watermark pass the
+    eligibility point, which the engine's no-data finalization batch
+    provides after the sentinels advance it, so the staged per-file
+    delivery (8 batches) buys nothing here; (3) state partitions
+    sized to the stream (`_R11_STATE_PARTITIONS`, default 8 — a
+    checkpoint-pinned deployment knob: a real cluster sizes it to
+    stream key-cardinality/throughput; the session's 32 CPU-sized
+    shuffle partitions would commit 4x the state files per batch for
+    a join whose per-batch state fits in a few MB).
     """
     base = scratch_dir(sf_dir)
     out = os.path.join(base, "stream", "r11_outer")
@@ -919,9 +1050,24 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(os.path.join(base, "stream", d), ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        # both topics staged in ONE pass over events (single table
+        # read, two filtered writes) — _events_stream below sees the
+        # valid per-topic markers and skips its per-side staging
+        _stage_filtered_topics(
+            sf_dir,
+            [
+                (os.path.join(base, "stream", "r11_clicks_src"), "click"),
+                (os.path.join(base, "stream", "r11_purch_src"), "purchase"),
+            ],
+        )
         clicks = (
             _events_stream(
-                spark, sf_dir, with_sentinel=True, sub="r11_clicks_src", only_type="click"
+                spark,
+                sf_dir,
+                with_sentinel=True,
+                sub="r11_clicks_src",
+                only_type="click",
+                single_batch=True,
             )
             .select(
                 F.col("event_id").alias("click_id"),
@@ -933,7 +1079,12 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         purchases = (
             _events_stream(
-                spark, sf_dir, with_sentinel=True, sub="r11_purch_src", only_type="purchase"
+                spark,
+                sf_dir,
+                with_sentinel=True,
+                sub="r11_purch_src",
+                only_type="purchase",
+                single_batch=True,
             )
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -949,14 +1100,22 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") <= F.col("c_ts")),
             "leftOuter",
         )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        # state-partition count is pinned into the checkpoint at first
+        # run; size it to the stream instead of inheriting the CPU-sized
+        # batch shuffle width (restored immediately after start)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_R11_STATE_PARTITIONS))
+        try:
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         write_marker(done, fp)
     df = spark.read.parquet(out).filter(_not_sentinel("c_type"))
     return df.agg(
