@@ -276,12 +276,17 @@ def sk1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-token counts per source via a KMV
     (bottom-k / k-minimum-values) sketch: keep the k smallest 32-bit
     md5-derived hashes of the distinct tokens; the estimator is
-    (k-1) * SPACE / h_k (Bar-Yossef et al. 2002). Unlike HLL (whose
-    register layout is engine-specific, so approx_count_distinct can
-    never be oracle-compared), KMV over a SHARED hash function is
-    fully deterministic — both engines keep exactly the same k hashes
-    and produce the same estimate, so the sketch itself is graded,
-    not just its error bound.
+    (k-1) * SPACE / h_k (Bar-Yossef et al. 2002). Unlike the ENGINE-
+    NATIVE HLL (approx_count_distinct's register layout is
+    implementation-specific, so it can never be oracle-compared), KMV
+    over a SHARED hash function is fully deterministic — both engines
+    keep exactly the same k hashes and produce the same estimate, so
+    the sketch itself is graded, not just its error bound. The same
+    shared-hash discipline extends to every sketch in the family —
+    sk2 (fixed-bin histogram), sk3 (Count-Min), sk4 (a HAND-ROLLED
+    HLL whose registers are pinned to public arithmetic, oracle-
+    graded bit-exactly), sk5 (theta intersection) — see SCALE.md
+    §sketches.
 
     Scale shape: one distinct over (source, hash) — the only
     corpus-sized shuffle — then a rank-limit window per source that
