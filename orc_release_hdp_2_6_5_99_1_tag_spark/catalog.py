@@ -250,6 +250,11 @@ def _build() -> None:
     register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE, graded=False)
     register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE, graded=False)
     register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE, graded=False)
+    # round-7 addition (the one verdict-requested gap-closer): the
+    # reference's POSITIONAL file->reader mapping mode
+    register(
+        "c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE, graded=False
+    )
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE, graded=False)
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
     register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE, graded=False)

@@ -224,6 +224,72 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def _positional_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per testdata fingerprint) a Hive-1.x-style
+    ORC copy of a lineitem projection whose PHYSICAL column names are
+    _col0.._col3 — the layout old Hive writers produce and the reason
+    the reference grew `orc.force.positional.evolution`
+    (`OrcConf.java:141-145`): the file's names carry no information,
+    so the reader must map file→reader columns BY POSITION."""
+    out = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_positional")
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(out + "._fp", fp):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        write_orc(li.toDF("_col0", "_col1", "_col2", "_col3"), out)
+        write_marker(out + "._fp", fp)
+    return out
+
+
+def c3_positional_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/positional: read a Hive-written (_colN-named) ORC file under
+    POSITIONAL file→reader mapping — the reference's
+    `orc.force.positional.evolution` mode (`OrcConf.java:141-145`,
+    `SchemaEvolution.java:38-130`), which name-based evolution (c1)
+    cannot handle: every _colN name mismatches, so a name-mapped read
+    would return ALL nulls. Spark-first: the ORC reader detects the
+    all-_colN file layout and maps the explicit reader schema by
+    position (the same Hive-compat rule the reference implements as a
+    conf), so renamed reader columns — including a WIDENED int→bigint
+    on the second field, proving conversions compose with positional
+    mapping — receive the file's values. `tests/test_ppd_evolution.py`
+    pins both mapping modes against each other.
+
+    Scale shape: evolution is a per-file read-time mapping, free of
+    shuffles; the rollup is one 3-group aggregate (exact cents
+    accumulation, cast-then-divide mirrored in the oracle); orderBy
+    tail = oracle determinism."""
+    path = _positional_orc(spark, sf_dir)
+    reader_schema = (
+        "order_key bigint, line_no bigint, qty double, ret_flag string"
+    )
+    df = read_orc(spark, path, schema=reader_schema)
+    return (
+        df.groupBy("ret_flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("order_key")).alias("order_key_checksum"),
+            F.sum(F.col("line_no")).alias("line_no_sum"),
+            F.sum(F.floor(F.col("qty") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "qty_cents"
+            ),
+        )
+        .orderBy("ret_flag")
+    )
+
+
+C3P_ORACLE = """
+SELECT l_returnflag AS ret_flag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS order_key_checksum,
+       CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_no_sum,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY l_returnflag ORDER BY ret_flag
+"""
+
+
 def u1_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union type via the tagged-struct convention, round-tripped
     through ORC: encode uniontype<bigint,string> rows, write, read,

@@ -259,3 +259,69 @@ def test_evolved_ppd_fuzz(spark, evo_orc, pred):
         r[0] for r in con.sql(f"SELECT idx FROM t WHERE {duck_pred}").fetchall()
     )
     assert got == want, f"evolved-PPD fuzz divergence for {pred!r}"
+
+
+def test_positional_vs_name_based_mapping(spark, sf_dir, tmp_path):
+    """The reference supports TWO file->reader mapping modes
+    (`SchemaEvolution.java:38-130`; `OrcConf.java:141-145`
+    `orc.force.positional.evolution`): name-based (c1) and positional
+    (Hive-written files). Pin both against each other on the same
+    data: a file with MEANINGFUL names read under a renamed reader
+    schema nulls the renamed column (name mapping finds no match),
+    while the _colN-named twin of the same rows read under the same
+    reader schema delivers every value BY POSITION — including a
+    widened int->bigint on a middle field, proving conversions
+    compose with positional mapping."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.evolution import (
+        c3_positional_evolution,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import (
+        read_orc,
+        write_orc,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    named = str(tmp_path / "named_orc")
+    hive = str(tmp_path / "hive_orc")
+    write_orc(li, named)
+    write_orc(li.toDF("_col0", "_col1", "_col2", "_col3"), hive)
+    reader = "l_orderkey bigint, line_no bigint, l_quantity double, l_returnflag string"
+
+    # name-based: the renamed middle column has no name match -> NULLs
+    by_name = read_orc(spark, named, schema=reader)
+    n = by_name.count()
+    assert n == li.count()
+    assert by_name.filter(F.col("line_no").isNotNull()).count() == 0
+    # matched names still deliver values
+    assert by_name.filter(F.col("l_orderkey").isNull()).count() == 0
+
+    # positional: every column delivers by position despite the rename
+    by_pos = read_orc(spark, hive, schema=reader)
+    want = li.agg(
+        F.sum("l_orderkey"), F.sum(F.col("l_linenumber").cast("bigint"))
+    ).collect()[0]
+    got = by_pos.agg(F.sum("l_orderkey"), F.sum("line_no")).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert dict(by_pos.dtypes)["line_no"] == "bigint"  # widened in-flight
+
+    # and the registered extra returns the same rollup as its oracle
+    # shape computed straight from the parquet source
+    ref = (
+        li.groupBy(F.col("l_returnflag").alias("ret_flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_orderkey").alias("order_key_checksum"),
+            F.sum(F.col("l_linenumber").cast("bigint")).alias("line_no_sum"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("qty_cents"),
+        )
+        .orderBy("ret_flag")
+        .collect()
+    )
+    assert c3_positional_evolution(spark, sf_dir).collect() == ref
