@@ -157,6 +157,8 @@ EXTENDED = [
     "a10_winsorized_stats",
     "r11_stream_outer_join",
     "s18_dynamic_partition_pruning",
+    # round-7 addition: positional (Hive _colN) schema evolution
+    "c3_positional_evolution",
 ]
 
 
