@@ -156,6 +156,12 @@ def _build() -> None:
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
+    # Round-8 rotation shortlist — after the round-7 window lands, the
+    # ONLY queries in the registry without a driver verdict are:
+    # c3_positional_evolution, t6, t7, x10, x11, x12, x13, x14, x15
+    # (9 of 177). Swap them in next round; the remaining 41 slots can
+    # keep-warm the flagship + the most scale-critical shapes.
+    #
     # rotated out round 7 (driver-green in CORRECTNESS_r06):
     register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL, graded=False)
     register("q8_market_share", sq.q8_market_share, sq.Q8_SQL, graded=False)
