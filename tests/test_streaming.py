@@ -306,3 +306,123 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n, "restart reprocessed or skipped files"
     assert got.select("event_id").distinct().count() == n, "duplicate events after recovery"
+
+
+def test_sentinel_files_mirror_every_ts_generation(spark, tmp_path):
+    """The pyarrow sentinel writer (round 7: replaced a createDataFrame
+    route that cost 6-9s per ONE-ROW file) must keep producing files
+    the one-reader-schema stream can consume for EVERY driver testdata
+    generation: TIMESTAMP(NANOS) -> plain int64 epoch-nanos, raw
+    integer epoch units -> int64 at the source unit, micros/NTZ ->
+    timestamp[us] without timezone. Pinned per generation: physical
+    arrow type, value placement days past the source max, and mtime
+    ordering after the data files."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+        _SENTINEL_DAYS_CACHE,
+        _stage_sentinel,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = list(range(10))
+
+    def events_table(ts_arr):
+        return pa.table(
+            {
+                "event_id": pa.array(rows, pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([r % 3 for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * 10, pa.string()),
+                "value": pa.array([1.0] * 10, pa.float64()),
+                "props": pa.array(["{}"] * 10, pa.string()),
+            }
+        )
+
+    dts = [base + datetime.timedelta(minutes=i) for i in rows]
+    gens = {
+        "nanos": (pa.array(dts, pa.timestamp("ns")), pa.int64()),
+        "int_micros": (
+            pa.array(
+                [int(d.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) for d in dts],
+                pa.int64(),
+            ),
+            pa.int64(),
+        ),
+        "ntz_micros": (pa.array(dts, pa.timestamp("us")), pa.timestamp("us")),
+    }
+    for name, (ts_arr, want_type) in gens.items():
+        sf = str(tmp_path / f"sf_{name}")
+        os.makedirs(sf, exist_ok=True)
+        pq.write_table(events_table(ts_arr), os.path.join(sf, "events.parquet"))
+        src = str(tmp_path / f"src_{name}")
+        os.makedirs(src, exist_ok=True)
+        os.symlink(
+            os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
+        )
+        _SENTINEL_DAYS_CACHE.clear()
+        _stage_sentinel(spark, sf, src)
+        sents = sorted(f for f in os.listdir(src) if f.startswith("zz_sentinel"))
+        assert sents == ["zz_sentinel_0.parquet", "zz_sentinel_1.parquet"], name
+        for i, f in enumerate(sents):
+            t = pq.read_table(os.path.join(src, f))
+            assert t.num_rows == 1, name
+            assert t.schema.field("ts").type == want_type, (
+                f"{name}: sentinel ts type {t.schema.field('ts').type}"
+            )
+            v = t["ts"][0].as_py()
+            if name == "nanos":
+                day = datetime.datetime.fromtimestamp(
+                    v / 1e9, datetime.timezone.utc
+                ).date()
+            elif name == "int_micros":
+                day = datetime.datetime.fromtimestamp(
+                    v / 1e6, datetime.timezone.utc
+                ).date()
+            else:
+                day = v.date()
+            gap = (day - base.date()).days
+            assert gap == 2 + 2 * i, f"{name}: sentinel {i} sits {gap}d past max"
+            # batch order: sentinels must sort after the data by mtime
+            assert os.path.getmtime(os.path.join(src, f)) > os.path.getmtime(
+                os.path.join(src, "events.parquet")
+            ), name
+
+
+def test_r11_cold_shape_stays_amortized(spark, sf_dir):
+    """Pin the r11 cost fixes against regression: a cold run must plan
+    at most 5 micro-batches (single-batch delivery per side + the
+    engine's finalization batches — per-file delivery was 8) and pin
+    its checkpoint to the stream-sized state-partition count, not the
+    session's CPU-sized shuffle width."""
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+        _R11_STATE_PARTITIONS,
+        r11_stream_outer_join,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
+
+    base = os.path.join(scratch_dir(sf_dir), "stream")
+    for d in ("r11_clicks_src", "r11_purch_src", "r11_outer", "r11_outer_ckpt"):
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    try:
+        os.remove(os.path.join(base, "r11_outer._done"))
+    except FileNotFoundError:
+        pass
+    r11_stream_outer_join(spark, sf_dir).collect()
+    n_batches = len(os.listdir(os.path.join(base, "r11_outer_ckpt", "offsets")))
+    assert n_batches <= 5, f"r11 cold run planned {n_batches} micro-batches"
+    state_parts = len(
+        [
+            d
+            for d in os.listdir(os.path.join(base, "r11_outer_ckpt", "state", "0"))
+            if d.isdigit()
+        ]
+    )
+    assert state_parts == _R11_STATE_PARTITIONS, (
+        f"state partitions {state_parts} != pinned {_R11_STATE_PARTITIONS}"
+    )
