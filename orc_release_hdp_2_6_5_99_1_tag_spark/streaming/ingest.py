@@ -51,12 +51,38 @@ _EVENTS_NANOS_SCHEMA = (
 
 _SENTINEL_TYPE = "__watermark_sentinel__"
 
-# State partitions for r11's stream-stream outer join (checkpoint-
-# pinned at first run). Micro-batch fixed cost scales with partition
-# count (4 state-store commits per partition per side per batch), so
-# this is sized to the stream, not to the CPU count — a deployment
-# would raise it with stream key-cardinality/throughput.
-_R11_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_R11_STATE_PARTITIONS", "8"))
+# State partitions for the stateful streaming queries (checkpoint-
+# pinned at each query's first run). Micro-batch fixed cost scales
+# with partition count — a stateful operator commits its state stores
+# per partition per batch (a stream-stream join commits FOUR per
+# partition per side) — so this is sized to the stream, not to the
+# CPU count — a deployment would raise it with stream
+# key-cardinality/throughput. Round-7 measurement (r11, sf0.1):
+# 32 → 8 partitions alone was 13.8s → 4.7s on the cold join.
+_STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+# back-compat alias (r11 landed the knob first)
+_R11_STATE_PARTITIONS = _STREAM_STATE_PARTITIONS
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_sized_shuffle(spark: SparkSession):
+    """Scope `spark.sql.shuffle.partitions` to _STREAM_STATE_PARTITIONS
+    around a stateful stream's start+await: the count is captured into
+    the query's checkpoint at first run, so without this every stream
+    inherits the CPU-sized batch width and pays 4x the state-store
+    commits per micro-batch. Restored on exit; cold paths rmtree their
+    checkpoints, so the pinned width never conflicts with a resume."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 _STREAM_TIMEOUT_S = 570
 
@@ -488,15 +514,16 @@ def r2_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
@@ -566,15 +593,16 @@ def r5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_sentinel",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
@@ -638,14 +666,15 @@ def r6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     df = spark.read.parquet(out)
     return df.agg(
@@ -715,14 +744,15 @@ def r7_stream_stream_join(spark: SparkSession, sf_dir: str, splits: int = 1) -> 
             & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
             & (F.col("p_ts") <= F.col("c_ts")),
         )
-        q = (
-            pairs.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     df = spark.read.parquet(out)
     return df.agg(
@@ -798,15 +828,16 @@ def r8_streaming_pipeline(spark: SparkSession, sf_dir: str, splits: int = 1) -> 
                 "sum_value",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
@@ -965,15 +996,16 @@ def r10_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_sentinel",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await(q)
+        with _state_sized_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
         write_marker(done, fp)
     return (
         spark.read.parquet(out)
