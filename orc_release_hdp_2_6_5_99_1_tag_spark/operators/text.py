@@ -123,6 +123,12 @@ def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("n_tokens"),
         hits.alias("stopword_hits"),
         (hits / toks).alias("stopword_ratio"),
+        # per-doc ratio quantized to integer ppm (identical IEEE
+        # mul-div-floor in both engines) so the group mean is ONE exact
+        # bigint sum + cast-then-divide — a bare AVG over per-doc
+        # double ratios is partition-order-dependent (the a8 rule; same
+        # fix as x22's mean_novelty)
+        F.floor(hits * F.lit(1000000.0) / toks).cast("bigint").alias("ratio_ppm"),
     ).withColumn(
         "lang_pred",
         F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")),
@@ -131,7 +137,12 @@ def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang", "lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.round(
+                F.sum("ratio_ppm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("avg_stopword_ratio"),
         )
         .orderBy("lang", "lang_pred")
     )
@@ -148,11 +159,13 @@ WITH scored AS (
   SELECT lang,
          CASE WHEN CAST(stopword_hits AS DOUBLE)/n_tokens >= 0.05
               THEN 'en' ELSE 'unk' END AS lang_pred,
-         CAST(stopword_hits AS DOUBLE)/n_tokens AS ratio
+         CAST(FLOOR(CAST(stopword_hits AS DOUBLE) * 1000000.0 / n_tokens) AS BIGINT)
+           AS ratio_ppm
   FROM scored
 )
 SELECT lang, lang_pred, COUNT(*) AS n_docs,
-       ROUND(AVG(ratio), 6) AS avg_stopword_ratio
+       ROUND(CAST(SUM(ratio_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0, 6) AS avg_stopword_ratio
 FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 """
 
@@ -175,11 +188,21 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.least((n_chars / n_tokens) / F.lit(10.0), F.lit(1.0)) * 0.3
         ).alias("quality"),
     )
+    # per-doc score quantized to integer ppm before the mean (the a8
+    # rule — min/max are order-independent and stay on the raw double)
+    scored = scored.withColumn(
+        "q_ppm", F.floor(F.col("quality") * F.lit(1000000.0)).cast("bigint")
+    )
     return (
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.sum("q_ppm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("avg_quality"),
             F.round(F.min("quality"), 6).alias("min_quality"),
             F.round(F.max("quality"), 6).alias("max_quality"),
         )
@@ -198,7 +221,8 @@ WITH scored AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(CAST(SUM(CAST(FLOOR(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_quality,
        ROUND(MIN(quality), 6) AS min_quality,
        ROUND(MAX(quality), 6) AS max_quality
 FROM scored GROUP BY source ORDER BY source
