@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -66,9 +67,6 @@ _STREAM_STATE_PARTITIONS = int(
 _R11_STATE_PARTITIONS = _STREAM_STATE_PARTITIONS
 
 
-from contextlib import contextmanager
-
-
 @contextmanager
 def _state_sized_shuffle(spark: SparkSession):
     """Scope `spark.sql.shuffle.partitions` to _STREAM_STATE_PARTITIONS
@@ -83,6 +81,7 @@ def _state_sized_shuffle(spark: SparkSession):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 _STREAM_TIMEOUT_S = 570
 
@@ -1132,12 +1131,7 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") <= F.col("c_ts")),
             "leftOuter",
         )
-        # state-partition count is pinned into the checkpoint at first
-        # run; size it to the stream instead of inheriting the CPU-sized
-        # batch shuffle width (restored immediately after start)
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_R11_STATE_PARTITIONS))
-        try:
+        with _state_sized_shuffle(spark):
             q = (
                 joined.writeStream.format("parquet")
                 .option("path", out)
@@ -1146,8 +1140,6 @@ def r11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             _await(q)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         write_marker(done, fp)
     df = spark.read.parquet(out).filter(_not_sentinel("c_type"))
     return df.agg(
