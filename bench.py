@@ -274,7 +274,11 @@ def main() -> None:
     # shrinks.
     full_line = json.dumps(full, separators=(",", ":"))
     line = json.dumps(result, separators=(",", ":"))
-    assert len(line) <= 1500, f"final bench line too big: {len(line)}B"
+    if len(line) > 1500:
+        # never fail the whole bench over line size: degrade to the
+        # scalar core (the per-query map still ships on the full line)
+        slim = {k: result[k] for k in ("metric", "value", "unit", "sf", "cpus")}
+        line = json.dumps(slim, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_last.json"), "w") as fh:
