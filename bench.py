@@ -202,15 +202,22 @@ def main() -> None:
     # (r01-r04: two): long-lived-JVM GC noise can inflate a single
     # sample up to 3x on sub-second queries; the min is the honest
     # steady-state cost.
+    # r08: keep ALL three samples for the headline tier too (the r7
+    # driver capture ran ~1.5x inflated under ambient load and only an
+    # out-of-band judge re-run could prove it; with per-headline
+    # [min, median, max] spreads in bench_last.json the artifact is
+    # self-diagnosing). The reported series value stays the min.
+    headline_stats: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = None
+        samples: list[float] = []
         for _ in range(3):
             engine_clear_caches(spark)
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        headline_stats[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
 
@@ -262,21 +269,23 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     full = dict(result)
+    full["queries_headline_stats"] = headline_stats
     full["queries_extended"] = extended
     full["queries_extended_stats"] = extended_stats
     # BENCH_r06 lesson (second failed capture): the driver parses a
     # ~2.2 KB TAIL of stdout, and the r6 "compact-and-last" line was
     # 3.1 KB — still clipped mid-line ("parsed": null). The FINAL line
     # must therefore be MINIMAL: metric/value/unit/sf/cpus + the core
-    # `queries` dict only (~0.9 KB measured). The full object with the
-    # extended series prints on the line BEFORE it and is persisted to
-    # bench_last.json, so nothing is lost — only the tail-window line
-    # shrinks.
+    # `queries` dict only (~0.9 KB measured). r08 (ADVICE): stdout now
+    # carries EXACTLY ONE JSON line — the full object (headline +
+    # extended spreads) lives only in bench_last.json, so a driver that
+    # scans forward from the tail-window start can't land on a clipped
+    # multi-KB line first.
     full_line = json.dumps(full, separators=(",", ":"))
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1500:
         # never fail the whole bench over line size: degrade to the
-        # scalar core (the per-query map still ships on the full line)
+        # scalar core (the per-query map still ships in bench_last.json)
         slim = {k: result[k] for k in ("metric", "value", "unit", "sf", "cpus")}
         line = json.dumps(slim, separators=(",", ":"))
     try:
@@ -286,7 +295,6 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout must not break the stdout contract
     spark.stop()  # no JVM shutdown chatter after the result line
-    print(full_line, flush=True)
     print(line, flush=True)
 
 

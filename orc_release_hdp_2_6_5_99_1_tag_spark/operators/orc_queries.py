@@ -654,8 +654,16 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
     name = f"bkt_{table}_{tag}"
     path = os.path.join(scratch_dir(sf_dir), "bucketed", table)
-    fp = source_fingerprint(sf_dir, table)
-    if marker_valid(path + "._fp", fp):
+    # The fingerprint must pin the BUCKET SPEC, not just the source
+    # table: if the bucket count or key ever changes, files written
+    # under the old spec must not be re-registered as CLUSTERED BY the
+    # new one — a sort-merge join would silently read wrongly-bucketed
+    # files and return wrong results (round-7 ADVICE).
+    fp = source_fingerprint(sf_dir, table) + f";buckets={_S17_BUCKETS};key={key}"
+    has_data = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if marker_valid(path + "._fp", fp) and has_data:
         if spark.catalog.tableExists(name):
             return name
         # Data files are valid but the in-memory catalog (per-session)

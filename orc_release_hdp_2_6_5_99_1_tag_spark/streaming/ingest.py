@@ -403,6 +403,19 @@ def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
         if f.endswith(".parquet") and not f.startswith("zz_sentinel")
     ]
     now = max([time.time(), *src_mtimes])
+    # The epoch below resolves each sentinel DAY at UTC midnight. The
+    # Spark route it replaced resolved the day in the SESSION time
+    # zone, so with a non-UTC spark.sql.session.timeZone the instants
+    # would shift by up to ~14h — eating into the 2/4-day past-max
+    # margin the watermark reasoning relies on (round-7 ADVICE). The
+    # engine pins UTC at session build; assert it here so a config
+    # drift fails loudly instead of silently shrinking the margin.
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    assert session_tz in ("UTC", "Etc/UTC", "GMT"), (
+        f"sentinel epochs are computed at UTC midnight but the session "
+        f"time zone is {session_tz!r}; the day-level watermark margin "
+        f"reasoning only holds under UTC"
+    )
     for i, day in enumerate([d1, d2]):
         dt = datetime.datetime.strptime(str(day), "%Y-%m-%d")
         epoch_s = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp())

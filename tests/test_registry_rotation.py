@@ -1,0 +1,87 @@
+"""Mechanical rotation bookkeeping (round-7 verdict, "What's wrong" #1).
+
+Two successive rounds shipped a hand-maintained "queries still missing
+a driver verdict" shortlist that undercounted the real set (round 7:
+9 claimed vs 14 actual — the five f1..f5 SARG leaves were graded in
+round 1 but hash-mismatched, so they never earned a FULL green). This
+test computes the never-fully-green set from the CORRECTNESS_r*.json
+history and asserts the current graded window covers it, so the count
+can never drift by hand again.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ever_green() -> set[str]:
+    """Queries with at least one FULLY green driver verdict.
+
+    Fully green = rows_match AND schema_match AND hash_match AND no
+    err — the same bar the round-7 judge applied. A rows-only or
+    hash-mismatched grade does not count (that is exactly how f1..f5
+    fell through the cracks).
+    """
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, verdict in data.items():
+            if not isinstance(verdict, dict):
+                continue
+            if (
+                verdict.get("rows_match")
+                and verdict.get("schema_match")
+                and verdict.get("hash_match")
+                and verdict.get("err") is None
+            ):
+                green.add(name)
+    return green
+
+
+def test_correctness_history_exists():
+    assert glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), (
+        "no CORRECTNESS_r*.json history found — the rotation invariant "
+        "cannot be checked"
+    )
+
+
+def test_graded_window_covers_never_green_set():
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    graded = set(catalog.queries())
+    extras = set(catalog.extra_queries())
+    never_green = (graded | extras) - _ever_green()
+    stranded = never_green - graded
+    assert not stranded, (
+        f"{len(stranded)} queries have never earned a full "
+        f"rows+schema+hash driver verdict but are NOT in the current "
+        f"graded window, so they can never earn one: {sorted(stranded)}"
+    )
+
+
+def test_registry_shape():
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    graded = catalog.queries()
+    extras = catalog.extra_queries()
+    assert len(graded) <= catalog.GRADED_WINDOW
+    assert not set(graded) & set(extras), "graded/extras overlap"
+    # every graded query must have an oracle: a rows-only grade is a
+    # weaker verdict and should be a deliberate choice, not an omission
+    osql = catalog.oracle_sql()
+    missing = [n for n in graded if n not in osql]
+    assert not missing, f"graded queries without oracle SQL: {missing}"
+
+
+def test_extras_all_have_oracles():
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    extras = catalog.extra_queries()
+    osql = catalog.extra_oracle_sql()
+    missing = [n for n in extras if n not in osql]
+    assert not missing, f"extra queries without oracle SQL: {missing}"
