@@ -152,7 +152,14 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
 def verified_dup_pairs(d: DataFrame) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification:
     the shared pair engine behind d2 (pair listing) and d10 (cluster
-    formation). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    formation). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Bench-series note: d2's cost stepped 1.56s (r3) → ~2.6s when this
+    verification/pruning/cache rework landed in r5/r6 — deliberate
+    (exactness + the 1M-doc stress ratio), not drift; a r8 experiment
+    confirmed the banded self-join is already optimal locally (bucket
+    pre-aggregation measured no faster and adds collect_list skew
+    risk). Details: SCALE.md "Round-8 series notes"."""
     # Cache policy, MEASURED at the 1M-doc cold stress point (cache
     # cleared before timing; identical outputs): caching every shared
     # subplan costs 27.5s end-to-end, caching ONLY the duplicate-sized
