@@ -159,6 +159,8 @@ EXTENDED = [
     "s18_dynamic_partition_pruning",
     # round-7 addition: positional (Hive _colN) schema evolution
     "c3_positional_evolution",
+    # round-8 addition: row-group (RowIndexEntry) statistics
+    "s19_rowgroup_stats",
 ]
 
 

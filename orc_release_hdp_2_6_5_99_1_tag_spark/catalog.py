@@ -122,6 +122,12 @@ def _build() -> None:
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
+    # round-8 addition (verdict-requested): row-group (RowIndexEntry)
+    # statistics — the reference's third stats level, surfaced by the
+    # pure-Python tail parser; graded immediately so no new
+    # never-green backlog entry is created (x1_token_count rotates to
+    # extras to make room — the text tier keeps x10-x15/x22 graded)
+    register("s19_rowgroup_stats", oq.s19_rowgroup_stats, oq.S19_ORACLE)
     register(
         "s18_dynamic_partition_pruning",
         oq.s18_dynamic_partition_pruning,
@@ -158,7 +164,6 @@ def _build() -> None:
     # temporal / text / skew / sampling / MV
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE)
-    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE)
     register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE)
     register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE)
@@ -202,6 +207,7 @@ def _build() -> None:
     register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
     register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
     register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE, graded=False)
+    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
     register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)
     register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE, graded=False)

@@ -824,3 +824,97 @@ FROM orders
 WHERE CAST(FLOOR((month(o_orderdate) + 2) / 3.0) AS INT) = 2
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# s19: row-group (RowIndexEntry) statistics — the third stats level
+# ---------------------------------------------------------------------------
+
+_S19_STRIDE = 10_000
+
+
+def s19_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group-level column statistics surfaced from the ORC
+    ROW_INDEX streams by the pure-Python tail parser — the reference's
+    third statistics level (file -> stripe -> row group:
+    `proto/orc_proto.proto:84-91` RowIndexEntry{positions,statistics},
+    `site/_docs/indexes.md:7-19`, reader plumbing
+    `RecordReaderImpl.readRowIndex:1232+`), the granularity
+    `orc-tools meta --withIndex` prints and `pickRowGroups` prunes at.
+    tests/test_skipping.py proves row-group skipping by metrics; this
+    operator exposes the stats those skips are decided on.
+
+    Layout contract that makes the result oracle-checkable: the copy
+    is ONE totally-ordered file (sorted by the unique
+    (l_orderkey, l_linenumber) key) with an explicit rowIndexStride,
+    so row group k covers exactly rows [k*stride, (k+1)*stride) of the
+    sorted order and DuckDB can recompute every group's min/max/count
+    with row_number(). A loud guard (not a silent wrong answer) fires
+    if stripe flushes ever misalign groups from that arithmetic.
+
+    Scale: the scan is metadata-only — executors do ranged reads of
+    tail + index regions, one task per file (rowgroup_stats), and the
+    pivot/aggregate runs over ~rows/stride metadata rows, not data."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import rowgroup_stats
+
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_rowindex")
+    fp = source_fingerprint(sf_dir, "lineitem")
+    if not marker_valid(dest + "._fp", fp):
+        df = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+            .repartition(1)
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
+        )
+        write_orc(df, dest, row_index_stride=_S19_STRIDE, stripe_size=256 * 1024 * 1024)
+        write_marker(dest + "._fp", fp)
+    rg = rowgroup_stats(spark, dest, ["l_orderkey", "l_returnflag"]).cache()
+    misaligned = rg.filter((F.col("start_row") % _S19_STRIDE) != 0).count()
+    if misaligned:
+        raise AssertionError(
+            f"{misaligned} row groups start off-stride: a stripe flushed "
+            f"mid-group, so the row_number() oracle arithmetic no longer "
+            f"places groups — rewrite with a larger stripe_size"
+        )
+    return (
+        rg.withColumn("row_group", (F.col("start_row") / _S19_STRIDE).cast("bigint"))
+        .groupBy("row_group")
+        .agg(
+            F.max(
+                F.when(F.col("column_name") == "l_orderkey", F.col("rows_in_group"))
+            ).alias("n_rows"),
+            F.max(
+                F.when(
+                    F.col("column_name") == "l_orderkey",
+                    F.col("min_val").cast("bigint"),
+                )
+            ).alias("min_orderkey"),
+            F.max(
+                F.when(
+                    F.col("column_name") == "l_orderkey",
+                    F.col("max_val").cast("bigint"),
+                )
+            ).alias("max_orderkey"),
+            F.max(
+                F.when(F.col("column_name") == "l_returnflag", F.col("min_val"))
+            ).alias("min_returnflag"),
+            F.max(
+                F.when(F.col("column_name") == "l_returnflag", F.col("max_val"))
+            ).alias("max_returnflag"),
+        )
+        .orderBy("row_group")
+    )
+
+
+S19_ORACLE = f"""
+WITH ordered AS (
+  SELECT l_orderkey, l_returnflag,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+  FROM lineitem
+)
+SELECT CAST(rn // {_S19_STRIDE} AS BIGINT) AS row_group,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+       MIN(l_returnflag) AS min_returnflag, MAX(l_returnflag) AS max_returnflag
+FROM ordered GROUP BY 1 ORDER BY 1
+"""

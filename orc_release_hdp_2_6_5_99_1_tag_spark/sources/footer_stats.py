@@ -294,3 +294,106 @@ def footer_column_stats_py4j(spark: SparkSession, path: str) -> DataFrame:
         "column_name string, n_values long, has_null boolean,"
         " min_val string, max_val string, sum_val string",
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Row-group (RowIndexEntry) statistics — the reference's THIRD stats level
+# ---------------------------------------------------------------------------
+
+_RG_SCHEMA = (
+    "path string, column_name string, stripe_idx int, group_idx int,"
+    " group_ord int, start_row long, rows_in_group long,"
+    " n_values long, has_null boolean, min_val string, max_val string"
+)
+
+
+def _make_rowindex_mapper():
+    """mapInPandas closure: one row per (file, column, row group) with
+    the RowIndexEntry statistics (`OrcProto.RowIndexEntry`:
+    positions=1, statistics=2 — proto/orc_proto.proto:84-91, surfaced
+    by `orc-tools meta --withIndex`, read by
+    `RecordReaderImpl.readRowIndex`). Self-contained for addPyFile
+    shipping, like the file-stats mapper above.
+
+    start_row / rows_in_group come from stripe geometry (stripe row
+    offsets + the footer's rowIndexStride), NOT from the entry's
+    n_values — numberOfValues counts non-null values, so geometry is
+    the only null-safe way to place a group in the file's row space."""
+
+    def files_to_rowgroups(batches):
+        import pandas as pd
+
+        try:
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail as ft
+        except ImportError:  # executor: module shipped flat via addPyFile
+            import footer_tail as ft
+
+        cols = [
+            "path", "column_name", "stripe_idx", "group_idx", "group_ord",
+            "start_row", "rows_in_group", "n_values", "has_null",
+            "min_val", "max_val",
+        ]  # fmt: skip
+        for pdf in batches:
+            rows = []
+            for path, cols_csv in zip(pdf["path"], pdf["cols"]):
+                tail = ft.parse_tail_of_file(path)
+                ids = {c["name"]: c["col_id"] for c in tail["columns"]}
+                stride = tail["row_index_stride"]
+                stripes = ft.parse_stripe_footers(path)
+                for cname in cols_csv.split(","):
+                    if cname not in ids:
+                        raise KeyError(
+                            f"column {cname!r} not in {path}: {sorted(ids)}"
+                        )
+                    per_stripe = ft.parse_row_index(path, ids[cname])
+                    row_offset = 0
+                    g_ord = 0
+                    for s_idx, (st, entries) in enumerate(zip(stripes, per_stripe)):
+                        for g_idx, e in enumerate(entries):
+                            typed = e.get("typed", {})
+                            mn, mx = typed.get("min"), typed.get("max")
+                            rows.append(
+                                (
+                                    path,
+                                    cname,
+                                    s_idx,
+                                    g_idx,
+                                    g_ord,
+                                    row_offset + g_idx * stride,
+                                    min(stride, st["numberOfRows"] - g_idx * stride),
+                                    e.get("n_values", 0),
+                                    bool(e.get("has_null")),
+                                    None if mn is None else str(mn),
+                                    None if mx is None else str(mx),
+                                )
+                            )
+                            g_ord += 1
+                        row_offset += st["numberOfRows"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files_to_rowgroups
+
+
+def rowgroup_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """Per-ROW-GROUP column statistics parsed from ORC ROW_INDEX
+    streams — the third and finest statistics level the reference
+    keeps (file -> stripe -> row group, `site/_docs/indexes.md:7-19`),
+    the granularity `pickRowGroups` prunes at. `footer_column_stats`
+    covers the file level, `parse_tail(include_stripe_stats=True)` the
+    stripe level; this closes the inspection surface.
+
+    Distributed like the file-stats path: one task per file, executors
+    do ranged reads of each stripe's index region only (tail + index
+    bytes, never data pages) — scales to million-file lakes with no
+    driver-side parsing."""
+    files = sorted(set(_orc_files(path)))
+    if not files:
+        raise FileNotFoundError(f"no ORC files under {path}")
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail
+
+    spark.sparkContext.addPyFile(footer_tail.__file__)
+    cols_csv = ",".join(columns)
+    fdf = spark.createDataFrame([(f, cols_csv) for f in files], "path string, cols string")
+    return fdf.repartition(min(len(files), 64)).mapInPandas(
+        _make_rowindex_mapper(), schema=_RG_SCHEMA
+    )

@@ -259,6 +259,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
     types: list[dict] = []
     stats: list[dict] = []
     n_rows = 0
+    row_index_stride = 0
     for field, _wt, v in _fields(footer):
         if field == 4:
             types.append(_parse_type(v))
@@ -266,6 +267,8 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
             n_rows = v
         elif field == 7:
             stats.append(_parse_column_statistics(v))
+        elif field == 8:  # Footer.rowIndexStride (orc_proto.proto:118)
+            row_index_stride = v
 
     columns = []
     if types and types[0]["kind"] == 12:  # root struct
@@ -292,6 +295,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
         "compression": _COMPRESSION.get(ps["compression"], str(ps["compression"])),
         "magic": ps["magic"],
         "n_rows": n_rows,
+        "row_index_stride": row_index_stride,
         "columns": columns,
     }
     if include_stripe_stats:

@@ -70,9 +70,11 @@ def test_round8_graded_window_composition():
         "x10_source_mix", "x11_doc_chunking", "x12_token_freq_quality",
         "x13_tfidf_topk", "x14_dataset_card",
         "x15_corpus_shuffle_shards",
-        # keep-warm scale-critical shapes (35)
+        # keep-warm scale-critical shapes (34) + the round-8 addition
+        # s19 (graded immediately so it never enters the never-green
+        # backlog; x1_token_count rotated to extras to make room)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
-        "s18_dynamic_partition_pruning",
+        "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",
         "sk3_countmin_heavy_hitters", "sk4_hll_distinct",
         "sk5_theta_intersection",
@@ -86,7 +88,7 @@ def test_round8_graded_window_composition():
         "r2_streaming_windowed_agg", "r8_streaming_pipeline",
         "r11_stream_outer_join",
         "w3_asof_join", "w14_twap",
-        "x1_token_count", "x22_ngram_novelty",
+        "x22_ngram_novelty",
         "j3_salted_skew_join", "i3_stratified_sample",
         "mv1_incremental_agg",
         "pipe1_training_data_prep", "pipe2_curation_funnel",

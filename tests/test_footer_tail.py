@@ -196,3 +196,91 @@ def test_decimal_scale18_stats_exact(spark, tmp_path):
     oracle = {r.column_name: r for r in footer_column_stats_py4j(spark, dest).collect()}
     assert Decimal(oracle["d"].min_val) == Decimal(got["d"].min_val)
     assert Decimal(oracle["d"].sum_val) == Decimal(got["d"].sum_val)
+
+
+def test_rowgroup_stats_multifile_with_nulls(spark, tmp_path):
+    """rowgroup_stats (the third stats level, RowIndexEntry —
+    proto/orc_proto.proto:84-91) against Python-computed truth on a
+    multi-file, null-bearing layout with short final row groups:
+    per-group geometry (start_row/rows_in_group from stripe geometry,
+    NOT n_values — n_values counts non-null), null accounting, and
+    int min/max."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import rowgroup_stats
+
+    stride = 1000
+    n = 2500  # 3 groups per file: 1000 + 1000 + 500 (short final group)
+    rows = [(i, None if i % 10 == 0 else i * 3) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    dest = str(tmp_path / "rg_multi")
+    # two files, each totally ordered on k
+    (
+        df.repartitionByRange(2, "k")
+        .sortWithinPartitions("k")
+        .write.format("orc")
+        .option("orc.row.index.stride", str(stride))
+        .mode("overwrite")
+        .save(dest)
+    )
+    got = rowgroup_stats(spark, dest, ["k", "v"]).collect()
+    by_file: dict = {}
+    for r in got:
+        by_file.setdefault(r.path, []).append(r)
+    assert len(by_file) == 2
+    total_rows = 0
+    for path, rs in by_file.items():
+        ks = sorted((r for r in rs if r.column_name == "k"), key=lambda r: r.group_ord)
+        vs = sorted((r for r in rs if r.column_name == "v"), key=lambda r: r.group_ord)
+        file_rows = sum(r.rows_in_group for r in ks)
+        total_rows += file_rows
+        # geometry: contiguous stride-aligned groups, short tail allowed
+        for g, r in enumerate(ks):
+            assert r.group_ord == g
+            assert r.start_row == sum(p.rows_in_group for p in ks[:g])
+            assert r.rows_in_group <= stride
+        # k has no nulls: n_values == rows_in_group and exact min/max
+        # (file is sorted on k, so each group's range is [start, end])
+        kmin_file = min(int(r.min_val) for r in ks)
+        for r in ks:
+            assert not r.has_null
+            assert r.n_values == r.rows_in_group
+            assert int(r.min_val) == kmin_file + r.start_row
+            assert int(r.max_val) == kmin_file + r.start_row + r.rows_in_group - 1
+        # v: every-10th row is NULL; groups with nulls are flagged and
+        # n_values counts only the non-null rows
+        for r in vs:
+            k_lo = kmin_file + r.start_row
+            expect_nonnull = sum(
+                1 for k in range(k_lo, k_lo + r.rows_in_group) if k % 10 != 0
+            )
+            assert r.n_values == expect_nonnull
+            assert r.has_null == (expect_nonnull < r.rows_in_group)
+            nn = [k * 3 for k in range(k_lo, k_lo + r.rows_in_group) if k % 10 != 0]
+            assert int(r.min_val) == min(nn) and int(r.max_val) == max(nn)
+    assert total_rows == n
+
+
+def test_rowgroup_stats_string_column(spark, tmp_path):
+    """StringStatistics in RowIndexEntry: min/max per group."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import rowgroup_stats
+
+    rows = [(i, f"s{i:05d}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    dest = str(tmp_path / "rg_str")
+    (
+        df.repartition(1)
+        .sortWithinPartitions("k")
+        .write.format("orc")
+        # 1000 is the ORC writer's minimum legal stride
+        # (WriterImpl.java:197 "Row stride must be at least 1000")
+        .option("orc.row.index.stride", "1000")
+        .mode("overwrite")
+        .save(dest)
+    )
+    got = sorted(
+        (r for r in rowgroup_stats(spark, dest, ["s"]).collect()),
+        key=lambda r: r.group_ord,
+    )
+    assert [r.rows_in_group for r in got] == [1000, 1000, 1000]
+    for g, r in enumerate(got):
+        assert r.min_val == f"s{g * 1000:05d}"
+        assert r.max_val == f"s{g * 1000 + 999:05d}"
