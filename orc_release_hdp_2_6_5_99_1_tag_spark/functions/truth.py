@@ -298,3 +298,173 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
             decisions.append({"row_group": g, "truth": tv, "keep": keeps_unit(tv)})
         out.append(decisions)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Predicate-vs-stats type coercion (reference getBaseObjectForComparison,
+# RecordReaderImpl.java:661-762) and its SargCastException fallback
+# (pickRowGroups catch block, RecordReaderImpl.java:852-874)
+# ---------------------------------------------------------------------------
+
+
+class SargCastError(ValueError):
+    """Python twin of RecordReaderImpl.SargCastException: the stats or
+    literal value cannot be converted to the predicate's comparison
+    domain (e.g. Long -> DATE: days/seconds/millis ambiguity)."""
+
+
+def coerce_for_comparison(pred_type: str, obj: Any) -> Any:
+    """Coerce a stats bound or literal to the PREDICATE's type — the
+    reference converts both sides to `predicate.getType()` before the
+    min/max comparison (`getBaseObjectForComparison`). Value tags
+    mirror the Java classes: bool=Boolean, int=Long, float=Double,
+    str=String, datetime.date=Date, datetime.datetime=Timestamp,
+    Decimal=HiveDecimal.
+
+    Raises SargCastError exactly where the reference throws
+    SargCastException; conversions the reference attempts but that can
+    fail on malformed input (Long.valueOf("15.1"), Date.valueOf("x"))
+    raise ValueError, which the reference catches with the same
+    PPD-disabling fallback (evaluate_leaf_typed below)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if obj is None:
+        return None
+    is_ts = isinstance(obj, _dt.datetime)
+    is_date = isinstance(obj, _dt.date) and not is_ts
+    if pred_type == "boolean":
+        if isinstance(obj, bool):
+            return obj
+        # Boolean.valueOf: only the string "true" is true
+        return str(obj).lower() == "true"
+    if pred_type == "date":
+        if is_date:
+            return obj
+        if isinstance(obj, str):
+            return _dt.date.fromisoformat(obj)  # Date.valueOf, may raise
+        if is_ts:
+            return obj.date()  # DateWritable.timeToDate
+        raise SargCastError(f"could not convert from {type(obj).__name__} to DATE")
+    if pred_type == "decimal":
+        if isinstance(obj, bool):
+            return _Dec(1 if obj else 0)
+        if isinstance(obj, int):
+            return _Dec(obj)
+        if isinstance(obj, (float, str)):
+            return _Dec(str(obj))  # may raise on malformed strings
+        if isinstance(obj, _Dec):
+            return obj
+        if is_ts:
+            # TimestampUtils.getDouble: seconds with fractional part
+            # (naive datetimes anchor to UTC so the result does not
+            # depend on the host time zone)
+            return _Dec(str(obj.replace(tzinfo=_dt.timezone.utc).timestamp()))
+        raise SargCastError(f"could not convert from {type(obj).__name__} to DECIMAL")
+    if pred_type == "float":  # Java FLOAT comparison domain is double
+        if isinstance(obj, bool):
+            raise SargCastError("could not convert from Boolean to FLOAT")
+        if isinstance(obj, (int, float)):
+            return float(obj)
+        if isinstance(obj, _Dec):
+            return float(obj)
+        if isinstance(obj, str):
+            return float(obj)  # Double.valueOf, may raise
+        if is_ts:
+            return obj.replace(tzinfo=_dt.timezone.utc).timestamp()
+        raise SargCastError(f"could not convert from {type(obj).__name__} to FLOAT")
+    if pred_type == "long":
+        if isinstance(obj, bool):
+            raise SargCastError("could not convert from Boolean to LONG")
+        if isinstance(obj, (int, float)):
+            return int(obj)  # Number.longValue(): truncating
+        if isinstance(obj, _Dec):
+            return int(obj)
+        if isinstance(obj, str):
+            # Long.valueOf: "15.1" is NOT a long (unlike float coercion)
+            if not obj.lstrip("+-").isdigit():
+                raise ValueError(f"malformed long literal {obj!r}")
+            return int(obj)
+        # Timestamp/Date -> LONG both fall through in the reference
+        raise SargCastError(f"could not convert from {type(obj).__name__} to LONG")
+    if pred_type == "string":
+        if is_ts:
+            # Java Timestamp.toString always renders a fractional part
+            frac = f".{obj.microsecond:06d}".rstrip("0") if obj.microsecond else ".0"
+            return f"{obj:%Y-%m-%d %H:%M:%S}{frac}"
+        if isinstance(obj, _Dec):
+            s = str(obj)
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s or "0"
+        if isinstance(obj, bool):
+            return "true" if obj else "false"
+        return str(obj)
+    if pred_type == "timestamp":
+        if is_ts:
+            return obj
+        if is_date:
+            return _dt.datetime(obj.year, obj.month, obj.day)
+        if isinstance(obj, float):
+            # TimestampUtils.doubleToTimestamp: seconds (UTC-anchored
+            # naive, the inverse of the FLOAT/DECIMAL coercions above)
+            return _dt.datetime.fromtimestamp(obj, _dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(obj, _Dec):
+            return _dt.datetime.fromtimestamp(float(obj), _dt.timezone.utc).replace(tzinfo=None)
+        # int = Java Long (stats and SQL literals): the reference only
+        # accepts Integer here (millis) and Long falls through — the
+        # days/seconds/millis ambiguity documented at
+        # RecordReaderImpl.java:748-752. Strings also fall through.
+        raise SargCastError(
+            f"could not convert from {type(obj).__name__} to TIMESTAMP"
+        )
+    raise ValueError(f"unknown predicate type {pred_type!r}")
+
+
+def evaluate_leaf_typed(
+    op: str,
+    pred_type: str,
+    literal: Any,
+    stats: dict,
+    *,
+    column_type: str | None = None,
+    writer_has_orc135: bool = True,
+) -> str:
+    """evaluate_leaf with the reference's full type front-end:
+
+    - TIMESTAMP columns: PPD disabled (YES_NO_NULL) for pre-ORC-135
+      writers and for predicate types other than TIMESTAMP/DATE/STRING
+      (`evaluatePredicateProto`, RecordReaderImpl.java:408-422);
+    - both stats bounds AND the literal coerce to the predicate type
+      (`getBaseObjectForComparison`);
+    - any conversion failure disables PPD for the leaf with the
+      reference's fallback (RecordReaderImpl.java:866-872): YES_NO for
+      NULL_SAFE_EQUALS or no-null stats, else YES_NO_NULL."""
+    if column_type == "timestamp":
+        if not writer_has_orc135:
+            return YES_NO_NULL
+        if pred_type not in ("timestamp", "date", "string"):
+            return YES_NO_NULL
+    mn, mx = stats.get("min"), stats.get("max")
+    has_null = bool(stats.get("has_null"))
+    if mn is None and mx is None:
+        return evaluate_leaf(op, literal, stats)  # all-null / IS_NULL paths
+    try:
+        cstats = {
+            "min": coerce_for_comparison(pred_type, mn),
+            "max": coerce_for_comparison(pred_type, mx),
+            "has_null": has_null,
+        }
+        if op == "in":
+            clit: Any = [coerce_for_comparison(pred_type, v) for v in literal]
+        elif op == "between":
+            clit = tuple(coerce_for_comparison(pred_type, v) for v in literal)
+        elif op == "is_null":
+            clit = None
+        else:
+            clit = coerce_for_comparison(pred_type, literal)
+    except (ValueError, ArithmeticError, OverflowError, OSError):
+        # SargCastError is a ValueError; the reference catches every
+        # exception class here with the same fallback
+        return YES_NO if (op == "null_safe_equals" or not has_null) else YES_NO_NULL
+    return evaluate_leaf(op, clit, cstats)
