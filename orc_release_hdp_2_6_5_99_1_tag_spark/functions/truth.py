@@ -87,69 +87,111 @@ def _lift_null(tv: str) -> str:
     return _FROM_SET[_TO_SET[tv] | frozenset("n")]
 
 
+_BEFORE, _MIN, _MIDDLE, _MAX, _AFTER = range(5)
+
+
+def _compare_to_range(point: Any, mn: Any, mx: Any) -> int:
+    """The reference's `compareToRange` (RecordReaderImpl.java:311):
+    MIN is checked before MAX, so a point range (min==max) classifies
+    an equal literal as MIN — which is what makes the reference answer
+    YES_NO (not YES) for `x <= c` on stats [c, c]."""
+    if point < mn:
+        return _BEFORE
+    if point == mn:
+        return _MIN
+    if point > mx:
+        return _AFTER
+    if point == mx:
+        return _MAX
+    return _MIDDLE
+
+
+#: Sentinel for statistics kinds whose min/max the reader cannot use
+#: (binary/complex columns) — the reference's `UNKNOWN_VALUE`
+#: (RecordReaderImpl.getMin: "null is not safe here"); forces
+#: YES_NO_NULL rather than the all-null NULL path.
+UNKNOWN_VALUE = object()
+
+
 def evaluate_leaf(op: str, literal: Any, stats: dict) -> str:
     """TruthValue of one SARG leaf against {min, max, has_null,
     n_values} column statistics. `literal` is a scalar, a (lo, hi)
     tuple for BETWEEN, or a list for IN. Missing min/max with
-    has_null means every row in the unit is null."""
+    has_null means every row in the unit is null.
+
+    Branch structure mirrors `evaluatePredicateRange` +
+    `evaluatePredicateMinMax` (RecordReaderImpl.java:443-583), pinned
+    cell-by-cell against the reference's TestRecordReaderImpl tables
+    in tests/test_sarg_coercion.py."""
     mn, mx = stats.get("min"), stats.get("max")
     has_null = bool(stats.get("has_null"))
-    empty = mn is None and mx is None  # no non-null values in the unit
+
+    if mn is None and mx is None:
+        # no non-null values in the unit (evaluatePredicateRange's
+        # min==null branch, checked before everything else)
+        return YES if op == "is_null" else NULL
+    if mn is UNKNOWN_VALUE or mx is UNKNOWN_VALUE:
+        return YES_NO_NULL
 
     if op == "is_null":
-        if not has_null:
-            return NO
-        if empty:
-            return YES
-        return YES_NO
-
-    if empty:
-        # every row is null: any comparison is NULL for every row
-        return NULL
+        return YES_NO if has_null else NO
 
     if op == "null_safe_equals":
         # <=> never yields NULL: null rows compare FALSE to a non-null
-        # literal, so the null lift adds a FALSE outcome, not a NULL one
-        if mn == mx == literal:
-            return YES_NO if has_null else YES
-        if literal < mn or literal > mx:
-            return NO
-        return YES_NO
+        # literal. The reference never claims a plain YES here, even
+        # for min==max==literal (testNullSafeEquals: stats(15,15) vs
+        # 15 -> YES_NO), so neither do we.
+        loc = _compare_to_range(literal, mn, mx)
+        return NO if loc in (_BEFORE, _AFTER) else YES_NO
 
     if op == "equals":
-        if mn == mx == literal:
+        loc = _compare_to_range(literal, mn, mx)
+        if mn == mx and loc == _MIN:
             tv = YES
-        elif literal < mn or literal > mx:
+        elif loc in (_BEFORE, _AFTER):
             tv = NO
         else:
             tv = YES_NO
     elif op == "less_than":
-        if mx < literal:
+        loc = _compare_to_range(literal, mn, mx)
+        if loc == _AFTER:
             tv = YES
-        elif mn >= literal:
+        elif loc in (_BEFORE, _MIN):
             tv = NO
         else:
             tv = YES_NO
     elif op == "less_than_equals":
-        if mx <= literal:
+        loc = _compare_to_range(literal, mn, mx)
+        if loc in (_AFTER, _MAX):
             tv = YES
-        elif mn > literal:
+        elif loc == _BEFORE:
             tv = NO
         else:
             tv = YES_NO
     elif op == "in":
-        values = list(literal)
-        if all(v < mn or v > mx for v in values):
-            tv = NO
-        elif mn == mx and mn in values:
-            tv = YES
-        else:
+        locs = [_compare_to_range(v, mn, mx) for v in literal]
+        if mn == mx:
+            tv = YES if _MIN in locs else NO
+        elif any(loc in (_MIN, _MIDDLE, _MAX) for loc in locs):
             tv = YES_NO
+        else:
+            tv = NO
     elif op == "between":
+        if not literal:
+            # empty literal list: the reference answers YES_NO without
+            # even consulting hasNull (testBetween's empty-args block)
+            return YES_NO
         lo, hi = literal
-        if lo <= mn and mx <= hi:
-            tv = YES
-        elif hi < mn or lo > mx:
+        loc = _compare_to_range(lo, mn, mx)
+        if loc in (_BEFORE, _MIN):
+            loc2 = _compare_to_range(hi, mn, mx)
+            if loc2 in (_AFTER, _MAX):
+                tv = YES
+            elif loc2 == _BEFORE:
+                tv = NO
+            else:
+                tv = YES_NO
+        elif loc == _AFTER:
             tv = NO
         else:
             tv = YES_NO
@@ -160,28 +202,58 @@ def evaluate_leaf(op: str, literal: Any, stats: dict) -> str:
 
 
 def evaluate_tree(
-    tree: Any, stats_by_col: dict[str, dict], blooms: dict[str, dict] | None = None
+    tree: Any,
+    stats_by_col: dict[str, dict],
+    blooms: dict[str, dict] | None = None,
+    col_types: dict[str, str] | None = None,
+    writer_has_orc135: bool = True,
 ) -> str:
     """Evaluate a predicate tree over per-column stats. Tree grammar:
     ("and"|"or", child, child, ...), ("not", child), or a leaf
-    ("op", column, literal). With `blooms` ({column: bloom}), each
-    equality-class leaf is refined through the column's bloom filter
-    the way `checkInBloomFilter` does."""
+    ("op", column, literal) / ("op", column, literal, pred_type).
+    With `blooms` ({column: bloom}), each equality-class leaf is
+    refined through the column's bloom filter the way
+    `checkInBloomFilter` does.
+
+    Leaves route through the typed front-end
+    (getBaseObjectForComparison coercion + the SargApplier cast-error
+    fallback): the predicate comparison domain comes from the explicit
+    4th leaf element when given, else from the literal's Python class.
+    `col_types` ({column: orc kind}) enables the reference's
+    timestamp-column PPD gating."""
     head = tree[0]
     if head == "and":
-        tv = evaluate_tree(tree[1], stats_by_col, blooms)
+        tv = evaluate_tree(tree[1], stats_by_col, blooms, col_types, writer_has_orc135)
         for child in tree[2:]:
-            tv = and_(tv, evaluate_tree(child, stats_by_col, blooms))
+            tv = and_(tv, evaluate_tree(child, stats_by_col, blooms, col_types,
+                                        writer_has_orc135))
         return tv
     if head == "or":
-        tv = evaluate_tree(tree[1], stats_by_col, blooms)
+        tv = evaluate_tree(tree[1], stats_by_col, blooms, col_types, writer_has_orc135)
         for child in tree[2:]:
-            tv = or_(tv, evaluate_tree(child, stats_by_col, blooms))
+            tv = or_(tv, evaluate_tree(child, stats_by_col, blooms, col_types,
+                                       writer_has_orc135))
         return tv
     if head == "not":
-        return not_(evaluate_tree(tree[1], stats_by_col, blooms))
-    op, column, literal = tree
-    tv = evaluate_leaf(op, literal, stats_by_col[column])
+        return not_(evaluate_tree(tree[1], stats_by_col, blooms, col_types,
+                                  writer_has_orc135))
+    op, column, literal = tree[:3]
+    pred_type = tree[3] if len(tree) == 4 else infer_pred_type(literal)
+    ctype = (col_types or {}).get(column)
+    if op == "is_null":
+        # IS_NULL consults no coercion; only the pre-ORC-135 timestamp
+        # writer gate applies (the predicate type IS the column type)
+        if ctype == "timestamp" and not writer_has_orc135:
+            tv = YES_NO_NULL
+        else:
+            tv = evaluate_leaf(op, literal, stats_by_col[column])
+    elif pred_type is None:
+        tv = evaluate_leaf(op, literal, stats_by_col[column])
+    else:
+        tv = evaluate_leaf_typed(
+            op, pred_type, literal, stats_by_col[column],
+            column_type=ctype, writer_has_orc135=writer_has_orc135,
+        )
     if blooms and column in blooms:
         tv = refine_with_bloom(tv, op, literal, blooms[column])
     return tv
@@ -213,6 +285,51 @@ def keeps_unit(tv: str) -> bool:
     return "t" in _TO_SET[tv]
 
 
+def stats_to_domain(col_kind: str, s: dict) -> dict:
+    """Convert footer_tail's raw wire-value stats (dates as epoch
+    days, timestamps as epoch millis, decimals as strings) to the
+    Python comparison domain getBaseObjectForComparison expects
+    (datetime.date / naive-UTC datetime / Decimal), deriving boolean
+    min/max from the BucketStatistics true-count the way the
+    reference's getMin/getMax do. Unsupported stats kinds (binary,
+    complex types) map to UNKNOWN_VALUE, never silently to None."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    typed = s.get("typed") or {}
+    mn, mx = typed.get("min"), typed.get("max")
+    if col_kind == "timestamp" and ("min_utc" in typed or "max_utc" in typed):
+        # ORC-135 writers store UTC millis; prefer them (the local
+        # min/max are what make pre-135 PPD unsafe in the first place)
+        mn, mx = typed.get("min_utc"), typed.get("max_utc")
+    out = {"has_null": s.get("has_null"), "n_values": s.get("n_values")}
+    if col_kind == "boolean":
+        tc, n = typed.get("true_count"), s.get("n_values") or 0
+        if tc is None:
+            out["min"] = out["max"] = UNKNOWN_VALUE
+        else:
+            out["min"] = False if (n - tc) != 0 else True
+            out["max"] = True if tc != 0 else False
+        return out
+    if mn is None and mx is None:
+        if col_kind in ("binary", "list", "map", "struct", "union"):
+            out["min"] = out["max"] = UNKNOWN_VALUE
+        else:
+            out["min"] = out["max"] = None  # genuinely all-null
+        return out
+    if col_kind == "date":
+        conv = lambda d: _dt.date(1970, 1, 1) + _dt.timedelta(days=d)  # noqa: E731
+    elif col_kind == "timestamp":
+        conv = lambda ms: _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ms)  # noqa: E731
+    elif col_kind == "decimal":
+        conv = _Dec
+    else:
+        conv = lambda v: v  # noqa: E731
+    out["min"] = conv(mn) if mn is not None else None
+    out["max"] = conv(mx) if mx is not None else None
+    return out
+
+
 def explain_file_pruning(path: str, tree: Any) -> list[dict]:
     """Tool-side pruning explanation: parse a real ORC file's
     per-stripe statistics (ranged metadata reads only) and report each
@@ -227,19 +344,13 @@ def explain_file_pruning(path: str, tree: Any) -> list[dict]:
     meta = parse_tail_of_file(path, include_stripe_stats=True)
     names = [c["name"] for c in meta["columns"]]
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
     out = []
     for i, per_col in enumerate(meta.get("stripe_stats", [])):
-        stats_by_col = {}
-        for name in names:
-            s = per_col[ids[name]]
-            typed = s.get("typed") or {}
-            stats_by_col[name] = {
-                "min": typed.get("min"),
-                "max": typed.get("max"),
-                "has_null": s.get("has_null"),
-                "n_values": s.get("n_values"),
-            }
-        tv = evaluate_tree(tree, stats_by_col)
+        stats_by_col = {
+            name: stats_to_domain(kinds[name], per_col[ids[name]]) for name in names
+        }
+        tv = evaluate_tree(tree, stats_by_col, col_types=kinds)
         out.append({"stripe": i, "truth": tv, "keep": keeps_unit(tv)})
     return out
 
@@ -269,6 +380,7 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
 
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
     cols = sorted(_tree_columns(tree))
     row_index = {c: parse_row_index(path, ids[c]) for c in cols}
     blooms = (
@@ -284,17 +396,11 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
             rg_blooms = {}
             for c in cols:
                 e = row_index[c][si][g]
-                typed = e.get("typed") or {}
-                stats_by_col[c] = {
-                    "min": typed.get("min"),
-                    "max": typed.get("max"),
-                    "has_null": e.get("has_null"),
-                    "n_values": e.get("n_values"),
-                }
+                stats_by_col[c] = stats_to_domain(kinds[c], e)
                 per_stripe = blooms.get(c, [])
                 if per_stripe and si < len(per_stripe) and g < len(per_stripe[si]):
                     rg_blooms[c] = per_stripe[si][g]
-            tv = evaluate_tree(tree, stats_by_col, rg_blooms or None)
+            tv = evaluate_tree(tree, stats_by_col, rg_blooms or None, col_types=kinds)
             decisions.append({"row_group": g, "truth": tv, "keep": keeps_unit(tv)})
         out.append(decisions)
     return out
@@ -421,6 +527,72 @@ def coerce_for_comparison(pred_type: str, obj: Any) -> Any:
     raise ValueError(f"unknown predicate type {pred_type!r}")
 
 
+def evaluate_predicate_typed(
+    op: str,
+    pred_type: str,
+    literal: Any,
+    stats: dict,
+    *,
+    column_type: str | None = None,
+    writer_has_orc135: bool = True,
+) -> str:
+    """evaluate_leaf with the reference's full type front-end — the
+    `evaluatePredicateProto` surface, which RAISES on cast failures
+    the way the reference throws (SargCastException propagates out;
+    the catch-fallback lives one layer up in evaluate_leaf_typed,
+    mirroring SargApplier.pickRowGroups):
+
+    - TIMESTAMP columns: PPD disabled (YES_NO_NULL) for pre-ORC-135
+      writers and for predicate types other than TIMESTAMP/DATE/STRING
+      (`evaluatePredicateProto`, RecordReaderImpl.java:408-422);
+    - both stats bounds AND the literal coerce to the predicate type
+      (`getBaseObjectForComparison`), with IN/BETWEEN list elements
+      coerced LAZILY in evaluation order exactly as the reference's
+      loops do (a malformed later element is never reached once an
+      earlier one decides the leaf)."""
+    if column_type == "timestamp":
+        if not writer_has_orc135:
+            return YES_NO_NULL
+        if pred_type not in ("timestamp", "date", "string"):
+            return YES_NO_NULL
+    mn, mx = stats.get("min"), stats.get("max")
+    has_null = bool(stats.get("has_null"))
+    if (mn is None and mx is None) or mn is UNKNOWN_VALUE or mx is UNKNOWN_VALUE:
+        return evaluate_leaf(op, literal, stats)  # all-null / UNKNOWN paths
+    if op == "is_null":
+        return evaluate_leaf(op, literal, stats)  # no coercion consulted
+    cstats = {
+        "min": coerce_for_comparison(pred_type, mn),
+        "max": coerce_for_comparison(pred_type, mx),
+        "has_null": has_null,
+    }
+    if op == "in":
+        # evaluatePredicateMinMax's IN loops: early-return on the first
+        # element that can match, coercing one element at a time
+        for v in literal:
+            tv = evaluate_leaf("equals", coerce_for_comparison(pred_type, v), cstats)
+            if "t" in _TO_SET[tv]:
+                return tv
+        return NO_NULL if has_null else NO
+    if op == "between":
+        if not literal:
+            return YES_NO
+        lo = coerce_for_comparison(pred_type, literal[0])
+        loc = _compare_to_range(lo, cstats["min"], cstats["max"])
+        if loc in (_BEFORE, _MIN):  # only then is hi consulted (and coerced)
+            hi = coerce_for_comparison(pred_type, literal[1])
+            loc2 = _compare_to_range(hi, cstats["min"], cstats["max"])
+            if loc2 in (_AFTER, _MAX):
+                return YES_NULL if has_null else YES
+            if loc2 == _BEFORE:
+                return NO_NULL if has_null else NO
+            return YES_NO_NULL if has_null else YES_NO
+        if loc == _AFTER:
+            return NO_NULL if has_null else NO
+        return YES_NO_NULL if has_null else YES_NO  # loc1 MIDDLE or MAX
+    return evaluate_leaf(op, coerce_for_comparison(pred_type, literal), cstats)
+
+
 def evaluate_leaf_typed(
     op: str,
     pred_type: str,
@@ -430,41 +602,37 @@ def evaluate_leaf_typed(
     column_type: str | None = None,
     writer_has_orc135: bool = True,
 ) -> str:
-    """evaluate_leaf with the reference's full type front-end:
-
-    - TIMESTAMP columns: PPD disabled (YES_NO_NULL) for pre-ORC-135
-      writers and for predicate types other than TIMESTAMP/DATE/STRING
-      (`evaluatePredicateProto`, RecordReaderImpl.java:408-422);
-    - both stats bounds AND the literal coerce to the predicate type
-      (`getBaseObjectForComparison`);
-    - any conversion failure disables PPD for the leaf with the
-      reference's fallback (RecordReaderImpl.java:866-872): YES_NO for
-      NULL_SAFE_EQUALS or no-null stats, else YES_NO_NULL."""
-    if column_type == "timestamp":
-        if not writer_has_orc135:
-            return YES_NO_NULL
-        if pred_type not in ("timestamp", "date", "string"):
-            return YES_NO_NULL
-    mn, mx = stats.get("min"), stats.get("max")
-    has_null = bool(stats.get("has_null"))
-    if mn is None and mx is None:
-        return evaluate_leaf(op, literal, stats)  # all-null / IS_NULL paths
+    """The SargApplier layer over evaluate_predicate_typed: any
+    exception while evaluating a leaf disables PPD for that leaf with
+    the reference's fallback (RecordReaderImpl.java:852-874) —
+    YES_NO when the operator is NULL_SAFE_EQUALS or the stats say
+    EXPLICITLY no-null (`stats.hasHasNull() && !stats.getHasNull()`:
+    the has_null key must be PRESENT and false; a stats dict lacking
+    the key falls to YES_NO_NULL), else YES_NO_NULL."""
     try:
-        cstats = {
-            "min": coerce_for_comparison(pred_type, mn),
-            "max": coerce_for_comparison(pred_type, mx),
-            "has_null": has_null,
-        }
-        if op == "in":
-            clit: Any = [coerce_for_comparison(pred_type, v) for v in literal]
-        elif op == "between":
-            clit = tuple(coerce_for_comparison(pred_type, v) for v in literal)
-        elif op == "is_null":
-            clit = None
-        else:
-            clit = coerce_for_comparison(pred_type, literal)
-    except (ValueError, ArithmeticError, OverflowError, OSError):
+        return evaluate_predicate_typed(
+            op, pred_type, literal, stats,
+            column_type=column_type, writer_has_orc135=writer_has_orc135,
+        )
+    except (ValueError, ArithmeticError, OverflowError, OSError, TypeError):
         # SargCastError is a ValueError; the reference catches every
         # exception class here with the same fallback
-        return YES_NO if (op == "null_safe_equals" or not has_null) else YES_NO_NULL
-    return evaluate_leaf(op, clit, cstats)
+        has_no_null = "has_null" in stats and stats["has_null"] is not None \
+            and not stats["has_null"]
+        return YES_NO if (op == "null_safe_equals" or has_no_null) else YES_NO_NULL
+
+
+_PRED_TYPE_OF = {
+    "bool": "boolean", "int": "long", "float": "float", "str": "string",
+    "date": "date", "datetime": "timestamp", "Decimal": "decimal",
+}
+
+
+def infer_pred_type(literal: Any) -> str | None:
+    """Predicate comparison domain from the Python literal class, the
+    same mapping PredicateLeaf.Type carries in the reference's SARG
+    builder (bool=BOOLEAN, int=LONG, float=FLOAT-as-double,
+    str=STRING, date=DATE, datetime=TIMESTAMP, Decimal=DECIMAL)."""
+    if isinstance(literal, (list, tuple)):
+        return infer_pred_type(literal[0]) if len(literal) else None
+    return _PRED_TYPE_OF.get(type(literal).__name__)
