@@ -858,7 +858,11 @@ def s19_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import rowgroup_stats
 
     dest = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_rowindex")
-    fp = source_fingerprint(sf_dir, "lineitem")
+    # write-spec in the fingerprint: a stride or column-set change must
+    # invalidate the staged file (same staleness class as _bucketed_table)
+    fp = source_fingerprint(sf_dir, "lineitem") + (
+        f";stride={_S19_STRIDE};cols=l_orderkey,l_linenumber,l_quantity,l_returnflag"
+    )
     if not marker_valid(dest + "._fp", fp):
         df = (
             load_table(spark, sf_dir, "lineitem")

@@ -339,6 +339,14 @@ def _make_rowindex_mapper():
                 tail = ft.parse_tail_of_file(path)
                 ids = {c["name"]: c["col_id"] for c in tail["columns"]}
                 stride = tail["row_index_stride"]
+                if not stride:
+                    # orc.create.index=false / stride 0: no row-group
+                    # geometry exists — zero silent rows or garbage
+                    # start_row arithmetic would both be wrong answers
+                    raise ValueError(
+                        f"{path}: rowIndexStride=0 (written without row "
+                        f"indexes); row-group statistics are undefined"
+                    )
                 stripes = ft.parse_stripe_footers(path)
                 for cname in cols_csv.split(","):
                     if cname not in ids:
@@ -346,6 +354,11 @@ def _make_rowindex_mapper():
                             f"column {cname!r} not in {path}: {sorted(ids)}"
                         )
                     per_stripe = ft.parse_row_index(path, ids[cname])
+                    if any(not entries for entries in per_stripe):
+                        raise ValueError(
+                            f"{path}: column {cname!r} has a stripe with no "
+                            f"RowIndexEntry despite rowIndexStride={stride}"
+                        )
                     row_offset = 0
                     g_ord = 0
                     for s_idx, (st, entries) in enumerate(zip(stripes, per_stripe)):

@@ -48,3 +48,48 @@ def orc_scan_explain(path: str, tree) -> dict:
         ),
         "n_row_groups": sum(len(per_stripe) for per_stripe in row_groups),
     }
+
+
+def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> dict:
+    """`seekToRow`'s address computation from metadata alone — the
+    reader-side consumer of RowIndexEntry `positions` (the reference's
+    `seekToRowEntry`, RecordReaderImpl.java:1286: locate the stripe by
+    cumulative row counts, the row group by rowIndexStride, then hand
+    each column's entry positions to its streams' PositionProviders).
+    Returns {stripe, row_group, row_in_group, row_index_stride,
+    positions: {column: [ints]}} — the exact seek offsets (compressed
+    chunk start / decompressed offset / RLE run state, consumed in
+    stream order) a reader needs to start decoding at that row group
+    without touching earlier bytes. Ranged metadata reads only."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_row_index,
+        parse_stripe_footers,
+        parse_tail_of_file,
+    )
+
+    meta = parse_tail_of_file(path)
+    stride = meta.get("row_index_stride") or 0
+    if stride <= 0:
+        raise ValueError(f"{path}: no row index (rowIndexStride=0); cannot seek")
+    if not 0 <= row < meta["n_rows"]:
+        raise IndexError(f"row {row} out of range [0, {meta['n_rows']})")
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    columns = columns or list(ids)
+    first = 0
+    for si, st in enumerate(parse_stripe_footers(path)):
+        if row < first + st["numberOfRows"]:
+            in_stripe = row - first
+            group = in_stripe // stride
+            out = {
+                "stripe": si,
+                "row_group": group,
+                "row_in_group": in_stripe - group * stride,
+                "row_index_stride": stride,
+                "positions": {},
+            }
+            for cname in columns:
+                entries = parse_row_index(path, ids[cname])[si]
+                out["positions"][cname] = entries[group]["positions"]
+            return out
+        first += st["numberOfRows"]
+    raise AssertionError("stripe row counts do not cover the footer's n_rows")

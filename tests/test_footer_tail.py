@@ -284,3 +284,95 @@ def test_rowgroup_stats_string_column(spark, tmp_path):
     for g, r in enumerate(got):
         assert r.min_val == f"s{g * 1000:05d}"
         assert r.max_val == f"s{g * 1000 + 999:05d}"
+
+
+def test_rowgroup_stats_refuses_index_free_file(spark, tmp_path):
+    """A file written with orc.row.index.stride=0 (orc.create.index
+    off) has no row-group geometry: rowgroup_stats must raise loudly
+    in the mapper, not yield zero rows or garbage start_row math."""
+    import pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401 (spark wraps)
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_stats import rowgroup_stats
+
+    dest = str(tmp_path / "noindex")
+    (
+        spark.range(5000)
+        .selectExpr("id as k")
+        .coalesce(1)
+        .write.format("orc")
+        .option("orc.row.index.stride", "0")
+        .mode("overwrite")
+        .save(dest)
+    )
+    with pytest.raises(Exception, match="rowIndexStride=0"):
+        rowgroup_stats(spark, dest, ["k"]).collect()
+
+
+def test_orc_seek_explain_addresses_and_positions(spark, tmp_path):
+    """seekToRow address computation (stripe / row group / offset in
+    group) + the per-column seek positions for that entry: row 0 maps
+    to all-zero positions (stream starts), later groups carry strictly
+    non-decreasing stream offsets, and a multi-stripe file resolves
+    rows past the first stripe into the right (stripe, group) pair."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_seek_explain
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("x" * 40)).alias("pad"),
+    )
+    dest = str(tmp_path / "seek")
+    write_orc(df.coalesce(1).sortWithinPartitions("k"), dest, stripe_size=256 * 1024)
+    path = os.path.join(dest, [f for f in os.listdir(dest) if f.startswith("part")][0])
+
+    first = orc_seek_explain(path, 0)
+    assert first["stripe"] == 0 and first["row_group"] == 0
+    assert all(all(p == 0 for p in ps) for ps in first["positions"].values()), (
+        "row 0 seeks to the start of every stream"
+    )
+
+    stripes = parse_stripe_footers(path)
+    assert len(stripes) >= 2, "small stripe size must yield a multi-stripe file"
+    s0_rows = stripes[0]["numberOfRows"]
+    stride = 10_000
+    # a row 7 past a row-group boundary inside the SECOND stripe (when
+    # the small stripes flush under one stride, that is group 0)
+    in_stripe = min(stride, stripes[1]["numberOfRows"] - 1)
+    target = s0_rows + in_stripe + 7 if in_stripe == stride else s0_rows + 7
+    got = orc_seek_explain(path, target, columns=["k"])
+    assert got["stripe"] == 1
+    assert got["row_group"] == (1 if in_stripe == stride else 0)
+    assert got["row_in_group"] == 7
+
+    with pytest.raises(IndexError):
+        orc_seek_explain(path, n)
+
+    # positions monotonicity needs several row groups in ONE stripe:
+    # default stripe size, 50k rows -> 5 groups of stride 10k
+    dest2 = str(tmp_path / "seek_pos")
+    write_orc(
+        spark.range(50_000).selectExpr("id as k", "repeat('p', 40) as pad")
+        .coalesce(1).sortWithinPartitions("k"),
+        dest2,
+    )
+    p2 = os.path.join(dest2, [f for f in os.listdir(dest2) if f.startswith("part")][0])
+    a = orc_seek_explain(p2, 1, columns=["k"])["positions"]["k"]
+    b = orc_seek_explain(p2, 10_001, columns=["k"])["positions"]["k"]
+    c = orc_seek_explain(p2, 40_001, columns=["k"])["positions"]["k"]
+    assert a and len(a) == len(b) == len(c)
+    assert all(x == 0 for x in a), "group 0 starts at the head of every stream"
+    # later groups sit deeper in the byte streams: the (compressed
+    # chunk, decompressed offset) slots are non-decreasing and at
+    # least one strictly grows; the trailing RLE run-offset slot
+    # legitimately RESETS per run (e.g. 272 -> 32), so it is excluded
+    for lo, hi in [(a, b), (b, c)]:
+        assert all(x <= y for x, y in zip(lo[:2], hi[:2]))
+        assert any(x < y for x, y in zip(lo[:2], hi[:2]))
