@@ -79,45 +79,37 @@ def _build() -> None:
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
     #
-    # Round-8 rotation (fifth window). The round-7 verdict computed the
-    # never-fully-green set MECHANICALLY (every CORRECTNESS_r*.json,
-    # requiring rows+schema+HASH green) at **14** queries — the builder
-    # shortlist had undercounted it at 9 by missing the five f1..f5
-    # SARG-leaf queries, which were graded in round 1 but hash-
-    # mismatched before the oracle normalization matured. This window
-    # closes the backlog to zero: all 14 never-green queries are graded
-    # (c3_positional, f1..f5 leaves, t6/t7, x10..x15), alongside the
-    # keep-warm flagship q1 and the 35 most scale-critical shapes.
-    # The never-green set is now asserted mechanically by
-    # tests/test_registry_rotation.py so the count can't drift again.
+    # Round-9 rotation (sixth window). With the never-fully-green set
+    # EMPTY since round 8 (asserted mechanically by
+    # tests/test_registry_rotation.py), the window owes nobody a first
+    # verdict; per the round-8 verdict's rotation policy the ~14 slots
+    # freed by the r8 backlog closures re-grade the OLDEST verdicts
+    # (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2, q3/q5/q6) so no
+    # query's last driver check ages past ~5 rounds. The flagship and
+    # the 35 most scale-critical shapes stay warm.
     #
-    # Swapped OUT (all driver-green in CORRECTNESS_r07, still oracle-
-    # checked by pytest as extras): q7 q9-q20, s15 s16, sk2, a8 a10,
-    # d19, w4 w9 w12 w13 w15, x5 x6 x19 x20 x21, u3 m3 j1.
+    # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
+    # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
+    # x10-x15.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # never-green backlog (1/3): positional evolution + ACID originals
-    register(
-        "c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE
-    )
-    register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE)
-    register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE)
-    # never-green backlog (2/3): the five SARG predicate leaves
-    # (reference RecordReaderImpl.java:501-577 per-operator semantics;
-    # hash-mismatched in round 1, oracle-aligned since round 3)
-    register("f1_equals", f.f1_equals, f.F1_ORACLE)
-    register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)
-    register("f3_less_than", f.f3_less_than, f.F3_ORACLE)
-    register("f4_in_list", f.f4_in_list, f.F4_ORACLE)
-    register("f5_between", f.f5_between, f.F5_ORACLE)
-    # never-green backlog (3/3): the x10-x15 text/curation tier
-    register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE)
-    register("x11_doc_chunking", tx.x11_doc_chunking, tx.X11_ORACLE)
-    register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE)
-    register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE)
-    register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE)
-    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE)
+    # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
+    # JSON source widening, stats, dedup, text, TPC-H relational
+    register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
+    register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE)
+    register("s9_json_to_orc_convert", oq.s9_json_to_orc_convert, oq.S9_ORACLE)
+    register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
+    register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)
+    register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE)
+    register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE)
+    register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE)
+    register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
+    register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
+    register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
+    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
+    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)
+    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE)
     # ---- keep-warm: the 35 most scale-critical shapes ----------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
@@ -180,7 +172,9 @@ def _build() -> None:
     # at three SFs. After the round-8 window lands, the never-fully-
     # green set (computed mechanically from CORRECTNESS_r*.json —
     # rows+schema+hash all green — by tests/test_registry_rotation.py)
-    # is EMPTY: 177/177 cumulative driver green.
+    # is EMPTY — see that test for the authoritative count; literal
+    # totals in comments drift (this one once said 177 when the
+    # registry held 178).
     #
     # rotated out round 8 (driver-green in CORRECTNESS_r07):
     register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL, graded=False)
@@ -301,26 +295,28 @@ def _build() -> None:
     register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE, graded=False)
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE, graded=False)
     register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE, graded=False)
-    # rotated out round 4 (driver-green in CORRECTNESS_r03):
-    register("f6_is_null", f.f6_is_null, f.F6_ORACLE, graded=False)
-    register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE, graded=False)
+    # rotated out round 4 (driver-green in CORRECTNESS_r03); the
+    # f6/f7/s9/s10/a3/a5/a6/d3/d4/d5/x2/q3/q5/q6 subset was PROMOTED
+    # back into the round-9 graded window for verdict refresh
     register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE, graded=False)
-    register("s9_json_to_orc_convert", oq.s9_json_to_orc_convert, oq.S9_ORACLE, graded=False)
-    register(
-        "s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE, graded=False
-    )
-    register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE, graded=False)
-    register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE, graded=False)
-    register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE, graded=False)
     register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE, graded=False)
     register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE, graded=False)
-    register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE, graded=False)
-    register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE, graded=False)
-    register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE, graded=False)
-    register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE, graded=False)
-    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE, graded=False)
-    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
-    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
+    # rotated out round 9 (driver-green in CORRECTNESS_r08 — the r8
+    # never-green backlog, now all verdict-fresh):
+    register("c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE, graded=False)
+    register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE, graded=False)
+    register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
+    register("f1_equals", f.f1_equals, f.F1_ORACLE, graded=False)
+    register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE, graded=False)
+    register("f3_less_than", f.f3_less_than, f.F3_ORACLE, graded=False)
+    register("f4_in_list", f.f4_in_list, f.F4_ORACLE, graded=False)
+    register("f5_between", f.f5_between, f.F5_ORACLE, graded=False)
+    register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE, graded=False)
+    register("x11_doc_chunking", tx.x11_doc_chunking, tx.X11_ORACLE, graded=False)
+    register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE, graded=False)
+    register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE, graded=False)
+    register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
+    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
     register("q22_not_exists", sq.q22_not_exists, sq.Q22_SQL, graded=False)
     register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE, graded=False)
     register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE, graded=False)

@@ -216,6 +216,22 @@ def _stage_filtered(sf_dir: str, src_dir: str, only_type: str) -> None:
     _stage_filtered_topics(sf_dir, [(src_dir, only_type)])
 
 
+def stage_shared_topics(spark: SparkSession, sf_dir: str) -> None:
+    """Eagerly build the streaming-source staging that is SHARED
+    across queries (the plain `events_src` topic and the
+    `events_src_wm` topic with its two watermark sentinels plus the
+    footer-derived sentinel-day computation). bench.py calls this
+    before the timed r* loop so the one-time staging cost is its own
+    `r0_topic_staging` line instead of landing on whichever r* query
+    first finds the scratch cold — round-8's r5_session_windows read
+    12.47s when its steady-state is ~4.9s for exactly this reason.
+    Per-query staging (split topics, type-filtered topics, redelivery
+    copies) is NOT built here: it is genuinely part of that query's
+    cold cost and is not shared."""
+    _events_stream(spark, sf_dir)                      # events_src
+    _events_stream(spark, sf_dir, with_sentinel=True)  # events_src_wm + sentinels
+
+
 def _stage_filtered_topics(sf_dir: str, topics: list[tuple[str, str]]) -> None:
     """Stage several type-filtered topics in ONE pass over the events
     parquet: the source table is read once and each (dir, type) pair
@@ -411,11 +427,14 @@ def _stage_sentinel(spark: SparkSession, sf_dir: str, src_dir: str) -> None:
     # engine pins UTC at session build; assert it here so a config
     # drift fails loudly instead of silently shrinking the margin.
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    assert session_tz in ("UTC", "Etc/UTC", "GMT"), (
-        f"sentinel epochs are computed at UTC midnight but the session "
-        f"time zone is {session_tz!r}; the day-level watermark margin "
-        f"reasoning only holds under UTC"
-    )
+    if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+        # a plain assert would be stripped under `python -O`, silently
+        # shrinking the watermark margin — raise unconditionally
+        raise RuntimeError(
+            f"sentinel epochs are computed at UTC midnight but the session "
+            f"time zone is {session_tz!r}; the day-level watermark margin "
+            f"reasoning only holds under UTC"
+        )
     for i, day in enumerate([d1, d2]):
         dt = datetime.datetime.strptime(str(day), "%Y-%m-%d")
         epoch_s = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp())

@@ -1,0 +1,173 @@
+"""sf1-class relational stress (round-7 task 5 / round-8 verdict #4):
+replicate the sf0.1 tables 10x into an sf1-shaped dir (~6M-row
+lineitem), run the headline relational queries plus d2/g4/d18 COLD at
+both scales, and record the sf0.1 -> sf1 wall-clock ratios and any
+AQE broadcast/skew join-strategy plan flips in SCALE_STRESS.md.
+
+Replication is key-correct, not just row-copies:
+- lineitem/orders: 10 replicas with l_orderkey/o_orderkey offset by
+  replica*OFFSET (same customers -> 10x orders per customer, which is
+  how a fact table actually grows against a slowly-changing dim);
+- documents: every token salted with a replica prefix, so the
+  intra-replica near-dup structure d2/d18 work on is preserved
+  exactly while cross-replica pairs share zero shingles (plain
+  replication would turn every doc into a 10-clique and measure pair
+  explosion, not operator scaling);
+- events: event_id/user_id offset per replica -> the g4/g5 graph
+  gains 10x vertices and 10x triangles, not denser hubs;
+- dims (region nation customer supplier part) + embeddings: copied.
+
+/root/testdata is never touched; the synthetic dir lives under
+.scratch/sf1. Usage:
+
+    python scripts/sf1_stress.py [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DEST = os.path.join(_REPO, ".scratch", "sf1")
+REPLICAS = 10
+OFFSET = 10_000_000  # > any sf0.1 key
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "d2_minhash_lsh",
+    "g4_triangle_count",
+    "d18_containment",
+]
+
+
+def _gen() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DEST, exist_ok=True)
+    marker = os.path.join(DEST, "_GEN_DONE")
+    if os.path.exists(marker):
+        print(f"[gen] {DEST} already built")
+        return
+
+    def out(name: str) -> str:
+        return os.path.join(DEST, f"{name}.parquet")
+
+    # dims + embeddings: verbatim copies
+    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        pq.write_table(pq.read_table(os.path.join(SRC, f"{t}.parquet")), out(t))
+        print(f"[gen] {t}: copied")
+
+    def replicate(name: str, offset_cols: list[str], salt_text: bool = False) -> None:
+        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        parts = []
+        for i in range(REPLICAS):
+            r = t
+            for col in offset_cols:
+                idx = r.schema.get_field_index(col)
+                shifted = pc.add(r[col], i * OFFSET) if i else r[col]
+                r = r.set_column(idx, r.schema.field(col), shifted)
+            if salt_text and i:
+                idx = r.schema.get_field_index("text")
+                salted = pc.replace_substring_regex(
+                    r["text"], pattern=r"(^| )", replacement=f"\\1r{i}"
+                )
+                r = r.set_column(idx, r.schema.field("text"), salted)
+            parts.append(r)
+        big = pa.concat_tables(parts)
+        pq.write_table(big, out(name))
+        print(f"[gen] {name}: {t.num_rows} -> {big.num_rows}")
+
+    replicate("lineitem", ["l_orderkey"])
+    replicate("orders", ["o_orderkey"])
+    replicate("documents", ["doc_id"], salt_text=True)
+    replicate("events", ["event_id", "user_id"])
+    open(marker, "w").close()
+
+
+_JOIN_OPS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+             "BroadcastNestedLoopJoin")
+
+
+def _join_profile(plan: str) -> dict[str, int]:
+    prof = {op: len(re.findall(rf"\(\d+\) {op}\b", plan)) for op in _JOIN_OPS}
+    prof["skew"] = plan.count("isSkew=true") + plan.count("skewed=true")
+    return {k: v for k, v in prof.items() if v}
+
+
+def main() -> None:
+    if "--skip-gen" not in sys.argv:
+        _gen()
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark import (
+        catalog,
+        engine_clear_caches,
+        get_spark,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.plans import formatted_plan
+
+    spark = get_spark("sf1-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {**catalog.queries(), **catalog.extra_queries()}
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1", DEST)]:
+            qs[name](spark, sf_dir).collect()  # warm: stage scratch inputs
+            samples = []
+            for _ in range(2):
+                engine_clear_caches(spark)
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                samples.append(time.time() - t0)
+            engine_clear_caches(spark)
+            plan = formatted_plan(qs[name](spark, sf_dir))
+            results[name][label] = {
+                "t": round(min(samples), 2),
+                "joins": _join_profile(plan),
+            }
+            print(f"[run] {name} @{label}: {min(samples):.2f}s {results[name][label]['joins']}")
+
+    lines = [
+        "",
+        "## sf1-class relational stress (scripts/sf1_stress.py, round 9)",
+        "",
+        "The sf0.1 tables replicated 10x key-correct into `.scratch/sf1`"
+        " (~6M-row lineitem, 1.5M orders against the SAME 15k customers,"
+        " 50k token-salted documents, 1M events with per-replica user"
+        " spaces). min-of-2 cache-cleared wall clock after one warm run"
+        " (staging excluded), local[32]. `joins` lists the physical join"
+        " operators in the final AQE plan so broadcast->SMJ cutovers and"
+        " skew splits are visible, not inferred.",
+        "",
+        "| query | t(sf0.1) s | t(sf1) s | ratio | joins sf0.1 | joins sf1 | plan flip |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        a, b = results[name]["sf0.1"], results[name]["sf1"]
+        ratio = round(b["t"] / a["t"], 1) if a["t"] else float("nan")
+        flip = "yes" if a["joins"] != b["joins"] else "-"
+        ja = ",".join(f"{k}x{v}" for k, v in a["joins"].items()) or "-"
+        jb = ",".join(f"{k}x{v}" for k, v in b["joins"].items()) or "-"
+        lines.append(
+            f"| {name} | {a['t']} | {b['t']} | {ratio}x | {ja} | {jb} | {flip} |"
+        )
+    with open(os.path.join(_REPO, "SCALE_STRESS.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("appended sf1 section to SCALE_STRESS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

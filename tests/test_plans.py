@@ -512,3 +512,28 @@ def test_s18_fact_scan_has_dynamic_pruning_filter(spark, sf_dir):
 
     plan = formatted_plan(s18_dynamic_partition_pruning(spark, sf_dir))
     assert "dynamicpruning" in plan, f"no DPP filter on the fact scan:\n{plan}"
+
+
+def test_plans_md_covers_full_registry():
+    """PLANS.md must have an audit row for EVERY registered query —
+    the same mechanical drift guard test_registry_rotation.py applies
+    to driver verdicts (round-8 verdict: s19 was added to the
+    registry but the audit table silently under-covered it)."""
+    import os
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    plans = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(plans) as fh:
+        rows = {
+            m.group(1)
+            for m in (re.match(r"\| (\w+) \|", ln) for ln in fh)
+            if m and m.group(1) != "query"
+        }
+    registered = set(catalog.queries()) | set(catalog.extra_queries())
+    missing = sorted(registered - rows)
+    assert not missing, (
+        f"PLANS.md is stale: {len(missing)} registered queries have no "
+        f"plan-audit row (regenerate with scripts/plan_audit.py): {missing}"
+    )
