@@ -122,6 +122,13 @@ def might_contain_string(bloom: dict, value: str) -> bool:
 
 
 def might_contain(bloom: dict, value: Any) -> bool:
+    """Probe with the writer's per-type encoding (WriterImpl.java:
+    timestamps addLong(utcMillis) in the UTF8 bloom :1816, dates
+    addLong(epochDays) :1922, decimals addString(HiveDecimal
+    toString) :2029, doubles addLong(doubleToLongBits))."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
     if isinstance(value, bool):  # booleans have no bloom streams
         return True
     if isinstance(value, int):
@@ -132,6 +139,18 @@ def might_contain(bloom: dict, value: Any) -> bool:
         # addDouble = addLong(doubleToLongBits) — UTF8 bloom version
         (bits,) = struct.unpack("<q", struct.pack("<d", value))
         return might_contain_long(bloom, bits)
+    if isinstance(value, _dt.datetime):
+        # naive = UTC by the engine's session pin; floor to millis the
+        # way the writer's secs*1000 + nanos/1e6 truncation does
+        ms = (value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(milliseconds=1)
+        return might_contain_long(bloom, ms)
+    if isinstance(value, _dt.date):
+        return might_contain_long(bloom, (value - _dt.date(1970, 1, 1)).days)
+    if isinstance(value, _Dec):
+        s = str(value)
+        if "." in s:  # HiveDecimal.toString strips trailing zeros
+            s = s.rstrip("0").rstrip(".") or "0"
+        return might_contain_string(bloom, s)
     raise TypeError(f"no bloom encoding for {type(value)}")
 
 

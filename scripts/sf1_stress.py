@@ -13,8 +13,14 @@ Replication is key-correct, not just row-copies:
   exactly while cross-replica pairs share zero shingles (plain
   replication would turn every doc into a 10-clique and measure pair
   explosion, not operator scaling);
-- events: event_id/user_id offset per replica -> the g4/g5 graph
-  gains 10x vertices and 10x triangles, not denser hubs;
+- events: event_id/user_id offset AND ts shifted by replica*400 days
+  per replica -> the g4/g5 co-presence graph gains 10x vertices and
+  10x triangles. (First attempt kept ts shared, so every
+  (event_type, hour, slot) co-presence bucket held 10x the users ->
+  pairs x100 -> the wedge shuffle filled the disk. The blowup was the
+  FIXTURE mixing replicas into one bucket, not the operator: the
+  degree-oriented wedge bound only holds when the graph itself is
+  what scales.);
 - dims (region nation customer supplier part) + embeddings: copied.
 
 /root/testdata is never touched; the synthetic dir lives under
@@ -68,7 +74,12 @@ def _gen() -> None:
         pq.write_table(pq.read_table(os.path.join(SRC, f"{t}.parquet")), out(t))
         print(f"[gen] {t}: copied")
 
-    def replicate(name: str, offset_cols: list[str], salt_text: bool = False) -> None:
+    def replicate(
+        name: str,
+        offset_cols: list[str],
+        salt_text: bool = False,
+        shift_ts: bool = False,
+    ) -> None:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         parts = []
         for i in range(REPLICAS):
@@ -77,6 +88,10 @@ def _gen() -> None:
                 idx = r.schema.get_field_index(col)
                 shifted = pc.add(r[col], i * OFFSET) if i else r[col]
                 r = r.set_column(idx, r.schema.field(col), shifted)
+            if shift_ts and i:
+                idx = r.schema.get_field_index("ts")
+                delta = pa.scalar(i * 400 * 86_400_000_000, pa.duration("us"))
+                r = r.set_column(idx, r.schema.field("ts"), pc.add(r["ts"], delta))
             if salt_text and i:
                 idx = r.schema.get_field_index("text")
                 salted = pc.replace_substring_regex(
@@ -91,7 +106,7 @@ def _gen() -> None:
     replicate("lineitem", ["l_orderkey"])
     replicate("orders", ["o_orderkey"])
     replicate("documents", ["doc_id"], salt_text=True)
-    replicate("events", ["event_id", "user_id"])
+    replicate("events", ["event_id", "user_id"], shift_ts=True)
     open(marker, "w").close()
 
 

@@ -496,3 +496,85 @@ def test_pick_row_groups_string_domain_semantics(typed_file):
     # is lexically inside. Group 0 ["0".."9999"] also contains it
     # lexically ("15000" > "0", < "9999"), group 2+ ["20000"...] do not.
     assert 1 in kept and 2 not in kept and 3 not in kept and 4 not in kept
+
+
+def test_typed_bloom_probes_prune_absent_keys(spark, tmp_path):
+    """The writer encodes bloom entries per type (WriterImpl:
+    timestamps as UTC millis addLong, dates as epoch-day addLong,
+    decimals as trailing-zero-stripped addString); might_contain must
+    probe with the SAME encodings so an in-range-but-absent
+    timestamp/date/decimal key is eliminated by the bloom where
+    min/max alone says maybe — and a present key is always kept."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_row_index,
+        parse_tail_of_file,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    n = 20_000
+    # even-keyed rows only: odd keys are in-range but absent everywhere
+    df = spark.range(n).select(
+        (F.col("id") * 2).alias("k"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") * 2).cast("int")).alias("d"),
+        (F.col("id") * 2).cast("decimal(12,2)").alias("m"),
+    )
+    dest = str(tmp_path / "tb")
+    write_orc(
+        df.coalesce(1).sortWithinPartitions("k"), dest, bloom_filter_columns="k,d,m"
+    )
+    path = os.path.join(dest, [f for f in os.listdir(dest) if f.startswith("part")][0])
+
+    # timestamp column needs its own file: build from the date file's
+    # keys so present/absent probes are known
+    def kept(tree, use_bloom):
+        picks = T.pick_row_groups(path, tree, use_bloom=use_bloom)
+        return sum(x["keep"] for st in picks for x in st)
+
+    for col, present, absent in [
+        ("k", 2_468, 2_469),
+        ("d", dt.date(2020, 1, 1) + dt.timedelta(days=2_468),
+              dt.date(2020, 1, 1) + dt.timedelta(days=2_469)),
+        ("m", Decimal("2468.00"), Decimal("2469.00")),
+    ]:
+        assert kept(("equals", col, present), True) >= 1, f"{col}: present key kept"
+        assert kept(("equals", col, absent), False) >= 1, f"{col}: min/max alone keeps"
+        assert kept(("equals", col, absent), True) == 0, (
+            f"{col}: bloom must eliminate the absent key"
+        )
+
+
+def test_timestamp_bloom_probe_utc_millis(spark, tmp_path):
+    """Timestamp blooms carry addLong(utcMillis); a datetime literal
+    probes with the same floor-to-millis encoding."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            (F.lit("2021-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=(F.col("id") * 2))).alias("ts"),
+        )
+        dest = str(tmp_path / "tsb")
+        write_orc(
+            df.coalesce(1).sortWithinPartitions("k"), dest, bloom_filter_columns="ts"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    path = os.path.join(dest, [f for f in os.listdir(dest) if f.startswith("part")][0])
+
+    present = dt.datetime(2021, 1, 1) + dt.timedelta(seconds=2_468)
+    absent = dt.datetime(2021, 1, 1) + dt.timedelta(seconds=2_469)  # odd: never written
+
+    def kept(lit, use_bloom):
+        picks = T.pick_row_groups(path, ("equals", "ts", lit), use_bloom=use_bloom)
+        return sum(x["keep"] for st in picks for x in st)
+
+    assert kept(present, True) >= 1
+    assert kept(absent, False) >= 1
+    assert kept(absent, True) == 0
