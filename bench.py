@@ -161,6 +161,9 @@ EXTENDED = [
     "c3_positional_evolution",
     # round-8 addition: row-group (RowIndexEntry) statistics
     "s19_rowgroup_stats",
+    # round-9 additions: AMS F2 self-join-size sketch, Markov matrix
+    "sk6_ams_f2",
+    "w16_markov_transitions",
 ]
 
 

@@ -82,11 +82,13 @@ def _build() -> None:
     # Round-9 rotation (sixth window). With the never-fully-green set
     # EMPTY since round 8 (asserted mechanically by
     # tests/test_registry_rotation.py), the window owes nobody a first
-    # verdict; per the round-8 verdict's rotation policy the ~14 slots
-    # freed by the r8 backlog closures re-grade the OLDEST verdicts
-    # (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2, q3/q5/q6) so no
-    # query's last driver check ages past ~5 rounds. The flagship and
-    # the 35 most scale-critical shapes stay warm.
+    # verdict; per the round-8 verdict's rotation policy the 14 slots
+    # freed by the r8 backlog closures split 12 + 2: twelve re-grade
+    # the OLDEST verdicts (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2,
+    # q3) so no query's last driver check ages past ~5 rounds, and two
+    # grade this round's NEW operators (sk6, w16) immediately — the
+    # s19 precedent: new queries never enter the never-green backlog
+    # (q5/q6's refresh defers to round 10).
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
@@ -94,6 +96,9 @@ def _build() -> None:
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
+    # round-9 additions, graded immediately
+    register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE)
+    register("w16_markov_transitions", tp.w16_markov_transitions, tp.W16_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -108,8 +113,6 @@ def _build() -> None:
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
     register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
-    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)
-    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE)
     # ---- keep-warm: the 35 most scale-critical shapes ----------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
@@ -201,6 +204,11 @@ def _build() -> None:
     register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
     register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
     register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE, graded=False)
+    # q5/q6 verdict refresh deferred to round 10 (their slots grade
+    # the round-9 additions sk6/w16 instead — new queries never enter
+    # the never-green backlog)
+    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
+    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
     register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)

@@ -1299,3 +1299,95 @@ FROM base b JOIN bounds bd ON bd.l_returnflag = b.l_returnflag
 GROUP BY b.l_returnflag, bd.n, bd.lo, bd.hi
 ORDER BY b.l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# sk6: AMS F2 sketch — self-join size / skew estimate, integer-exact grading
+# ---------------------------------------------------------------------------
+
+_AMS_R = 32  # independent ±1 estimators; median-free mean (F2 is unbiased)
+
+
+def _ams_sign(col, r: int):
+    """±1 four-universal-style sign for estimator r: md5 of (r:key)
+    first 8 hex chars as a 32-bit int, parity as the sign — the dedup
+    family's hash recipe, salted per estimator, replayable in SQL."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def sk6_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy 1996) F2 sketch over the events
+    user_id frequency vector: R=32 independent ±1-signed running sums
+    S_r = Σ sign_r(key); each S_r² is an unbiased estimate of
+    F2 = Σ count(key)² — the SELF-JOIN SIZE, the quantity a planner
+    needs to predict shuffle volume and key skew before running a
+    join. The sixth leg of the sketch family (sk1 KMV = distinct,
+    sk2 = quantiles, sk3 = frequencies, sk4 = HLL, sk5 = set ops).
+
+    Scale shape: ONE scan, 32 map-side partial sums riding a
+    single-row aggregate (the partials ARE the sketch merge — two
+    sketches combine by adding their S_r vectors, pinned by test);
+    the exact F2 costs one key-shuffle and is computed only to grade
+    the estimate. All-integer arithmetic (sums, squares, DIV mean,
+    ppm error) so grading is hash-exact.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sk = e.agg(
+        *[F.sum(_ams_sign(F.col("k"), r)).alias(f"s{r}") for r in range(_AMS_R)],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = (
+        e.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("SUM(c * c)").alias("exact_f2"))
+    )
+    sq_mean = " + ".join(f"s{r} * s{r}" for r in range(_AMS_R))
+    return (
+        sk.crossJoin(exact)  # two 1-row aggregates: the documented shape
+        .select(
+            F.expr(f"CAST(({sq_mean}) DIV {_AMS_R} AS BIGINT)").alias("estimate_f2"),
+            F.col("exact_f2").cast("long").alias("exact_f2"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            "estimate_f2",
+            "exact_f2",
+            "n_rows",
+            F.expr(
+                "CAST(ABS(estimate_f2 - exact_f2) * 1000000 DIV exact_f2 AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+    )
+
+
+def _ams_oracle() -> str:
+    def sign(r: int) -> str:
+        return (
+            f"CASE WHEN CAST(concat('0x', substr(md5(concat('{r}:', k)), 1, 8)) "
+            f"AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        )
+
+    sums = ", ".join(f"SUM({sign(r)}) AS s{r}" for r in range(_AMS_R))
+    sq_mean = " + ".join(f"s{r} * s{r}" for r in range(_AMS_R))
+    return f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+sk AS (SELECT {sums}, COUNT(*) AS n_rows FROM keys),
+exact AS (
+  SELECT SUM(c * c) AS exact_f2
+  FROM (SELECT COUNT(*) AS c FROM keys GROUP BY k)
+)
+SELECT CAST(({sq_mean}) // {_AMS_R} AS BIGINT) AS estimate_f2,
+       CAST(exact_f2 AS BIGINT) AS exact_f2,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ABS(CAST(({sq_mean}) // {_AMS_R} AS BIGINT) - exact_f2) * 1000000
+            // exact_f2 AS BIGINT) AS rel_err_ppm
+FROM sk, exact
+"""
+
+
+SK6_ORACLE = _ams_oracle()

@@ -1003,3 +1003,71 @@ SELECT touch_type,
              / CAST(SUM(attributed_value) OVER () AS DOUBLE), 6) AS value_share
 FROM rollup ORDER BY touch_type
 """
+
+
+# ---------------------------------------------------------------------------
+# w16: per-user event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+def w16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream: counts and row-normalized probabilities
+    of event_type -> next event_type — the behavioral fingerprint
+    sequence models train on and the sanity check a curation pipeline
+    runs before exporting clickstream corpora.
+
+    Scale shape: ONE hash exchange on user_id feeds the lag() window
+    (sequences stay partition-local however long the log grows), then
+    a map-side-combinable groupBy on the (prev, next) pair — at most
+    |event_type|² groups, kilobytes of final state regardless of the
+    row count. Probabilities are ppm-quantized integers (count × 1e6
+    DIV row-marginal) so grading is hash-exact; ordering ties on ts
+    break by event_id in both engines, making sequences — not just
+    counts — deterministic.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    marg = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.expr(
+                "CAST(n_transitions * 1000000 DIV SUM(n_transitions) "
+                "OVER (PARTITION BY prev_type) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+W16_ORACLE = """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(n_transitions * 1000000 // SUM(n_transitions)
+            OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+FROM pairs
+ORDER BY prev_type, next_type
+"""

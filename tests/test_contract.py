@@ -47,32 +47,34 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round8_graded_window_composition():
+def test_round9_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-8 window = the 14 never-fully-green queries (mechanical
-    count per the round-7 verdict — incl. the f1..f5 leaves the old
-    hand-count missed), the flagship, and the 35 most scale-critical
-    keep-warm shapes. tests/test_registry_rotation.py asserts the
-    never-green ⊆ graded invariant mechanically."""
+    Round-9 window = the flagship, the two round-9 additions graded
+    immediately (sk6/w16 — new queries never enter the never-green
+    backlog), 12 of the OLDEST verdicts re-graded for freshness
+    (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2, q3; q5/q6 defer to
+    round 10), and the 35 most scale-critical keep-warm shapes.
+    tests/test_registry_rotation.py asserts the never-green ⊆ graded
+    invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
-        # never-green backlog (14)
-        "c3_positional_evolution", "t6_original_files",
-        "t7_snapshot_read",
-        "f1_equals", "f2_null_safe_equals", "f3_less_than",
-        "f4_in_list", "f5_between",
-        "x10_source_mix", "x11_doc_chunking", "x12_token_freq_quality",
-        "x13_tfidf_topk", "x14_dataset_card",
-        "x15_corpus_shuffle_shards",
-        # keep-warm scale-critical shapes (34) + the round-8 addition
-        # s19 (graded immediately so it never enters the never-green
-        # backlog; x1_token_count rotated to extras to make room)
+        # round-9 additions
+        "sk6_ams_f2", "w16_markov_transitions",
+        # verdict-refresh tier (12 oldest, CORRECTNESS_r03)
+        "f6_is_null", "f7_composite_3vl",
+        "s9_json_to_orc_convert", "s10_json_schema_inference",
+        "a3_boolean_true_count", "a5_raw_data_size",
+        "a6_dictionary_advisor",
+        "d3_simhash", "d4_ngram_jaccard_topk", "d5_blocklist_antijoin",
+        "x2_fingerprint",
+        "q3_shipping_priority",
+        # keep-warm scale-critical shapes (35)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",

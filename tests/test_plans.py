@@ -537,3 +537,32 @@ def test_plans_md_covers_full_registry():
         f"PLANS.md is stale: {len(missing)} registered queries have no "
         f"plan-audit row (regenerate with scripts/plan_audit.py): {missing}"
     )
+
+
+def test_w16_single_user_exchange_and_sk6_single_scan():
+    """w16: exactly ONE hash exchange on user_id feeds both the lag()
+    window and (after the pair groupBy's own exchange) the matrix —
+    the sequence stays partition-local. sk6: the 32 estimator sums
+    ride ONE single-row aggregate over ONE events scan (the exact-F2
+    grading branch adds its own scan + key exchange, no more)."""
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark import get_spark
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import sk6_ams_f2
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.temporal import (
+        w16_markov_transitions,
+    )
+
+    spark = get_spark("plans-test")
+    sf_dir = "/root/testdata/sf0.001"
+    p = formatted_plan(w16_markov_transitions(spark, sf_dir))
+    n_x = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert p.count("hashpartitioning(user_id") >= 1
+    # user_id exchange + pair-groupBy exchange + prev_type marginal
+    # window + the orderBy-for-oracle range exchange: <= 4 total
+    assert n_x <= 4, f"w16 grew extra shuffles:\n{p}"
+
+    p2 = formatted_plan(sk6_ams_f2(spark, sf_dir))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p2))
+    assert scans == 2, f"sk6 must scan events exactly twice (sketch + exact):\n{p2}"
+    assert "CartesianProduct" not in p2

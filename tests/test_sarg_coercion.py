@@ -578,3 +578,55 @@ def test_timestamp_bloom_probe_utc_millis(spark, tmp_path):
     assert kept(present, True) >= 1
     assert kept(absent, False) >= 1
     assert kept(absent, True) == 0
+
+
+# ---------------------------------------------------------------------------
+# SargApplier.pickRowGroups parity, TestRecordReaderImpl:1961-2052 —
+# the AND-composed include decisions over per-row-group stats,
+# including the cast-failure scenario (exceptionAnswer semantics)
+# ---------------------------------------------------------------------------
+
+
+def _pick(tree, groups):
+    """The include decision per row group from per-column stats — the
+    stats-level core of SargApplier.pickRowGroups."""
+    return [
+        T.keeps_unit(T.evaluate_tree(tree, g, col_types={"x": "int", "y": "int"}))
+        for g in groups
+    ]
+
+
+def test_pick_row_groups_reference_scenario():
+    """testPickRowGroups: sarg (x = 100 AND y = 10) over four row
+    groups; only the group where BOTH ranges can match stays."""
+    groups = [
+        {"x": _stats(0, 10), "y": _stats(0, 9)},
+        {"x": _stats(100, 200), "y": _stats(11, 20)},
+        {"x": _stats(300, 500), "y": _stats(10, 10)},
+        {"x": _stats(100, 100), "y": _stats(0, 100)},
+    ]
+    tree = ("and", ("equals", "x", 100), ("equals", "y", 10))
+    assert _pick(tree, groups) == [False, False, False, True]
+
+
+def test_pick_row_groups_error_reference_scenario():
+    """testPickRowGroupsError: the x leaf is a DATE predicate over
+    LONG stats — every evaluation throws SargCastException, the
+    fallback answers YES_NO_NULL (stats carry hasNull), and the
+    decision degrades gracefully to y alone."""
+    groups = [
+        {"x": _stats(0, 10), "y": _stats(0, 9)},
+        {"x": _stats(10, 20), "y": _stats(10, 20)},
+        {"x": _stats(20, 30), "y": _stats(0, 30)},
+    ]
+    tree = (
+        "and",
+        ("equals", "x", dt.date(2017, 1, 2), "date"),  # Long->DATE: always throws
+        ("equals", "y", 10),
+    )
+    assert _pick(tree, groups) == [False, True, True]
+    # the leaf itself lands on the exceptionAnswer, not a wrong NO
+    assert (
+        evaluate_leaf_typed("equals", "date", dt.date(2017, 1, 2), _stats(0, 10))
+        == T.YES_NO_NULL
+    )

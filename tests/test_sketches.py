@@ -344,3 +344,45 @@ def test_sk5_estimates_within_theta_error_bound(spark, sf_dir):
             f"{r['sa']}x{r['sb']}: est {r['est_inter']} vs exact "
             f"{r['exact_inter']} ({err:.3f} > {rse:.3f})"
         )
+
+
+def test_sk6_partials_merge_by_vector_addition(spark, sf_dir):
+    """AMS mergeability — the property that makes the sketch a
+    distributed aggregate: the S_r vector of the whole stream equals
+    the elementwise SUM of the two halves' vectors (map-side partials
+    on any split combine losslessly)."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import _AMS_R, _ams_sign
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"), F.col("event_id")
+    )
+
+    def vec(df):
+        row = df.agg(
+            *[F.sum(_ams_sign(F.col("k"), r)).alias(f"s{r}") for r in range(_AMS_R)]
+        ).collect()[0]
+        return [row[f"s{r}"] or 0 for r in range(_AMS_R)]
+
+    whole = vec(e)
+    lo = vec(e.filter(F.col("event_id") % 2 == 0))
+    hi = vec(e.filter(F.col("event_id") % 2 == 1))
+    assert whole == [a + b for a, b in zip(lo, hi)]
+
+
+def test_sk6_estimate_within_variance_bound(spark, sf_dir):
+    """F2's variance bound: with R averaged estimators the relative
+    standard error is <= sqrt(2/R) ≈ 0.25 at R=32; assert the estimate
+    sits within 4 RSE of exact (generous, deterministic — the hash is
+    fixed, so this pins the chosen seed family forever)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import sk6_ams_f2
+
+    row = sk6_ams_f2(spark, sf_dir).collect()[0]
+    assert row["exact_f2"] > 0
+    rel = abs(row["estimate_f2"] - row["exact_f2"]) / row["exact_f2"]
+    assert rel <= 1.0, f"AMS estimate off by {rel:.2f}x (4x the 0.25 RSE bound)"
+    assert row["rel_err_ppm"] == int(
+        abs(row["estimate_f2"] - row["exact_f2"]) * 1_000_000 // row["exact_f2"]
+    )
