@@ -345,12 +345,15 @@ def explain_file_pruning(path: str, tree: Any) -> list[dict]:
     names = [c["name"] for c in meta["columns"]]
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    # ORC_135 (writerVersion 6) = utc timestamp stats; older writers
+    # disable timestamp PPD, read straight off the file's postscript
+    orc135 = meta.get("writer_version", 0) >= 6
     out = []
     for i, per_col in enumerate(meta.get("stripe_stats", [])):
         stats_by_col = {
             name: stats_to_domain(kinds[name], per_col[ids[name]]) for name in names
         }
-        tv = evaluate_tree(tree, stats_by_col, col_types=kinds)
+        tv = evaluate_tree(tree, stats_by_col, col_types=kinds, writer_has_orc135=orc135)
         out.append({"stripe": i, "truth": tv, "keep": keeps_unit(tv)})
     return out
 
@@ -381,6 +384,7 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    orc135 = meta.get("writer_version", 0) >= 6  # see explain_file_pruning
     cols = sorted(_tree_columns(tree))
     row_index = {c: parse_row_index(path, ids[c]) for c in cols}
     blooms = (
@@ -400,7 +404,10 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
                 per_stripe = blooms.get(c, [])
                 if per_stripe and si < len(per_stripe) and g < len(per_stripe[si]):
                     rg_blooms[c] = per_stripe[si][g]
-            tv = evaluate_tree(tree, stats_by_col, rg_blooms or None, col_types=kinds)
+            tv = evaluate_tree(
+                tree, stats_by_col, rg_blooms or None, col_types=kinds,
+                writer_has_orc135=orc135,
+            )
             decisions.append({"row_group": g, "truth": tv, "keep": keeps_unit(tv)})
         out.append(decisions)
     return out
@@ -601,14 +608,23 @@ def evaluate_leaf_typed(
     *,
     column_type: str | None = None,
     writer_has_orc135: bool = True,
+    reader_type: str | None = None,
 ) -> str:
-    """The SargApplier layer over evaluate_predicate_typed: any
-    exception while evaluating a leaf disables PPD for that leaf with
-    the reference's fallback (RecordReaderImpl.java:852-874) —
-    YES_NO when the operator is NULL_SAFE_EQUALS or the stats say
-    EXPLICITLY no-null (`stats.hasHasNull() && !stats.getHasNull()`:
-    the has_null key must be PRESENT and false; a stats dict lacking
-    the key falls to YES_NO_NULL), else YES_NO_NULL."""
+    """The SargApplier layer over evaluate_predicate_typed:
+
+    - with schema evolution in play (`reader_type` given and different
+      context than the file's `column_type`), the leaf is evaluated
+      ONLY when the conversion is PPD-safe — otherwise YES_NO_NULL
+      without touching the stats (pickRowGroups' isPPDSafeConversion
+      else-branch, RecordReaderImpl.java:845 + 876-877);
+    - any exception while evaluating disables PPD for that leaf with
+      the reference's fallback (RecordReaderImpl.java:852-874) —
+      YES_NO when the operator is NULL_SAFE_EQUALS or the stats say
+      EXPLICITLY no-null (`stats.hasHasNull() && !stats.getHasNull()`:
+      the has_null key must be PRESENT and false; a stats dict lacking
+      the key falls to YES_NO_NULL), else YES_NO_NULL."""
+    if reader_type is not None and not is_ppd_safe_conversion(column_type, reader_type):
+        return YES_NO_NULL
     try:
         return evaluate_predicate_typed(
             op, pred_type, literal, stats,
@@ -636,3 +652,42 @@ def infer_pred_type(literal: Any) -> str | None:
     if isinstance(literal, (list, tuple)):
         return infer_pred_type(literal[0]) if len(literal) else None
     return _PRED_TYPE_OF.get(type(literal).__name__)
+
+
+# integer widening chains and string<->varchar are the ONLY safe
+# evolved-PPD conversions (SchemaEvolution.validatePPDConversion,
+# SchemaEvolution.java:253-310)
+_PPD_SAFE_WIDENING = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "string": {"varchar"},
+    "varchar": {"string"},
+}
+_PPD_PRIMITIVES = {
+    "boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "char", "varchar", "binary", "date", "timestamp", "decimal",
+}
+
+
+def is_ppd_safe_conversion(
+    file_type: str | None, reader_type: str, *, same_decimal: bool = True
+) -> bool:
+    """The reference's `validatePPDConversion` rule: with schema
+    evolution in play, file-side statistics can only be trusted for a
+    reader predicate when the file->reader conversion preserves the
+    index's comparison domain — identical primitive categories
+    (decimals additionally requiring identical precision/scale,
+    `same_decimal`), the integer widening chain
+    byte->short->int->long, and string<->varchar. Explicitly NOT safe
+    (reference comment): float->double (floats index as doubles but
+    predicate literals parse at a different precision) and anything
+    involving char (the index stores chars space-PADDED). A missing
+    file type (added column) is not safe."""
+    if file_type is None:
+        return False
+    if file_type not in _PPD_PRIMITIVES:
+        return False
+    if file_type == reader_type:
+        return same_decimal if file_type == "decimal" else True
+    return reader_type in _PPD_SAFE_WIDENING.get(file_type, ())

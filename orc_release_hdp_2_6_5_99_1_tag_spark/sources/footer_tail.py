@@ -128,7 +128,10 @@ def _decompress_tail(data: bytes, compression: int) -> bytes:
 
 
 def _parse_postscript(buf: bytes) -> dict:
-    ps = {"footerLength": 0, "compression": 0, "metadataLength": 0, "magic": ""}
+    ps = {
+        "footerLength": 0, "compression": 0, "metadataLength": 0,
+        "writerVersion": 0, "magic": "",
+    }  # fmt: skip
     for field, _wt, v in _fields(buf):
         if field == 1:
             ps["footerLength"] = v
@@ -136,6 +139,10 @@ def _parse_postscript(buf: bytes) -> dict:
             ps["compression"] = v
         elif field == 5:
             ps["metadataLength"] = v
+        elif field == 6:
+            # OrcFile.WriterVersion ordinal (orc_proto.proto:232);
+            # ORC_135 = 6 is the utc-timestamp-stats cutoff PPD needs
+            ps["writerVersion"] = v
         elif field == 8000:
             ps["magic"] = v.decode("utf-8", "replace")
     return ps
@@ -296,6 +303,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
         "magic": ps["magic"],
         "n_rows": n_rows,
         "row_index_stride": row_index_stride,
+        "writer_version": ps["writerVersion"],
         "columns": columns,
     }
     if include_stripe_stats:

@@ -630,3 +630,104 @@ def test_pick_row_groups_error_reference_scenario():
         evaluate_leaf_typed("equals", "date", dt.date(2017, 1, 2), _stats(0, 10))
         == T.YES_NO_NULL
     )
+
+
+_GOLDEN_1900 = "/root/reference/examples/TestOrcFile.testDate1900.orc"
+
+
+@pytest.mark.skipif(not os.path.exists(_GOLDEN_1900), reason="golden absent")
+def test_pre_orc135_golden_disables_timestamp_ppd():
+    """The ORC-135 writer gate read off a REAL pre-135 file: the
+    reference golden testDate1900.orc was written by writerVersion 1
+    (HIVE_8732 — local-timezone timestamp stats), so every timestamp
+    predicate must answer YES_NO_NULL and keep every row group; a
+    DATE predicate on the date column stays fully functional."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    meta = parse_tail_of_file(_GOLDEN_1900)
+    assert meta["writer_version"] < 6
+    picks = T.pick_row_groups(
+        _GOLDEN_1900,
+        ("less_than", "time", dt.datetime(1, 1, 1), "timestamp"),
+        use_bloom=False,
+    )
+    flat = [x for st in picks for x in st]
+    assert flat and all(x["keep"] for x in flat), (
+        "pre-ORC-135 timestamp stats are local-tz and must not prune"
+    )
+    assert all(x["truth"] == T.YES_NO_NULL for x in flat)
+
+
+def test_spark_written_files_report_orc135(typed_file):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    assert parse_tail_of_file(typed_file)["writer_version"] >= 6
+
+
+# ---------------------------------------------------------------------------
+# Evolved-PPD safety rule (SchemaEvolution.validatePPDConversion,
+# SchemaEvolution.java:253-310) — the third PPD gate, now a kernel
+# function wired into evaluate_leaf_typed's reader_type path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "file_type,reader_type,safe",
+    [
+        # identical primitive categories are safe
+        ("int", "int", True), ("string", "string", True),
+        ("double", "double", True), ("timestamp", "timestamp", True),
+        # integer widening chain byte -> short -> int -> long
+        ("tinyint", "smallint", True), ("tinyint", "int", True),
+        ("tinyint", "bigint", True), ("smallint", "int", True),
+        ("smallint", "bigint", True), ("int", "bigint", True),
+        # narrowing is NOT safe
+        ("bigint", "int", False), ("int", "smallint", False),
+        # float -> double is explicitly NOT safe (floats index as
+        # doubles but filter literals parse at different precision)
+        ("float", "double", False), ("double", "float", False),
+        # string <-> varchar safe; anything with char is NOT (padded)
+        ("string", "varchar", True), ("varchar", "string", True),
+        ("string", "char", False), ("char", "string", False),
+        ("char", "varchar", False), ("varchar", "char", False),
+        # cross-family conversions never safe
+        ("int", "string", False), ("string", "bigint", False),
+        ("date", "timestamp", False),
+        # added column (no file type)
+        (None, "int", False),
+    ],
+)
+def test_ppd_safe_conversion_rule(file_type, reader_type, safe):
+    assert T.is_ppd_safe_conversion(file_type, reader_type) is safe
+
+
+def test_unsafe_evolution_disables_leaf_without_touching_stats():
+    """pickRowGroups' isPPDSafeConversion else-branch: an unsafe
+    file->reader conversion answers YES_NO_NULL unconditionally —
+    even when the stats would prove NO under the naive comparison
+    (exactly the wrong skip the gate exists to prevent)."""
+    stats = _stats(10.0, 100.0, has_null=False)  # float file column
+    assert (
+        evaluate_leaf_typed(
+            "equals", "float", 500.0, stats,
+            column_type="float", reader_type="double",
+        )
+        == T.YES_NO_NULL
+    )
+    # same stats, no evolution: the range proves NO
+    assert (
+        evaluate_leaf_typed("equals", "float", 500.0, stats, column_type="float")
+        == T.NO
+    )
+    # safe widening still evaluates normally
+    assert (
+        evaluate_leaf_typed(
+            "equals", "long", 500, _stats(10, 100, has_null=False),
+            column_type="int", reader_type="bigint",
+        )
+        == T.NO
+    )
