@@ -481,3 +481,48 @@ def parse_row_index(path: str, column_id: int) -> list[list[dict]]:
                     pos += s["length"]
             out.append(entries)
     return out
+
+
+# position-slot widths (RecordReaderUtils.java:387-390): a byte stream
+# records 1 offset, RLE-byte/int add a run offset, the PRESENT
+# bitfield adds a bit offset — compression prepends a chunk offset
+_BYTE_STREAM_POSITIONS = 1
+_RUN_LENGTH_INT_POSITIONS = _BYTE_STREAM_POSITIONS + 1
+_BITFIELD_POSITIONS = _BYTE_STREAM_POSITIONS + 1 + 1
+
+
+def get_index_position(
+    column_encoding: str,
+    column_type: str,
+    stream_type: str,
+    is_compressed: bool,
+    has_nulls: bool,
+) -> int:
+    """Offset of `stream_type`'s first slot inside a RowIndexEntry's
+    packed positions — the reference's `RecordReaderUtils.
+    getIndexPosition` (RecordReaderUtils.java:402-457), the decoder of
+    the position layout orc_seek_explain surfaces. PRESENT always
+    starts at 0; everything else starts past the PRESENT slots (when
+    the column has nulls) and past the preceding streams' slots."""
+    if stream_type == "PRESENT":
+        return 0
+    comp = 1 if is_compressed else 0
+    base = (_BITFIELD_POSITIONS + comp) if has_nulls else 0
+    t = column_type
+    if t in (
+        "boolean", "tinyint", "smallint", "int", "bigint", "float",
+        "double", "date", "struct", "map", "list", "union",
+    ):
+        return base
+    if t in ("char", "varchar", "string"):
+        if column_encoding in ("DICTIONARY", "DICTIONARY_V2"):
+            return base
+        return base if stream_type == "DATA" else base + _BYTE_STREAM_POSITIONS + comp
+    if t in ("binary", "decimal"):
+        return base if stream_type == "DATA" else base + _BYTE_STREAM_POSITIONS + comp
+    if t == "timestamp":
+        return (
+            base if stream_type == "DATA"
+            else base + _RUN_LENGTH_INT_POSITIONS + comp
+        )
+    raise ValueError(f"unknown type for index positions: {column_type!r}")

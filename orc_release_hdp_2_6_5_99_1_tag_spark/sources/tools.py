@@ -57,14 +57,22 @@ def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> d
     cumulative row counts, the row group by rowIndexStride, then hand
     each column's entry positions to its streams' PositionProviders).
     Returns {stripe, row_group, row_in_group, row_index_stride,
-    positions: {column: [ints]}} — the exact seek offsets (compressed
-    chunk start / decompressed offset / RLE run state, consumed in
-    stream order) a reader needs to start decoding at that row group
-    without touching earlier bytes. Ranged metadata reads only."""
+    positions: {column: [ints]}, streams: {column: {stream: [ints]}}}
+    — the exact seek offsets (compressed chunk start / decompressed
+    offset / RLE run state, consumed in stream order) a reader needs
+    to start decoding at that row group without touching earlier
+    bytes, with each stream's slot range labeled via the reference's
+    position layout (`RecordReaderUtils.getIndexPosition`; dictionary
+    columns' LENGTH/DICTIONARY_DATA are stripe-level and carry no
+    per-group slots). Ranged metadata reads only."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
         parse_row_index,
         parse_stripe_footers,
         parse_tail_of_file,
+    )
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        get_index_position,
     )
 
     meta = parse_tail_of_file(path)
@@ -74,6 +82,8 @@ def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> d
     if not 0 <= row < meta["n_rows"]:
         raise IndexError(f"row {row} out of range [0, {meta['n_rows']})")
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    is_compressed = meta["compression"] != "NONE"
     columns = columns or list(ids)
     first = 0
     for si, st in enumerate(parse_stripe_footers(path)):
@@ -86,10 +96,45 @@ def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> d
                 "row_in_group": in_stripe - group * stride,
                 "row_index_stride": stride,
                 "positions": {},
+                "streams": {},
             }
             for cname in columns:
-                entries = parse_row_index(path, ids[cname])[si]
-                out["positions"][cname] = entries[group]["positions"]
+                col_id = ids[cname]
+                entries = parse_row_index(path, col_id)[si]
+                positions = entries[group]["positions"]
+                out["positions"][cname] = positions
+                # label each stream's slot range the way the reader's
+                # PositionProviders consume them (getIndexPosition)
+                col_streams = [
+                    s["kind"] for s in st["streams"]
+                    if s["column"] == col_id
+                    and s["kind"] in ("PRESENT", "DATA", "LENGTH", "SECONDARY")
+                ]
+                has_nulls = "PRESENT" in col_streams
+                enc_kind = st["encodings"][col_id]["kind"] if col_id < len(
+                    st["encodings"]
+                ) else "DIRECT"
+                if enc_kind in ("DICTIONARY", "DICTIONARY_V2"):
+                    # the dictionary blob + its LENGTH stream are
+                    # stripe-level; only PRESENT/DATA record per-group
+                    # seek positions
+                    col_streams = [
+                        sk for sk in col_streams if sk in ("PRESENT", "DATA")
+                    ]
+                starts = sorted(
+                    (
+                        get_index_position(
+                            enc_kind, kinds[cname], sk, is_compressed, has_nulls
+                        ),
+                        sk,
+                    )
+                    for sk in col_streams
+                )
+                segs = {}
+                for i, (slot, sk) in enumerate(starts):
+                    end = starts[i + 1][0] if i + 1 < len(starts) else len(positions)
+                    segs[sk] = positions[slot:end]
+                out["streams"][cname] = segs
             return out
         first += st["numberOfRows"]
     raise AssertionError("stripe row counts do not cover the footer's n_rows")

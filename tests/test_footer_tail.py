@@ -376,3 +376,72 @@ def test_orc_seek_explain_addresses_and_positions(spark, tmp_path):
     for lo, hi in [(a, b), (b, c)]:
         assert all(x <= y for x, y in zip(lo[:2], hi[:2]))
         assert any(x < y for x, y in zip(lo[:2], hi[:2]))
+
+
+def test_get_index_position_reference_table():
+    """The reference's testGetIndexPosition table, cell for cell
+    (RecordReaderUtils.getIndexPosition; TestRecordReaderImpl:1128):
+    slot offsets of each stream's seek positions inside a
+    RowIndexEntry, by encoding x type x stream x compressed x nulls."""
+    import pytest as _pytest
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        get_index_position as g,
+    )
+
+    cells = [
+        ("DIRECT", "int", "PRESENT", True, True, 0),
+        ("DIRECT", "int", "DATA", True, True, 4),
+        ("DIRECT", "int", "DATA", False, True, 3),
+        ("DIRECT", "int", "DATA", True, False, 0),
+        ("DICTIONARY", "string", "DATA", True, True, 4),
+        ("DIRECT", "binary", "DATA", True, True, 4),
+        ("DIRECT", "binary", "DATA", False, True, 3),
+        ("DIRECT", "binary", "LENGTH", True, True, 6),
+        ("DIRECT", "binary", "LENGTH", False, True, 4),
+        ("DIRECT", "decimal", "DATA", True, True, 4),
+        ("DIRECT", "decimal", "DATA", False, True, 3),
+        ("DIRECT", "decimal", "SECONDARY", True, True, 6),
+        ("DIRECT", "decimal", "SECONDARY", False, True, 4),
+        ("DIRECT", "timestamp", "DATA", True, True, 4),
+        ("DIRECT", "timestamp", "DATA", False, True, 3),
+        ("DIRECT", "timestamp", "SECONDARY", True, True, 7),
+        ("DIRECT", "timestamp", "SECONDARY", False, True, 5),
+    ]
+    for enc, typ, stream, comp, nulls, expected in cells:
+        assert g(enc, typ, stream, comp, nulls) == expected, (
+            enc, typ, stream, comp, nulls,
+        )
+    with _pytest.raises(ValueError):
+        g("DIRECT", "no_such_type", "DATA", True, True)
+
+
+def test_orc_seek_explain_stream_labels(spark, tmp_path):
+    """The labeled position segments account for every slot and match
+    the reference layout: a no-null bigint column is all DATA; a
+    DIRECT string column splits into DATA + LENGTH at the
+    getIndexPosition boundary."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_seek_explain
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        # unique values -> DIRECT (no dictionary), so LENGTH has slots
+        F.format_string("s%07d", F.col("id")).alias("s"),
+    )
+    dest = str(tmp_path / "lbl")
+    write_orc(df.coalesce(1).sortWithinPartitions("k"), dest)
+    path = os.path.join(dest, [f for f in os.listdir(dest) if f.startswith("part")][0])
+
+    got = orc_seek_explain(path, 12_345)
+    assert got["row_group"] == 1 and got["row_in_group"] == 2_345
+    k = got["streams"]["k"]
+    assert set(k) == {"DATA"} and k["DATA"] == got["positions"]["k"]
+    s = got["streams"]["s"]
+    assert set(s) == {"DATA", "LENGTH"}
+    assert s["DATA"] + s["LENGTH"] == got["positions"]["s"]
+    # compressed raw byte stream = (chunk, offset); compressed RLE
+    # LENGTH = (chunk, offset, run) — the getIndexPosition widths
+    assert len(s["DATA"]) == 2 and len(s["LENGTH"]) == 3
