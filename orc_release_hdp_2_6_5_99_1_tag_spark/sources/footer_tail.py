@@ -129,14 +129,16 @@ def _decompress_tail(data: bytes, compression: int) -> bytes:
 
 def _parse_postscript(buf: bytes) -> dict:
     ps = {
-        "footerLength": 0, "compression": 0, "metadataLength": 0,
-        "writerVersion": 0, "magic": "",
+        "footerLength": 0, "compression": 0, "compressionBlockSize": 262_144,
+        "metadataLength": 0, "writerVersion": 0, "magic": "",
     }  # fmt: skip
     for field, _wt, v in _fields(buf):
         if field == 1:
             ps["footerLength"] = v
         elif field == 2:
             ps["compression"] = v
+        elif field == 3:
+            ps["compressionBlockSize"] = v
         elif field == 5:
             ps["metadataLength"] = v
         elif field == 6:
@@ -304,6 +306,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
         "n_rows": n_rows,
         "row_index_stride": row_index_stride,
         "writer_version": ps["writerVersion"],
+        "compression_block_size": ps["compressionBlockSize"],
         "columns": columns,
     }
     if include_stripe_stats:

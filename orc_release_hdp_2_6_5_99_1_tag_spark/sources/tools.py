@@ -66,13 +66,10 @@ def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> d
     columns' LENGTH/DICTIONARY_DATA are stripe-level and carry no
     per-group slots). Ranged metadata reads only."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        get_index_position,
         parse_row_index,
         parse_stripe_footers,
         parse_tail_of_file,
-    )
-
-    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-        get_index_position,
     )
 
     meta = parse_tail_of_file(path)
@@ -138,3 +135,108 @@ def orc_seek_explain(path: str, row: int, columns: list[str] | None = None) -> d
             return out
         first += st["numberOfRows"]
     raise AssertionError("stripe row counts do not cover the footer's n_rows")
+
+
+_INDEX_AREA = ("ROW_INDEX", "BLOOM_FILTER", "BLOOM_FILTER_UTF8")
+_HEADER_SIZE = 3                      # OutStream.HEADER_SIZE
+_WORST_UNCOMPRESSED_SLOP = 2 + 8 * 512  # RecordReaderUtils
+
+
+def plan_read_ranges(path: str, tree, columns: list[str] | None = None) -> list[dict]:
+    """Partial-read IO plan: the exact byte ranges a reader must fetch
+    per stripe to answer `tree` after row-group pruning — the
+    reference's `planReadPartialDataStreams` +
+    `addRgFilteredStreamToRanges` / `estimateRgEndOffset`
+    (RecordReaderImpl.java:1027-1063, RecordReaderUtils.java:352-385),
+    from metadata alone. This is what turns pickRowGroups' keep/skip
+    bits into object-store GETs: per kept row group, each needed
+    stream contributes [its entry's seek offset, the next group's
+    offset + compression slop), dictionary blobs load whole, and
+    adjacent ranges merge.
+
+    Returns per stripe {stripe, stripe_offset, ranges: [(start, end)]
+    relative to the stripe start, bytes_planned, bytes_total_data} —
+    bytes_planned / bytes_total_data is the fraction of the data
+    section a pruned scan actually touches."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import pick_row_groups
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        get_index_position,
+        parse_row_index,
+        parse_stripe_footers,
+        parse_tail_of_file,
+    )
+
+    meta = parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    by_id = {c["col_id"]: c["name"] for c in meta["columns"]}
+    is_compressed = meta["compression"] != "NONE"
+    buf = meta["compression_block_size"]
+    slop = (
+        2 * (_HEADER_SIZE + buf) if is_compressed else _WORST_UNCOMPRESSED_SLOP
+    )
+    if columns is None:
+        from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import _tree_columns
+
+        columns = sorted(_tree_columns(tree))
+    included = {ids[c] for c in columns}
+    picks = pick_row_groups(path, tree)
+    row_index = {c: parse_row_index(path, ids[c]) for c in columns}
+
+    out = []
+    for si, st in enumerate(parse_stripe_footers(path)):
+        keep = [d["keep"] for d in picks[si]]
+        present_cols = {
+            s["column"] for s in st["streams"] if s["kind"] == "PRESENT"
+        }
+        ranges: list[tuple[int, int]] = []
+        offset = 0
+        total_data = 0
+        for s in st["streams"]:
+            length, col, kind = s["length"], s["column"], s["kind"]
+            if kind not in _INDEX_AREA:
+                total_data += length
+                if col in included:
+                    enc = st["encodings"][col]["kind"]
+                    is_dict_stream = kind == "DICTIONARY_DATA" or (
+                        kind == "LENGTH" and enc in ("DICTIONARY", "DICTIONARY_V2")
+                    )
+                    if is_dict_stream:
+                        ranges.append((offset, offset + length))
+                    else:
+                        entries = row_index[by_id[col]][si]
+                        posn = get_index_position(
+                            enc, kinds[by_id[col]], kind, is_compressed,
+                            col in present_cols,
+                        )
+                        for g, keep_g in enumerate(keep):
+                            if not keep_g:
+                                continue
+                            start = entries[g]["positions"][posn]
+                            if g + 1 < len(entries):
+                                end = min(
+                                    length,
+                                    entries[g + 1]["positions"][posn] + slop,
+                                )
+                            else:
+                                end = length
+                            ranges.append((offset + start, offset + end))
+            offset += length
+        # addOrMerge: coalesce overlapping/adjacent ranges
+        ranges.sort()
+        merged: list[list[int]] = []
+        for a, b in ranges:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        out.append(
+            {
+                "stripe": si,
+                "stripe_offset": st["offset"],
+                "ranges": [tuple(r) for r in merged],
+                "bytes_planned": sum(b - a for a, b in merged),
+                "bytes_total_data": total_data,
+            }
+        )
+    return out

@@ -445,3 +445,56 @@ def test_orc_seek_explain_stream_labels(spark, tmp_path):
     # compressed raw byte stream = (chunk, offset); compressed RLE
     # LENGTH = (chunk, offset, run) — the getIndexPosition widths
     assert len(s["DATA"]) == 2 and len(s["LENGTH"]) == 3
+
+
+def test_plan_read_ranges_partial_plan(spark, tmp_path):
+    """planReadPartialDataStreams parity on a real file: a one-group
+    point predicate over a sorted 10-group stripe plans a small
+    fraction of the data section, every range stays inside the
+    stripe's index+data region past the index section, the kept
+    group's DATA seek offset is covered, and a keep-everything
+    predicate plans (merged) the whole data section."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        orc_seek_explain,
+        plan_read_ranges,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.format_string("v%09d", F.col("id")).alias("v"),
+    )
+    dest = str(tmp_path / "ranges")
+    # uncompressed: offsets are plain byte positions, slop is the
+    # fixed WORST_UNCOMPRESSED_SLOP — easiest to reason about
+    write_orc(df.coalesce(1).sortWithinPartitions("k"), dest, compression="none")
+    path = os.path.join(dest, [f for f in os.listdir(dest) if f.startswith("part")][0])
+
+    plan = plan_read_ranges(path, ("equals", "k", 54_321), columns=["k", "v"])
+    assert len(plan) == 1
+    p = plan[0]
+    st = parse_stripe_footers(path)[0]
+    index_len = st["indexLength"]
+    assert p["bytes_total_data"] > 0
+    # one of ten groups + slop: well under half the data section
+    assert p["bytes_planned"] < 0.5 * p["bytes_total_data"], p
+    for a, b in p["ranges"]:
+        assert index_len <= a < b, "ranges sit past the index section"
+    # the plan's kept group agrees with the seek address computation
+    seek = orc_seek_explain(path, 54_321, columns=["k"])
+    assert seek["row_group"] == 5
+    # keep-everything predicate: merged ranges cover the entire data
+    # section of the included columns' streams contiguously
+    full = plan_read_ranges(path, ("less_than_equals", "k", n), columns=["k", "v"])[0]
+    assert full["bytes_planned"] >= p["bytes_planned"] * 5
+    assert full["bytes_planned"] <= full["bytes_total_data"]
+
+    # projection matters: planning only k touches fewer bytes than k+v
+    k_only = plan_read_ranges(path, ("equals", "k", 54_321), columns=["k"])[0]
+    assert k_only["bytes_planned"] < p["bytes_planned"]
