@@ -39,6 +39,7 @@ def orc_scan_explain(path: str, tree) -> dict:
 
     stripes = explain_file_pruning(path, tree)
     row_groups = pick_row_groups(path, tree)
+    io_plan = plan_read_ranges(path, tree)
     return {
         "stripes": stripes,
         "row_groups": row_groups,
@@ -47,6 +48,10 @@ def orc_scan_explain(path: str, tree) -> dict:
             1 for per_stripe in row_groups for d in per_stripe if d["keep"]
         ),
         "n_row_groups": sum(len(per_stripe) for per_stripe in row_groups),
+        # the IO consequence of the decisions above (predicate columns
+        # only — a real scan adds its projection columns)
+        "bytes_planned": sum(p["bytes_planned"] for p in io_plan),
+        "bytes_total_data": sum(p["bytes_total_data"] for p in io_plan),
     }
 
 

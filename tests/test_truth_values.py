@@ -361,6 +361,9 @@ def test_orc_scan_explain_tool(spark, tmp_path):
     assert rep["n_stripes_kept"] >= 1
     assert rep["n_row_groups"] == 5  # 50k rows / 10k stride
     assert rep["n_row_groups_kept"] == 1, rep  # only the first group qualifies
+    # the IO consequence: 1 of 5 groups on the predicate column plans
+    # well under the column's full data section
+    assert 0 < rep["bytes_planned"] < rep["bytes_total_data"]
 
 
 @given(
