@@ -556,7 +556,19 @@ def evaluate_predicate_typed(
       (`getBaseObjectForComparison`), with IN/BETWEEN list elements
       coerced LAZILY in evaluation order exactly as the reference's
       loops do (a malformed later element is never reached once an
-      earlier one decides the leaf)."""
+      earlier one decides the leaf).
+
+    Fidelity note — a deliberate reference sharp edge we reproduce:
+    when the predicate domain's ordering differs from the column's
+    (e.g. a STRING predicate over LONG stats), the coerced min/max are
+    not valid bounds in the predicate domain (int stats (15, 100)
+    coerce to the lexically INVERTED range ("15", "100")), so a
+    cross-domain predicate can skip a unit that holds a matching row.
+    The reference makes the same trade (testPredEvalWithIntStats pins
+    STRING "15" vs (10,100) to NO) because the engines that push such
+    predicates cast the row side identically; parity here is the
+    point, not independent soundness — the soundness suite
+    (test_truth_values) only claims same-domain predicates."""
     if column_type == "timestamp":
         if not writer_has_orc135:
             return YES_NO_NULL
