@@ -161,9 +161,11 @@ EXTENDED = [
     "c3_positional_evolution",
     # round-8 addition: row-group (RowIndexEntry) statistics
     "s19_rowgroup_stats",
-    # round-9 additions: AMS F2 self-join-size sketch, Markov matrix
+    # round-9 additions: AMS F2 self-join-size sketch, Markov matrix,
+    # catalog-statistics (ANALYZE + CBO) join
     "sk6_ams_f2",
     "w16_markov_transitions",
+    "j4_cbo_stats_join",
 ]
 
 

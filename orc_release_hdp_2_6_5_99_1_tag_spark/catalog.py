@@ -83,12 +83,12 @@ def _build() -> None:
     # EMPTY since round 8 (asserted mechanically by
     # tests/test_registry_rotation.py), the window owes nobody a first
     # verdict; per the round-8 verdict's rotation policy the 14 slots
-    # freed by the r8 backlog closures split 12 + 2: twelve re-grade
-    # the OLDEST verdicts (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2,
-    # q3) so no query's last driver check ages past ~5 rounds, and two
-    # grade this round's NEW operators (sk6, w16) immediately — the
-    # s19 precedent: new queries never enter the never-green backlog
-    # (q5/q6's refresh defers to round 10).
+    # freed by the r8 backlog closures split 11 + 3: eleven re-grade
+    # the OLDEST verdicts (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2)
+    # so no query's last driver check ages past ~5 rounds, and three
+    # grade this round's NEW operators (sk6, w16, j4) immediately —
+    # the s19 precedent: new queries never enter the never-green
+    # backlog (q3/q5/q6's refresh defers to round 10).
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
@@ -99,6 +99,7 @@ def _build() -> None:
     # round-9 additions, graded immediately
     register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE)
     register("w16_markov_transitions", tp.w16_markov_transitions, tp.W16_ORACLE)
+    register("j4_cbo_stats_join", so.j4_cbo_stats_join, so.J4_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -112,7 +113,6 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
     # ---- keep-warm: the 35 most scale-critical shapes ----------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
@@ -204,9 +204,10 @@ def _build() -> None:
     register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
     register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
     register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE, graded=False)
-    # q5/q6 verdict refresh deferred to round 10 (their slots grade
-    # the round-9 additions sk6/w16 instead — new queries never enter
-    # the never-green backlog)
+    # q3/q5/q6 verdict refresh deferred to round 10 (their slots grade
+    # the round-9 additions sk6/w16/j4 instead — new queries never
+    # enter the never-green backlog)
+    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE, graded=False)
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
     register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)

@@ -319,3 +319,112 @@ SELECT c.c_mktsegment,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
+
+
+def j4_cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics surface (`ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS` + cost-based optimization): register
+    customer/orders/nation as catalog tables, ANALYZE them, and run a
+    3-table join under CBO. The returned rows carry the ANALYZE
+    results themselves (exact row counts and numeric min/max per
+    table) next to the join aggregate, so the oracle checks both the
+    statistics pipeline and the query answer; the companion plan test
+    asserts the stats actually reach the optimized plan (rowCount
+    visible) and that CBO + AQE pick broadcast builds for the
+    analyzed dims.
+
+    Why this matters at 100 TB: catalog statistics are what let the
+    planner order a 5-way join before reading a byte — the engine-
+    native analog of the reference's footer statistics, one level up.
+    Session confs are set/restored; catalog tables are per-sf-named
+    and rebuilt only when the source fingerprint moves."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table, scratch_dir
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    names = {}
+    for t in ("customer", "orders", "nation"):
+        tbl = f"j4_{t}_{tag}"
+        names[t] = tbl
+        # EXTERNAL (path-based) tables: the default catalog is
+        # SESSION-scoped (in-memory, no metastore), so a managed
+        # saveAsTable leaves a warehouse directory that collides with
+        # the next session's identically-named table. The parquet data
+        # lives under scratch (reused across sessions); the catalog
+        # entry + its ANALYZE statistics are rebuilt per session.
+        data_dir = _os.path.join(scratch_dir(sf_dir), "j4", t)
+        if not _os.path.exists(_os.path.join(data_dir, "_SUCCESS")):
+            load_table(spark, sf_dir, t).write.mode("overwrite").parquet(data_dir)
+        if not spark.catalog.tableExists(tbl):
+            spark.catalog.createTable(tbl, path=data_dir, source="parquet")
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    prev_jr = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        joined = spark.sql(
+            f"""
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM {names['orders']} o
+            JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+            JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """
+        )
+        agg_rows = joined.collect()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_jr)
+    # the ANALYZE results, read back from the catalog: exact row
+    # counts (CBO's primary input) per table
+    stat_rows = []
+    for t, tbl in names.items():
+        det = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        stats = det.get("Statistics", "")
+        n = int(stats.split(",")[1].strip().split(" ")[0]) if "rows" in stats else -1
+        stat_rows.append((t, n))
+    stats_df = spark.createDataFrame(stat_rows, "table_name string, row_count long")
+    agg_df = spark.createDataFrame(agg_rows, joined.schema)
+    return (
+        stats_df.join(
+            agg_df.agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_orders").cast("long").alias("total_orders"),
+                # decimal totals add exactly (order-independent); one
+                # cast to double at the very end
+                F.round(F.sum("revenue").cast("double"), 2).alias("total_revenue"),
+            )
+        )
+        .select("table_name", "row_count", "n_nations", "total_orders", "total_revenue")
+        .orderBy("table_name")
+    )
+
+
+J4_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(DISTINCT n.n_name) AS n_nations,
+         COUNT(*) AS total_orders,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+stats(table_name, row_count) AS (
+  SELECT 'customer', COUNT(*) FROM customer
+  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+)
+SELECT s.table_name, CAST(s.row_count AS BIGINT) AS row_count,
+       CAST(a.n_nations AS BIGINT) AS n_nations,
+       CAST(a.total_orders AS BIGINT) AS total_orders,
+       a.total_revenue
+FROM stats s, agg a
+ORDER BY s.table_name
+"""

@@ -53,10 +53,10 @@ def test_round9_graded_window_composition():
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-9 window = the flagship, the two round-9 additions graded
-    immediately (sk6/w16 — new queries never enter the never-green
-    backlog), 12 of the OLDEST verdicts re-graded for freshness
-    (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2, q3; q5/q6 defer to
+    Round-9 window = the flagship, the three round-9 additions graded
+    immediately (sk6/w16/j4 — new queries never enter the never-green
+    backlog), 11 of the OLDEST verdicts re-graded for freshness
+    (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2; q3/q5/q6 defer to
     round 10), and the 35 most scale-critical keep-warm shapes.
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
@@ -65,15 +65,14 @@ def test_round9_graded_window_composition():
     expected = {
         "q1_pricing_summary",
         # round-9 additions
-        "sk6_ams_f2", "w16_markov_transitions",
-        # verdict-refresh tier (12 oldest, CORRECTNESS_r03)
+        "sk6_ams_f2", "w16_markov_transitions", "j4_cbo_stats_join",
+        # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
         "f6_is_null", "f7_composite_3vl",
         "s9_json_to_orc_convert", "s10_json_schema_inference",
         "a3_boolean_true_count", "a5_raw_data_size",
         "a6_dictionary_advisor",
         "d3_simhash", "d4_ngram_jaccard_topk", "d5_blocklist_antijoin",
         "x2_fingerprint",
-        "q3_shipping_priority",
         # keep-warm scale-critical shapes (35)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",

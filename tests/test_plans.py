@@ -566,3 +566,40 @@ def test_w16_single_user_exchange_and_sk6_single_scan():
     scans = len(re.findall(r"\(\d+\) Scan parquet", p2))
     assert scans == 2, f"sk6 must scan events exactly twice (sketch + exact):\n{p2}"
     assert "CartesianProduct" not in p2
+
+
+def test_j4_analyze_stats_reach_the_optimizer():
+    """The catalog statistics pipeline end-to-end: after ANALYZE, the
+    optimized logical plan carries EXACT rowCount for the analyzed
+    tables (not file-size guesses), and under CBO the dim joins build
+    broadcast sides. A stats-blind plan can only estimate sizeInBytes
+    from files; rowCount is only there if ANALYZE reached the plan."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark import get_spark
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.setops import (
+        j4_cbo_stats_join,
+    )
+
+    spark = get_spark("plans-test")
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["table_name"]: r["row_count"] for r in
+            j4_cbo_stats_join(spark, sf_dir).collect()}
+    # the ANALYZE row counts the query surfaced are the true counts
+    assert rows["nation"] == 25 and rows["customer"] > 0 and rows["orders"] > 0
+
+    # the optimizer sees the exact rowCount through the catalog
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        df = spark.sql(
+            "SELECT c.c_mktsegment, COUNT(*) n FROM j4_orders_sf0_001 o "
+            "JOIN j4_customer_sf0_001 c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        )
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), (
+            "CBO stats did not reach the optimized plan"
+        )
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
