@@ -166,6 +166,9 @@ EXTENDED = [
     "sk6_ams_f2",
     "w16_markov_transitions",
     "j4_cbo_stats_join",
+    # BM25 lexical retrieval (x22 rotates to extras; its code path
+    # stays covered by the pytest oracle compare)
+    "x23_bm25_topk",
 ]
 
 

@@ -88,7 +88,9 @@ def _build() -> None:
     # so no query's last driver check ages past ~5 rounds, and three
     # grade this round's NEW operators (sk6, w16, j4) immediately —
     # the s19 precedent: new queries never enter the never-green
-    # backlog (q3/q5/q6's refresh defers to round 10).
+    # backlog (q3/q5/q6's refresh defers to round 10). The fourth new
+    # query (x23 BM25) takes x22's keep-warm slot (x22 verdict fresh
+    # from r8; rotates to extras).
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
@@ -100,6 +102,11 @@ def _build() -> None:
     register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE)
     register("w16_markov_transitions", tp.w16_markov_transitions, tp.W16_ORACLE)
     register("j4_cbo_stats_join", so.j4_cbo_stats_join, so.J4_ORACLE)
+    # x23 BM25 displaces x22_ngram_novelty from keep-warm (x22's r8
+    # verdict is fresh; it stays oracle-checked as an extra) — the
+    # text tier's graded face is now retrieval (x23) + fingerprint
+    # (x2) rather than two novelty-ish shapes
+    register("x23_bm25_topk", tx.x23_bm25_topk, tx.X23_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -159,7 +166,6 @@ def _build() -> None:
     # temporal / text / skew / sampling / MV
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE)
-    register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE)
     register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE)
@@ -211,6 +217,7 @@ def _build() -> None:
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
     register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
+    register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE, graded=False)
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
     register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)
     register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE, graded=False)

@@ -1749,3 +1749,164 @@ SELECT source,
        CAST(SUM(n_novel) AS BIGINT) AS total_novel
 FROM ppm GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# x23: BM25 lexical retrieval (Okapi BM25, k1=1.2, b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+# (query_id, query text) — terms drawn from the synthetic corpus vocab
+_BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window agg stream"),
+    (3, "customer order big table"),
+]
+
+
+def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the documents corpus — the
+    lexical half of a retrieval stack (the dense half is v1-v7):
+    score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|D|/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [the +1 Lucene variant,
+    always positive]. k1=1.2, b=0.75, k=5 per query.
+
+    Cross-engine exactness: each TERM's contribution is quantized to
+    ppm (round(idf*tfn*1e6) as bigint) BEFORE summing, so the final
+    score is an order-independent integer sum and ranking ties break
+    on (score_ppm desc, doc_id asc) — no float-sum nondeterminism.
+
+    Scale: the explode is filtered by a BROADCAST of the query
+    vocabulary before any shuffle, so the posting shuffle carries only
+    query-term hits (|Q_vocab|/|corpus_vocab| of the token mass); df
+    and the corpus stats (N, avgdl) are tiny broadcast sides; the
+    per-query top-k window partitions by query_id over the candidate
+    set only. At 100 TB the one full-width pass is the tokenize scan —
+    exactly the cost floor of lexical retrieval without a prebuilt
+    inverted index (x13's tf/df shape IS that index build)."""
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split(" ")}),
+        "query_id int, term string",
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias(
+                "terms"
+            ),
+        )
+        .withColumn("dl", F.size("terms"))
+    )
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posting = (
+        d.select("doc_id", "dl", F.explode("terms").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+    tf = posting.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.ln(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "tfn",
+            F.col("tf")
+            * (k1 + F.lit(1.0))
+            / (
+                F.col("tf")
+                + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .withColumn(
+            "term_ppm",
+            F.round(F.col("idf") * F.col("tfn") * F.lit(1000000.0), 0).cast(
+                "bigint"
+            ),
+        )
+    )
+    scores = (
+        term_scores.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("term_ppm").alias("score_ppm"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "rk", "doc_id", "score_ppm", "n_terms_hit")
+        .orderBy("query_id", "rk")
+    )
+
+
+_BM25_Q_VALUES = ", ".join(f"({qid}, '{q}')" for qid, q in _BM25_QUERIES)
+
+X23_ORACLE = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_Q_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS terms
+  FROM documents WHERE text IS NOT NULL
+),
+dstat AS (SELECT doc_id, len(terms) AS dl FROM docs),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dstat),
+posting AS (
+  SELECT d.doc_id, unnest(d.terms) AS term FROM docs d
+),
+tf AS (
+  SELECT p.term, p.doc_id, s.dl, COUNT(*) AS tf
+  FROM posting p
+  JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+  JOIN dstat s USING (doc_id)
+  GROUP BY p.term, p.doc_id, s.dl
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(ROUND(
+           ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0)
+              / (tf.tf + {_BM25_K1}
+                 * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / c.avgdl)))
+           * 1000000.0, 0) AS BIGINT) AS term_ppm
+  FROM tf JOIN dfreq f USING (term) CROSS JOIN corpus c
+),
+scores AS (
+  SELECT qt.query_id, ts.doc_id,
+         SUM(ts.term_ppm) AS score_ppm, COUNT(*) AS n_terms_hit
+  FROM term_scores ts JOIN qt USING (term)
+  GROUP BY qt.query_id, ts.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_ppm DESC, doc_id ASC) AS rk
+  FROM scores
+)
+SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+       CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM ranked WHERE rk <= {_BM25_TOPK}
+ORDER BY query_id, rk
+"""

@@ -66,6 +66,7 @@ def test_round9_graded_window_composition():
         "q1_pricing_summary",
         # round-9 additions
         "sk6_ams_f2", "w16_markov_transitions", "j4_cbo_stats_join",
+        "x23_bm25_topk",
         # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
         "f6_is_null", "f7_composite_3vl",
         "s9_json_to_orc_convert", "s10_json_schema_inference",
@@ -89,7 +90,6 @@ def test_round9_graded_window_composition():
         "r2_streaming_windowed_agg", "r8_streaming_pipeline",
         "r11_stream_outer_join",
         "w3_asof_join", "w14_twap",
-        "x22_ngram_novelty",
         "j3_salted_skew_join", "i3_stratified_sample",
         "mv1_incremental_agg",
         "pipe1_training_data_prep", "pipe2_curation_funnel",
