@@ -169,6 +169,8 @@ EXTENDED = [
     # BM25 lexical retrieval (x22 rotates to extras; its code path
     # stays covered by the pytest oracle compare)
     "x23_bm25_topk",
+    # VARIANT shredding (sk5 rotates to extras, same deal)
+    "j5_variant_shred",
 ]
 
 

@@ -107,6 +107,10 @@ def _build() -> None:
     # text tier's graded face is now retrieval (x23) + fingerprint
     # (x2) rather than two novelty-ish shapes
     register("x23_bm25_topk", tx.x23_bm25_topk, tx.X23_ORACLE)
+    # j5 VARIANT displaces sk5_theta_intersection from keep-warm (r8
+    # verdict fresh; stays oracle-checked as an extra; the sketch
+    # family keeps sk3/sk4/sk6 graded)
+    register("j5_variant_shred", so.j5_variant_shred, so.J5_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -140,7 +144,6 @@ def _build() -> None:
     register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE)
     register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE)
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE)
-    register("sk5_theta_intersection", st.sk5_theta_intersection, st.SK5_ORACLE)
     # dedup / decontamination
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
     register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
@@ -202,6 +205,7 @@ def _build() -> None:
     register("s15_small_file_compaction", oq.s15_small_file_compaction, oq.S15_ORACLE, graded=False)
     register("s16_zorder_layout", oq.s16_zorder_layout, oq.S16_ORACLE, graded=False)
     register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE, graded=False)
+    register("sk5_theta_intersection", st.sk5_theta_intersection, st.SK5_ORACLE, graded=False)
     register("a8_correlation_matrix", st.a8_correlation_matrix, st.A8_ORACLE, graded=False)
     register("a10_winsorized_stats", st.a10_winsorized_stats, st.A10_ORACLE, graded=False)
     register("d19_boilerplate_scrub", dd.d19_boilerplate_scrub, dd.D19_ORACLE, graded=False)

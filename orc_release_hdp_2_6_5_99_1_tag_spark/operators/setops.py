@@ -428,3 +428,93 @@ SELECT s.table_name, CAST(s.row_count AS BIGINT) AS row_count,
 FROM stats s, agg a
 ORDER BY s.table_name
 """
+
+
+_J5_SCHEMA = (
+    "OBJECT<k: BIGINT, meta: OBJECT<type: STRING, units: BIGINT>, "
+    "metrics: ARRAY<BIGINT>>"
+)
+
+
+def j5_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured handling (Spark 4 open variant encoding
+    — the engine-native answer to shredding raw JSON at scale without
+    a declared schema): construct a nested payload from events fields
+    (`to_json(struct(...))` — value-identity roundtrip, the e1 codec
+    pattern), `parse_json` it into a VARIANT column, then shred it
+    back with typed-path `try_variant_get` (nested object, array
+    index), the `variant_explode` lateral TVF over the metrics array,
+    and `schema_of_variant` pinned to one constant string.
+
+    Why VARIANT and not get_json_object (j1): parse_json decodes the
+    text ONCE into the binary variant encoding; every subsequent path
+    access is a binary traversal, not a re-parse — at 100 TB of raw
+    JSON that is the difference between one decode and one decode per
+    extracted field. The oracle checks value identity straight off the
+    source columns, so the whole encode→shred loop must be lossless.
+
+    Scale: two column-pruned scans (per-row aggregate + exploded
+    metrics pass), each one narrow shuffle; the final event_type join
+    is broadcast-tiny (|event types| rows)."""
+    e = load_table(spark, sf_dir, "events")
+    units = F.floor(F.col("value") * 100).cast("bigint")
+    raw = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"), units.alias("units")
+            ).alias("meta"),
+            F.array(
+                units, (units * 2).cast("bigint"), (units * 3).cast("bigint")
+            ).alias("metrics"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+    e.select(F.parse_json(raw).alias("v")).createOrReplaceTempView(
+        "j5_variant_events"
+    )
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT try_variant_get(v, '$.meta.type', 'string') AS event_type,
+                 try_variant_get(v, '$.k', 'bigint') AS k,
+                 try_variant_get(v, '$.metrics[1]', 'bigint') AS m1,
+                 schema_of_variant(v) AS vschema,
+                 v
+          FROM j5_variant_events
+        ), agg AS (
+          SELECT event_type, COUNT(*) AS n_events, SUM(k) AS k_sum,
+                 SUM(m1) AS m1_sum, MAX(vschema) AS variant_schema
+          FROM base GROUP BY event_type
+        ), expl AS (
+          SELECT b.event_type,
+                 SUM(CAST(m.value AS BIGINT)) AS metrics_total,
+                 COUNT(*) AS n_metric_elems
+          FROM base b,
+               LATERAL variant_explode(
+                 try_variant_get(b.v, '$.metrics', 'variant')) m
+          GROUP BY b.event_type
+        )
+        SELECT a.event_type, a.n_events, a.k_sum, a.m1_sum,
+               e.metrics_total, e.n_metric_elems, a.variant_schema
+        FROM agg a JOIN expl e USING (event_type)
+        ORDER BY a.event_type
+        """
+    )
+
+
+J5_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(FLOOR(value * 100) AS BIGINT) AS units
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(SUM(units * 2) AS BIGINT) AS m1_sum,
+       CAST(SUM(units * 6) AS BIGINT) AS metrics_total,
+       CAST(COUNT(*) * 3 AS BIGINT) AS n_metric_elems,
+       '{_J5_SCHEMA}' AS variant_schema
+FROM b GROUP BY event_type ORDER BY event_type
+"""

@@ -66,7 +66,7 @@ def test_round9_graded_window_composition():
         "q1_pricing_summary",
         # round-9 additions
         "sk6_ams_f2", "w16_markov_transitions", "j4_cbo_stats_join",
-        "x23_bm25_topk",
+        "x23_bm25_topk", "j5_variant_shred",
         # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
         "f6_is_null", "f7_composite_3vl",
         "s9_json_to_orc_convert", "s10_json_schema_inference",
@@ -79,7 +79,6 @@ def test_round9_graded_window_composition():
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",
         "sk3_countmin_heavy_hitters", "sk4_hll_distinct",
-        "sk5_theta_intersection",
         "d1_exact_dedup", "d2_minhash_lsh", "d12_bloom_decontaminate",
         "d18_containment",
         "v1_cosine_topk", "v2_lsh_bucketed_ann", "v4_pq_ann",
