@@ -86,11 +86,12 @@ def _build() -> None:
     # freed by the r8 backlog closures split 11 + 3: eleven re-grade
     # the OLDEST verdicts (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2)
     # so no query's last driver check ages past ~5 rounds, and three
-    # grade this round's NEW operators (sk6, w16, j4) immediately —
-    # the s19 precedent: new queries never enter the never-green
-    # backlog (q3/q5/q6's refresh defers to round 10). The fourth new
-    # query (x23 BM25) takes x22's keep-warm slot (x22 verdict fresh
-    # from r8; rotates to extras).
+    # grade this round's first NEW operators (sk6, w16, j4)
+    # immediately — the s19 precedent: new queries never enter the
+    # never-green backlog (q3/q5/q6's refresh defers to round 10).
+    # Three later additions (x23, j5, u5) each take a keep-warm slot
+    # from an r8-fresh verdict (x22, sk5, w14 — all rotate to extras,
+    # still oracle-checked).
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
@@ -111,6 +112,10 @@ def _build() -> None:
     # verdict fresh; stays oracle-checked as an extra; the sketch
     # family keeps sk3/sk4/sk6 graded)
     register("j5_variant_shred", so.j5_variant_shred, so.J5_ORACLE)
+    # u5 Python UDTF displaces w14_twap from keep-warm (r8 verdict
+    # fresh; stays oracle-checked as an extra) — the never-green
+    # invariant requires every new query to be graded immediately
+    register("u5_python_udtf", xt.u5_python_udtf, xt.U5_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -124,7 +129,8 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the 35 most scale-critical shapes ----------------
+    # ---- keep-warm: the most scale-critical shapes (32 after the
+    # x22/sk5/w14 displacements above) ------------------------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -168,7 +174,6 @@ def _build() -> None:
     register("r11_stream_outer_join", ig.r11_stream_outer_join, ig.R11_ORACLE)
     # temporal / text / skew / sampling / MV
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
-    register("w14_twap", tp.w14_twap, tp.W14_ORACLE)
     register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE)
@@ -249,6 +254,7 @@ def _build() -> None:
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
+    register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
     register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE, graded=False)
     register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
     register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE, graded=False)

@@ -277,3 +277,89 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def u5_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 4's newest
+    Python-exchange shape, completing the surface next to the pandas
+    trio / mapInPandas / applyInPandas / mapInArrow / stateful pair):
+    a lateral-joinable table function emitting OVERLAPPING token
+    windows (size 32, stride 16) with per-window offsets and an md5
+    fingerprint — the sliding-window chunker an embedding pipeline
+    runs before encoding, where the overlap makes pure built-in
+    expression awkward (x11's non-overlapping chunking stays
+    built-in).
+
+    The UDTF is registered and invoked through SQL LATERAL, the
+    grammar a user would actually write. Row-at-a-time Python is the
+    slow lane — acceptable here because the UDTF is the operator
+    under test; the rollup output keeps the oracle compare integer-
+    exact (md5 matches DuckDB's md5 on the identical joined string).
+    The class captures nothing repo-local (executors run it under the
+    external driver's vanilla session)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "win_idx int, n_tokens int, start_tok int, "
+        "first_tok string, last_tok string, win_md5 string"
+    ))
+    class TokenWindows:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            toks = text.split()
+            size, stride = 32, 16
+            idx = 0
+            for start in range(0, max(len(toks) - size, 0) + stride, stride):
+                win = toks[start : start + size]
+                if not win or (idx > 0 and start >= len(toks)):
+                    break
+                yield (
+                    idx,
+                    len(win),
+                    start,
+                    win[0],
+                    win[-1],
+                    hashlib.md5(" ".join(win).encode()).hexdigest(),
+                )
+                idx += 1
+                if start + size >= len(toks):
+                    break
+
+    spark.udtf.register("u5_token_windows", TokenWindows)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    ).createOrReplaceTempView("u5_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_idx, w.n_tokens, w.start_tok,
+               w.first_tok, w.last_tok, w.win_md5
+        FROM u5_docs d, LATERAL u5_token_windows(d.text) w
+        WHERE d.doc_id < 40
+        ORDER BY d.doc_id, w.win_idx
+        """
+    )
+
+
+U5_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+),
+wins AS (
+  SELECT doc_id, toks, CAST(u.i / 16 AS INT) AS win_idx, u.i AS start_tok,
+         toks[u.i + 1 : u.i + 32] AS win
+  FROM t, LATERAL (
+    SELECT unnest(range(0, GREATEST(len(toks) - 32, 0) + 16, 16)) AS i
+  ) u
+  WHERE u.i < len(toks) OR u.i = 0
+)
+SELECT doc_id, win_idx, CAST(len(win) AS INT) AS n_tokens,
+       CAST(start_tok AS INT) AS start_tok,
+       win[1] AS first_tok, win[len(win)] AS last_tok,
+       md5(array_to_string(win, ' ')) AS win_md5
+FROM wins WHERE len(win) > 0
+ORDER BY doc_id, win_idx
+"""
