@@ -171,6 +171,8 @@ EXTENDED = [
     "x23_bm25_topk",
     # VARIANT shredding (sk5 rotates to extras, same deal)
     "j5_variant_shred",
+    # XML->ORC source widening (v5 rotates to extras)
+    "s20_xml_to_orc_convert",
 ]
 
 

@@ -116,6 +116,9 @@ def _build() -> None:
     # fresh; stays oracle-checked as an extra) — the never-green
     # invariant requires every new query to be graded immediately
     register("u5_python_udtf", xt.u5_python_udtf, xt.U5_ORACLE)
+    # s20 XML->ORC displaces v5_scalar_quantized_topk from keep-warm
+    # (r8 verdict fresh; extras) — ANN keeps v1/v2/v4/v7 graded
+    register("s20_xml_to_orc_convert", oq.s20_xml_to_orc_convert, oq.S20_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -159,7 +162,6 @@ def _build() -> None:
     register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
     register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
     register("v4_pq_ann", sim.v4_pq_ann, sim.V4_ORACLE)
-    register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE)
     register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE)
     register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
     # graph analytics
@@ -252,6 +254,7 @@ def _build() -> None:
     register("r10_stream_ohlc", ig.r10_stream_ohlc, ig.R10_ORACLE, graded=False)
     register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
+    register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)

@@ -922,3 +922,87 @@ SELECT CAST(rn // {_S19_STRIDE} AS BIGINT) AS row_group,
        MIN(l_returnflag) AS min_returnflag, MAX(l_returnflag) AS max_returnflag
 FROM ordered GROUP BY 1 ORDER BY 1
 """
+
+
+def s20_xml_to_orc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 (source widening, next to s9 JSON / s14 CSV): XML → ORC
+    conversion with Spark 4's BUILT-IN xml datasource — dump customer
+    to element-per-row XML (nested <contact> element from a struct
+    column, a note column salted with XML-special characters so the
+    escape/unescape round-trip is load-bearing), read it back with an
+    EXPLICIT schema (same rationale as s14: at 100 TB an
+    inference pass over text is a full extra read; rowTag selects the
+    record element), write ORC with reference defaults, aggregate.
+
+    Decimals and the nested struct ride through the text form
+    bit-true; the DuckDB oracle recomputes the same aggregate straight
+    off the original parquet, so any escaping or type-mapping loss in
+    either direction breaks the value hash."""
+    base = scratch_dir(sf_dir)
+    xml_dir = os.path.join(base, "xml", "customer")
+    orc_dir = os.path.join(base, "orc", "customer_from_xml")
+    fp = source_fingerprint(sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(15,2)")
+    # <, >, &, and quotes all must survive writer escaping
+    note = F.concat(
+        F.lit('bal<'), bal.cast("string"), F.lit('>&"'), F.col("c_name"),
+        F.lit("'"),
+    )
+    if not marker_valid(orc_dir + "._fp", fp):
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            bal.alias("c_acctbal"),
+            "c_mktsegment",
+            note.alias("note"),
+            F.struct(
+                F.col("c_name").alias("name"),
+                # synthetic table has no phone column; derive one so
+                # the nested element carries a second field
+                F.format_string(
+                    "%02d-%07d", F.col("c_nationkey"), F.col("c_custkey")
+                ).alias("phone"),
+            ).alias("contact"),
+        )
+        (
+            c.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "customers")
+            .option("rowTag", "customer")
+            .save(xml_dir)
+        )
+        x = (
+            spark.read.format("xml")
+            .schema(
+                "c_custkey bigint, c_nationkey int,"
+                " c_acctbal decimal(15,2), c_mktsegment string,"
+                " note string, contact struct<name: string, phone: string>"
+            )
+            .option("rowTag", "customer")
+            .load(xml_dir)
+        )
+        write_orc(x, orc_dir)
+        write_marker(orc_dir + "._fp", fp)
+    df = read_orc(spark, orc_dir)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c_acctbal").cast("double").alias("sum_bal"),
+            F.sum(F.length("note")).alias("note_chars"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.max(F.col("contact")["phone"]).alias("max_phone"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+S20_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS sum_bal,
+       CAST(SUM(length(concat('bal<', CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS VARCHAR),
+                              '>&"', c_name, ''''))) AS BIGINT) AS note_chars,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       MAX(printf('%02d-%07d', c_nationkey, c_custkey)) AS max_phone
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
