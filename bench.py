@@ -173,6 +173,8 @@ EXTENDED = [
     "j5_variant_shred",
     # XML->ORC source widening (v5 rotates to extras)
     "s20_xml_to_orc_convert",
+    # native WITH RECURSIVE depth histogram (d18 rotates to extras)
+    "g6_recursive_cte",
 ]
 
 

@@ -119,6 +119,9 @@ def _build() -> None:
     # s20 XML->ORC displaces v5_scalar_quantized_topk from keep-warm
     # (r8 verdict fresh; extras) — ANN keeps v1/v2/v4/v7 graded
     register("s20_xml_to_orc_convert", oq.s20_xml_to_orc_convert, oq.S20_ORACLE)
+    # g6 native WITH RECURSIVE displaces d18_containment from
+    # keep-warm (r8 verdict fresh; extras) — dedup keeps d1/d2/d12
+    register("g6_recursive_cte", ex.g6_recursive_cte, ex.G6_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -132,8 +135,8 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (32 after the
-    # x22/sk5/w14 displacements above) ------------------------------
+    # ---- keep-warm: the most scale-critical shapes (30 after the
+    # x22/sk5/w14/v5/d18 displacements above) ------------------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -157,7 +160,6 @@ def _build() -> None:
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
     register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
     register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE)
-    register("d18_containment", dd.d18_containment, dd.D18_ORACLE)
     # ANN / clustering
     register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
     register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
@@ -255,6 +257,7 @@ def _build() -> None:
     register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
+    register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)

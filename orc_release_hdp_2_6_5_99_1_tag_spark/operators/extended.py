@@ -248,8 +248,11 @@ def _dense_rank_by_range(nodes: DataFrame, col: str) -> DataFrame:
 
 
 def g3_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-hierarchy traversal — the query class Spark SQL has no
-    WITH RECURSIVE for: compute every node's depth in a deterministic
+    """Recursive-hierarchy traversal via POINTER DOUBLING — the
+    log-round formulation (Spark 4 also has a native WITH RECURSIVE;
+    g6_recursive_cte is the same computation in that idiom, and the
+    docstring there records the scale tradeoff): compute every node's
+    depth in a deterministic
     forest over the (densely ranked) user universe, where
     parent(r) = r % ceil(r/2) for r >= 2 (always < r, so the graph is
     a forest rooted at ranks 0 and 1). Returns the depth histogram.
@@ -319,3 +322,68 @@ WITH RECURSIVE par AS (
 SELECT d AS depth, COUNT(*) AS n_nodes, CAST(SUM(r) AS BIGINT) AS rank_checksum
 FROM dep GROUP BY d ORDER BY depth
 """
+
+
+def g6_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hierarchy-depth computation as g3, expressed with
+    Spark 4's native `WITH RECURSIVE` (iterative per-level frontier
+    execution under the hood, recursion depth capped by
+    spark.sql.cteRecursionLevelLimit): anchor = roots (p = r), step =
+    children of the previous frontier. Three idioms of one recursion
+    are now value-compared — g3's pointer doubling (ceil(log2 D)
+    self-joins), this native CTE (D frontier rounds), and the DuckDB
+    recursive oracle.
+
+    Scale tradeoff, recorded: per-level recursion runs one join per
+    DEPTH level, so for deep hierarchies (D ≫ log D) g3's doubling
+    is the 100 TB shape; the native CTE wins on shallow-but-wide
+    forests (this one: D ≈ log n) because each round's frontier join
+    is against the small parent-edge table and there is no
+    localCheckpoint materialization of the full ancestor set.
+
+    Execution note: the recursion spawns one job per level and (unlike
+    a straight-line plan) AQE does not coalesce inside it, so the
+    frontier rounds are run under a temporarily lowered
+    shuffle-partition count sized to the edge table and the ≤
+    depth-histogram-sized result is materialized inside that scope
+    (the j4 conf-scope pattern — conf set/restore must bracket the
+    COLLECT, not just plan construction, because the driver collects
+    after this function returns)."""
+    e = load_table(spark, sf_dir, "events")
+    nodes = e.select("user_id").distinct()
+    ranked = _dense_rank_by_range(nodes, "user_id")
+    # materialize the edge table ONCE: each recursion level re-reads
+    # the anchor view, so an un-materialized view would re-run the
+    # events scan + distinct + rank D times (measured: 9.5s -> 3.0s
+    # at sf0.1; the remaining ~0.3s/level is job-scheduling floor)
+    edges = ranked.select(
+        "r",
+        F.when(F.col("r") <= 1, F.col("r"))
+        .otherwise(F.col("r") % F.ceil(F.col("r") / 2).cast("bigint"))
+        .alias("p"),
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("g6_parent_edges")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        df = spark.sql(
+            """
+            WITH RECURSIVE dep(r, d) AS (
+              SELECT r, 0 FROM g6_parent_edges WHERE p = r
+              UNION ALL
+              SELECT c.r, dep.d + 1
+              FROM g6_parent_edges c JOIN dep ON dep.r = c.p AND c.p <> c.r
+            )
+            SELECT d AS depth, COUNT(*) AS n_nodes,
+                   CAST(SUM(r) AS BIGINT) AS rank_checksum
+            FROM dep GROUP BY d ORDER BY depth
+            """
+        )
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(rows, df.schema).orderBy("depth")
+
+
+# same recursion, same output shape — the DuckDB oracle is shared
+G6_ORACLE = G3_ORACLE
