@@ -175,6 +175,8 @@ EXTENDED = [
     "s20_xml_to_orc_convert",
     # native WITH RECURSIVE depth histogram (d18 rotates to extras)
     "g6_recursive_cte",
+    # orc_meta Python DataSource (sk4 rotates to extras)
+    "s21_python_datasource_meta",
 ]
 
 

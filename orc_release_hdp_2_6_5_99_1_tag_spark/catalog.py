@@ -122,6 +122,9 @@ def _build() -> None:
     # g6 native WITH RECURSIVE displaces d18_containment from
     # keep-warm (r8 verdict fresh; extras) — dedup keeps d1/d2/d12
     register("g6_recursive_cte", ex.g6_recursive_cte, ex.G6_ORACLE)
+    # s21 Python DataSource displaces sk4_hll_distinct from keep-warm
+    # (r8 verdict fresh; extras) — sketches keep sk3/sk6 graded
+    register("s21_python_datasource_meta", oq.s21_python_datasource_meta, oq.S21_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -135,8 +138,8 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (30 after the
-    # x22/sk5/w14/v5/d18 displacements above) ------------------------
+    # ---- keep-warm: the most scale-critical shapes (29 after the
+    # x22/sk5/w14/v5/d18/sk4 displacements above) --------------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -155,7 +158,6 @@ def _build() -> None:
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
     register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE)
     register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE)
-    register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE)
     # dedup / decontamination
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
     register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
@@ -258,6 +260,7 @@ def _build() -> None:
     register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
     register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
+    register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)

@@ -1006,3 +1006,66 @@ SELECT c_mktsegment, COUNT(*) AS cnt,
        MAX(printf('%02d-%07d', c_nationkey, c_custkey)) AS max_phone
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def s21_python_datasource_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: the `orc_meta` Python DataSource (Spark 4
+    pyspark.sql.datasource plugin API) — ORC file/stripe metadata as a
+    queryable relation, `orc-tools meta` re-expressed through the
+    engine's native source-extension surface (`sources/pyds.py`;
+    planning = driver-side file LISTING only, parsing = pure-Python
+    ranged tail reads on executors, one task per file).
+
+    The fixture is a 4-file hash-partitioned ORC copy of orders
+    (single stripe per file at these sizes — stripe_size is pinned
+    far above the data volume, and the aggregate counts stripes so a
+    flush would fail the oracle loudly, not silently). The graded
+    aggregate checks structure (file/stripe counts, column count,
+    reference-default compression + stride read back off the wire)
+    AND data-dependent values (total rows and global orderkey min/max
+    recomputed from per-stripe StripeStatistics — metadata-only, no
+    data pages touched)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import register_orc_meta
+
+    register_orc_meta(spark)
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_meta4")
+    fp = source_fingerprint(sf_dir, "orders") + (
+        ";files=4;cols=o_orderkey,o_totalprice,o_orderstatus"
+    )
+    if not marker_valid(dest + "._fp", fp):
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .repartition(4, F.col("o_orderkey"))
+        )
+        write_orc(df, dest, stripe_size=256 * 1024 * 1024)
+        write_marker(dest + "._fp", fp)
+    meta = (
+        spark.read.format("orc_meta")
+        .option("path", dest)
+        .load()
+        .filter(F.col("column_name") == "o_orderkey")
+    )
+    return meta.agg(
+        F.count_distinct("file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_stripes"),
+        F.sum("n_rows_stripe").alias("total_rows"),
+        F.min(F.col("min_val").cast("bigint")).alias("min_orderkey"),
+        F.max(F.col("max_val").cast("bigint")).alias("max_orderkey"),
+        F.max("compression").alias("compression"),
+        F.max("row_index_stride").alias("row_index_stride"),
+        F.max("n_cols").alias("n_cols"),
+    )
+
+
+S21_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(4 AS BIGINT) AS n_stripes,
+       COUNT(*) AS total_rows,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey,
+       'ZLIB' AS compression,
+       CAST(10000 AS INT) AS row_index_stride,
+       CAST(3 AS INT) AS n_cols
+FROM orders
+"""

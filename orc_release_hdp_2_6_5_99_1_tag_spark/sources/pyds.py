@@ -1,0 +1,148 @@
+"""`orc_meta` — a Spark 4 Python DataSource (pyspark.sql.datasource)
+exposing ORC file/stripe METADATA as a relation:
+
+    register_orc_meta(spark)
+    spark.read.format("orc_meta").option("path", dir).load()
+
+One output row per (file, stripe, column) with the stripe's
+StripeStatistics min/max/count next to the file-level footer fields
+(compression, rowIndexStride, writerVersion) — the `orc-tools meta`
+surface as a QUERYABLE table instead of a CLI dump (reference:
+`tools/src/FileMetadata.cc`, `OrcFile.createReader` +
+`Reader.getStripeStatistics`).
+
+Planning contract: `partitions()` lists files on the DRIVER (metadata
+listing only — no parsing); each executor task gets ONE file and does
+ranged reads of the tail regions with the repo's pure-Python parser
+(`footer_tail.parse_tail_of_file(include_stripe_stats=True)` +
+`parse_stripe_footers`), never a data scan. A million-file lake fans
+out one task per file, the same topology as `sources/footer_stats.py`'s
+mapInPandas variant — this module is that capability re-expressed
+through the engine's native source-plugin API, so it composes with
+`spark.read` options and SQL/catalog plumbing.
+
+Worker-shipping contract (same as footer_stats): external drivers run
+vanilla sessions whose Python workers do NOT have this repo on
+sys.path, so (a) `footer_tail` is shipped flat via addPyFile and
+imported with a flat fallback, and (b) the DataSource class itself is
+defined INSIDE the registration function so cloudpickle serializes it
+BY VALUE instead of by module reference (a module-level class would
+unpickle as `import orc_release_hdp_2_6_5_99_1_tag_spark...` on the
+worker and fail).
+"""
+
+from __future__ import annotations
+
+SCHEMA = (
+    "file string, stripe_idx int, column_name string, kind string, "
+    "n_values bigint, has_null boolean, min_val string, max_val string, "
+    "n_rows_stripe bigint, stripe_offset bigint, index_length bigint, "
+    "n_cols int, compression string, row_index_stride int, "
+    "writer_version int"
+)
+
+
+def _build_datasource_class():
+    """Factory: the class is created in FUNCTION scope so cloudpickle
+    ships its code to workers by value (see module docstring)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    schema_str = SCHEMA
+
+    class OrcMetaReader(DataSourceReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "orc_meta requires .option('path', <orc dir>)"
+                )
+            self._path = path
+
+        def partitions(self):
+            # DRIVER-side: file LISTING only (no parsing) — 1 task/file
+            import glob
+            import os
+
+            files = sorted(glob.glob(os.path.join(self._path, "*.orc")))
+            if not files:
+                raise FileNotFoundError(f"no .orc files under {self._path}")
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            # EXECUTOR-side: ranged tail reads via the pure-Python
+            # parser, shipped flat via addPyFile by register_orc_meta
+            import os
+
+            try:
+                from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+                    footer_tail as ft,
+                )
+            except ImportError:  # vanilla-session worker: flat module
+                import footer_tail as ft
+
+            path = partition.value
+            tail = ft.parse_tail_of_file(path, include_stripe_stats=True)
+            stripes = ft.parse_stripe_footers(path)
+            names = [c["name"] for c in tail["columns"]]
+            kinds = [c["kind"] for c in tail["columns"]]
+            fname = os.path.basename(path)
+            for s_idx, st in enumerate(stripes):
+                per_col = (
+                    tail["stripe_stats"][s_idx]
+                    if tail.get("stripe_stats")
+                    else []
+                )
+                for c_idx, cname in enumerate(names):
+                    # stripe_stats index 0 is the root struct
+                    stats = (
+                        per_col[c_idx + 1]
+                        if len(per_col) > c_idx + 1
+                        else {}
+                    )
+                    typed = stats.get("typed") or {}
+                    mn, mx = typed.get("min"), typed.get("max")
+                    yield (
+                        fname,
+                        s_idx,
+                        cname,
+                        kinds[c_idx],
+                        stats.get("n_values"),
+                        stats.get("has_null"),
+                        None if mn is None else str(mn),
+                        None if mx is None else str(mx),
+                        st["numberOfRows"],
+                        st["offset"],
+                        st["indexLength"],
+                        len(names),
+                        tail["compression"],
+                        tail["row_index_stride"],
+                        tail["writer_version"],
+                    )
+
+    class OrcMetaDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "orc_meta"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def reader(self, schema) -> OrcMetaReader:
+            return OrcMetaReader(self.options)
+
+    return OrcMetaDataSource
+
+
+def register_orc_meta(spark) -> None:
+    """Idempotent per-session registration: ships footer_tail flat to
+    the workers (addPyFile is a no-op on re-add of the same path) and
+    registers the by-value-pickled DataSource class (re-register
+    replaces, matching spark.udtf.register semantics)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail
+
+    spark.sparkContext.addPyFile(footer_tail.__file__)
+    spark.dataSource.register(_build_datasource_class())

@@ -53,13 +53,14 @@ def test_round9_graded_window_composition():
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-9 window = the flagship, the eight round-9 additions graded
-    immediately (sk6/w16/j4/x23/j5/u5/s20/g6 — new queries never enter the
+    Round-9 window = the flagship, the nine round-9 additions graded
+    immediately (sk6/w16/j4/x23/j5/u5/s20/g6/s21 — new queries never enter the
     never-green backlog), 11 of the OLDEST verdicts re-graded for
     freshness (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2; q3/q5/q6
-    defer to round 10), and 30 scale-critical keep-warm shapes
-    (x22/sk5/w14/v5/d18 displaced by the last five additions; all
-    five have fresh r8 verdicts and stay oracle-checked as extras).
+    defer to round 10), and 29 scale-critical keep-warm shapes
+    (x22/sk5/w14/v5/d18/sk4 displaced by the last six additions;
+    all six have fresh r8 verdicts and stay oracle-checked as
+    extras).
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
@@ -70,6 +71,7 @@ def test_round9_graded_window_composition():
         "sk6_ams_f2", "w16_markov_transitions", "j4_cbo_stats_join",
         "x23_bm25_topk", "j5_variant_shred", "u5_python_udtf",
         "s20_xml_to_orc_convert", "g6_recursive_cte",
+        "s21_python_datasource_meta",
         # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
         "f6_is_null", "f7_composite_3vl",
         "s9_json_to_orc_convert", "s10_json_schema_inference",
@@ -77,11 +79,11 @@ def test_round9_graded_window_composition():
         "a6_dictionary_advisor",
         "d3_simhash", "d4_ngram_jaccard_topk", "d5_blocklist_antijoin",
         "x2_fingerprint",
-        # keep-warm scale-critical shapes (30: x22/sk5/w14/v5/d18 displaced)
+        # keep-warm scale-critical shapes (29: +sk4 displaced)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",
-        "sk3_countmin_heavy_hitters", "sk4_hll_distinct",
+        "sk3_countmin_heavy_hitters",
         "d1_exact_dedup", "d2_minhash_lsh", "d12_bloom_decontaminate",
         "v1_cosine_topk", "v2_lsh_bucketed_ann", "v4_pq_ann",
         "v7_knn_join",
