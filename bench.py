@@ -177,6 +177,9 @@ EXTENDED = [
     "g6_recursive_cte",
     # orc_meta Python DataSource (sk4 rotates to extras)
     "s21_python_datasource_meta",
+    # Python streaming source: repeated-availableNow drain (mv1
+    # rotates to extras); r-prefix -> timed cold like the r tier
+    "r12_python_stream_source",
 ]
 
 

@@ -146,3 +146,68 @@ def register_orc_meta(spark) -> None:
 
     spark.sparkContext.addPyFile(footer_tail.__file__)
     spark.dataSource.register(_build_datasource_class())
+
+
+# ---------------------------------------------------------------------------
+# synthetic_events — a Python STREAMING data source (the stream half of
+# the source-plugin surface; the batch half is orc_meta above)
+# ---------------------------------------------------------------------------
+
+SYNTH_N = 9000       # total rows the source emits
+SYNTH_BATCH = 3000   # rows per micro-batch (offset advance)
+
+
+def _build_stream_source_class():
+    """Factory (by-value pickling, see module docstring): a
+    deterministic offset-tracked stream source — rows are pure
+    arithmetic over the row id, so an exactly-once sink is
+    recomputable by any SQL engine with generate_series. The offset
+    is {"pos": next_row_id}; `read` advances one batch,
+    `readBetweenOffsets` replays a committed range (failure
+    recovery), and the source is FINITE (read at the end returns an
+    empty iterator with an unmoved offset, making extra availableNow
+    runs idempotent — the property r12 grades)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    n_total, batch = SYNTH_N, SYNTH_BATCH
+
+    def rows(lo: int, hi: int):
+        # a LIST iterator, not a generator: the engine's prefetch
+        # cache copy.copy()s the batch iterator when planning
+        # partitions (datasource_internal.getCache), and generators
+        # cannot be pickled/copied
+        return iter([(i, i % 7, (i * 31) % 1000) for i in range(lo, hi)])
+
+    class SyntheticEventsReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= n_total:
+                return iter([]), start
+            end = min(pos + batch, n_total)
+            return rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return rows(start["pos"], end["pos"])
+
+    class SyntheticEventsSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_events"
+
+        def schema(self) -> str:
+            return "id bigint, bucket int, amount bigint"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsReader()
+
+    return SyntheticEventsSource
+
+
+def register_synthetic_events(spark) -> None:
+    spark.dataSource.register(_build_stream_source_class())

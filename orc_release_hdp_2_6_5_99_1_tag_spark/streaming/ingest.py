@@ -1197,3 +1197,71 @@ LEFT JOIN events p
  AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
 WHERE c.event_type = 'click'
 """
+
+
+def r12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (Spark 4
+    `SimpleDataSourceStreamReader` — the stream half of the
+    source-plugin surface; `sources/pyds.py`; the batch half is s21's
+    orc_meta): a finite, deterministic, offset-tracked generator is
+    drained into a parquet sink by REPEATED availableNow runs sharing
+    one checkpoint — each run advances exactly one committed offset
+    range, and the loop continues one run PAST the fixpoint, so the
+    graded aggregate proves exactly-once offset semantics (no
+    dropped batch, no replayed batch: total rows == SYNTH_N even
+    though the last run re-triggers against a drained source).
+
+    Scale: the source emits pure arithmetic (no table reads), so the
+    oracle recomputes the sink from generate_series; offsets are tiny
+    JSON dicts in the checkpoint log — the same commit-log discipline
+    the reference's intermediate-footer flush gives a writer
+    (`OrcFile.MAX_FILE_LENGTH`, SURVEY §2.11), expressed through the
+    engine's native source API instead of a file convention."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        SYNTH_BATCH,
+        SYNTH_N,
+        register_synthetic_events,
+    )
+
+    base = os.path.join(scratch_dir(sf_dir), "stream", "pyds_source")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    fp = f"synthetic_events;n={SYNTH_N};batch={SYNTH_BATCH}"
+    if not marker_valid(base + "._fp", fp):
+        register_synthetic_events(spark)
+        shutil.rmtree(base, ignore_errors=True)
+        runs = SYNTH_N // SYNTH_BATCH + 1  # one run PAST the fixpoint
+        for _ in range(runs):
+            q = (
+                spark.readStream.format("synthetic_events")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        write_marker(base + "._fp", fp)
+    return (
+        spark.read.schema("id bigint, bucket int, amount bigint")
+        .parquet(sink)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("amount_sum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+R12_ORACLE = """
+SELECT CAST(i % 7 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((i * 31) % 1000) AS BIGINT) AS amount_sum,
+       MIN(i) AS min_id,
+       MAX(i) AS max_id
+FROM (SELECT unnest(generate_series(0, 8999)) AS i)
+GROUP BY 1 ORDER BY 1
+"""
