@@ -1,0 +1,124 @@
+"""Focused pins for the Python DataSource pair (`sources/pyds.py`):
+the orc_meta batch source (s21) and the synthetic_events stream source
+(r12) beyond their graded aggregates — per-file task planning, wire
+parity with the tail parser, loud failure on an empty dir, and stream
+offset idempotency."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark import get_spark
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+    register_orc_meta,
+    register_synthetic_events,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import write_orc
+from orc_release_hdp_2_6_5_99_1_tag_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pyds-tests")
+    register_orc_meta(s)
+    register_synthetic_events(s)
+    return s
+
+
+@pytest.fixture(scope="module")
+def orc_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pyds") / "nation3")
+    write_orc(
+        load_table(spark, SF, "nation").repartition(3, "n_nationkey"), d
+    )
+    return d
+
+
+def test_orc_meta_rows_match_tail_parser(spark, orc_dir):
+    """The relation's values are exactly what parse_tail_of_file +
+    parse_stripe_footers return for each file — the data source is
+    plumbing, not a second parser."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail as ft
+
+    got = {
+        (r["file"], r["stripe_idx"], r["column_name"]): r
+        for r in spark.read.format("orc_meta")
+        .option("path", orc_dir)
+        .load()
+        .collect()
+    }
+    files = sorted(f for f in os.listdir(orc_dir) if f.endswith(".orc"))
+    assert files, "fixture wrote no orc files"
+    n_checked = 0
+    for f in files:
+        path = os.path.join(orc_dir, f)
+        tail = ft.parse_tail_of_file(path, include_stripe_stats=True)
+        stripes = ft.parse_stripe_footers(path)
+        for s_idx, st in enumerate(stripes):
+            for c_idx, col in enumerate(tail["columns"]):
+                r = got[(f, s_idx, col["name"])]
+                stats = tail["stripe_stats"][s_idx][c_idx + 1]
+                assert r["n_values"] == stats["n_values"]
+                assert r["n_rows_stripe"] == st["numberOfRows"]
+                assert r["compression"] == tail["compression"]
+                assert r["row_index_stride"] == tail["row_index_stride"]
+                typed = stats.get("typed") or {}
+                if typed.get("min") is not None:
+                    assert r["min_val"] == str(typed["min"])
+                n_checked += 1
+    assert n_checked == len(got) and n_checked >= 3 * 3  # 3 files x 3 cols
+
+
+def test_orc_meta_one_task_per_file(spark, orc_dir):
+    """Planning contract: the scan fans out exactly one input
+    partition per file (the million-file-lake topology)."""
+    df = spark.read.format("orc_meta").option("path", orc_dir).load()
+    n_files = len([f for f in os.listdir(orc_dir) if f.endswith(".orc")])
+    assert df.rdd.getNumPartitions() == n_files
+
+
+def test_orc_meta_empty_dir_fails_loudly(spark, tmp_path):
+    """Repo convention: loud guards, not silent empties."""
+    with pytest.raises(Exception, match="no .orc files"):
+        spark.read.format("orc_meta").option("path", str(tmp_path)).load().collect()
+
+
+def test_orc_meta_requires_path(spark):
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("orc_meta").load().collect()
+
+
+def test_stream_source_offset_idempotency(spark, tmp_path):
+    """Each availableNow run commits exactly one offset range; runs
+    past the fixpoint append nothing. This is the property r12's
+    graded aggregate relies on, pinned here per-run."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        SYNTH_BATCH,
+        SYNTH_N,
+    )
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    counts = []
+    for _ in range(SYNTH_N // SYNTH_BATCH + 2):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        counts.append(spark.read.parquet(sink).count())
+    expect = [
+        min((i + 1) * SYNTH_BATCH, SYNTH_N)
+        for i in range(SYNTH_N // SYNTH_BATCH + 2)
+    ]
+    assert counts == expect, f"offset ledger drifted: {counts} != {expect}"
+    # exactly-once: ids are unique and dense
+    dedup = spark.read.parquet(sink).select("id").distinct().count()
+    assert dedup == SYNTH_N
