@@ -211,3 +211,98 @@ def _build_stream_source_class():
 
 def register_synthetic_events(spark) -> None:
     spark.dataSource.register(_build_stream_source_class())
+
+
+# ---------------------------------------------------------------------------
+# jsonl_sink — a Python DataSource WRITER (the write half of the plugin
+# surface; reference analog: the pluggable PhysicalWriter +
+# WriterCallback hooks, PhysicalWriter.java / WriterImpl.flushStripe)
+# ---------------------------------------------------------------------------
+
+
+def _build_jsonl_sink_class():
+    """Factory (by-value pickling): a JSON-lines sink with the full
+    TWO-PHASE task-commit protocol — each task writes to a hidden temp
+    file and returns a WriterCommitMessage; the driver's `commit`
+    atomically renames every temp into its final `part-NNNNN.jsonl`
+    name only after ALL tasks succeeded, and `abort` removes the temps
+    of the tasks that did finish. This is the same
+    write-then-publish discipline the reference implements with
+    intermediate footers + a final file length (`OrcFile.
+    MAX_FILE_LENGTH` side file): readers can never observe a
+    half-written output."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class JsonlCommit(WriterCommitMessage):
+        tmp_path: str
+        n_rows: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError("jsonl_sink requires .option('path', dir)")
+            self._dir = path
+            # test hook: deterministic mid-job task failure
+            self._fail_partition = int(options.get("fail_partition", -1))
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            if pid == self._fail_partition:
+                raise RuntimeError(f"injected failure in partition {pid}")
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = os.path.join(self._dir, f"_tmp-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return JsonlCommit(tmp_path=tmp, n_rows=n)
+
+        def commit(self, messages):
+            import os
+
+            # publish: atomic renames, deterministic final names
+            for i, m in enumerate(messages):
+                os.replace(
+                    m.tmp_path, os.path.join(self._dir, f"part-{i:05d}.jsonl")
+                )
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except (FileNotFoundError, OSError):
+                    pass
+
+    class JsonlSinkSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def schema(self) -> str:  # writer-only source; schema unused
+            return "value string"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkSource
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(_build_jsonl_sink_class())

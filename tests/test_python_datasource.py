@@ -122,3 +122,57 @@ def test_stream_source_offset_idempotency(spark, tmp_path):
     # exactly-once: ids are unique and dense
     dedup = spark.read.parquet(sink).select("id").distinct().count()
     assert dedup == SYNTH_N
+
+
+def test_jsonl_sink_two_phase_commit_roundtrip(spark, tmp_path):
+    """The write half of the plugin surface: per-task temps, driver
+    commit publishes atomically, and the published files round-trip
+    through spark.read.json with exact values."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "nation_jsonl")
+    src = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        src.repartition(2)
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    names = sorted(os.listdir(out))
+    assert names == ["part-00000.jsonl", "part-00001.jsonl"], names
+    back = spark.read.json(out).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_sink_abort_leaves_no_partials(spark, tmp_path):
+    """Abort path: one injected task failure must leave NO published
+    part files and NO temp debris — a reader can never observe a
+    half-written output (the reference's write-then-publish
+    discipline)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "aborted")
+    with pytest.raises(Exception, match="injected failure"):
+        (
+            load_table(spark, SF, "nation")
+            .repartition(2)
+            .write.format("jsonl_sink")
+            .option("path", out)
+            .option("fail_partition", "1")
+            .mode("append")
+            .save()
+        )
+    leftovers = [
+        f for f in (os.listdir(out) if os.path.isdir(out) else [])
+        if f.startswith("part-")
+    ]
+    assert leftovers == [], f"published partials after abort: {leftovers}"
