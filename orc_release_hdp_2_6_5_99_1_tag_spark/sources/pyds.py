@@ -19,7 +19,10 @@ ranged reads of the tail regions with the repo's pure-Python parser
 out one task per file, the same topology as `sources/footer_stats.py`'s
 mapInPandas variant — this module is that capability re-expressed
 through the engine's native source-plugin API, so it composes with
-`spark.read` options and SQL/catalog plumbing.
+`spark.read` options; for SQL, register a temp view over the loaded
+DataFrame (CREATE TABLE ... USING orc_meta parses, but this Spark
+build does not forward DDL OPTIONS to Python sources — pinned in
+tests/test_python_datasource.py).
 
 Worker-shipping contract (same as footer_stats): external drivers run
 vanilla sessions whose Python workers do NOT have this repo on

@@ -176,3 +176,22 @@ def test_jsonl_sink_abort_leaves_no_partials(spark, tmp_path):
         if f.startswith("part-")
     ]
     assert leftovers == [], f"published partials after abort: {leftovers}"
+
+
+def test_orc_meta_ddl_options_limitation_pinned(spark, orc_dir):
+    """Documented platform divergence, pinned so a Spark upgrade that
+    fixes it flips this test: CREATE TABLE ... USING <python-source>
+    OPTIONS(...) does NOT forward the OPTIONS map to the Python
+    reader in this Spark build (verified: an option-dumping source
+    receives {}), so orc_meta's loud missing-path guard fires. The
+    spark.read.format(...).option(...) path is the supported one
+    (covered above); temp-view-over-DataFrame is the SQL route."""
+    spark.sql("DROP TABLE IF EXISTS orc_meta_ddl")
+    spark.sql(
+        f"CREATE TABLE orc_meta_ddl USING orc_meta OPTIONS (path '{orc_dir}')"
+    )
+    try:
+        with pytest.raises(Exception, match="requires .option"):
+            spark.sql("SELECT * FROM orc_meta_ddl").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orc_meta_ddl")
