@@ -195,3 +195,19 @@ def test_orc_meta_ddl_options_limitation_pinned(spark, orc_dir):
             spark.sql("SELECT * FROM orc_meta_ddl").collect()
     finally:
         spark.sql("DROP TABLE IF EXISTS orc_meta_ddl")
+
+
+def test_orc_meta_corrupt_file_fails_loudly(spark, orc_dir, tmp_path):
+    """A truncated ORC file must fail the orc_meta task loudly (the
+    s13 recovery tier is where tolerance lives), never yield junk
+    metadata rows."""
+    import shutil
+
+    bad_dir = str(tmp_path / "corrupt")
+    os.makedirs(bad_dir)
+    src = [f for f in os.listdir(orc_dir) if f.endswith(".orc")][0]
+    data = open(os.path.join(orc_dir, src), "rb").read()
+    with open(os.path.join(bad_dir, "truncated.orc"), "wb") as fh:
+        fh.write(data[: max(len(data) // 3, 16)])
+    with pytest.raises(Exception):
+        spark.read.format("orc_meta").option("path", bad_dir).load().collect()
