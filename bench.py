@@ -180,6 +180,8 @@ EXTENDED = [
     # Python streaming source: repeated-availableNow drain (mv1
     # rotates to extras); r-prefix -> timed cold like the r tier
     "r12_python_stream_source",
+    # hard-negative mining (i3 rotates to extras)
+    "v8_hard_negative_mining",
 ]
 
 

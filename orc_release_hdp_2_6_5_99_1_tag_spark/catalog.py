@@ -129,6 +129,10 @@ def _build() -> None:
     # keep-warm (r8 verdict fresh; extras) — streaming keeps
     # r2/r8/r11 plus this
     register("r12_python_stream_source", ig.r12_python_stream_source, ig.R12_ORACLE)
+    # v8 hard-negative mining displaces i3_stratified_sample from
+    # keep-warm (r8 verdict fresh; extras) — the ANN tier gains its
+    # training-centric composite
+    register("v8_hard_negative_mining", sim.v8_hard_negative_mining, sim.V8_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -142,8 +146,8 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (28 after the
-    # x22/sk5/w14/v5/d18/sk4/mv1 displacements above) ----------------
+    # ---- keep-warm: the most scale-critical shapes (27 after the
+    # x22/sk5/w14/v5/d18/sk4/mv1/i3 displacements above) -------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -185,7 +189,6 @@ def _build() -> None:
     # temporal / text / skew / sampling / MV
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
     register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE)
-    register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE)
     # capstones
     register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE)
     register("pipe2_curation_funnel", pl.pipe2_curation_funnel, pl.PIPE2_ORACLE)
@@ -265,6 +268,7 @@ def _build() -> None:
     register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
+    register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)

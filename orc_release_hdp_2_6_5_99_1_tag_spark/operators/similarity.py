@@ -1096,3 +1096,92 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
        printf('%.4f', cos) AS cosine
 FROM pairs WHERE rank <= {_KNN_K} ORDER BY query_id, rank
 """
+
+
+_HNM_ANCHORS = 8
+_HNM_NEGS = 3
+
+
+def v8_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each anchor
+    (first 8 vectors), emit the top-1 SAME-label neighbor (the
+    positive) and the top-3 highest-cosine DIFFERENT-label vectors
+    (the hard negatives — the pairs that actually move a contrastive
+    loss; random negatives are trivially separable). Self is excluded.
+
+    One broadcast(anchors) x corpus pass computes every cosine once;
+    positives and negatives come out of the same scored relation via
+    a window partitioned by (anchor, kind). Ranking ties break on
+    vec_id (the v1 discipline). At 100 TB the corpus side stays
+    partition-parallel and nothing but the anchor batch is ever
+    broadcast; with a large anchor set the same shape runs per
+    anchor-shard, or v2/v3's bucketed variants pre-filter the
+    candidate pool."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("c_norm")
+    )
+    q = corpus.filter(F.col("vec_id") < _HNM_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c_norm").alias("q_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.when(F.col("label") == F.col("anchor_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("kind"),
+            _cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("cosine_raw"), F.asc("vec_id")
+    )
+    keep = F.when(F.col("kind") == "pos", 1).otherwise(F.lit(_HNM_NEGS))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= keep)
+        .select(
+            "anchor_id",
+            "kind",
+            "rk",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.format_string("%.4f", F.col("cosine_raw")).alias("cosine"),
+        )
+        .orderBy("anchor_id", "kind", "rk")
+    )
+
+
+V8_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {_HNM_ANCHORS}
+), scored AS (
+  SELECT q.anchor_id,
+         e.vec_id AS cand_id, e.label AS cand_label,
+         CASE WHEN e.label = q.anchor_label THEN 'pos' ELSE 'neg' END AS kind,
+         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cosine_raw
+  FROM q JOIN embeddings e ON e.vec_id <> q.anchor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id, kind ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT anchor_id, kind, CAST(rk AS INT) AS rk, cand_id, cand_label,
+       printf('%.4f', cosine_raw) AS cosine
+FROM ranked
+WHERE rk <= CASE WHEN kind = 'pos' THEN 1 ELSE {_HNM_NEGS} END
+ORDER BY anchor_id, kind, rk
+"""
