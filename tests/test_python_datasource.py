@@ -211,3 +211,25 @@ def test_orc_meta_corrupt_file_fails_loudly(spark, orc_dir, tmp_path):
         fh.write(data[: max(len(data) // 3, 16)])
     with pytest.raises(Exception):
         spark.read.format("orc_meta").option("path", bad_dir).load().collect()
+
+
+def test_stream_source_replay_range_matches_read(spark):
+    """Recovery contract: readBetweenOffsets(start, end) — the replay
+    path Spark calls when a batch must be recomputed after a failure —
+    returns exactly the rows the original read() emitted for that
+    offset range."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        SYNTH_BATCH,
+        _build_stream_source_class,
+    )
+
+    src_cls = _build_stream_source_class()
+    reader = src_cls(options={}).simpleStreamReader(None)
+    start = reader.initialOffset()
+    first, nxt = reader.read(start)
+    replay = list(reader.readBetweenOffsets(start, nxt))
+    assert list(first) == replay and len(replay) == SYNTH_BATCH
+    # second batch too, from the returned offset
+    second, nxt2 = reader.read(nxt)
+    assert list(second) == list(reader.readBetweenOffsets(nxt, nxt2))
+    assert nxt2["pos"] == 2 * SYNTH_BATCH
