@@ -109,3 +109,69 @@ def test_u3_oracle_on_hostile_text(spark, tmp_path):
         compare_query(u3_model_inference(spark, sf), con, U3_ORACLE)
     finally:
         con.close()
+
+
+def test_x23_oracle_sensitive_to_bm25_constants(spark, sf_dir):
+    """The BM25 oracle must not be vacuous: perturbing k1 on the oracle
+    side only (1.2 -> 1.5) must fail the compare — the score_ppm values
+    are load-bearing, not just the row shape."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        X23_ORACLE,
+        x23_bm25_topk,
+    )
+
+    df = x23_bm25_topk(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare_query(df, con, X23_ORACLE)  # baseline: green
+        perturbed = X23_ORACLE.replace("1.2", "1.5")
+        assert perturbed != X23_ORACLE
+        with pytest.raises(AssertionError):
+            compare_query(df, con, perturbed)
+    finally:
+        con.close()
+
+
+def test_v8_oracle_sensitive_to_kind_split(spark, sf_dir):
+    """v8's positive/negative split is load-bearing: flipping the
+    label comparison in the oracle must fail the compare."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        V8_ORACLE,
+        v8_hard_negative_mining,
+    )
+
+    df = v8_hard_negative_mining(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare_query(df, con, V8_ORACLE)
+        perturbed = V8_ORACLE.replace(
+            "WHEN e.label = q.anchor_label THEN 'pos'",
+            "WHEN e.label <> q.anchor_label THEN 'pos'",
+        )
+        assert perturbed != V8_ORACLE
+        with pytest.raises(AssertionError):
+            compare_query(df, con, perturbed)
+    finally:
+        con.close()
+
+
+def test_r12_oracle_sensitive_to_row_budget(spark, sf_dir):
+    """r12's exactly-once guarantee is graded through the row count:
+    an oracle expecting one extra batch (as a dropped-or-replayed
+    offset would produce) must fail."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import SYNTH_N
+    from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+        R12_ORACLE,
+        r12_python_stream_source,
+    )
+
+    df = r12_python_stream_source(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare_query(df, con, R12_ORACLE)
+        perturbed = R12_ORACLE.replace(str(SYNTH_N - 1), str(SYNTH_N + 2999))
+        assert perturbed != R12_ORACLE
+        with pytest.raises(AssertionError):
+            compare_query(df, con, perturbed)
+    finally:
+        con.close()
