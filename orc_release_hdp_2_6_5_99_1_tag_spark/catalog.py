@@ -89,9 +89,11 @@ def _build() -> None:
     # grade this round's first NEW operators (sk6, w16, j4)
     # immediately — the s19 precedent: new queries never enter the
     # never-green backlog (q3/q5/q6's refresh defers to round 10).
-    # Three later additions (x23, j5, u5) each take a keep-warm slot
-    # from an r8-fresh verdict (x22, sk5, w14 — all rotate to extras,
-    # still oracle-checked).
+    # Eight later additions (x23, j5, u5, s20, g6, s21, r12, v8) each
+    # take a keep-warm slot from an r8-fresh verdict (x22, sk5, w14,
+    # v5, d18, sk4, mv1, i3 — all rotate to extras, still
+    # oracle-checked; per-displacement notes sit at each register
+    # call below). tests/test_contract.py pins the full composition.
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
