@@ -182,6 +182,8 @@ EXTENDED = [
     "r12_python_stream_source",
     # hard-negative mining (i3 rotates to extras)
     "v8_hard_negative_mining",
+    # capstone composing the round-9 surfaces (r8 rotates to extras)
+    "pipe4_contrastive_pairs",
 ]
 
 

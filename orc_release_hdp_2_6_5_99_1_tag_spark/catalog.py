@@ -89,11 +89,12 @@ def _build() -> None:
     # grade this round's first NEW operators (sk6, w16, j4)
     # immediately — the s19 precedent: new queries never enter the
     # never-green backlog (q3/q5/q6's refresh defers to round 10).
-    # Eight later additions (x23, j5, u5, s20, g6, s21, r12, v8) each
-    # take a keep-warm slot from an r8-fresh verdict (x22, sk5, w14,
-    # v5, d18, sk4, mv1, i3 — all rotate to extras, still
-    # oracle-checked; per-displacement notes sit at each register
-    # call below). tests/test_contract.py pins the full composition.
+    # Nine later additions (x23, j5, u5, s20, g6, s21, r12, v8,
+    # pipe4) each take a keep-warm slot from an r8-fresh verdict
+    # (x22, sk5, w14, v5, d18, sk4, mv1, i3, r8 — all rotate to
+    # extras, still oracle-checked; per-displacement notes sit at
+    # each register call below). tests/test_contract.py pins the
+    # full composition.
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
     # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
@@ -128,13 +129,17 @@ def _build() -> None:
     # (r8 verdict fresh; extras) — sketches keep sk3/sk6 graded
     register("s21_python_datasource_meta", oq.s21_python_datasource_meta, oq.S21_ORACLE)
     # r12 Python stream source displaces mv1_incremental_agg from
-    # keep-warm (r8 verdict fresh; extras) — streaming keeps
-    # r2/r8/r11 plus this
+    # keep-warm (r8 verdict fresh; extras) — streaming's graded face
+    # after the later pipe4 displacement of r8 is r2/r11/r12
     register("r12_python_stream_source", ig.r12_python_stream_source, ig.R12_ORACLE)
     # v8 hard-negative mining displaces i3_stratified_sample from
     # keep-warm (r8 verdict fresh; extras) — the ANN tier gains its
     # training-centric composite
     register("v8_hard_negative_mining", sim.v8_hard_negative_mining, sim.V8_ORACLE)
+    # pipe4 capstone (composes the round-9 surfaces) displaces
+    # r8_streaming_pipeline from keep-warm (r8 verdict fresh; extras)
+    # — streaming keeps r2/r11/r12 graded
+    register("pipe4_contrastive_pairs", pl.pipe4_contrastive_pairs, pl.PIPE4_ORACLE)
     # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
     # JSON source widening, stats, dedup, text, TPC-H relational
     register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
@@ -148,8 +153,8 @@ def _build() -> None:
     register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (27 after the
-    # x22/sk5/w14/v5/d18/sk4/mv1/i3 displacements above) -------------
+    # ---- keep-warm: the most scale-critical shapes (26 after the
+    # x22/sk5/w14/v5/d18/sk4/mv1/i3/r8 displacements above) ----------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -186,7 +191,6 @@ def _build() -> None:
     register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
     # streaming
     register("r2_streaming_windowed_agg", ig.r2_streaming_windowed_agg, ig.R2_ORACLE)
-    register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE)
     register("r11_stream_outer_join", ig.r11_stream_outer_join, ig.R11_ORACLE)
     # temporal / text / skew / sampling / MV
     register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
@@ -271,6 +275,7 @@ def _build() -> None:
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
+    register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE, graded=False)
     register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
     register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)

@@ -377,3 +377,127 @@ FROM seg GROUP BY segment ORDER BY segment
 
 
 PIPE3_ORACLE = _pipe3_oracle()
+
+
+_P4_ANCHORS = 8
+_P4_NEGS = 3
+_P4_MIN_TOKENS = 10
+
+
+def pipe4_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composing the round-9 surfaces into the training-data
+    product they exist for: CONTRASTIVE TRAINING PAIRS with a
+    text-quality gate. documents ⋈ embeddings (doc_id = vec_id), drop
+    candidates under a minimum token count (quality gates run BEFORE
+    expensive similarity work — the pipe1 lesson), then per anchor
+    emit the top-1 same-label positive and top-3 hardest
+    different-label negatives with the text-side features a trainer
+    exports (token count, text fingerprint prefix).
+
+    Scale: one documents scan (token counting inline with the join
+    projection), one broadcast(anchors) × gated-corpus scored pass —
+    the v8 shape with the gate fused upstream so ungated vectors never
+    reach the cosine; no shuffle grows with corpus size except the
+    gated join itself."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.similarity import (
+        _cosine,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("fp8"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .filter(F.col("n_tokens") >= _P4_MIN_TOKENS)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "n_tokens",
+            "fp8",
+            _norm(F.col("embedding")).alias("c_norm"),
+        )
+    )
+    q = corpus.filter(F.col("vec_id") < _P4_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c_norm").alias("q_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("label") == F.col("anchor_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("kind"),
+            "vec_id",
+            "label",
+            "n_tokens",
+            "fp8",
+            _cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("cosine_raw"), F.asc("vec_id")
+    )
+    keep = F.when(F.col("kind") == "pos", 1).otherwise(F.lit(_P4_NEGS))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= keep)
+        .select(
+            "anchor_id",
+            "kind",
+            "rk",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.col("n_tokens").alias("cand_tokens"),
+            F.col("fp8").alias("cand_fp8"),
+            F.format_string("%.4f", F.col("cosine_raw")).alias("cosine"),
+        )
+        .orderBy("anchor_id", "kind", "rk")
+    )
+
+
+PIPE4_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         substr(md5(text), 1, 8) AS fp8
+  FROM documents
+), corpus AS (
+  SELECT e.vec_id, e.label, e.embedding, d.n_tokens, d.fp8
+  FROM embeddings e JOIN docs d ON e.vec_id = d.doc_id
+  WHERE d.n_tokens >= {_P4_MIN_TOKENS}
+), q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS q_emb
+  FROM corpus WHERE vec_id < {_P4_ANCHORS}
+), scored AS (
+  SELECT q.anchor_id,
+         CASE WHEN c.label = q.anchor_label THEN 'pos' ELSE 'neg' END AS kind,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         c.n_tokens AS cand_tokens, c.fp8 AS cand_fp8,
+         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine_raw
+  FROM q JOIN corpus c ON c.vec_id <> q.anchor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id, kind ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+  FROM scored
+)
+SELECT anchor_id, kind, CAST(rk AS INT) AS rk, cand_id, cand_label,
+       CAST(cand_tokens AS INT) AS cand_tokens, cand_fp8,
+       printf('%.4f', cosine_raw) AS cosine
+FROM ranked
+WHERE rk <= CASE WHEN kind = 'pos' THEN 1 ELSE {_P4_NEGS} END
+ORDER BY anchor_id, kind, rk
+"""

@@ -53,14 +53,14 @@ def test_round9_graded_window_composition():
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-9 window = the flagship, the eleven round-9 additions graded
-    immediately (sk6/w16/j4/x23/j5/u5/s20/g6/s21/r12/v8 — new queries
-    never enter the
+    Round-9 window = the flagship, the twelve round-9 additions graded
+    immediately (sk6/w16/j4/x23/j5/u5/s20/g6/s21/r12/v8/pipe4 — new
+    queries never enter the
     never-green backlog), 11 of the OLDEST verdicts re-graded for
     freshness (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2; q3/q5/q6
-    defer to round 10), and 27 scale-critical keep-warm shapes
-    (x22/sk5/w14/v5/d18/sk4/mv1/i3 displaced by the last eight
-    additions; all eight have fresh r8 verdicts and stay
+    defer to round 10), and 26 scale-critical keep-warm shapes
+    (x22/sk5/w14/v5/d18/sk4/mv1/i3/r8 displaced by the last nine
+    additions; all nine have fresh r8 verdicts and stay
     oracle-checked as extras).
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
@@ -73,7 +73,7 @@ def test_round9_graded_window_composition():
         "x23_bm25_topk", "j5_variant_shred", "u5_python_udtf",
         "s20_xml_to_orc_convert", "g6_recursive_cte",
         "s21_python_datasource_meta", "r12_python_stream_source",
-        "v8_hard_negative_mining",
+        "v8_hard_negative_mining", "pipe4_contrastive_pairs",
         # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
         "f6_is_null", "f7_composite_3vl",
         "s9_json_to_orc_convert", "s10_json_schema_inference",
@@ -81,7 +81,7 @@ def test_round9_graded_window_composition():
         "a6_dictionary_advisor",
         "d3_simhash", "d4_ngram_jaccard_topk", "d5_blocklist_antijoin",
         "x2_fingerprint",
-        # keep-warm scale-critical shapes (27: +i3 displaced)
+        # keep-warm scale-critical shapes (26: +r8 displaced)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",
@@ -92,7 +92,7 @@ def test_round9_graded_window_composition():
         "k1_kmeans_clusters",
         "g4_triangle_count", "g5_pagerank",
         "t2_acid_merge_on_read", "t3_compaction",
-        "r2_streaming_windowed_agg", "r8_streaming_pipeline",
+        "r2_streaming_windowed_agg",
         "r11_stream_outer_join",
         "w3_asof_join",
         "j3_salted_skew_join",
