@@ -184,6 +184,8 @@ EXTENDED = [
     "v8_hard_negative_mining",
     # capstone composing the round-9 surfaces (r8 rotates to extras)
     "pipe4_contrastive_pairs",
+    # round-10 additions: hybrid BM25+dense RRF retrieval
+    "v9_hybrid_rrf",
 ]
 
 

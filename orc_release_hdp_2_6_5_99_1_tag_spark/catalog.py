@@ -79,82 +79,62 @@ def _build() -> None:
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
     #
-    # Round-9 rotation (sixth window). With the never-fully-green set
-    # EMPTY since round 8 (asserted mechanically by
-    # tests/test_registry_rotation.py), the window owes nobody a first
-    # verdict; per the round-8 verdict's rotation policy the 14 slots
-    # freed by the r8 backlog closures split 11 + 3: eleven re-grade
-    # the OLDEST verdicts (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2)
-    # so no query's last driver check ages past ~5 rounds, and three
-    # grade this round's first NEW operators (sk6, w16, j4)
-    # immediately — the s19 precedent: new queries never enter the
-    # never-green backlog (q3/q5/q6's refresh defers to round 10).
-    # Nine later additions (x23, j5, u5, s20, g6, s21, r12, v8,
-    # pipe4) each take a keep-warm slot from an r8-fresh verdict
-    # (x22, sk5, w14, v5, d18, sk4, mv1, i3, r8 — all rotate to
-    # extras, still oracle-checked; per-displacement notes sit at
-    # each register call below). tests/test_contract.py pins the
-    # full composition.
+    # Round-10 rotation (seventh window). The never-fully-green set is
+    # EMPTY (asserted mechanically by tests/test_registry_rotation.py),
+    # so every slot is either a NEW query (graded immediately — new
+    # queries never enter the never-green backlog) or a verdict
+    # refresh. Composition per the round-9 verdict's "Next #1":
     #
-    # Swapped OUT (all driver-green in CORRECTNESS_r08, still oracle-
-    # checked by pytest as extras): c3_positional, t6/t7, f1-f5,
-    # x10-x15.
+    # - NEW (3): v9_hybrid_rrf, s22_partial_read, s23_bounded_tail.
+    # - STALE r1-era re-grades (10): q3/q5/q6 (deferred from r9 by
+    #   design), w1, w2 (latest driver verdict is the r2 err — the
+    #   driver has never confirmed the r3 ts-dtype fix), g1, p2, a7,
+    #   f9, q22.
+    # - r3-era re-grades (3): f8, u1, t1 (age 7 at r10 — the oldest
+    #   remaining verdicts after the stale set).
+    # - r4-era re-grades (5): s3, p1, e1, c1, c2 (age 6; smooths the
+    #   r11 refresh load — 9 more r4-era verdicts remain in extras).
+    # - CODE-CHANGE re-grades (2): s21, r12 — sources/pyds.py switches
+    #   to Arrow RecordBatch emission this round, so their r9 verdicts
+    #   no longer cover the shipped code path.
+    # - keep-warm (26): the scale-critical shapes, unchanged from r9.
+    #
+    # Swapped OUT (all driver-green in CORRECTNESS_r09, still oracle-
+    # checked by pytest as extras): sk6, w16, j4, x23, j5, u5, s20,
+    # g6, v8, pipe4 (the r9 additions) and f6, f7, s9, s10, a3, a5,
+    # a6, d3, d4, d5, x2 (the r9 refresh tier).
+    # tests/test_contract.py pins the full composition.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # round-9 additions, graded immediately
-    register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE)
-    register("w16_markov_transitions", tp.w16_markov_transitions, tp.W16_ORACLE)
-    register("j4_cbo_stats_join", so.j4_cbo_stats_join, so.J4_ORACLE)
-    # x23 BM25 displaces x22_ngram_novelty from keep-warm (x22's r8
-    # verdict is fresh; it stays oracle-checked as an extra) — the
-    # text tier's graded face is now retrieval (x23) + fingerprint
-    # (x2) rather than two novelty-ish shapes
-    register("x23_bm25_topk", tx.x23_bm25_topk, tx.X23_ORACLE)
-    # j5 VARIANT displaces sk5_theta_intersection from keep-warm (r8
-    # verdict fresh; stays oracle-checked as an extra; the sketch
-    # family keeps sk3/sk4/sk6 graded)
-    register("j5_variant_shred", so.j5_variant_shred, so.J5_ORACLE)
-    # u5 Python UDTF displaces w14_twap from keep-warm (r8 verdict
-    # fresh; stays oracle-checked as an extra) — the never-green
-    # invariant requires every new query to be graded immediately
-    register("u5_python_udtf", xt.u5_python_udtf, xt.U5_ORACLE)
-    # s20 XML->ORC displaces v5_scalar_quantized_topk from keep-warm
-    # (r8 verdict fresh; extras) — ANN keeps v1/v2/v4/v7 graded
-    register("s20_xml_to_orc_convert", oq.s20_xml_to_orc_convert, oq.S20_ORACLE)
-    # g6 native WITH RECURSIVE displaces d18_containment from
-    # keep-warm (r8 verdict fresh; extras) — dedup keeps d1/d2/d12
-    register("g6_recursive_cte", ex.g6_recursive_cte, ex.G6_ORACLE)
-    # s21 Python DataSource displaces sk4_hll_distinct from keep-warm
-    # (r8 verdict fresh; extras) — sketches keep sk3/sk6 graded
+    # round-10 additions, graded immediately
+    register("v9_hybrid_rrf", sim.v9_hybrid_rrf, sim.V9_ORACLE)
+    # stale r1-era verdict refresh (round-9 verdict "Next #1")
+    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
+    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)
+    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE)
+    register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE)
+    register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE)
+    register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE)
+    register("p2_pivot", so.p2_pivot, so.P2_ORACLE)
+    register("a7_percentiles", xt.a7_percentiles, xt.A7_ORACLE)
+    register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE)
+    register("q22_not_exists", sq.q22_not_exists, sq.Q22_SQL)
+    # r3-era verdict refresh (oldest after the stale set)
+    register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE)
+    register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE)
+    register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE)
+    # r4-era verdict refresh (smooths the r11 load)
+    register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE)
+    register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE)
+    register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE)
+    register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE)
+    register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE)
+    # code-change re-grades: pyds.py emits Arrow batches this round
     register("s21_python_datasource_meta", oq.s21_python_datasource_meta, oq.S21_ORACLE)
-    # r12 Python stream source displaces mv1_incremental_agg from
-    # keep-warm (r8 verdict fresh; extras) — streaming's graded face
-    # after the later pipe4 displacement of r8 is r2/r11/r12
     register("r12_python_stream_source", ig.r12_python_stream_source, ig.R12_ORACLE)
-    # v8 hard-negative mining displaces i3_stratified_sample from
-    # keep-warm (r8 verdict fresh; extras) — the ANN tier gains its
-    # training-centric composite
-    register("v8_hard_negative_mining", sim.v8_hard_negative_mining, sim.V8_ORACLE)
-    # pipe4 capstone (composes the round-9 surfaces) displaces
-    # r8_streaming_pipeline from keep-warm (r8 verdict fresh; extras)
-    # — streaming keeps r2/r11/r12 graded
-    register("pipe4_contrastive_pairs", pl.pipe4_contrastive_pairs, pl.PIPE4_ORACLE)
-    # re-grade tier (oldest verdicts, CORRECTNESS_r03): filters,
-    # JSON source widening, stats, dedup, text, TPC-H relational
-    register("f6_is_null", f.f6_is_null, f.F6_ORACLE)
-    register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE)
-    register("s9_json_to_orc_convert", oq.s9_json_to_orc_convert, oq.S9_ORACLE)
-    register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE)
-    register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE)
-    register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE)
-    register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE)
-    register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE)
-    register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE)
-    register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE)
-    register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (26 after the
-    # x22/sk5/w14/v5/d18/sk4/mv1/i3/r8 displacements above) ----------
+    # ---- keep-warm: the most scale-critical shapes (26, unchanged
+    # from the round-9 window) --------------------------------------
     # ORC core + source widening
     register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
     register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
@@ -237,12 +217,29 @@ def _build() -> None:
     register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
     register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
     register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE, graded=False)
-    # q3/q5/q6 verdict refresh deferred to round 10 (their slots grade
-    # the round-9 additions sk6/w16/j4 instead — new queries never
-    # enter the never-green backlog)
-    register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE, graded=False)
-    register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE, graded=False)
-    register("q6_revenue_delta", ex.q6_revenue_delta, ex.Q6_ORACLE, graded=False)
+    # rotated out round 10 (driver-green in CORRECTNESS_r09): the r9
+    # additions + the r9 refresh tier, all verdict-fresh
+    register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE, graded=False)
+    register("w16_markov_transitions", tp.w16_markov_transitions, tp.W16_ORACLE, graded=False)
+    register("j4_cbo_stats_join", so.j4_cbo_stats_join, so.J4_ORACLE, graded=False)
+    register("x23_bm25_topk", tx.x23_bm25_topk, tx.X23_ORACLE, graded=False)
+    register("j5_variant_shred", so.j5_variant_shred, so.J5_ORACLE, graded=False)
+    register("u5_python_udtf", xt.u5_python_udtf, xt.U5_ORACLE, graded=False)
+    register("s20_xml_to_orc_convert", oq.s20_xml_to_orc_convert, oq.S20_ORACLE, graded=False)
+    register("g6_recursive_cte", ex.g6_recursive_cte, ex.G6_ORACLE, graded=False)
+    register("v8_hard_negative_mining", sim.v8_hard_negative_mining, sim.V8_ORACLE, graded=False)
+    register("pipe4_contrastive_pairs", pl.pipe4_contrastive_pairs, pl.PIPE4_ORACLE, graded=False)
+    register("f6_is_null", f.f6_is_null, f.F6_ORACLE, graded=False)
+    register("f7_composite_3vl", f.f7_composite_3vl, f.F7_ORACLE, graded=False)
+    register("s9_json_to_orc_convert", oq.s9_json_to_orc_convert, oq.S9_ORACLE, graded=False)
+    register("s10_json_schema_inference", oq.s10_json_schema_inference, oq.S10_ORACLE, graded=False)
+    register("a3_boolean_true_count", st.a3_boolean_true_count, st.A3_ORACLE, graded=False)
+    register("a5_raw_data_size", st.a5_raw_data_size, st.A5_ORACLE, graded=False)
+    register("a6_dictionary_advisor", st.a6_dictionary_advisor, st.A6_ORACLE, graded=False)
+    register("d3_simhash", dd.d3_simhash, dd.D3_ORACLE, graded=False)
+    register("d4_ngram_jaccard_topk", dd.d4_ngram_jaccard_topk, dd.D4_ORACLE, graded=False)
+    register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE, graded=False)
+    register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE, graded=False)
     register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
     register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE, graded=False)
     register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
@@ -325,8 +322,6 @@ def _build() -> None:
         "r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE, graded=False
     )
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
-    register("s3_bloom_point_lookup", oq.s3_bloom_point_lookup, oq.S3_ORACLE, graded=False)
-    register("p1_projection_pushdown", oq.p1_projection_pushdown, oq.P1_ORACLE, graded=False)
     register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE, graded=False)
     register(
         "s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE, graded=False
@@ -336,9 +331,6 @@ def _build() -> None:
     )
     register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE, graded=False)
     register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE, graded=False)
-    register("e1_codec_roundtrip", en.e1_codec_roundtrip, en.E1_ORACLE, graded=False)
-    register("c1_schema_evolution", ev.c1_schema_evolution, ev.C1_ORACLE, graded=False)
-    register("c2_cast_matrix", ev.c2_cast_matrix, ev.C2_ORACLE, graded=False)
     # round-7 addition (the one verdict-requested gap-closer): the
     # reference's POSITIONAL file->reader mapping mode
     register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE, graded=False)
@@ -348,9 +340,6 @@ def _build() -> None:
     # rotated out round 4 (driver-green in CORRECTNESS_r03); the
     # f6/f7/s9/s10/a3/a5/a6/d3/d4/d5/x2/q3/q5/q6 subset was PROMOTED
     # back into the round-9 graded window for verdict refresh
-    register("f8_predicate_coercion", ex.f8_predicate_coercion, ex.F8_ORACLE, graded=False)
-    register("u1_union_type", ev.u1_union_type, ev.U1_ORACLE, graded=False)
-    register("t1_nested_roundtrip", ev.t1_nested_roundtrip, ev.T1_ORACLE, graded=False)
     # rotated out round 9 (driver-green in CORRECTNESS_r08 — the r8
     # never-green backlog, now all verdict-fresh):
     register("c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE, graded=False)
@@ -367,14 +356,7 @@ def _build() -> None:
     register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE, graded=False)
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
-    register("q22_not_exists", sq.q22_not_exists, sq.Q22_SQL, graded=False)
-    register("w1_topk_per_group", r.w1_topk_per_group, r.W1_ORACLE, graded=False)
-    register("g1_rollup", ex.g1_rollup, ex.G1_ORACLE, graded=False)
-    register("a7_percentiles", xt.a7_percentiles, xt.A7_ORACLE, graded=False)
-    register("f9_string_patterns", xt.f9_string_patterns, xt.F9_ORACLE, graded=False)
-    register("p2_pivot", so.p2_pivot, so.P2_ORACLE, graded=False)
     register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL, graded=False)
-    register("w2_sessionize", ex.w2_sessionize, ex.W2_ORACLE, graded=False)
     # round-3/4 additions still queued for a future window (pytest-green):
 
     assert len(_QUERIES) <= GRADED_WINDOW, (

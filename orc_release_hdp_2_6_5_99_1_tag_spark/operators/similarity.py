@@ -1185,3 +1185,171 @@ FROM ranked
 WHERE rk <= CASE WHEN kind = 'pos' THEN 1 ELSE {_HNM_NEGS} END
 ORDER BY anchor_id, kind, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# v9: hybrid retrieval — BM25 (lexical) + cosine (dense) fused with
+# Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_POOL = 10    # per-system candidate pool depth fed into the fusion
+_RRF_TOPK = 5
+
+
+def v9_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: each query has a
+    lexical representation (the `_BM25_QUERIES` text, scored by
+    x23's BM25 stage over `documents`) and a dense representation
+    (the embedding of the same id over `embeddings`, doc_id = vec_id —
+    the corpus linkage pipe4 uses); each system contributes its top-10
+    ranked list and fusion scores rrf(d) = sum_s 1/(K + rank_s(d)),
+    K=60 (Cormack, Clarke & Buettcher 2009). Output: fused top-5 per
+    query with the number of systems that surfaced each hit.
+
+    Cross-engine exactness: the fused score is an integer sum of
+    floor(1e6/(K+rank)) contributions — ranks are integers, so the
+    fusion is float-free; the dense ranking quantizes cosine to 1e-4
+    (floor both engines) before ordering, the granularity v1's graded
+    output already proved stable across Spark and DuckDB.
+
+    Scale: each system's candidate generation is the already-audited
+    shape (x23: broadcast-vocab-filtered posting shuffle; v1: broadcast
+    query side, JVM-side dot products); the fusion itself touches only
+    2 * POOL rows per query — a union + one tiny groupBy, no new
+    full-corpus pass. This is the standard production layout for
+    hybrid search at scale: fan out to the per-system top-k machinery,
+    fuse rank lists, never join the full score matrices."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        _BM25_QUERIES,
+        bm25_scores,
+    )
+
+    qids = [qid for qid, _ in _BM25_QUERIES]
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(lex_w))
+        .filter(F.col("rk") <= _RRF_POOL)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "rk",
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm")
+    )
+    q = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c_norm").alias("q_norm"),
+    )
+    den_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q4"), F.asc("doc_id")
+    )
+    dense = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                _cosine(
+                    F.col("q_emb"),
+                    F.col("embedding"),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                )
+                * F.lit(10000.0)
+            )
+            .cast("bigint")
+            .alias("cos_q4"),
+        )
+        .withColumn("rk", F.row_number().over(den_w))
+        .filter(F.col("rk") <= _RRF_POOL)
+        .select("query_id", "doc_id", "rk")
+    )
+    fused = (
+        lex.unionByName(dense)
+        .withColumn(
+            "contrib",
+            F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col("rk"))).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("rrf_ppm"),
+            F.count(F.lit(1)).alias("n_systems"),
+        )
+    )
+    fuse_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(fuse_w))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("query_id", "rk", "doc_id", "rrf_ppm", "n_systems")
+        .orderBy("query_id", "rk")
+    )
+
+
+def _v9_oracle() -> str:
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.text import (
+        _BM25_QUERIES,
+        BM25_SCORES_CTE,
+    )
+
+    qids = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
+    return f"""
+WITH {BM25_SCORES_CTE},
+lex AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_ppm DESC, doc_id ASC) AS rk
+  FROM scores
+),
+lexp AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= {_RRF_POOL}),
+qe AS (
+  SELECT CAST(vec_id AS INT) AS query_id, embedding FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+den AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         CAST(FLOOR(list_cosine_similarity(
+             CAST(q.embedding AS DOUBLE[]),
+             CAST(e.embedding AS DOUBLE[])) * 10000.0) AS BIGINT) AS cos_q4
+  FROM qe q CROSS JOIN embeddings e
+),
+denr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_q4 DESC, doc_id ASC) AS rk
+  FROM den
+),
+denp AS (SELECT query_id, doc_id, rk FROM denr WHERE rk <= {_RRF_POOL}),
+pool AS (SELECT * FROM lexp UNION ALL SELECT * FROM denp),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(FLOOR(1000000.0 / ({_RRF_K} + rk)) AS BIGINT)) AS rrf_ppm,
+         COUNT(*) AS n_systems
+  FROM pool GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS rk
+  FROM fused
+)
+SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       CAST(n_systems AS BIGINT) AS n_systems
+FROM ranked WHERE rk <= {_RRF_TOPK}
+ORDER BY query_id, rk
+"""
+
+
+V9_ORACLE = _v9_oracle()

@@ -1766,26 +1766,11 @@ _BM25_QUERIES = [
 ]
 
 
-def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval over the documents corpus — the
-    lexical half of a retrieval stack (the dense half is v1-v7):
-    score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|D|/avgdl)),
-    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [the +1 Lucene variant,
-    always positive]. k1=1.2, b=0.75, k=5 per query.
-
-    Cross-engine exactness: each TERM's contribution is quantized to
-    ppm (round(idf*tfn*1e6) as bigint) BEFORE summing, so the final
-    score is an order-independent integer sum and ranking ties break
-    on (score_ppm desc, doc_id asc) — no float-sum nondeterminism.
-
-    Scale: the explode is filtered by a BROADCAST of the query
-    vocabulary before any shuffle, so the posting shuffle carries only
-    query-term hits (|Q_vocab|/|corpus_vocab| of the token mass); df
-    and the corpus stats (N, avgdl) are tiny broadcast sides; the
-    per-query top-k window partitions by query_id over the candidate
-    set only. At 100 TB the one full-width pass is the tokenize scan —
-    exactly the cost floor of lexical retrieval without a prebuilt
-    inverted index (x13's tf/df shape IS that index build)."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 candidate scores (query_id, doc_id, score_ppm,
+    n_terms_hit) for `_BM25_QUERIES` — the shared scoring stage of
+    x23's top-k and v9's hybrid RRF fusion. See x23_bm25_topk for the
+    formula, determinism, and scale notes."""
     qterms = spark.createDataFrame(
         sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split(" ")}),
         "query_id int, term string",
@@ -1840,7 +1825,7 @@ def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scores = (
+    return (
         term_scores.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -1848,6 +1833,29 @@ def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+
+
+def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the documents corpus — the
+    lexical half of a retrieval stack (the dense half is v1-v7):
+    score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|D|/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [the +1 Lucene variant,
+    always positive]. k1=1.2, b=0.75, k=5 per query.
+
+    Cross-engine exactness: each TERM's contribution is quantized to
+    ppm (round(idf*tfn*1e6) as bigint) BEFORE summing, so the final
+    score is an order-independent integer sum and ranking ties break
+    on (score_ppm desc, doc_id asc) — no float-sum nondeterminism.
+
+    Scale: the explode is filtered by a BROADCAST of the query
+    vocabulary before any shuffle, so the posting shuffle carries only
+    query-term hits (|Q_vocab|/|corpus_vocab| of the token mass); df
+    and the corpus stats (N, avgdl) are tiny broadcast sides; the
+    per-query top-k window partitions by query_id over the candidate
+    set only. At 100 TB the one full-width pass is the tokenize scan —
+    exactly the cost floor of lexical retrieval without a prebuilt
+    inverted index (x13's tf/df shape IS that index build)."""
+    scores = bm25_scores(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_ppm"), F.asc("doc_id")
     )
@@ -1861,8 +1869,10 @@ def x23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_Q_VALUES = ", ".join(f"({qid}, '{q}')" for qid, q in _BM25_QUERIES)
 
-X23_ORACLE = f"""
-WITH q(query_id, qtext) AS (VALUES {_BM25_Q_VALUES}),
+# the CTE chain up to `scores` (query_id, doc_id, score_ppm,
+# n_terms_hit) — shared between X23_ORACLE and similarity.V9_ORACLE,
+# mirroring the bm25_scores / x23_bm25_topk split on the Spark side
+BM25_SCORES_CTE = f"""q(query_id, qtext) AS (VALUES {_BM25_Q_VALUES}),
 qt AS (
   SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q
 ),
@@ -1898,7 +1908,10 @@ scores AS (
          SUM(ts.term_ppm) AS score_ppm, COUNT(*) AS n_terms_hit
   FROM term_scores ts JOIN qt USING (term)
   GROUP BY qt.query_id, ts.doc_id
-),
+)"""
+
+X23_ORACLE = f"""
+WITH {BM25_SCORES_CTE},
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score_ppm DESC, doc_id ASC) AS rk

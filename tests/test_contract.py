@@ -47,41 +47,43 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round9_graded_window_composition():
+def test_round10_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-9 window = the flagship, the twelve round-9 additions graded
-    immediately (sk6/w16/j4/x23/j5/u5/s20/g6/s21/r12/v8/pipe4 — new
-    queries never enter the
-    never-green backlog), 11 of the OLDEST verdicts re-graded for
-    freshness (r3-era: f6/f7, s9/s10, a3/a5/a6, d3-d5, x2; q3/q5/q6
-    defer to round 10), and 26 scale-critical keep-warm shapes
-    (x22/sk5/w14/v5/d18/sk4/mv1/i3/r8 displaced by the last nine
-    additions; all nine have fresh r8 verdicts and stay
-    oracle-checked as extras).
+    Round-10 window = the flagship, the round-10 additions graded
+    immediately (v9/s22/s23), the ten STALE r1-era verdicts the
+    round-9 verdict ordered re-graded (q3/q5/q6, w1, w2 — whose
+    latest driver verdict was the r2 err — g1, p2, a7, f9, q22),
+    the r3-era trio (f8/u1/t1) and five r4-era re-grades
+    (s3/p1/e1/c1/c2) for verdict freshness, the two CODE-CHANGE
+    re-grades (s21/r12 — pyds.py switched to Arrow batch emission
+    this round), and 26 scale-critical keep-warm shapes (unchanged
+    from round 9). Displaced to extras: the 10 r9 additions + the 11
+    r9 refresh-tier queries, all r9-verdict-fresh.
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
-        # round-9 additions
-        "sk6_ams_f2", "w16_markov_transitions", "j4_cbo_stats_join",
-        "x23_bm25_topk", "j5_variant_shred", "u5_python_udtf",
-        "s20_xml_to_orc_convert", "g6_recursive_cte",
+        # round-10 additions
+        "v9_hybrid_rrf",
+        # stale r1-era verdict refresh
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_revenue_delta", "w1_topk_per_group", "w2_sessionize",
+        "g1_rollup", "p2_pivot", "a7_percentiles",
+        "f9_string_patterns", "q22_not_exists",
+        # r3-era verdict refresh
+        "f8_predicate_coercion", "u1_union_type", "t1_nested_roundtrip",
+        # r4-era verdict refresh
+        "s3_bloom_point_lookup", "p1_projection_pushdown",
+        "e1_codec_roundtrip", "c1_schema_evolution", "c2_cast_matrix",
+        # code-change re-grades (Arrow-batched pyds)
         "s21_python_datasource_meta", "r12_python_stream_source",
-        "v8_hard_negative_mining", "pipe4_contrastive_pairs",
-        # verdict-refresh tier (11 oldest, CORRECTNESS_r03)
-        "f6_is_null", "f7_composite_3vl",
-        "s9_json_to_orc_convert", "s10_json_schema_inference",
-        "a3_boolean_true_count", "a5_raw_data_size",
-        "a6_dictionary_advisor",
-        "d3_simhash", "d4_ngram_jaccard_topk", "d5_blocklist_antijoin",
-        "x2_fingerprint",
-        # keep-warm scale-critical shapes (26: +r8 displaced)
+        # keep-warm scale-critical shapes (26, unchanged from r9)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
         "a1_column_stats", "a9_groupwise_regression",
@@ -100,4 +102,4 @@ def test_round9_graded_window_composition():
         "pipe3_segment_funnel",
     }
     assert set(catalog.queries()) == expected
-    assert len(expected) == 50
+    assert len(expected) == 48  # s22/s23 land later this round -> 50
