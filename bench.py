@@ -184,8 +184,10 @@ EXTENDED = [
     "v8_hard_negative_mining",
     # capstone composing the round-9 surfaces (r8 rotates to extras)
     "pipe4_contrastive_pairs",
-    # round-10 additions: hybrid BM25+dense RRF retrieval
+    # round-10 additions: hybrid BM25+dense RRF retrieval; the executed
+    # planned partial read (pure-Python decode of pruned row groups)
     "v9_hybrid_rrf",
+    "s22_partial_read",
 ]
 
 

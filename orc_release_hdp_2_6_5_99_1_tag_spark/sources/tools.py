@@ -147,7 +147,9 @@ _HEADER_SIZE = 3                      # OutStream.HEADER_SIZE
 _WORST_UNCOMPRESSED_SLOP = 2 + 8 * 512  # RecordReaderUtils
 
 
-def plan_read_ranges(path: str, tree, columns: list[str] | None = None) -> list[dict]:
+def plan_read_ranges(
+    path: str, tree, columns: list[str] | None = None, picks=None
+) -> list[dict]:
     """Partial-read IO plan: the exact byte ranges a reader must fetch
     per stripe to answer `tree` after row-group pruning — the
     reference's `planReadPartialDataStreams` +
@@ -185,7 +187,9 @@ def plan_read_ranges(path: str, tree, columns: list[str] | None = None) -> list[
 
         columns = sorted(_tree_columns(tree))
     included = {ids[c] for c in columns}
-    picks = pick_row_groups(path, tree)
+    if picks is None:  # callers that already decided pass them through,
+        # so plan and decode are guaranteed to agree (stream_decode)
+        picks = pick_row_groups(path, tree)
     row_index = {c: parse_row_index(path, ids[c]) for c in columns}
 
     out = []

@@ -1,0 +1,271 @@
+"""Executed partial read (sources/stream_decode.py): the decode layer
+of the reference chain stats → picks → seeks → IO plan → **bytes →
+rows** (readPartialDataStreams RecordReaderImpl.java:1089, InStream
+framing InStream.java:176, row-group-aligned batching :1195-1229).
+
+Three properties, per the round-9 verdict's done-criteria:
+1. rows-equal: decoding the planned ranges of a multi-group file with
+   a selective predicate + residual filter == full scan + filter;
+2. bytes: the decoder fetches exactly the planned fraction and a
+   RangeReader guard proves no byte outside the plan was ever needed;
+3. coverage: every RLEv2 sub-encoding, byte-RLE, PRESENT bitfield,
+   float/double, date, boolean, and both string encodings decode
+   value-exactly against pyarrow's independent reader, across the
+   NONE/ZLIB/SNAPPY codecs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.orc as pa_orc
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import pick_row_groups
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as sd
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import plan_read_ranges
+
+
+def _write_one_orc(spark, df, out, **opts):
+    w = df.coalesce(1).write.mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.orc(out)
+    return sorted(glob.glob(os.path.join(out, "*.orc")))[0]
+
+
+MATCH_ALL = ("between", "id", [-(10**15), 10**15])
+
+
+@pytest.fixture(scope="module")
+def typed_file(spark, tmp_path_factory):
+    """One sorted file covering the full supported type surface, with
+    a nullable column (PRESENT stream), a low-cardinality string
+    (dictionary), a unique string (direct), and an int column whose
+    values force PATCHED_BASE (tiny values + rare huge outliers)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path_factory.mktemp("sdec") / "typed")
+    n = 5000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("id").cast("int").alias("i32"),
+            (F.col("id") % 100).cast("smallint").alias("i16"),
+            (F.col("id") % 64).cast("tinyint").alias("i8"),
+            (F.col("id") % 2 == 0).alias("flag"),
+            (F.col("id") * F.lit(0.25)).cast("float").alias("f32"),
+            (F.col("id") * F.lit(1.0) / F.lit(7.0)).alias("f64"),
+            F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 500).cast("int")).alias("d"),
+            F.concat(F.lit("cat_"), (F.col("id") % 5).cast("string")).alias("dict_str"),
+            F.concat(F.lit("uniq_"), F.col("id").cast("string")).alias("direct_str"),
+            F.when(F.col("id") % 7 != 3, F.col("id") * 2).alias("with_nulls"),
+            # PATCHED_BASE bait: 95% tiny, every 40th value huge
+            F.when(F.col("id") % 40 == 0, F.col("id") * F.lit(2**45))
+            .otherwise(F.col("id") % 16)
+            .cast("bigint")
+            .alias("patched"),
+            # DELTA bait: strictly monotonic with constant step
+            (F.col("id") * 3 + 7).alias("delta_fixed"),
+            # SHORT_REPEAT bait: long constant run
+            F.lit(42).cast("bigint").alias("const"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark,
+        df,
+        out,
+        **{
+            "compression": "zlib",
+            "orc.row.index.stride": 1000,
+            "orc.stripe.size": 256 * 1024 * 1024,
+        },
+    )
+    return path
+
+
+ALL_COLS = [
+    "id", "i32", "i16", "i8", "flag", "f32", "f64", "d",
+    "dict_str", "direct_str", "with_nulls", "patched",
+    "delta_fixed", "const",
+]  # fmt: skip
+
+
+def _pyarrow_columns(path, cols):
+    t = pa_orc.ORCFile(path).read().to_pydict()
+    return {c: t[c] for c in cols}
+
+
+def test_full_decode_all_types_value_exact(typed_file):
+    sd.RUN_COUNTER.clear()
+    res = sd.decode_stripe(typed_file, 0, MATCH_ALL, ALL_COLS)
+    exp = _pyarrow_columns(typed_file, ALL_COLS)
+    assert res["n_rows"] == 5000
+    for c in ALL_COLS:
+        assert res["columns"][c] == exp[c], f"column {c} diverges"
+    # the bait columns must exercise their intended sub-encodings
+    assert sd.RUN_COUNTER.get("PATCHED_BASE", 0) > 0
+    assert sd.RUN_COUNTER.get("DELTA", 0) > 0
+    assert sd.RUN_COUNTER.get("SHORT_REPEAT", 0) > 0
+    assert sd.RUN_COUNTER.get("DIRECT", 0) > 0
+
+
+def test_selective_decode_rows_equal_and_partial_bytes(typed_file):
+    tree = ("between", "id", [1500, 2499])  # exactly groups 1 and 2
+    res = sd.decode_stripe(typed_file, 0, tree, ALL_COLS)
+    assert res["row_groups_decoded"] == 2
+    assert res["row_groups_total"] == 5
+    # bytes: strictly partial, and exactly what the plan said
+    picks = pick_row_groups(typed_file, tree)
+    plan = plan_read_ranges(typed_file, tree, columns=ALL_COLS, picks=picks)
+    # plan honored exactly; on THIS zlib file all streams fit one 256 KiB
+    # compression chunk, so every group's seek chunk offset is 0 and the
+    # plan covers whole streams — chunk-granular, the reference behavior.
+    # Strict byte savings are asserted on the uncompressed layout below.
+    assert res["bytes_fetched"] == plan[0]["bytes_planned"]
+    exp = _pyarrow_columns(typed_file, ALL_COLS)
+    keep = [i for i, v in enumerate(exp["id"]) if 1500 <= v <= 2499]
+    got = [
+        tuple(res["columns"][c][i] for c in ALL_COLS)
+        for i in range(res["n_rows"])
+        if 1500 <= res["columns"]["id"][i] <= 2499
+    ]
+    want = [tuple(exp[c][i] for c in ALL_COLS) for i in keep]
+    assert got == want
+
+
+def test_uncompressed_partial_read_saves_bytes(spark, tmp_path):
+    """With compression NONE the seek positions are byte-exact, so a
+    2-of-20-groups read must fetch a small fraction of the data
+    section (bounded by the per-stream uncompressed slop,
+    RecordReaderUtils' 2 + 8*512)."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(20000)
+        .select(
+            "id",
+            (F.col("id") * F.lit(0.125)).alias("x"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "none"),
+        **{"compression": "none", "orc.row.index.stride": 1000,
+           "orc.stripe.size": 256 * 1024 * 1024},
+    )
+    cols = ["id", "x", "s"]
+    res = sd.decode_stripe(path, 0, ("between", "id", [5000, 6999]), cols)
+    assert res["row_groups_decoded"] == 2
+    assert res["row_groups_total"] == 20
+    frac = res["bytes_fetched"] / res["bytes_total_data"]
+    assert frac < 0.35, f"partial read fetched {frac:.0%} of the data section"
+
+
+def test_decode_refuses_bytes_outside_plan(typed_file):
+    """The executable proof that plan_read_ranges is sufficient: a
+    plan for FEWER columns must make the decoder fail loudly, never
+    read around the plan."""
+    tree = ("between", "id", [1500, 2499])
+    picks = pick_row_groups(typed_file, tree)
+    starved = plan_read_ranges(typed_file, tree, columns=["id"], picks=picks)
+    with pytest.raises(sd.OutOfPlanError):
+        sd.decode_stripe(
+            typed_file, 0, tree, ALL_COLS, picks=picks, plan=starved
+        )
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy"])
+def test_codecs_roundtrip(spark, tmp_path, codec):
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(3000)
+        .select(
+            "id",
+            (F.col("id") % 3).cast("int").alias("g"),
+            F.concat(F.lit("v"), (F.col("id") % 11).cast("string")).alias("s"),
+            (F.col("id") * F.lit(0.5)).alias("x"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / codec),
+        **{"compression": codec, "orc.row.index.stride": 1000},
+    )
+    cols = ["id", "g", "s", "x"]
+    res = sd.decode_stripe(path, 0, ("between", "id", [900, 1999]), cols)
+    assert res["row_groups_decoded"] < res["row_groups_total"]
+    exp = _pyarrow_columns(path, cols)
+    got = [
+        tuple(res["columns"][c][i] for c in cols)
+        for i in range(res["n_rows"])
+        if 900 <= res["columns"]["id"][i] <= 1999
+    ]
+    want = [
+        tuple(exp[c][i] for c in cols)
+        for i in range(3000)
+        if 900 <= exp["id"][i] <= 1999
+    ]
+    assert got == want
+
+
+def test_read_planned_distributed_multi_stripe(spark, tmp_path):
+    """read_planned fans out one task per stripe and the union of the
+    decoded stripes + residual filter equals Spark's own ORC scan."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(20000)
+        .select(
+            "id",
+            F.concat(F.lit("k"), (F.col("id") % 13).cast("string")).alias("k"),
+            (F.col("id") * F.lit(1.5)).alias("v"),
+        )
+        .orderBy("id")
+    )
+    out = str(tmp_path / "multi")
+    path = _write_one_orc(
+        spark, df, out,
+        **{
+            "compression": "zlib",
+            "orc.row.index.stride": 1000,
+            "orc.stripe.size": 64 * 1024,
+        },
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+    )
+
+    assert len(parse_stripe_footers(path)) >= 2, "need a multi-stripe file"
+    tree = ("between", "id", [4200, 11700])
+    got = (
+        sd.read_planned(spark, path, tree, ["id", "k", "v"])
+        .filter((F.col("id") >= 4200) & (F.col("id") <= 11700))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        spark.read.orc(path)
+        .filter((F.col("id") >= 4200) & (F.col("id") <= 11700))
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_unsupported_type_raises_cleanly(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(
+        "id", F.current_timestamp().alias("ts")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "ts"), **{"orc.row.index.stride": 1000}
+    )
+    with pytest.raises(NotImplementedError, match="timestamp"):
+        sd.decode_stripe(path, 0, MATCH_ALL, ["id", "ts"])
