@@ -188,6 +188,8 @@ EXTENDED = [
     # planned partial read (pure-Python decode of pruned row groups)
     "v9_hybrid_rrf",
     "s22_partial_read",
+    # readable-while-writing bounded tail (MAX_FILE_LENGTH semantics)
+    "s23_bounded_tail_read",
 ]
 
 

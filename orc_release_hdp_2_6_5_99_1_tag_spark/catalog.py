@@ -110,6 +110,7 @@ def _build() -> None:
     # round-10 additions, graded immediately
     register("v9_hybrid_rrf", sim.v9_hybrid_rrf, sim.V9_ORACLE)
     register("s22_partial_read", oq.s22_partial_read, oq.S22_ORACLE)
+    register("s23_bounded_tail_read", oq.s23_bounded_tail_read, oq.S23_ORACLE)
     # stale r1-era verdict refresh (round-9 verdict "Next #1")
     register("q3_shipping_priority", r.q3_shipping_priority, r.Q3_ORACLE)
     register("q5_local_supplier_volume", r.q5_local_supplier_volume, r.Q5_ORACLE)

@@ -1166,3 +1166,107 @@ WHERE l_orderkey BETWEEN {_S22_LO} AND {_S22_HI}
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+_S23_KEY_CAP = 900  # orders subset in the durable prefix (o_orderkey < cap)
+
+
+def s23_bounded_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readable-while-writing bounded tail (reference
+    `OrcConf.MAX_FILE_LENGTH:118-121`, honored at
+    `ReaderImpl.extractFileTail:515`): a streaming writer appends past
+    its last durable flush, publishing the committed length in a side
+    file; a reader handed that bound parses the last VALID footer and
+    sees exactly the durable prefix — never the torn bytes after it.
+
+    Staging simulates the mid-write state: a complete ORC file
+    (orders with o_orderkey < cap), then raw junk appended (a replay
+    of the file's own first KBs — valid-looking ORC header bytes, no
+    valid tail), plus the side file holding the durable length, the
+    same `_flush_length` discipline Hive streaming ingest uses with
+    the reference writer's intermediate footers
+    (`WriterImpl.writeIntermediateFooter`).
+
+    The query (a) parses the tail UNDER THE BOUND with the pure-Python
+    parser — at EOF the file is torn and unparseable, which
+    tests/test_footer_tail.py pins — and (b) reads the durable
+    prefix's rows (the [0, bound) byte view materialized once into
+    scratch, Spark's ORC reader over it) and aggregates; the bounded
+    footer's own row count rides along as a column, so the oracle
+    (which recomputes both from the original parquet) verifies the
+    bounded parse AND the row read in one hash."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    base = scratch_dir(sf_dir)
+    grown_dir = os.path.join(base, "orc", "orders_growing")
+    grown = os.path.join(grown_dir, "growing.orc")
+    side = grown + ".flush_length"
+    prefix_dir = os.path.join(base, "orc", "orders_durable_prefix")
+    fp = source_fingerprint(sf_dir, "orders") + f";cap={_S23_KEY_CAP};suffix=half"
+    if not marker_valid(grown_dir + "._fp", fp):
+        import glob
+        import shutil
+
+        tmp = os.path.join(base, "orc", "orders_growing_stage")
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < _S23_KEY_CAP)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey")
+        )
+        write_orc(df, tmp)
+        src = sorted(glob.glob(os.path.join(tmp, "*.orc")))[0]
+        os.makedirs(grown_dir, exist_ok=True)
+        durable = os.path.getsize(src)
+        with open(src, "rb") as f_in, open(grown, "wb") as f_out:
+            blob = f_in.read()
+            f_out.write(blob)
+            # the "still being written" suffix: the file's own first
+            # half — valid-looking ORC bytes, guaranteed tail-free
+            f_out.write(blob[: durable // 2])
+        with open(side, "w") as fh:
+            fh.write(str(durable))
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_marker(grown_dir + "._fp", fp)
+    durable = int(open(side).read())
+    meta = parse_tail_of_file(grown, max_file_length=durable)
+    if not marker_valid(prefix_dir + "._fp", fp):
+        os.makedirs(prefix_dir, exist_ok=True)
+        with open(grown, "rb") as f_in, open(
+            os.path.join(prefix_dir, "part-00000.orc"), "wb"
+        ) as f_out:
+            f_out.write(f_in.read(durable))
+        write_marker(prefix_dir + "._fp", fp)
+    return (
+        read_orc(spark, prefix_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+            ).alias("sum_price_cents"),
+        )
+        .withColumn("footer_rows", F.lit(meta["n_rows"]).cast("bigint"))
+        .withColumn("magic", F.lit(meta["magic"]))
+        .orderBy("o_orderstatus")
+    )
+
+
+S23_ORACLE = f"""
+WITH durable AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey < {_S23_KEY_CAP}
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       (SELECT COUNT(*) FROM durable) AS footer_rows,
+       'ORC' AS magic
+FROM durable
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

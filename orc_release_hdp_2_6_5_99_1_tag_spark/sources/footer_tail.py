@@ -321,14 +321,27 @@ class _NeedMoreTail(Exception):
 
 
 def parse_tail_of_file(
-    path: str, initial_read: int = 16 * 1024, include_stripe_stats: bool = False
+    path: str,
+    initial_read: int = 16 * 1024,
+    include_stripe_stats: bool = False,
+    max_file_length: int | None = None,
 ) -> dict:
     """Read + parse a file's tail, growing the read if the footer is
     larger than the initial guess (reference reads the last 16 KiB
-    first, `ReaderImpl.extractFileTail:446-560`)."""
+    first, `ReaderImpl.extractFileTail:446-560`).
+
+    `max_file_length` is the reference's readable-while-writing bound
+    (`OrcConf.MAX_FILE_LENGTH:118-121`, honored at
+    `ReaderImpl.extractFileTail:515`): the file is read AS IF it ended
+    at that byte, so a reader pointed at a still-growing or torn file
+    parses the last durable footer — the length a streaming writer
+    publishes in its side file — and sees exactly the committed
+    prefix's schema, stripes, and row count."""
     import os
 
     size = os.path.getsize(path)
+    if max_file_length is not None:
+        size = min(size, max_file_length)
     with open(path, "rb") as fh:
         n = min(size, initial_read)
         fh.seek(size - n)

@@ -70,7 +70,7 @@ def test_round10_graded_window_composition():
     expected = {
         "q1_pricing_summary",
         # round-10 additions
-        "v9_hybrid_rrf", "s22_partial_read",
+        "v9_hybrid_rrf", "s22_partial_read", "s23_bounded_tail_read",
         # stale r1-era verdict refresh
         "q3_shipping_priority", "q5_local_supplier_volume",
         "q6_revenue_delta", "w1_topk_per_group", "w2_sessionize",
@@ -102,4 +102,4 @@ def test_round10_graded_window_composition():
         "pipe3_segment_funnel",
     }
     assert set(catalog.queries()) == expected
-    assert len(expected) == 49  # s23 lands later this round -> 50
+    assert len(expected) == 50

@@ -498,3 +498,51 @@ def test_plan_read_ranges_partial_plan(spark, tmp_path):
     # projection matters: planning only k touches fewer bytes than k+v
     k_only = plan_read_ranges(path, ("equals", "k", 54_321), columns=["k"])[0]
     assert k_only["bytes_planned"] < p["bytes_planned"]
+
+
+def test_bounded_tail_reads_last_durable_footer(spark, tmp_path):
+    """max_file_length (OrcConf.MAX_FILE_LENGTH, extractFileTail:515):
+    a reader bounded at the published durable length parses the
+    committed footer of a still-growing file; unbounded, the torn
+    suffix is garbage and must fail loudly, not return wrong data."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    dest = str(tmp_path / "grow_base")
+    df = spark.range(2500).select(
+        "id", F.concat(F.lit("s"), (F.col("id") % 9).cast("string")).alias("s")
+    )
+    df.coalesce(1).write.mode("overwrite").orc(dest)
+    src = sorted(glob.glob(os.path.join(dest, "*.orc")))[0]
+    durable = os.path.getsize(src)
+    grown = str(tmp_path / "growing.orc")
+    with open(src, "rb") as f_in, open(grown, "wb") as f_out:
+        blob = f_in.read()
+        f_out.write(blob)
+        # torn suffix: the file's own first half — valid-looking ORC
+        # bytes, guaranteed to contain no tail
+        f_out.write(blob[: durable // 2])
+
+    meta = parse_tail_of_file(grown, max_file_length=durable)
+    assert meta["magic"] == "ORC"
+    assert meta["n_rows"] == 2500
+    assert [c["name"] for c in meta["columns"]] == ["id", "s"]
+    # any other view is torn: wrong bound or unbounded EOF must either
+    # raise or come back visibly invalid (magic mismatch / zero rows) —
+    # protobuf over noise can "parse" vacuously, so the guard callers
+    # rely on is the magic + row-count check, as in extractFileTail
+    for parse in (
+        lambda: parse_tail_of_file(grown, max_file_length=durable - 7),
+        lambda: parse_tail_of_file(grown),
+    ):
+        try:
+            bad = parse()
+        except Exception:
+            continue
+        assert not (bad["magic"] == "ORC" and bad["n_rows"] == 2500)
