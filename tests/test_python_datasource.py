@@ -225,11 +225,20 @@ def test_stream_source_replay_range_matches_read(spark):
 
     src_cls = _build_stream_source_class()
     reader = src_cls(options={}).simpleStreamReader(None)
+
+    def rows(batches):
+        # the source emits Arrow RecordBatches (round-10 change);
+        # flatten to row tuples so the contract stays value-level
+        out = []
+        for rb in batches:
+            out.extend(zip(*(col.to_pylist() for col in rb.columns)))
+        return out
+
     start = reader.initialOffset()
     first, nxt = reader.read(start)
-    replay = list(reader.readBetweenOffsets(start, nxt))
-    assert list(first) == replay and len(replay) == SYNTH_BATCH
+    replay = rows(reader.readBetweenOffsets(start, nxt))
+    assert rows(first) == replay and len(replay) == SYNTH_BATCH
     # second batch too, from the returned offset
     second, nxt2 = reader.read(nxt)
-    assert list(second) == list(reader.readBetweenOffsets(nxt, nxt2))
+    assert rows(second) == rows(reader.readBetweenOffsets(nxt, nxt2))
     assert nxt2["pos"] == 2 * SYNTH_BATCH
