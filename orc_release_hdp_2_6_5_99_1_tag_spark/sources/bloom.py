@@ -164,7 +164,18 @@ def _parse_bloom_filter(buf: bytes) -> dict:
     {expectedEntries=1, fpp=2 (double), repeated uint64 varint
     bitset=3} — detected by field 2 arriving as a fixed64 double and
     field 3 as varints; the hash count is then the standard
-    k = round(m/n·ln2) the writer derived from the same parameters."""
+    k = round(m/n·ln2) the writer derived from the same parameters.
+    The STRUCTURAL decode of that draft is pinned (the popcount
+    matches k·distinct minus expected collisions on two independent
+    columns, tests/test_bloom_parity.py), but MEMBERSHIP probing of
+    draft-era files is closed as unrecoverable: an exhaustive search
+    over every published hash in the lineage (Murmur3 hash64 tail/len
+    variants, x64_128 pairs incl. Guava MURMUR128_MITZ_64, x86_128,
+    Murmur2-64A × seeds {0, 104729} × probe bases {0,1} × int32/64-bit
+    probe arithmetic × both bit orders × k {4,5}) scores chance-level
+    bit overlap, so the draft writer's hash predates every published
+    variant. Modern files — everything the current reference or this
+    engine writes — have exact zero-false-negative parity."""
     import math
 
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import _fields
