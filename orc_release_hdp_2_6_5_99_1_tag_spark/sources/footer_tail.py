@@ -426,11 +426,16 @@ def parse_stripe_footers(path: str) -> list[dict]:
         for st in stripes:
             fh.seek(st["offset"] + st["indexLength"] + st["dataLength"])
             sf = _decompress_tail(fh.read(st["footerLength"]), ps["compression"])
+            tz = None
+            for f, _w, v in _fields(sf):
+                if f == 3:  # StripeFooter.writerTimezone
+                    tz = v.decode("utf-8")
             out.append(
                 {
                     "offset": st["offset"],
                     "indexLength": st["indexLength"],
                     "numberOfRows": st["numberOfRows"],
+                    "writerTimezone": tz,
                     "encodings": [
                         _parse_column_encoding(v)
                         for f, _w, v in _fields(sf)

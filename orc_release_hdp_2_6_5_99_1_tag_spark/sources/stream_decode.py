@@ -442,6 +442,10 @@ class _ColumnDecoder:
     seeks them with the RowIndexEntry position slices, and emits
     Python values (None for nulls)."""
 
+    # seconds between the Unix epoch and the ORC timestamp base
+    # (2015-01-01 00:00:00 in the writer timezone; UTC writers only)
+    _TS_BASE = 1_420_070_400
+
     def __init__(
         self,
         kind: str,
@@ -450,10 +454,13 @@ class _ColumnDecoder:
         rr: RangeReader,
         compression: str,
         dictionary_size: int,
+        scale: int | None = None,
+        writer_timezone: str | None = None,
     ):
         self.kind = kind
         self.encoding = encoding
         self._comp = compression
+        self._scale = scale
         self._has_present = "PRESENT" in streams
         if self._has_present:
             self._present = BitFieldReader(
@@ -466,6 +473,24 @@ class _ColumnDecoder:
             self._data = ByteRLEReader(mk("DATA"))
         elif kind == "boolean":
             self._data = BitFieldReader(mk("DATA"))
+        elif kind == "timestamp":
+            # DATA: signed seconds from the 2015-01-01 base in the
+            # WRITER timezone; SECONDARY: nanos with the 3-bit
+            # trailing-zero code (TreeReaderFactory parseNanos). Scope:
+            # UTC writers (the engine's session pin) — a non-UTC
+            # writerTimezone needs the zone's rules to rebase
+            if writer_timezone not in (None, "UTC", "Etc/UTC", "GMT"):
+                raise NotImplementedError(
+                    f"timestamp decode supports UTC writers only, file "
+                    f"written in {writer_timezone!r}"
+                )
+            self._data = RLEv2Reader(mk("DATA"), signed=True)
+            self._secondary = RLEv2Reader(mk("SECONDARY"), signed=False)
+        elif kind == "decimal":
+            # DATA: unbounded zigzag varints (unscaled values);
+            # SECONDARY: per-value scale, signed RLEv2
+            self._data = mk("DATA")
+            self._secondary = RLEv2Reader(mk("SECONDARY"), signed=True)
         elif kind in ("float", "double"):
             self._data = mk("DATA")
             self._width = 4 if kind == "float" else 8
@@ -489,10 +514,9 @@ class _ColumnDecoder:
                 self._lengths = RLEv2Reader(mk("LENGTH"), signed=False)
         else:
             raise NotImplementedError(
-                f"decode of ORC kind {kind!r} not implemented (timestamp: "
-                "DATA seconds RLEv2-signed + SECONDARY scaled nanos; "
-                "decimal: DATA varint + SECONDARY scale RLEv2; nested "
-                "types: composite PRESENT/LENGTH trees)"
+                f"decode of ORC kind {kind!r} not implemented (binary: "
+                "LENGTH + DATA blob like direct strings; nested types: "
+                "composite PRESENT/LENGTH reader trees)"
             )
 
     def seek(self, positions: dict[str, list[int]]) -> None:
@@ -500,21 +524,14 @@ class _ColumnDecoder:
         RowIndexEntry (tools.orc_seek_explain's `streams` layout)."""
         if self._has_present:
             self._present.seek(iter(positions["PRESENT"]))
-        if self.kind in ("string", "char", "varchar") and self.encoding in (
+        self._data.seek(iter(positions["DATA"]))
+        if self.kind in ("timestamp", "decimal"):
+            self._secondary.seek(iter(positions["SECONDARY"]))
+        elif self.kind in ("string", "char", "varchar") and self.encoding not in (
             "DICTIONARY",
             "DICTIONARY_V2",
         ):
-            self._data.seek(iter(positions["DATA"]))
-            return
-        if self.kind in ("float", "double") or (
-            self.kind in ("string", "char", "varchar")
-        ):
-            it = iter(positions["DATA"])
-            self._data.seek(it)
-            if self.kind in ("string", "char", "varchar"):
-                self._lengths.seek(iter(positions["LENGTH"]))
-            return
-        self._data.seek(iter(positions["DATA"]))
+            self._lengths.seek(iter(positions["LENGTH"]))
 
     def next(self, n: int) -> list[Any]:
         if self._has_present:
@@ -538,6 +555,46 @@ class _ColumnDecoder:
             return self._data.next(n)
         if kind == "boolean":
             return [bool(b) for b in self._data.next(n)]
+        if kind == "timestamp":
+            import datetime as dt
+
+            out = []
+            secs_raw = self._data.next(n)
+            nanos_raw = self._secondary.next(n)
+            epoch = dt.datetime(1970, 1, 1)
+            for s, nv in zip(secs_raw, nanos_raw):
+                zeros = nv & 7
+                nanos = nv >> 3
+                if zeros:
+                    nanos *= 10 ** (zeros + 1)
+                secs = s + self._TS_BASE
+                if secs < 0 and nanos != 0:  # TreeReaderFactory rule
+                    secs -= 1
+                out.append(
+                    epoch
+                    + dt.timedelta(seconds=secs, microseconds=nanos // 1000)
+                )
+            return out
+        if kind == "decimal":
+            from decimal import Decimal
+
+            out = []
+            scales = self._secondary.next(n)
+            for sc in scales:
+                unscaled = 0
+                shift = 0
+                while True:  # unbounded zigzag varint
+                    b = self._data.read_byte()
+                    unscaled |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                unscaled = (unscaled >> 1) ^ -(unscaled & 1)
+                val = Decimal(unscaled).scaleb(-sc)
+                if self._scale is not None:
+                    val = val.quantize(Decimal(1).scaleb(-self._scale))
+                out.append(val)
+            return out
         if kind == "date":
             import datetime as dt
 
@@ -605,6 +662,7 @@ def decode_stripe(
         raise ValueError(f"{path}: no row index; cannot plan a partial read")
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    scales = {c["name"]: c.get("scale") for c in meta["columns"]}
     is_compressed = meta["compression"] != "NONE"
     if picks is None:
         picks = pick_row_groups(path, tree)
@@ -628,6 +686,8 @@ def decode_stripe(
             rr,
             meta["compression"],
             st["encodings"][cid]["dictionary_size"],
+            scale=scales[c],
+            writer_timezone=st.get("writerTimezone"),
         )
 
     out_cols: dict[str, list[Any]] = {c: [] for c in columns}
@@ -720,13 +780,21 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
     _ship_package(spark)
     meta = parse_tail_of_file(path)
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    scales = {c["name"]: c for c in meta["columns"]}
     spark_types = {
         "boolean": "boolean", "tinyint": "tinyint", "smallint": "smallint",
         "int": "int", "bigint": "bigint", "float": "float",
         "double": "double", "date": "date", "string": "string",
-        "char": "string", "varchar": "string",
+        "char": "string", "varchar": "string", "timestamp": "timestamp",
     }  # fmt: skip
-    schema = ", ".join(f"{c} {spark_types[kinds[c]]}" for c in columns)
+
+    def _sql_type(c: str) -> str:
+        if kinds[c] == "decimal":
+            info = scales[c]
+            return f"decimal({info['precision']},{info['scale']})"
+        return spark_types[kinds[c]]
+
+    schema = ", ".join(f"{c} {_sql_type(c)}" for c in columns)
     n_stripes = len(parse_stripe_footers(path))
     stripes_df = spark.createDataFrame(
         [(path, i) for i in range(n_stripes)], "path string, stripe_idx int"

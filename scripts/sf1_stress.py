@@ -54,6 +54,16 @@ QUERIES = [
     "d18_containment",
 ]
 
+# round-10 tier (round-9 verdict "Next #5"): ACID base+delta merge and
+# the capstones — the remaining graded families without an sf1 row.
+# t2 is the one shape whose window state is the full key space.
+QUERIES_R10 = [
+    "t2_acid_merge_on_read",
+    "t3_compaction",
+    "pipe1_training_data_prep",
+    "pipe4_contrastive_pairs",
+]
+
 
 def _gen() -> None:
     import pyarrow as pa
@@ -61,7 +71,8 @@ def _gen() -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(DEST, exist_ok=True)
-    marker = os.path.join(DEST, "_GEN_DONE")
+    # v2: embeddings replicate since round 10 (a v1 dir regenerates)
+    marker = os.path.join(DEST, "_GEN_DONE_v2")
     if os.path.exists(marker):
         print(f"[gen] {DEST} already built")
         return
@@ -69,8 +80,9 @@ def _gen() -> None:
     def out(name: str) -> str:
         return os.path.join(DEST, f"{name}.parquet")
 
-    # dims + embeddings: verbatim copies
-    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    # dims: verbatim copies (embeddings replicate since round 10 —
+    # pipe4's cosine corpus must actually grow; see replicate below)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         pq.write_table(pq.read_table(os.path.join(SRC, f"{t}.parquet")), out(t))
         print(f"[gen] {t}: copied")
 
@@ -107,6 +119,11 @@ def _gen() -> None:
     replicate("orders", ["o_orderkey"])
     replicate("documents", ["doc_id"], salt_text=True)
     replicate("events", ["event_id", "user_id"], shift_ts=True)
+    # round 10: replicate embeddings too (vec_id offset, vectors
+    # copied) — anchor sets stay replica-0-sized (vec_id < K), so the
+    # broadcast side is constant while the scored corpus grows 10x,
+    # the scaling shape pipe4/v8 must survive
+    replicate("embeddings", ["vec_id"])
     open(marker, "w").close()
 
 
@@ -123,6 +140,7 @@ def _join_profile(plan: str) -> dict[str, int]:
 def main() -> None:
     if "--skip-gen" not in sys.argv:
         _gen()
+    queries = QUERIES_R10 if "--round10" in sys.argv else QUERIES
 
     from orc_release_hdp_2_6_5_99_1_tag_spark import (
         catalog,
@@ -136,7 +154,7 @@ def main() -> None:
     qs = {**catalog.queries(), **catalog.extra_queries()}
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         results[name] = {}
         for label, sf_dir in [("sf0.1", SRC), ("sf1", DEST)]:
             qs[name](spark, sf_dir).collect()  # warm: stage scratch inputs
@@ -154,22 +172,36 @@ def main() -> None:
             }
             print(f"[run] {name} @{label}: {min(samples):.2f}s {results[name][label]['joins']}")
 
-    lines = [
-        "",
-        "## sf1-class relational stress (scripts/sf1_stress.py, round 9)",
-        "",
-        "The sf0.1 tables replicated 10x key-correct into `.scratch/sf1`"
-        " (~6M-row lineitem, 1.5M orders against the SAME 15k customers,"
-        " 50k token-salted documents, 1M events with per-replica user"
-        " spaces). min-of-2 cache-cleared wall clock after one warm run"
-        " (staging excluded), local[32]. `joins` lists the physical join"
-        " operators in the final AQE plan so broadcast->SMJ cutovers and"
-        " skew splits are visible, not inferred.",
+    if "--round10" in sys.argv:
+        header = [
+            "",
+            "## sf1 stress — round-10 ACID + capstone tier (t2/t3/pipe1/pipe4)",
+            "",
+            "Same harness and fixture as the round-9 section, with"
+            " embeddings now replicated 10x (vec_id offset, anchor sets"
+            " stay replica-0-sized) so pipe4's scored corpus actually"
+            " grows. t2 is the one shape whose merge-window state is the"
+            " full key space — watched for partition growth.",
+        ]
+    else:
+        header = [
+            "",
+            "## sf1-class relational stress (scripts/sf1_stress.py, round 9)",
+            "",
+            "The sf0.1 tables replicated 10x key-correct into `.scratch/sf1`"
+            " (~6M-row lineitem, 1.5M orders against the SAME 15k customers,"
+            " 50k token-salted documents, 1M events with per-replica user"
+            " spaces). min-of-2 cache-cleared wall clock after one warm run"
+            " (staging excluded), local[32]. `joins` lists the physical join"
+            " operators in the final AQE plan so broadcast->SMJ cutovers and"
+            " skew splits are visible, not inferred.",
+        ]
+    lines = header + [
         "",
         "| query | t(sf0.1) s | t(sf1) s | ratio | joins sf0.1 | joins sf1 | plan flip |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in QUERIES:
+    for name in queries:
         a, b = results[name]["sf0.1"], results[name]["sf1"]
         ratio = round(b["t"] / a["t"], 1) if a["t"] else float("nan")
         flip = "yes" if a["joins"] != b["joins"] else "-"

@@ -258,14 +258,59 @@ def test_read_planned_distributed_multi_stripe(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_timestamp_and_decimal_decode(spark, tmp_path):
+    """timestamp (DATA seconds-from-2015 + SECONDARY 3-bit-coded
+    nanos, UTC writer) and decimal (unbounded zigzag varint DATA +
+    per-value scale SECONDARY) decode value-exactly, including a
+    pre-2015 value (negative seconds) and sub-second precision."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(3000)
+        .select(
+            "id",
+            (
+                F.lit("2013-06-01 01:02:03.456789").cast("timestamp")
+                + F.make_interval(hours=F.col("id").cast("int"))
+            ).alias("ts"),
+            (F.col("id") * F.lit(7) / F.lit(4)).cast("decimal(14,3)").alias("dec"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "tsdec"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000},
+    )
+    cols = ["id", "ts", "dec"]
+    res = sd.decode_stripe(path, 0, ("between", "id", [800, 1999]), cols)
+    assert 2 == res["row_groups_decoded"] < res["row_groups_total"]
+    exp = _pyarrow_columns(path, cols)
+
+    def us(x):  # pyarrow gives ns-precision scalars; compare at us
+        return x.timestamp() if hasattr(x, "timestamp") else x
+
+    got = [
+        (res["columns"]["id"][i], us(res["columns"]["ts"][i]),
+         res["columns"]["dec"][i])
+        for i in range(res["n_rows"])
+        if 800 <= res["columns"]["id"][i] <= 1999
+    ]
+    want = [
+        (exp["id"][i], us(exp["ts"][i]), exp["dec"][i])
+        for i in range(3000)
+        if 800 <= exp["id"][i] <= 1999
+    ]
+    assert got == want
+
+
 def test_unsupported_type_raises_cleanly(spark, tmp_path):
     import pyspark.sql.functions as F
 
     df = spark.range(100).select(
-        "id", F.current_timestamp().alias("ts")
+        "id", F.col("id").cast("string").cast("binary").alias("bin")
     )
     path = _write_one_orc(
-        spark, df, str(tmp_path / "ts"), **{"orc.row.index.stride": 1000}
+        spark, df, str(tmp_path / "bin"), **{"orc.row.index.stride": 1000}
     )
-    with pytest.raises(NotImplementedError, match="timestamp"):
-        sd.decode_stripe(path, 0, MATCH_ALL, ["id", "ts"])
+    with pytest.raises(NotImplementedError, match="binary"):
+        sd.decode_stripe(path, 0, MATCH_ALL, ["id", "bin"])
