@@ -308,6 +308,20 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
         "writer_version": ps["writerVersion"],
         "compression_block_size": ps["compressionBlockSize"],
         "columns": columns,
+        # the FULL flattened type tree, indexed by column id (0 = root
+        # struct): what nested-type consumers (stream_decode's
+        # composite readers, subtree IO planning) walk; `columns`
+        # above stays the top-level slice orc-tools meta prints
+        "types": [
+            {
+                "kind": KIND.get(t["kind"], str(t["kind"])),
+                "subtypes": t["subtypes"],
+                "field_names": t["fieldNames"],
+                "precision": t["precision"],
+                "scale": t["scale"],
+            }
+            for t in types
+        ],
     }
     if include_stripe_stats:
         out["stripe_stats"] = stripe_stats

@@ -436,11 +436,200 @@ _INDEX_AREA = ("ROW_INDEX", "BLOOM_FILTER", "BLOOM_FILTER_UTF8")
 _RLE_INT_KINDS = ("smallint", "int", "bigint")
 
 
+class _DecodeContext:
+    """Per-stripe seek context: computes each column's per-row-group
+    position slices (the getIndexPosition slot layout) on demand, so
+    composite decoders can seek their whole subtree for group
+    `self.group`."""
+
+    def __init__(self, st: dict, row_index: dict, is_compressed: bool):
+        self.st = st
+        self.row_index = row_index
+        self.is_compressed = is_compressed
+        self.directory = _stream_directory(st)
+        self.group = 0
+
+    def segs(self, cid: int, kind: str, encoding: str) -> dict[str, list[int]]:
+        entry = self.row_index[cid][self.group]["positions"]
+        streams = self.directory.get(cid, {})
+        has_nulls = "PRESENT" in streams
+        slots = sorted(
+            (
+                get_index_position(
+                    encoding, kind, sk, self.is_compressed, has_nulls
+                ),
+                sk,
+            )
+            for sk in streams
+            if sk in ("PRESENT", "DATA", "LENGTH", "SECONDARY")
+            and not (
+                sk == "LENGTH" and encoding in ("DICTIONARY", "DICTIONARY_V2")
+            )
+        )
+        segs: dict[str, list[int]] = {}
+        for i, (slot, sk) in enumerate(slots):
+            end = slots[i + 1][0] if i + 1 < len(slots) else len(entry)
+            segs[sk] = entry[slot:end]
+        return segs
+
+
+def _build_decoder(cid: int, types: list[dict], st: dict, rr: RangeReader,
+                   compression: str):
+    """TreeReaderFactory.createTreeReader analog: primitive kinds get a
+    _ColumnDecoder; list/struct/map get composite decoders that own
+    their LENGTH/PRESENT streams and recurse into subtype column ids
+    (child value streams hold the FLATTENED elements; child PRESENT
+    entries exist only where the parent is present — the ORC v1 spec's
+    nested-column contract)."""
+    kind = types[cid]["kind"]
+    enc = st["encodings"][cid]["kind"]
+    if kind == "struct":
+        return _StructDecoder(cid, types, st, rr, compression)
+    if kind == "list":
+        return _ListDecoder(cid, types, st, rr, compression)
+    if kind == "map":
+        return _MapDecoder(cid, types, st, rr, compression)
+    if kind == "union":
+        raise NotImplementedError(
+            "union decode: the engine maps unions to tagged structs "
+            "(functions/union type); see tests/test_reference_goldens.py"
+        )
+    return _ColumnDecoder(
+        kind,
+        enc,
+        _stream_directory(st).get(cid, {}),
+        rr,
+        compression,
+        st["encodings"][cid]["dictionary_size"],
+        scale=types[cid]["scale"],
+        writer_timezone=st.get("writerTimezone"),
+        cid=cid,
+    )
+
+
+class _CompositePresent:
+    """Shared PRESENT handling for the composite decoders."""
+
+    def _init_present(self, cid, types, st, rr, compression):
+        self.cid = cid
+        self.kind = types[cid]["kind"]
+        self.encoding = st["encodings"][cid]["kind"]
+        streams = _stream_directory(st).get(cid, {})
+        self._has_present = "PRESENT" in streams
+        if self._has_present:
+            self._present = BitFieldReader(
+                InStream(rr, *streams["PRESENT"], compression)
+            )
+        return streams
+
+    def _present_bits(self, n: int) -> list[int]:
+        return self._present.next(n) if self._has_present else [1] * n
+
+    def _seek_present(self, segs) -> None:
+        if self._has_present:
+            self._present.seek(iter(segs["PRESENT"]))
+
+
+class _ListDecoder(_CompositePresent):
+    def __init__(self, cid, types, st, rr, compression):
+        streams = self._init_present(cid, types, st, rr, compression)
+        self._lengths = RLEv2Reader(
+            InStream(rr, *streams["LENGTH"], compression), signed=False
+        )
+        self._child = _build_decoder(
+            types[cid]["subtypes"][0], types, st, rr, compression
+        )
+
+    def seek_group(self, ctx: _DecodeContext) -> None:
+        segs = ctx.segs(self.cid, self.kind, self.encoding)
+        self._seek_present(segs)
+        self._lengths.seek(iter(segs["LENGTH"]))
+        self._child.seek_group(ctx)
+
+    def next(self, n: int) -> list[Any]:
+        present = self._present_bits(n)
+        lens = self._lengths.next(sum(present))
+        elems = iter(self._child.next(sum(lens)))
+        out: list[Any] = []
+        li = iter(lens)
+        for p in present:
+            if not p:
+                out.append(None)
+            else:
+                out.append([next(elems) for _ in range(next(li))])
+        return out
+
+
+class _MapDecoder(_CompositePresent):
+    def __init__(self, cid, types, st, rr, compression):
+        streams = self._init_present(cid, types, st, rr, compression)
+        self._lengths = RLEv2Reader(
+            InStream(rr, *streams["LENGTH"], compression), signed=False
+        )
+        key_id, val_id = types[cid]["subtypes"]
+        self._key = _build_decoder(key_id, types, st, rr, compression)
+        self._val = _build_decoder(val_id, types, st, rr, compression)
+
+    def seek_group(self, ctx: _DecodeContext) -> None:
+        segs = ctx.segs(self.cid, self.kind, self.encoding)
+        self._seek_present(segs)
+        self._lengths.seek(iter(segs["LENGTH"]))
+        self._key.seek_group(ctx)
+        self._val.seek_group(ctx)
+
+    def next(self, n: int) -> list[Any]:
+        present = self._present_bits(n)
+        lens = self._lengths.next(sum(present))
+        total = sum(lens)
+        keys = iter(self._key.next(total))
+        vals = iter(self._val.next(total))
+        out: list[Any] = []
+        li = iter(lens)
+        for p in present:
+            if not p:
+                out.append(None)
+            else:
+                out.append(
+                    [(next(keys), next(vals)) for _ in range(next(li))]
+                )
+        return out
+
+
+class _StructDecoder(_CompositePresent):
+    def __init__(self, cid, types, st, rr, compression):
+        self._init_present(cid, types, st, rr, compression)
+        self._fields = types[cid]["field_names"]
+        self._children = [
+            _build_decoder(sub, types, st, rr, compression)
+            for sub in types[cid]["subtypes"]
+        ]
+
+    def seek_group(self, ctx: _DecodeContext) -> None:
+        segs = ctx.segs(self.cid, self.kind, self.encoding)
+        self._seek_present(segs)
+        for child in self._children:
+            child.seek_group(ctx)
+
+    def next(self, n: int) -> list[Any]:
+        present = self._present_bits(n)
+        n_non_null = sum(present)
+        cols = [iter(child.next(n_non_null)) for child in self._children]
+        out: list[Any] = []
+        for p in present:
+            if not p:
+                out.append(None)
+            else:
+                out.append(
+                    dict(zip(self._fields, (next(c) for c in cols)))
+                )
+        return out
+
+
 class _ColumnDecoder:
-    """One column's per-row-group decoder: owns the PRESENT reader
-    (when the column has nulls) and the type's data stream readers,
-    seeks them with the RowIndexEntry position slices, and emits
-    Python values (None for nulls)."""
+    """One PRIMITIVE column's per-row-group decoder: owns the PRESENT
+    reader (when the column has nulls) and the type's data stream
+    readers, seeks them with the RowIndexEntry position slices, and
+    emits Python values (None for nulls)."""
 
     # seconds between the Unix epoch and the ORC timestamp base
     # (2015-01-01 00:00:00 in the writer timezone; UTC writers only)
@@ -456,9 +645,11 @@ class _ColumnDecoder:
         dictionary_size: int,
         scale: int | None = None,
         writer_timezone: str | None = None,
+        cid: int | None = None,
     ):
         self.kind = kind
         self.encoding = encoding
+        self.cid = cid
         self._comp = compression
         self._scale = scale
         self._has_present = "PRESENT" in streams
@@ -495,7 +686,7 @@ class _ColumnDecoder:
             self._data = mk("DATA")
             self._width = 4 if kind == "float" else 8
             self._fmt = "<f" if kind == "float" else "<d"
-        elif kind in ("string", "char", "varchar"):
+        elif kind in ("string", "char", "varchar", "binary"):
             if encoding in ("DICTIONARY", "DICTIONARY_V2"):
                 self._data = RLEv2Reader(mk("DATA"), signed=False)
                 # stripe-level dictionary: LENGTH + DICTIONARY_DATA read
@@ -514,10 +705,13 @@ class _ColumnDecoder:
                 self._lengths = RLEv2Reader(mk("LENGTH"), signed=False)
         else:
             raise NotImplementedError(
-                f"decode of ORC kind {kind!r} not implemented (binary: "
-                "LENGTH + DATA blob like direct strings; nested types: "
-                "composite PRESENT/LENGTH reader trees)"
+                f"decode of ORC kind {kind!r} not implemented (nested "
+                "list/map/struct/union need composite PRESENT/LENGTH "
+                "reader trees)"
             )
+
+    def seek_group(self, ctx: _DecodeContext) -> None:
+        self.seek(ctx.segs(self.cid, self.kind, self.encoding))
 
     def seek(self, positions: dict[str, list[int]]) -> None:
         """positions: stream kind -> that stream's slot slice of the
@@ -527,10 +721,9 @@ class _ColumnDecoder:
         self._data.seek(iter(positions["DATA"]))
         if self.kind in ("timestamp", "decimal"):
             self._secondary.seek(iter(positions["SECONDARY"]))
-        elif self.kind in ("string", "char", "varchar") and self.encoding not in (
-            "DICTIONARY",
-            "DICTIONARY_V2",
-        ):
+        elif self.kind in (
+            "string", "char", "varchar", "binary"
+        ) and self.encoding not in ("DICTIONARY", "DICTIONARY_V2"):
             self._lengths.seek(iter(positions["LENGTH"]))
 
     def next(self, n: int) -> list[Any]:
@@ -606,14 +799,15 @@ class _ColumnDecoder:
                 struct.unpack_from(self._fmt, raw, i * self._width)[0]
                 for i in range(n)
             ]
-        # strings
+        # strings / binary (binary = direct strings minus the decode)
         if self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
             return [self._dict[i] for i in self._data.next(n)]
         lens = self._lengths.next(n)
         blob = self._data.read(sum(lens))
         out, pos = [], 0
         for ln in lens:
-            out.append(blob[pos : pos + ln].decode("utf-8"))
+            piece = blob[pos : pos + ln]
+            out.append(piece if kind == "binary" else piece.decode("utf-8"))
             pos += ln
         return out
 
@@ -661,8 +855,7 @@ def decode_stripe(
     if not stride:
         raise ValueError(f"{path}: no row index; cannot plan a partial read")
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
-    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
-    scales = {c["name"]: c.get("scale") for c in meta["columns"]}
+    types = meta["types"]
     is_compressed = meta["compression"] != "NONE"
     if picks is None:
         picks = pick_row_groups(path, tree)
@@ -672,23 +865,25 @@ def decode_stripe(
     p = plan[stripe_idx]
     keep = [d["keep"] for d in picks[stripe_idx]]
     rr = RangeReader(path, st["offset"], p["ranges"])
-    directory = _stream_directory(st)
-    row_index = {c: parse_row_index(path, ids[c])[stripe_idx] for c in columns}
+    # row indexes for the whole subtree closure (nested columns seek
+    # their element/field/key/value streams by their own entries)
+    included: set[int] = set()
 
-    decoders: dict[str, _ColumnDecoder] = {}
+    def _add_subtree(cid: int) -> None:
+        included.add(cid)
+        for sub in types[cid]["subtypes"]:
+            _add_subtree(sub)
+
     for c in columns:
-        cid = ids[c]
-        enc = st["encodings"][cid]["kind"]
-        decoders[c] = _ColumnDecoder(
-            kinds[c],
-            enc,
-            directory[cid],
-            rr,
-            meta["compression"],
-            st["encodings"][cid]["dictionary_size"],
-            scale=scales[c],
-            writer_timezone=st.get("writerTimezone"),
-        )
+        _add_subtree(ids[c])
+    row_index = {
+        cid: parse_row_index(path, cid)[stripe_idx] for cid in included
+    }
+    ctx = _DecodeContext(st, row_index, is_compressed)
+    decoders = {
+        c: _build_decoder(ids[c], types, st, rr, meta["compression"])
+        for c in columns
+    }
 
     out_cols: dict[str, list[Any]] = {c: [] for c in columns}
     n_rows = 0
@@ -696,30 +891,10 @@ def decode_stripe(
         if not keep_g:
             continue
         n = min(stride, st["numberOfRows"] - g * stride)
+        ctx.group = g
         for c in columns:
-            cid = ids[c]
-            entry = row_index[c][g]["positions"]
             dec = decoders[c]
-            has_nulls = "PRESENT" in directory[cid]
-            segs: dict[str, list[int]] = {}
-            slots = sorted(
-                (
-                    get_index_position(
-                        dec.encoding, kinds[c], sk, is_compressed, has_nulls
-                    ),
-                    sk,
-                )
-                for sk in directory[cid]
-                if sk in ("PRESENT", "DATA", "LENGTH", "SECONDARY")
-                and not (
-                    sk == "LENGTH"
-                    and dec.encoding in ("DICTIONARY", "DICTIONARY_V2")
-                )
-            )
-            for i, (slot, sk) in enumerate(slots):
-                end = slots[i + 1][0] if i + 1 < len(slots) else len(entry)
-                segs[sk] = entry[slot:end]
-            dec.seek(segs)
+            dec.seek_group(ctx)
             out_cols[c].extend(dec.next(n))
         n_rows += n
     return {
@@ -779,22 +954,34 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
 
     _ship_package(spark)
     meta = parse_tail_of_file(path)
-    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
-    scales = {c["name"]: c for c in meta["columns"]}
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    types = meta["types"]
     spark_types = {
         "boolean": "boolean", "tinyint": "tinyint", "smallint": "smallint",
         "int": "int", "bigint": "bigint", "float": "float",
         "double": "double", "date": "date", "string": "string",
         "char": "string", "varchar": "string", "timestamp": "timestamp",
+        "binary": "binary",
     }  # fmt: skip
 
-    def _sql_type(c: str) -> str:
-        if kinds[c] == "decimal":
-            info = scales[c]
-            return f"decimal({info['precision']},{info['scale']})"
-        return spark_types[kinds[c]]
+    def _sql_type(cid: int) -> str:
+        t = types[cid]
+        if t["kind"] == "decimal":
+            return f"decimal({t['precision']},{t['scale']})"
+        if t["kind"] == "list":
+            return f"array<{_sql_type(t['subtypes'][0])}>"
+        if t["kind"] == "map":
+            k, v = t["subtypes"]
+            return f"map<{_sql_type(k)},{_sql_type(v)}>"
+        if t["kind"] == "struct":
+            inner = ", ".join(
+                f"{fn}: {_sql_type(sub)}"
+                for fn, sub in zip(t["field_names"], t["subtypes"])
+            )
+            return f"struct<{inner}>"
+        return spark_types[t["kind"]]
 
-    schema = ", ".join(f"{c} {_sql_type(c)}" for c in columns)
+    schema = ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)
     n_stripes = len(parse_stripe_footers(path))
     stripes_df = spark.createDataFrame(
         [(path, i) for i in range(n_stripes)], "path string, stripe_idx int"

@@ -175,8 +175,7 @@ def plan_read_ranges(
 
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
-    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
-    by_id = {c["col_id"]: c["name"] for c in meta["columns"]}
+    types = meta["types"]
     is_compressed = meta["compression"] != "NONE"
     buf = meta["compression_block_size"]
     slop = (
@@ -186,11 +185,23 @@ def plan_read_ranges(
         from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import _tree_columns
 
         columns = sorted(_tree_columns(tree))
-    included = {ids[c] for c in columns}
+    # a nested column's data lives in its SUBTREE's streams (list
+    # element / struct field / map key+value column ids), so the plan
+    # includes the whole closure — the reference's boolean[] included
+    # covers subtree ids the same way (SchemaEvolution.getFileIncluded)
+    included: set[int] = set()
+
+    def _add_subtree(cid: int) -> None:
+        included.add(cid)
+        for sub in types[cid]["subtypes"]:
+            _add_subtree(sub)
+
+    for c in columns:
+        _add_subtree(ids[c])
     if picks is None:  # callers that already decided pass them through,
         # so plan and decode are guaranteed to agree (stream_decode)
         picks = pick_row_groups(path, tree)
-    row_index = {c: parse_row_index(path, ids[c]) for c in columns}
+    row_index = {cid: parse_row_index(path, cid) for cid in included}
 
     out = []
     for si, st in enumerate(parse_stripe_footers(path)):
@@ -213,9 +224,9 @@ def plan_read_ranges(
                     if is_dict_stream:
                         ranges.append((offset, offset + length))
                     else:
-                        entries = row_index[by_id[col]][si]
+                        entries = row_index[col][si]
                         posn = get_index_position(
-                            enc, kinds[by_id[col]], kind, is_compressed,
+                            enc, types[col]["kind"], kind, is_compressed,
                             col in present_cols,
                         )
                         for g, keep_g in enumerate(keep):

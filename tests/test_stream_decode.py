@@ -303,14 +303,125 @@ def test_timestamp_and_decimal_decode(spark, tmp_path):
     assert got == want
 
 
-def test_unsupported_type_raises_cleanly(spark, tmp_path):
+def test_binary_decode(spark, tmp_path):
     import pyspark.sql.functions as F
 
-    df = spark.range(100).select(
-        "id", F.col("id").cast("string").cast("binary").alias("bin")
+    df = (
+        spark.range(2500)
+        .select("id", F.col("id").cast("string").cast("binary").alias("bin"))
+        .orderBy("id")
     )
     path = _write_one_orc(
         spark, df, str(tmp_path / "bin"), **{"orc.row.index.stride": 1000}
     )
-    with pytest.raises(NotImplementedError, match="binary"):
-        sd.decode_stripe(path, 0, MATCH_ALL, ["id", "bin"])
+    res = sd.decode_stripe(path, 0, ("between", "id", [1000, 1999]), ["id", "bin"])
+    assert res["row_groups_decoded"] == 1
+    got = {
+        i: b
+        for i, b in zip(res["columns"]["id"], res["columns"]["bin"])
+        if 1000 <= i <= 1999
+    }
+    assert got == {i: str(i).encode() for i in range(1000, 2000)}
+
+
+def test_nested_types_decode(spark, tmp_path):
+    """Composite readers (list / struct / map, with nulls at every
+    level) decode value-exactly against pyarrow under row-group
+    pruning — the child streams hold FLATTENED elements and child
+    PRESENT entries exist only where the parent is present."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(3000)
+        .select(
+            "id",
+            F.when(
+                F.col("id") % 5 != 2,
+                F.array_repeat(F.col("id"), (F.col("id") % 3 + 1).cast("int")),
+            ).alias("arr"),
+            F.when(
+                F.col("id") % 7 != 3,
+                F.struct(
+                    (F.col("id") * 2).alias("a"),
+                    F.when(F.col("id") % 4 != 1,
+                           F.concat(F.lit("s"), F.col("id").cast("string"))
+                           ).alias("b"),
+                ),
+            ).alias("st"),
+            F.when(
+                F.col("id") % 6 != 4,
+                F.create_map(
+                    F.concat(F.lit("k"), (F.col("id") % 3).cast("string")),
+                    F.col("id") * 3,
+                ),
+            ).alias("mp"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "nested"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000},
+    )
+    cols = ["id", "arr", "st", "mp"]
+    res = sd.decode_stripe(path, 0, ("between", "id", [1000, 1999]), cols)
+    assert 1 == res["row_groups_decoded"] < res["row_groups_total"]
+    exp = _pyarrow_columns(path, cols)
+    idx = [i for i, v in enumerate(exp["id"]) if 1000 <= v <= 1999]
+    sel = [i for i in range(res["n_rows"])
+           if 1000 <= res["columns"]["id"][i] <= 1999]
+    assert [res["columns"]["arr"][i] for i in sel] == [exp["arr"][i] for i in idx]
+    assert [res["columns"]["st"][i] for i in sel] == [exp["st"][i] for i in idx]
+    assert [res["columns"]["mp"][i] for i in sel] == [exp["mp"][i] for i in idx]
+
+
+def test_read_planned_nested_schema(spark, tmp_path):
+    """read_planned round-trips an array column through mapInPandas
+    (nested spark schema derived from the ORC type tree)."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(4000)
+        .select(
+            "id",
+            F.array_repeat(F.col("id") % 10, (F.col("id") % 2 + 1).cast("int")).alias("xs"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "rp_nested"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000},
+    )
+    got = (
+        sd.read_planned(spark, path, ("between", "id", [1000, 2999]), ["id", "xs"])
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        spark.read.orc(path)
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+_UNION_GOLDEN = "/root/reference/examples/TestOrcFile.testUnionAndTimestamp.orc"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_UNION_GOLDEN), reason="reference examples absent"
+)
+def test_union_type_raises_cleanly():
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as m
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+        parse_tail_of_file,
+    )
+
+    meta = parse_tail_of_file(_UNION_GOLDEN)
+    st = parse_stripe_footers(_UNION_GOLDEN)[0]
+    union_ids = [i for i, t in enumerate(meta["types"]) if t["kind"] == "union"]
+    assert union_ids, "golden should contain a union column"
+    with pytest.raises(NotImplementedError, match="union"):
+        m._build_decoder(union_ids[0], meta["types"], st, None, "ZLIB")
