@@ -947,12 +947,32 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
     """Distributed planned partial read: one Spark task per stripe
     (mapInPandas over a stripe listing built from ONE driver-side tail
     parse — metadata only, no data bytes on the driver), each task
-    planning + ranged-reading + decoding its own stripe. Returns a
-    DataFrame with `columns` in declared order; the caller applies the
-    residual row-level predicate (group pruning is conservative)."""
+    ranged-reading + decoding its own stripe. Returns a DataFrame with
+    `columns` in declared order; the caller applies the residual
+    row-level predicate (group pruning is conservative).
+
+    Planning happens ONCE on the driver (pickRowGroups +
+    plan_read_ranges — a tail read plus the predicate columns' index
+    regions, no data bytes) and ships to the tasks in the closure,
+    the same division the reference uses: one RecordReader plans per
+    FILE, then seeks per stripe/group. Per-task planning would re-read
+    the predicate columns' indexes for every stripe of the file —
+    O(stripes²) metadata IO. Across a million-file lake the unit of
+    fan-out is the file (pyds topology), and within a file the plan is
+    shared. Skipped stripes (no kept groups) are dropped from the task
+    list entirely."""
     import pandas as pd
 
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        plan_read_ranges,
+    )
+
     _ship_package(spark)
+    picks = pick_row_groups(path, tree)
+    plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     types = meta["types"]
@@ -982,10 +1002,15 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
         return spark_types[t["kind"]]
 
     schema = ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)
-    n_stripes = len(parse_stripe_footers(path))
+    kept_stripes = [
+        si for si, per_stripe in enumerate(picks)
+        if any(d["keep"] for d in per_stripe)
+    ]
+    if not kept_stripes:
+        return spark.createDataFrame([], schema)
     stripes_df = spark.createDataFrame(
-        [(path, i) for i in range(n_stripes)], "path string, stripe_idx int"
-    ).repartition(n_stripes)
+        [(path, i) for i in kept_stripes], "path string, stripe_idx int"
+    ).repartition(len(kept_stripes))
 
     def _decode(batches):
         from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
@@ -994,7 +1019,10 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                res = decode_stripe(row["path"], int(row["stripe_idx"]), tree, columns)
+                res = decode_stripe(
+                    row["path"], int(row["stripe_idx"]), tree, columns,
+                    picks=picks, plan=plan,
+                )
                 yield pd.DataFrame(
                     {c: res["columns"][c] for c in columns}
                 )
