@@ -476,8 +476,8 @@ class _DecodeContext:
 def _build_decoder(cid: int, types: list[dict], st: dict, rr: RangeReader,
                    compression: str):
     """TreeReaderFactory.createTreeReader analog: primitive kinds get a
-    _ColumnDecoder; list/struct/map get composite decoders that own
-    their LENGTH/PRESENT streams and recurse into subtype column ids
+    _ColumnDecoder; list/struct/map/union get composite decoders that
+    own their LENGTH/PRESENT/tag streams and recurse into subtype ids
     (child value streams hold the FLATTENED elements; child PRESENT
     entries exist only where the parent is present — the ORC v1 spec's
     nested-column contract)."""
@@ -490,10 +490,7 @@ def _build_decoder(cid: int, types: list[dict], st: dict, rr: RangeReader,
     if kind == "map":
         return _MapDecoder(cid, types, st, rr, compression)
     if kind == "union":
-        raise NotImplementedError(
-            "union decode: the engine maps unions to tagged structs "
-            "(functions/union type); see tests/test_reference_goldens.py"
-        )
+        return _UnionDecoder(cid, types, st, rr, compression)
     return _ColumnDecoder(
         kind,
         enc,
@@ -595,6 +592,60 @@ class _MapDecoder(_CompositePresent):
         return out
 
 
+class _UnionDecoder(_CompositePresent):
+    """UnionTreeReader analog (TreeReaderFactory.java:1865-1949): the
+    union column's DATA stream is the byte-RLE tag per non-null row;
+    each variant's values live in that SUBTYPE's own column streams,
+    flattened in row order over the rows its tag selects (a variant
+    column reads exactly count(tag == i) values per batch). Surfaced
+    in the engine's tagged-struct convention — `{_tag, f0, f1, ...}`
+    with every non-selected variant None — matching
+    `sources/union_reader.py` and `functions/union_type.py`. Unlike
+    the Arrow shim, the PRESENT stream is decoded, so a NULL union is
+    distinguishable from (tag 0, NULL variant) — the reference
+    reader's own `.jsn` dumps pin both (see test_stream_decode)."""
+
+    def __init__(self, cid, types, st, rr, compression):
+        streams = self._init_present(cid, types, st, rr, compression)
+        self._tags = ByteRLEReader(
+            InStream(rr, *streams["DATA"], compression)
+        )
+        self._children = [
+            _build_decoder(sub, types, st, rr, compression)
+            for sub in types[cid]["subtypes"]
+        ]
+
+    def seek_group(self, ctx: _DecodeContext) -> None:
+        segs = ctx.segs(self.cid, self.kind, self.encoding)
+        self._seek_present(segs)
+        self._tags.seek(iter(segs["DATA"]))
+        for child in self._children:
+            child.seek_group(ctx)
+
+    def next(self, n: int) -> list[Any]:
+        present = self._present_bits(n)
+        tags = self._tags.next(sum(present))
+        counts = [0] * len(self._children)
+        for t in tags:
+            counts[t] += 1
+        variants = [
+            iter(child.next(c))
+            for child, c in zip(self._children, counts)
+        ]
+        out: list[Any] = []
+        ti = iter(tags)
+        for p in present:
+            if not p:
+                out.append(None)
+                continue
+            t = next(ti)
+            row: dict[str, Any] = {"_tag": t}
+            for i, vals in enumerate(variants):
+                row[f"f{i}"] = next(vals) if i == t else None
+            out.append(row)
+        return out
+
+
 class _StructDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         self._init_present(cid, types, st, rr, compression)
@@ -667,14 +718,19 @@ class _ColumnDecoder:
         elif kind == "timestamp":
             # DATA: signed seconds from the 2015-01-01 base in the
             # WRITER timezone; SECONDARY: nanos with the 3-bit
-            # trailing-zero code (TreeReaderFactory parseNanos). Scope:
-            # UTC writers (the engine's session pin) — a non-UTC
-            # writerTimezone needs the zone's rules to rebase
-            if writer_timezone not in (None, "UTC", "Etc/UTC", "GMT"):
-                raise NotImplementedError(
-                    f"timestamp decode supports UTC writers only, file "
-                    f"written in {writer_timezone!r}"
-                )
+            # trailing-zero code (TreeReaderFactory parseNanos). ORC
+            # timestamps are wall-clock values: the writer serialized
+            # toEpoch(wall, writer_tz) - toEpoch(2015-01-01, writer_tz),
+            # so the reader rebases through the writer's zone rules and
+            # surfaces the zone-less wall clock (TimestampTreeReader's
+            # base_timestamp + readerTimezone handling, with the
+            # engine's reader pinned to the wall-clock convention).
+            if writer_timezone in (None, "UTC", "Etc/UTC", "GMT"):
+                self._ts_tz = None  # fast path: epoch arithmetic only
+            else:
+                from zoneinfo import ZoneInfo
+
+                self._ts_tz = ZoneInfo(writer_timezone)
             self._data = RLEv2Reader(mk("DATA"), signed=True)
             self._secondary = RLEv2Reader(mk("SECONDARY"), signed=False)
         elif kind == "decimal":
@@ -706,8 +762,8 @@ class _ColumnDecoder:
         else:
             raise NotImplementedError(
                 f"decode of ORC kind {kind!r} not implemented (nested "
-                "list/map/struct/union need composite PRESENT/LENGTH "
-                "reader trees)"
+                "list/map/struct/union dispatch to the composite "
+                "decoders in _build_decoder)"
             )
 
     def seek_group(self, ctx: _DecodeContext) -> None:
@@ -755,22 +811,41 @@ class _ColumnDecoder:
             secs_raw = self._data.next(n)
             nanos_raw = self._secondary.next(n)
             epoch = dt.datetime(1970, 1, 1)
+            tz = self._ts_tz
+            if tz is not None:
+                # writer-zone base: toEpoch(2015-01-01 00:00, writer_tz)
+                base = int(
+                    dt.datetime(2015, 1, 1, tzinfo=tz).timestamp()
+                )
+            else:
+                base = self._TS_BASE
             for s, nv in zip(secs_raw, nanos_raw):
                 zeros = nv & 7
                 nanos = nv >> 3
                 if zeros:
                     nanos *= 10 ** (zeros + 1)
-                secs = s + self._TS_BASE
+                secs = s + base
                 if secs < 0 and nanos != 0:  # TreeReaderFactory rule
                     secs -= 1
-                out.append(
-                    epoch
-                    + dt.timedelta(seconds=secs, microseconds=nanos // 1000)
-                )
+                if tz is not None:
+                    wall = dt.datetime.fromtimestamp(
+                        secs, tz
+                    ).replace(tzinfo=None)
+                    out.append(
+                        wall + dt.timedelta(microseconds=nanos // 1000)
+                    )
+                else:
+                    out.append(
+                        epoch
+                        + dt.timedelta(seconds=secs, microseconds=nanos // 1000)
+                    )
             return out
         if kind == "decimal":
-            from decimal import Decimal
+            from decimal import Context, Decimal
 
+            # precision 38 + scale 18 can exceed the default context's
+            # 28 significant digits; quantize under an ORC-sized one
+            ctx = Context(prec=77)
             out = []
             scales = self._secondary.next(n)
             for sc in scales:
@@ -783,9 +858,9 @@ class _ColumnDecoder:
                         break
                     shift += 7
                 unscaled = (unscaled >> 1) ^ -(unscaled & 1)
-                val = Decimal(unscaled).scaleb(-sc)
+                val = Decimal(unscaled).scaleb(-sc, ctx)
                 if self._scale is not None:
-                    val = val.quantize(Decimal(1).scaleb(-self._scale))
+                    val = val.quantize(Decimal(1).scaleb(-self._scale), context=ctx)
                 out.append(val)
             return out
         if kind == "date":
@@ -910,11 +985,11 @@ def decode_stripe(
 def _ship_package(spark) -> None:
     """Ship the whole engine package to the workers as one zip (an
     addPyFile re-add of the same path is a no-op, and the zip is
-    cached until any source file changes). The planning chain runs
-    PER TASK (truth.pick_row_groups → tools.plan_read_ranges), so
-    workers need the package importable by its real name — the flat
-    single-module trick pyds/footer_stats use doesn't cover a module
-    graph."""
+    cached until any source file changes). decode_stripe runs PER
+    TASK (the plan itself ships in the closure — see read_planned),
+    so workers need the package importable by its real name — the
+    flat single-module trick pyds/footer_stats use doesn't cover a
+    module graph."""
     import os
     import zipfile
 
@@ -999,6 +1074,12 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
                 for fn, sub in zip(t["field_names"], t["subtypes"])
             )
             return f"struct<{inner}>"
+        if t["kind"] == "union":
+            inner = ", ".join(
+                f"f{i}: {_sql_type(sub)}"
+                for i, sub in enumerate(t["subtypes"])
+            )
+            return f"struct<_tag: tinyint, {inner}>"
         return spark_types[t["kind"]]
 
     schema = ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)

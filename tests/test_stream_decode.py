@@ -412,16 +412,73 @@ _UNION_GOLDEN = "/root/reference/examples/TestOrcFile.testUnionAndTimestamp.orc"
 @pytest.mark.skipif(
     not os.path.exists(_UNION_GOLDEN), reason="reference examples absent"
 )
-def test_union_type_raises_cleanly():
-    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as m
-    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-        parse_stripe_footers,
-        parse_tail_of_file,
-    )
+def test_union_decode_golden_vs_reference_dump():
+    """_UnionDecoder (UnionTreeReader parity, TreeReaderFactory.java:
+    1865-1949) decodes the reference-written union golden value-exactly
+    against the reference reader's OWN expected dump — including the
+    three-way distinction the Arrow shim cannot make: NULL union vs
+    (tag 0, NULL variant) vs (tag 1, NULL variant) (the PRESENT stream
+    is decoded, where Arrow union arrays carry no validity bitmap).
+    The decimal(38,18) column rides along: its 20-digit values pin the
+    wide-precision quantize context."""
+    import gzip
+    import json
+    from decimal import Decimal
 
-    meta = parse_tail_of_file(_UNION_GOLDEN)
-    st = parse_stripe_footers(_UNION_GOLDEN)[0]
-    union_ids = [i for i, t in enumerate(meta["types"]) if t["kind"] == "union"]
-    assert union_ids, "golden should contain a union column"
-    with pytest.raises(NotImplementedError, match="union"):
-        m._build_decoder(union_ids[0], meta["types"], st, None, "ZLIB")
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as m
+
+    # is_null keeps the all-null row groups a plain BETWEEN would
+    # (correctly) prune — stripe 1's decimal stats are hasNull-only
+    tree = (
+        "or",
+        ("is_null", "decimal", None),
+        ("between", "decimal", [Decimal("-1e30"), Decimal("1e30")]),
+    )
+    got = []
+    for si in range(2):
+        res = m.decode_stripe(
+            _UNION_GOLDEN, si, tree, ["time", "union", "decimal"]
+        )
+        got.extend(
+            zip(
+                res["columns"]["time"],
+                res["columns"]["union"],
+                res["columns"]["decimal"],
+            )
+        )
+
+    dump = _UNION_GOLDEN.replace(
+        "TestOrcFile", "expected/TestOrcFile"
+    ).replace(".orc", ".jsn.gz")
+    exp = [
+        json.loads(line, parse_float=Decimal)
+        for line in gzip.open(dump, "rt")
+    ]
+    assert len(got) == len(exp) == 5077
+    import datetime as dt
+
+    for (ts, u, d), e in zip(got, exp):
+        eu = e["union"]
+        if eu is None:
+            assert u is None
+        else:
+            tag = eu["tag"]
+            assert u["_tag"] == tag
+            assert u[f"f{tag}"] == eu["value"]
+            assert u[f"f{1 - tag}"] is None
+        if e["decimal"] is None:
+            assert d is None
+        else:
+            assert d == e["decimal"]
+        # time: US/Pacific writerTimezone — the wall-clock rebase runs
+        # through the writer zone's DST rules; dump is nanos, compare
+        # at the decoder's microsecond surface
+        if e["time"] is None:
+            assert ts is None
+        else:
+            head, frac = e["time"].rsplit(".", 1)
+            micros = int(frac.ljust(9, "0")[:9]) // 1000
+            want = dt.datetime.strptime(
+                head, "%Y-%m-%d %H:%M:%S"
+            ).replace(microsecond=micros)
+            assert ts == want
