@@ -20,14 +20,15 @@ ranges**. Reference analogs, cited per layer:
   the PRESENT bit reader one more bit offset —
   RecordReaderUtils.java:387-457, `seekToRowEntry`
   RecordReaderImpl.java:1286);
-- decode: RLEv1 is never produced by the embedded writer (version
-  0.12 → DIRECT_V2/DICTIONARY_V2), so this implements the RLEv2
-  sub-encodings SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA, byte
-  RLE, the PRESENT bitfield, IEEE-754 float/double streams, and
-  string DIRECT_V2 / DICTIONARY_V2 (RunLengthIntegerReaderV2.java,
-  RunLengthByteReader.java, BitFieldReader.java,
-  TreeReaderFactory.java — re-derived from the PUBLIC ORC v1 spec's
-  encoding tables, not ported);
+- decode: the RLEv2 sub-encodings SHORT_REPEAT / DIRECT /
+  PATCHED_BASE / DELTA, RLEv1 (run/delta + literal varints — the
+  v0.11 writer's integer encoding, selected per column by the
+  pre-V2 DIRECT/DICTIONARY encoding kinds), byte RLE, the PRESENT
+  bitfield, IEEE-754 float/double streams, and string
+  DIRECT(_V2) / DICTIONARY(_V2) (RunLengthIntegerReaderV2.java,
+  RunLengthIntegerReader.java, RunLengthByteReader.java,
+  BitFieldReader.java, TreeReaderFactory.java — re-derived from the
+  PUBLIC ORC v1 spec's encoding tables, not ported);
 - row-group-aligned batching: decode exactly the kept groups'
   `min(stride, stripeRows - g*stride)` values, skipping pruned
   groups entirely (`nextBatch` RecordReaderImpl.java:1195-1229).
@@ -37,12 +38,11 @@ executable proof that `plan_read_ranges`' output is sufficient, which
 is the property the round-9 verdict asked this round to establish
 ("verified on fractions, not on bytes-in-rows-out").
 
-Scope: the types the engine's ORC staging paths produce — boolean,
-tinyint..bigint, float, double, date, string/char/varchar (direct and
-dictionary). timestamp/decimal/nested raise NotImplementedError with
-the stream layout documented (their PPD/stats/seek layers are already
-covered by truth.py + get_index_position; the decode loop here is
-orthogonal and additive).
+Scope: the full ORC type surface — boolean, tinyint..bigint, float,
+double, date, string/char/varchar (direct and dictionary), binary,
+timestamp (incl. non-UTC writer-timezone rebase), decimal,
+list/struct/map composites, and union (tagged-struct surface) — in
+both encoding versions (v0.11 RLEv1 and v0.12 RLEv2 files).
 
 Scale: one `decode_stripe` call is the per-task unit —
 `read_planned` fans out one Spark task per stripe (mapInPandas), the
@@ -357,6 +357,68 @@ class RLEv2Reader:
         return out
 
 
+class RLEv1Reader:
+    """RunLengthIntegerReader (version 1, the v0.11 writer's integer
+    encoding): control < 128 -> a run of (control + 3) values starting
+    at a varint base and stepping by the next byte read as a SIGNED
+    delta (-128..127); control >= 128 -> (256 - control) literal
+    varints. Same seek contract as v2: stream seek + skip-N slot."""
+
+    def __init__(self, ins: InStream, signed: bool):
+        self._ins = ins
+        self._signed = signed
+        self._run: list[int] = []
+        self._used = 0
+
+    def seek(self, provider) -> None:
+        self._ins.seek(provider)
+        self._run, self._used = [], 0
+        self.skip(next(provider))
+
+    def skip(self, n: int) -> None:
+        while n > 0:
+            if self._used >= len(self._run):
+                self._read_run()
+            take = min(n, len(self._run) - self._used)
+            self._used += take
+            n -= take
+
+    def next(self, n: int) -> list[int]:
+        out: list[int] = []
+        while len(out) < n:
+            if self._used >= len(self._run):
+                self._read_run()
+            take = min(n - len(out), len(self._run) - self._used)
+            out.extend(self._run[self._used : self._used + take])
+            self._used += take
+        return out
+
+    def _read_run(self) -> None:
+        control = self._ins.read_byte()
+        rd = _read_svarint if self._signed else _read_uvarint
+        if control < 128:
+            length = control + 3
+            delta = self._ins.read_byte()
+            if delta >= 128:  # one signed byte, not a varint
+                delta -= 256
+            base = rd(self._ins)
+            self._run = [base + i * delta for i in range(length)]
+            RUN_COUNTER["v1_run"] = RUN_COUNTER.get("v1_run", 0) + 1
+        else:
+            self._run = [rd(self._ins) for _ in range(256 - control)]
+            RUN_COUNTER["v1_literal"] = RUN_COUNTER.get("v1_literal", 0) + 1
+        self._used = 0
+
+
+def _int_rle(ins: InStream, signed: bool, encoding: str):
+    """RLE version switch, the TreeReaderFactory.createIntegerReader
+    analog: pre-v2 column encodings (DIRECT / DICTIONARY) carry their
+    integer streams in RLEv1; *_V2 encodings in RLEv2."""
+    if encoding in ("DIRECT", "DICTIONARY"):
+        return RLEv1Reader(ins, signed)
+    return RLEv2Reader(ins, signed)
+
+
 class ByteRLEReader:
     """RunLengthByteReader: control >= 0 -> run of (control+3) copies
     of the next byte; control < 0 (two's complement) -> -control
@@ -530,8 +592,9 @@ class _CompositePresent:
 class _ListDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         streams = self._init_present(cid, types, st, rr, compression)
-        self._lengths = RLEv2Reader(
-            InStream(rr, *streams["LENGTH"], compression), signed=False
+        self._lengths = _int_rle(
+            InStream(rr, *streams["LENGTH"], compression), False,
+            self.encoding,
         )
         self._child = _build_decoder(
             types[cid]["subtypes"][0], types, st, rr, compression
@@ -560,8 +623,9 @@ class _ListDecoder(_CompositePresent):
 class _MapDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         streams = self._init_present(cid, types, st, rr, compression)
-        self._lengths = RLEv2Reader(
-            InStream(rr, *streams["LENGTH"], compression), signed=False
+        self._lengths = _int_rle(
+            InStream(rr, *streams["LENGTH"], compression), False,
+            self.encoding,
         )
         key_id, val_id = types[cid]["subtypes"]
         self._key = _build_decoder(key_id, types, st, rr, compression)
@@ -702,6 +766,11 @@ class _ColumnDecoder:
         self.encoding = encoding
         self.cid = cid
         self._comp = compression
+        if kind == "decimal" and scale is None:
+            # v0.11 decimal types carry no precision/scale attributes;
+            # the reference reader defaults them to (38, 6) — pinned by
+            # pyarrow's decimal128(38, 6) on orc-file-11-format.orc
+            scale = 6
         self._scale = scale
         self._has_present = "PRESENT" in streams
         if self._has_present:
@@ -710,7 +779,7 @@ class _ColumnDecoder:
             )
         mk = lambda sk: InStream(rr, *streams[sk], compression)  # noqa: E731
         if kind in _RLE_INT_KINDS or kind == "date":
-            self._data = RLEv2Reader(mk("DATA"), signed=True)
+            self._data = _int_rle(mk("DATA"), True, encoding)
         elif kind == "tinyint":
             self._data = ByteRLEReader(mk("DATA"))
         elif kind == "boolean":
@@ -731,23 +800,23 @@ class _ColumnDecoder:
                 from zoneinfo import ZoneInfo
 
                 self._ts_tz = ZoneInfo(writer_timezone)
-            self._data = RLEv2Reader(mk("DATA"), signed=True)
-            self._secondary = RLEv2Reader(mk("SECONDARY"), signed=False)
+            self._data = _int_rle(mk("DATA"), True, encoding)
+            self._secondary = _int_rle(mk("SECONDARY"), False, encoding)
         elif kind == "decimal":
             # DATA: unbounded zigzag varints (unscaled values);
             # SECONDARY: per-value scale, signed RLEv2
             self._data = mk("DATA")
-            self._secondary = RLEv2Reader(mk("SECONDARY"), signed=True)
+            self._secondary = _int_rle(mk("SECONDARY"), True, encoding)
         elif kind in ("float", "double"):
             self._data = mk("DATA")
             self._width = 4 if kind == "float" else 8
             self._fmt = "<f" if kind == "float" else "<d"
         elif kind in ("string", "char", "varchar", "binary"):
             if encoding in ("DICTIONARY", "DICTIONARY_V2"):
-                self._data = RLEv2Reader(mk("DATA"), signed=False)
+                self._data = _int_rle(mk("DATA"), False, encoding)
                 # stripe-level dictionary: LENGTH + DICTIONARY_DATA read
                 # whole from position 0 (plan_read_ranges loads them whole)
-                lens = RLEv2Reader(mk("LENGTH"), signed=False).next(
+                lens = _int_rle(mk("LENGTH"), False, encoding).next(
                     dictionary_size
                 )
                 blob = mk("DICTIONARY_DATA").read(sum(lens))
@@ -758,7 +827,7 @@ class _ColumnDecoder:
                     pos += ln
             else:
                 self._data = mk("DATA")
-                self._lengths = RLEv2Reader(mk("LENGTH"), signed=False)
+                self._lengths = _int_rle(mk("LENGTH"), False, encoding)
         else:
             raise NotImplementedError(
                 f"decode of ORC kind {kind!r} not implemented (nested "
@@ -841,11 +910,16 @@ class _ColumnDecoder:
                     )
             return out
         if kind == "decimal":
-            from decimal import Context, Decimal
+            from decimal import ROUND_DOWN, Context, Decimal
 
             # precision 38 + scale 18 can exceed the default context's
-            # 28 significant digits; quantize under an ORC-sized one
-            ctx = Context(prec=77)
+            # 28 significant digits; quantize under an ORC-sized one.
+            # Rounding only engages on v0.11 files whose per-value
+            # scale exceeds the declared scale — the reference reader
+            # rescales by integer division, i.e. truncation toward
+            # zero (the 12345678.6547456 → .654745 pin in the
+            # orc-file-11-format expected dump)
+            ctx = Context(prec=77, rounding=ROUND_DOWN)
             out = []
             scales = self._secondary.next(n)
             for sc in scales:
