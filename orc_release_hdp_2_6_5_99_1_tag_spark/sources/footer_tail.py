@@ -239,6 +239,13 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
     file stats, `OrcProto.Metadata`/`StripeStatistics`) into
     `stripe_stats: [[per-column dict, ...] per stripe]`.
     """
+    if len(data) < 4:  # "ORC" + postscript length byte at minimum
+        # the reference's ReaderImpl.ensureOrcFooter rejects files
+        # shorter than the magic + postscript (zero.orc golden)
+        raise ValueError(
+            f"not a valid ORC file: {len(data)} bytes is smaller than "
+            "the magic + postscript"
+        )
     ps_len = data[-1]
     ps = _parse_postscript(data[-1 - ps_len : -1])
     need = 1 + ps_len + ps["footerLength"]

@@ -90,6 +90,8 @@ class RangeReader:
                 self.bytes_fetched += b - a
 
     def read(self, off: int, n: int) -> bytes:
+        if n <= 0:
+            return b""
         for a, b, buf in self._ranges:
             if a <= off and off + n <= b:
                 return buf[off - a : off - a + n]
@@ -123,6 +125,10 @@ class InStream:
         else:
             header = next(provider)
             sub = next(provider)
+            if self._length == 0:
+                # zero-length stream (all-null column): the index still
+                # records [0, 0] positions but there is no chunk to load
+                return
             self._load_chunk(header)
             self._chunk_pos = sub
 
@@ -593,8 +599,8 @@ class _ListDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         streams = self._init_present(cid, types, st, rr, compression)
         self._lengths = _int_rle(
-            InStream(rr, *streams["LENGTH"], compression), False,
-            self.encoding,
+            InStream(rr, *streams.get("LENGTH", (0, 0)), compression),
+            False, self.encoding,
         )
         self._child = _build_decoder(
             types[cid]["subtypes"][0], types, st, rr, compression
@@ -603,7 +609,8 @@ class _ListDecoder(_CompositePresent):
     def seek_group(self, ctx: _DecodeContext) -> None:
         segs = ctx.segs(self.cid, self.kind, self.encoding)
         self._seek_present(segs)
-        self._lengths.seek(iter(segs["LENGTH"]))
+        if segs.get("LENGTH"):
+            self._lengths.seek(iter(segs["LENGTH"]))
         self._child.seek_group(ctx)
 
     def next(self, n: int) -> list[Any]:
@@ -624,8 +631,8 @@ class _MapDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         streams = self._init_present(cid, types, st, rr, compression)
         self._lengths = _int_rle(
-            InStream(rr, *streams["LENGTH"], compression), False,
-            self.encoding,
+            InStream(rr, *streams.get("LENGTH", (0, 0)), compression),
+            False, self.encoding,
         )
         key_id, val_id = types[cid]["subtypes"]
         self._key = _build_decoder(key_id, types, st, rr, compression)
@@ -634,7 +641,8 @@ class _MapDecoder(_CompositePresent):
     def seek_group(self, ctx: _DecodeContext) -> None:
         segs = ctx.segs(self.cid, self.kind, self.encoding)
         self._seek_present(segs)
-        self._lengths.seek(iter(segs["LENGTH"]))
+        if segs.get("LENGTH"):
+            self._lengths.seek(iter(segs["LENGTH"]))
         self._key.seek_group(ctx)
         self._val.seek_group(ctx)
 
@@ -672,7 +680,7 @@ class _UnionDecoder(_CompositePresent):
     def __init__(self, cid, types, st, rr, compression):
         streams = self._init_present(cid, types, st, rr, compression)
         self._tags = ByteRLEReader(
-            InStream(rr, *streams["DATA"], compression)
+            InStream(rr, *streams.get("DATA", (0, 0)), compression)
         )
         self._children = [
             _build_decoder(sub, types, st, rr, compression)
@@ -682,7 +690,8 @@ class _UnionDecoder(_CompositePresent):
     def seek_group(self, ctx: _DecodeContext) -> None:
         segs = ctx.segs(self.cid, self.kind, self.encoding)
         self._seek_present(segs)
-        self._tags.seek(iter(segs["DATA"]))
+        if segs.get("DATA"):
+            self._tags.seek(iter(segs["DATA"]))
         for child in self._children:
             child.seek_group(ctx)
 
@@ -777,7 +786,12 @@ class _ColumnDecoder:
             self._present = BitFieldReader(
                 InStream(rr, *streams["PRESENT"], compression)
             )
-        mk = lambda sk: InStream(rr, *streams[sk], compression)  # noqa: E731
+        # an all-null column may omit its value streams entirely
+        # (e.g. DICTIONARY_V2 with dictionary_size 0 writes PRESENT
+        # only) — absent streams read as empty, never as KeyError
+        mk = lambda sk: InStream(  # noqa: E731
+            rr, *streams.get(sk, (0, 0)), compression
+        )
         if kind in _RLE_INT_KINDS or kind == "date":
             self._data = _int_rle(mk("DATA"), True, encoding)
         elif kind == "tinyint":
@@ -843,13 +857,16 @@ class _ColumnDecoder:
         RowIndexEntry (tools.orc_seek_explain's `streams` layout)."""
         if self._has_present:
             self._present.seek(iter(positions["PRESENT"]))
-        self._data.seek(iter(positions["DATA"]))
+        if positions.get("DATA"):
+            self._data.seek(iter(positions["DATA"]))
         if self.kind in ("timestamp", "decimal"):
-            self._secondary.seek(iter(positions["SECONDARY"]))
+            if positions.get("SECONDARY"):
+                self._secondary.seek(iter(positions["SECONDARY"]))
         elif self.kind in (
             "string", "char", "varchar", "binary"
         ) and self.encoding not in ("DICTIONARY", "DICTIONARY_V2"):
-            self._lengths.seek(iter(positions["LENGTH"]))
+            if positions.get("LENGTH"):
+                self._lengths.seek(iter(positions["LENGTH"]))
 
     def next(self, n: int) -> list[Any]:
         if self._has_present:
@@ -869,8 +886,11 @@ class _ColumnDecoder:
 
     def _next_values(self, n: int) -> list[Any]:
         kind = self.kind
-        if kind in _RLE_INT_KINDS or kind == "tinyint":
+        if kind in _RLE_INT_KINDS:
             return self._data.next(n)
+        if kind == "tinyint":
+            # byte RLE yields raw 0..255; ORC tinyint is a SIGNED byte
+            return [v - 256 if v >= 128 else v for v in self._data.next(n)]
         if kind == "boolean":
             return [bool(b) for b in self._data.next(n)]
         if kind == "timestamp":
@@ -1004,6 +1024,10 @@ def decode_stripe(
     if not stride:
         raise ValueError(f"{path}: no row index; cannot plan a partial read")
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    if not ids and meta["types"][0]["kind"] != "struct":
+        # non-struct root (legal in the reference's C++/Java APIs,
+        # e.g. the testTimestamp golden): surface it as "_root"
+        ids = {"_root": 0}
     types = meta["types"]
     is_compressed = meta["compression"] != "NONE"
     if picks is None:

@@ -176,6 +176,8 @@ def plan_read_ranges(
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     types = meta["types"]
+    if not ids and types[0]["kind"] != "struct":
+        ids = {"_root": 0}  # non-struct root, see stream_decode
     is_compressed = meta["compression"] != "NONE"
     buf = meta["compression_block_size"]
     slop = (
