@@ -90,6 +90,50 @@ def _packed_varints(v: Any) -> list[int]:
     return out
 
 
+def _lz4_block_decompress(src: bytes) -> bytes:
+    """LZ4 raw-block decode (the frame the ORC chunk holds): token =
+    (literal_len << 4) | match_len, 255-extension bytes, 2-byte LE
+    match offset, min-match 4, overlap-tolerant match copy. The block
+    self-terminates (the final sequence is literals-only), so no
+    decompressed-size hint is needed — re-derived from the public LZ4
+    block format spec."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:  # last sequence: literals only
+            break
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if offset >= mlen:  # no overlap: one slice
+            out += out[start : start + mlen]
+        else:  # overlapping match copies byte-by-byte semantics
+            for k in range(mlen):
+                out.append(out[start + k])
+    return bytes(out)
+
+
 def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
     if compression == 1:  # ZLIB: raw deflate
         return zlib.decompress(chunk, -15)
@@ -98,16 +142,18 @@ def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
 
         size, _ = _varint(chunk, 0)
         return pa.Codec("snappy").decompress(chunk, decompressed_size=size).to_pybytes()
+    if compression == 4:  # LZ4: raw block, self-terminating
+        return _lz4_block_decompress(chunk)
     if compression == 5:  # ZSTD: stream-decode (no size needed)
         import pyarrow as pa
 
         with pa.CompressedInputStream(pa.BufferReader(chunk), "zstd") as s:
             return s.read()
-    # LZO(3)/LZ4(4) use raw block formats that need the decompressed
-    # size up front — not recoverable from the chunk alone in Python
+    # LZO uses a raw block format with no end marker and needs the
+    # decompressed size up front — not recoverable from the chunk alone
     raise ValueError(
-        f"pure-Python tail parse supports NONE/ZLIB/SNAPPY/ZSTD, file uses "
-        f"{_COMPRESSION.get(compression, compression)}"
+        f"pure-Python tail parse supports NONE/ZLIB/SNAPPY/LZ4/ZSTD, file "
+        f"uses {_COMPRESSION.get(compression, compression)}"
     )
 
 
