@@ -162,7 +162,11 @@ def _build() -> None:
     # ANN / clustering
     register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
     register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
-    register("v4_pq_ann", sim.v4_pq_ann, sim.V4_ORACLE)
+    # v4_pq_ann rotates to extras mid-round-10 to make room for
+    # s24_lake_scan (the ANN family keeps v1/v2/v7 graded; v4 is
+    # r9-green and tri-SF pytest-checked — the round-8 x1→s19
+    # displacement precedent)
+    register("s24_lake_scan", oq.s24_lake_scan, oq.S24_ORACLE)
     register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE)
     register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
     # graph analytics
@@ -194,6 +198,8 @@ def _build() -> None:
     # registry held 178).
     #
     # rotated out round 8 (driver-green in CORRECTNESS_r07):
+    # rotated out mid-round-10 (driver-green r9; displaced by s24):
+    register("v4_pq_ann", sim.v4_pq_ann, sim.V4_ORACLE, graded=False)
     register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL, graded=False)
     register("q9_product_profit", sq.q9_product_profit, sq.Q9_SQL, graded=False)
     register("q10_returned_items", sq.q10_returned_items, sq.Q10_SQL, graded=False)

@@ -1270,3 +1270,83 @@ FROM durable
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+_S24_FILES = 4
+_S24_LO, _S24_HI = 2800, 3900  # inside ONE range partition's keyspace
+
+
+def s24_lake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-scale planned partial read: s22's decode chain fanned out
+    over a MULTI-FILE lake with the reference's full three-level
+    pruning, one Spark task per file (`stream_decode.
+    read_planned_lake`):
+
+    1. file footer stats → whole files skipped without reading an
+       index byte (split elimination — the orc_split_elim goldens'
+       contract; the predicate's key range lives in a minority of the
+       range-partitioned files at every SF);
+    2. pickRowGroups keep/skip bits inside the surviving file;
+    3. planned ranged reads + decode of only the kept row groups
+       (readPartialDataStreams parity, RecordReaderImpl.java:1089).
+
+    Scale: the driver handles only the file LIST plus one tail parse
+    for the schema — pruning runs inside the tasks WITH the data IO,
+    so the topology holds at a million files (the pyds one-task-per-
+    file shape). The oracle never sees any of it: DuckDB computes the
+    same aggregate from the original parquet.
+
+    Layout: lineitem range-partitioned into 4 key-sorted ORC files
+    (each file owns a contiguous l_orderkey range, the layout a
+    sorted-insert or compaction job produces), 1000-row stride, small
+    compression chunks so the level-3 plan is sub-stream."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        read_planned_lake,
+    )
+
+    cols = ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag"]
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "lineitem_lake_scan")
+    fp = source_fingerprint(sf_dir, "lineitem") + (
+        f";files={_S24_FILES};stride=1000;chunk=4k;cols={','.join(cols)}"
+    )
+    if not marker_valid(dest + "._fp", fp):
+        df = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(*cols)
+            .repartitionByRange(_S24_FILES, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+        )
+        write_orc(
+            df, dest, row_index_stride=1000, compress_size=4096,
+            stripe_size=1024 * 1024,
+        )
+        write_marker(dest + "._fp", fp)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(dest, "*.orc")))
+    tree = ("between", "l_orderkey", [_S24_LO, _S24_HI])
+    decoded = read_planned_lake(spark, files, tree, cols)
+    return (
+        decoded.filter(
+            (F.col("l_orderkey") >= _S24_LO) & (F.col("l_orderkey") <= _S24_HI)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty_floor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+S24_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_floor
+FROM lineitem
+WHERE l_orderkey BETWEEN {_S24_LO} AND {_S24_HI}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -1116,39 +1116,15 @@ def _ship_package(spark) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
-def read_planned(spark, path: str, tree: Any, columns: list[str]):
-    """Distributed planned partial read: one Spark task per stripe
-    (mapInPandas over a stripe listing built from ONE driver-side tail
-    parse — metadata only, no data bytes on the driver), each task
-    ranged-reading + decoding its own stripe. Returns a DataFrame with
-    `columns` in declared order; the caller applies the residual
-    row-level predicate (group pruning is conservative).
-
-    Planning happens ONCE on the driver (pickRowGroups +
-    plan_read_ranges — a tail read plus the predicate columns' index
-    regions, no data bytes) and ships to the tasks in the closure,
-    the same division the reference uses: one RecordReader plans per
-    FILE, then seeks per stripe/group. Per-task planning would re-read
-    the predicate columns' indexes for every stripe of the file —
-    O(stripes²) metadata IO. Across a million-file lake the unit of
-    fan-out is the file (pyds topology), and within a file the plan is
-    shared. Skipped stripes (no kept groups) are dropped from the task
-    list entirely."""
-    import pandas as pd
-
-    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
-        pick_row_groups,
-    )
-    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
-        plan_read_ranges,
-    )
-
-    _ship_package(spark)
-    picks = pick_row_groups(path, tree)
-    plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+def orc_schema_ddl(path: str, columns: list[str]) -> str:
+    """Spark DDL schema for `columns` derived from one metadata-only
+    tail parse of an ORC file (union -> the engine's tagged-struct
+    convention; char/varchar -> string, matching Spark's reader)."""
     meta = parse_tail_of_file(path)
     ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     types = meta["types"]
+    if not ids and types[0]["kind"] != "struct":
+        ids = {"_root": 0}
     spark_types = {
         "boolean": "boolean", "tinyint": "tinyint", "smallint": "smallint",
         "int": "int", "bigint": "bigint", "float": "float",
@@ -1180,7 +1156,157 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
             return f"struct<_tag: tinyint, {inner}>"
         return spark_types[t["kind"]]
 
-    schema = ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)
+    return ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)
+
+
+def file_prunes(path: str, tree: Any) -> dict:
+    """File-level keep/skip from the FOOTER column statistics alone —
+    the cheapest pruning level (the reference's split elimination:
+    evaluate the SArg against file stats before touching any index).
+    One ranged tail read; no index or data bytes."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        evaluate_tree,
+        keeps_unit,
+        stats_to_domain,
+    )
+
+    meta = parse_tail_of_file(path)
+    kinds = {c["name"]: c["kind"] for c in meta["columns"]}
+    stats = {
+        c["name"]: stats_to_domain(c["kind"], c) for c in meta["columns"]
+    }
+    tv = evaluate_tree(
+        tree, stats, col_types=kinds,
+        writer_has_orc135=meta.get("writer_version", 0) >= 6,
+    )
+    return {"truth": tv, "keep": keeps_unit(tv)}
+
+
+def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
+    """Lake-scale planned partial read: ONE Spark task per FILE — the
+    unit the reference plans at (one RecordReader per file/split) and
+    the same topology as `sources/pyds.py`. Each task runs the full
+    three-level pruning chain on ITS file, metadata first:
+
+    1. file footer stats -> skip the whole file without reading any
+       index bytes (split elimination — the orc_split_elim goldens'
+       contract);
+    2. pickRowGroups over ROW_INDEX stats (+ blooms) -> keep/skip bits
+       per row group; stripes with no kept groups are skipped;
+    3. plan_read_ranges -> ranged reads -> decode of ONLY the kept
+       groups (readPartialDataStreams parity, via decode_stripe).
+
+    The driver touches only the FILE LIST plus one tail parse for the
+    schema — O(1) metadata, no per-file driver loop — so the shape
+    holds at a million files: pruning work is distributed WITH the
+    data IO, and a file skipped at level 1 costs its task one tail
+    read. Returns the decoded rows; the caller applies the residual
+    row-level predicate (pruning is conservative), exactly like
+    read_planned."""
+    import pandas as pd
+
+    if not paths:
+        raise ValueError("read_planned_lake: empty file list")
+    _ship_package(spark)
+    schema = orc_schema_ddl(paths[0], columns)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _scan(batches):
+        from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+            pick_row_groups,
+        )
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+            stream_decode as m,
+        )
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+            plan_read_ranges,
+        )
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                if not m.file_prunes(path, tree)["keep"]:
+                    continue
+                picks = pick_row_groups(path, tree)
+                plan = plan_read_ranges(
+                    path, tree, columns=columns, picks=picks
+                )
+                for si, per_stripe in enumerate(picks):
+                    if not any(d["keep"] for d in per_stripe):
+                        continue
+                    res = m.decode_stripe(
+                        path, si, tree, columns, picks=picks, plan=plan
+                    )
+                    yield pd.DataFrame(
+                        {c: res["columns"][c] for c in columns}
+                    )
+
+    return files_df.mapInPandas(_scan, schema=schema)
+
+
+def explain_lake_scan(paths: list[str], tree: Any, columns: list[str]) -> list[dict]:
+    """Driver-side (diagnostic) accounting of what read_planned_lake
+    will do per file: level-1 keep/skip, stripes/groups kept, and the
+    planned byte fraction. Metadata reads only."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        plan_read_ranges,
+    )
+
+    out = []
+    for path in paths:
+        d = {"path": path, **file_prunes(path, tree)}
+        if d["keep"]:
+            picks = pick_row_groups(path, tree)
+            plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+            d["stripes_total"] = len(picks)
+            d["stripes_kept"] = sum(
+                1 for per in picks if any(x["keep"] for x in per)
+            )
+            d["groups_total"] = sum(len(per) for per in picks)
+            d["groups_kept"] = sum(
+                sum(1 for x in per if x["keep"]) for per in picks
+            )
+            d["bytes_planned"] = sum(p["bytes_planned"] for p in plan)
+            d["bytes_total_data"] = sum(p["bytes_total_data"] for p in plan)
+        out.append(d)
+    return out
+
+
+def read_planned(spark, path: str, tree: Any, columns: list[str]):
+    """Distributed planned partial read: one Spark task per stripe
+    (mapInPandas over a stripe listing built from ONE driver-side tail
+    parse — metadata only, no data bytes on the driver), each task
+    ranged-reading + decoding its own stripe. Returns a DataFrame with
+    `columns` in declared order; the caller applies the residual
+    row-level predicate (group pruning is conservative).
+
+    Planning happens ONCE on the driver (pickRowGroups +
+    plan_read_ranges — a tail read plus the predicate columns' index
+    regions, no data bytes) and ships to the tasks in the closure,
+    the same division the reference uses: one RecordReader plans per
+    FILE, then seeks per stripe/group. Per-task planning would re-read
+    the predicate columns' indexes for every stripe of the file —
+    O(stripes²) metadata IO. Across a million-file lake the unit of
+    fan-out is the file (pyds topology), and within a file the plan is
+    shared. Skipped stripes (no kept groups) are dropped from the task
+    list entirely."""
+    import pandas as pd
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        plan_read_ranges,
+    )
+
+    _ship_package(spark)
+    picks = pick_row_groups(path, tree)
+    plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+    schema = orc_schema_ddl(path, columns)
     kept_stripes = [
         si for si, per_stripe in enumerate(picks)
         if any(d["keep"] for d in per_stripe)

@@ -576,3 +576,65 @@ def test_rlev1_decode_v011_golden_vs_reference_dump():
                 ), (c, v, ev)
             else:
                 assert norm(v) == norm_exp(ev), (c, v, ev)
+
+
+def test_read_planned_lake_three_level_pruning(spark, tmp_path):
+    """read_planned_lake: one task per FILE, three pruning levels.
+    A range-partitioned 4-file lake + a predicate inside one file's
+    keyspace must (1) skip whole files on footer stats alone, (2) skip
+    row groups inside the kept file, and (3) return rows value-equal
+    to Spark's own reader + filter over the whole directory."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "lake")
+    n = 40000
+    df = (
+        spark.range(n)
+        .select(
+            "id",
+            (F.col("id") % 97).cast("int").alias("v"),
+            # high-entropy payload so streams span many chunks and
+            # partial IO is visible at this scale
+            F.md5(F.col("id").cast("string")).alias("s"),
+        )
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    (
+        df.write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .option("compression", "zlib")
+        # small chunks so the plan is sub-stream (256 KiB default would
+        # make every stream one chunk -> chunk-granular whole-stream IO)
+        .option("orc.compress.size", "4096")
+        .orc(out)
+    )
+    paths = sorted(glob.glob(os.path.join(out, "*.orc")))
+    assert len(paths) == 4
+    lo, hi = 12000, 13999  # inside one range partition
+    tree = ("between", "id", [lo, hi])
+
+    audit = sd.explain_lake_scan(paths, tree, ["id", "v", "s"])
+    kept = [a for a in audit if a["keep"]]
+    assert len(kept) < len(paths), "level-1 file pruning must fire"
+    assert all(
+        a["groups_kept"] < a["groups_total"] for a in kept
+    ), "level-2 row-group pruning must fire inside kept files"
+    assert all(
+        a["bytes_planned"] < a["bytes_total_data"] for a in kept
+    ), "level-3 planned IO must be partial"
+
+    got = (
+        sd.read_planned_lake(spark, paths, tree, ["id", "v", "s"])
+        .filter((F.col("id") >= lo) & (F.col("id") <= hi))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        spark.read.orc(out)
+        .filter((F.col("id") >= lo) & (F.col("id") <= hi))
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == hi - lo + 1
