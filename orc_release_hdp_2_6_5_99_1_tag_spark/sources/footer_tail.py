@@ -134,6 +134,109 @@ def _lz4_block_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzo1x_decompress(src: bytes) -> bytes:
+    """LZO1X block decode, re-derived from the PUBLIC format
+    documentation (the LZO stream description distributed with
+    liblzo2 / Documentation/lzo.txt): instruction-byte state machine
+    where `state` is the literal count of the previous op (0, 1-3, or
+    4+), matches carry 2-bit trailing-literal counts, and the stream
+    terminates on the distance-16384 marker of the 16..31 opcode."""
+    out = bytearray()
+    i = 0
+    state = 0
+
+    b = src[i]
+    if b > 17:  # initial literal run
+        i += 1
+        t = b - 17
+        out += src[i : i + t]
+        i += t
+        state = 4 if t >= 4 else t
+
+    while True:
+        b = src[i]
+        i += 1
+        if b >= 64:
+            # 1LLDDDSS / 01LDDDSS: short match within 2kB
+            if b >= 128:
+                length = 5 + ((b >> 5) & 3)
+            else:
+                length = 3 + ((b >> 5) & 1)
+            h = src[i]
+            i += 1
+            distance = (h << 3) + ((b >> 2) & 7) + 1
+            s = b & 3
+        elif b >= 32:
+            # 001LLLLL: match within 16kB
+            l = b & 31
+            if l == 0:
+                zeros = 0
+                while src[i] == 0:
+                    zeros += 1
+                    i += 1
+                l = 31 + zeros * 255 + src[i]
+                i += 1
+            length = 2 + l
+            d = src[i] | (src[i + 1] << 8)
+            i += 2
+            distance = (d >> 2) + 1
+            s = d & 3
+        elif b >= 16:
+            # 0001HLLL: match within 16..48kB, or end-of-stream
+            l = b & 7
+            if l == 0:
+                zeros = 0
+                while src[i] == 0:
+                    zeros += 1
+                    i += 1
+                l = 7 + zeros * 255 + src[i]
+                i += 1
+            length = 2 + l
+            d = src[i] | (src[i + 1] << 8)
+            i += 2
+            distance = 16384 + ((b & 8) << 11) + (d >> 2)
+            s = d & 3
+            if distance == 16384:
+                break  # end of stream
+        else:
+            # 0000LLLL: long literals (state 0) or tiny match (1..4)
+            if state == 0:
+                l = b & 15
+                if l == 0:
+                    zeros = 0
+                    while src[i] == 0:
+                        zeros += 1
+                        i += 1
+                    l = 15 + zeros * 255 + src[i]
+                    i += 1
+                t = 3 + l
+                out += src[i : i + t]
+                i += t
+                state = 4
+                continue
+            h = src[i]
+            i += 1
+            if state == 4:
+                length = 3
+                distance = (h << 2) + ((b >> 2) & 3) + 2049
+            else:
+                length = 2
+                distance = (h << 2) + ((b >> 2) & 3) + 1
+            s = b & 3
+        # copy the match (overlap-tolerant), then S trailing literals
+        start = len(out) - distance
+        if distance >= length:
+            out += out[start : start + length]
+        else:
+            for k in range(length):
+                out.append(out[start + k])
+        if s:
+            out += src[i : i + s]
+            i += s
+        state = s
+    return bytes(out)
+
+
 def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
     if compression == 1:  # ZLIB: raw deflate
         return zlib.decompress(chunk, -15)
@@ -142,6 +245,8 @@ def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
 
         size, _ = _varint(chunk, 0)
         return pa.Codec("snappy").decompress(chunk, decompressed_size=size).to_pybytes()
+    if compression == 3:  # LZO: LZO1X block, self-terminating
+        return _lzo1x_decompress(chunk)
     if compression == 4:  # LZ4: raw block, self-terminating
         return _lz4_block_decompress(chunk)
     if compression == 5:  # ZSTD: stream-decode (no size needed)
@@ -149,11 +254,9 @@ def _decompress_chunk(chunk: bytes, compression: int) -> bytes:
 
         with pa.CompressedInputStream(pa.BufferReader(chunk), "zstd") as s:
             return s.read()
-    # LZO uses a raw block format with no end marker and needs the
-    # decompressed size up front — not recoverable from the chunk alone
     raise ValueError(
-        f"pure-Python tail parse supports NONE/ZLIB/SNAPPY/LZ4/ZSTD, file "
-        f"uses {_COMPRESSION.get(compression, compression)}"
+        f"unknown ORC compression code {compression!r} "
+        f"({_COMPRESSION.get(compression, '?')})"
     )
 
 

@@ -99,6 +99,7 @@ _PARITY = [
     ("TestOrcFile.testDate1900.orc", [0], None),
     ("TestOrcFile.testDate2038.orc", [0], None),
     ("TestVectorOrcFile.testLz4.orc", None, None),
+    ("TestVectorOrcFile.testLzo.orc", None, None),
     ("orc-file-11-format.orc", None, None),
     ("orc_split_elim.orc", None, None),
     ("orc_split_elim_new.orc", None, None),
@@ -181,14 +182,8 @@ def test_corpus_pinned_failures():
     ):
         with pytest.raises(ValueError, match="no row index"):
             sd.decode_stripe(os.path.join(EX, f), 0, None, ["int1"])
-    # LZO chunks: documented platform limit of the pure-Python path
-    # (raw blocks with no end marker need the decompressed size up
-    # front; read-side verified via the embedded Java reader in
-    # test_reference_goldens). LZ4 decodes natively — see _PARITY.
-    with pytest.raises(ValueError, match="LZO"):
-        f = os.path.join(EX, "TestVectorOrcFile.testLzo.orc")
-        meta = parse_tail_of_file(f)
-        _decode(f, [c["name"] for c in meta["columns"]])
+    # (no codec limits remain: LZ4 and LZO both decode natively —
+    # see _PARITY; an UNKNOWN compression code still raises)
 
 
 def test_corpus_future_writer_version_permissive():
