@@ -354,3 +354,259 @@ def _build_jsonl_sink_class():
 
 def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(_build_jsonl_sink_class())
+
+
+# ---------------------------------------------------------------------------
+# orc_native — the engine's own ORC reader as a Spark DataSource with
+# Catalyst FILTER PUSHDOWN into the SArg pruning chain
+# ---------------------------------------------------------------------------
+
+
+def _build_orc_native_class():
+    """Factory (by-value pickling, see module docstring): `spark.read.
+    format("orc_native")` backed by the pure-Python stream decoder.
+    The piece the other sources don't have: `pushFilters` (Spark 4.1
+    Python DataSource pushdown API) translates Catalyst's typed
+    Filters into the engine's SArg tree, and each per-file task runs
+    the reference's three-level pruning (file footer stats →
+    pickRowGroups → planned ranged decode) before emitting Arrow
+    batches. Pushdown here is PARTIAL by design — pruning skips
+    units, it does not filter rows — so pushFilters yields every
+    filter back for Spark to re-apply above the scan, exactly the
+    reference's division of labor (SArg row-group skips under a
+    row-level filter).
+
+    Options: path (ORC directory), columns (comma list, primitives
+    only — Spark prunes projection above a declared schema, so the
+    option IS the projection), audit_dir (optional: each task drops a
+    JSON accounting line per file — the test's pushdown proof)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        InputPartition,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    def _leaf(f):
+        """One Catalyst Filter -> SArg subtree, or None if this
+        filter cannot prune (it is still applied by Spark). Greater
+        comparisons compose as NOT(lessThan*) — the reference's own
+        builder has no greaterThan leaf (SearchArgumentImpl)."""
+        if isinstance(f, Not):
+            inner = _leaf(f.child)
+            return None if inner is None else ("not", inner)
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None  # nested fields: not prunable here
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            return ("equals", col, f.value)
+        if isinstance(f, EqualNullSafe):
+            return ("null_safe_equals", col, f.value)
+        if isinstance(f, LessThan):
+            return ("less_than", col, f.value)
+        if isinstance(f, LessThanOrEqual):
+            return ("less_than_equals", col, f.value)
+        if isinstance(f, GreaterThan):
+            return ("not", ("less_than_equals", col, f.value))
+        if isinstance(f, GreaterThanOrEqual):
+            return ("not", ("less_than", col, f.value))
+        if isinstance(f, In):
+            return ("in", col, list(f.values))
+        if isinstance(f, IsNull):
+            return ("is_null", col, None)
+        if isinstance(f, IsNotNull):
+            return ("not", ("is_null", col, None))
+        return None  # String* etc.
+
+    class OrcNativeReader(DataSourceReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "orc_native requires .option('path', <orc dir>)"
+                )
+            self._path = path
+            cols = options.get("columns")
+            if not cols:
+                raise ValueError(
+                    "orc_native requires .option('columns', 'a,b,...')"
+                )
+            self._columns = [c.strip() for c in cols.split(",")]
+            self._audit_dir = options.get("audit_dir")
+            self._tree = None  # set by pushFilters
+
+        def pushFilters(self, filters):
+            leaves = []
+            for f in filters:
+                leaf = _leaf(f)
+                if leaf is not None:
+                    leaves.append(leaf)
+                # yield EVERYTHING back: pruning is partial pushdown
+                yield f
+            if len(leaves) == 1:
+                self._tree = leaves[0]
+            elif leaves:
+                self._tree = ("and", *leaves)
+
+        def partitions(self):
+            import glob
+            import os
+
+            files = sorted(glob.glob(os.path.join(self._path, "*.orc")))
+            if not files:
+                raise FileNotFoundError(f"no .orc files under {self._path}")
+            return [InputPartition(f) for f in files]
+
+        def _arrow_schema(self, path):
+            import pyarrow as pa
+
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+                parse_tail_of_file,
+            )
+
+            meta = parse_tail_of_file(path)
+            by_name = {c["name"]: c for c in meta["columns"]}
+            pa_types = {
+                "boolean": pa.bool_(), "tinyint": pa.int8(),
+                "smallint": pa.int16(), "int": pa.int32(),
+                "bigint": pa.int64(), "float": pa.float32(),
+                "double": pa.float64(), "date": pa.date32(),
+                "string": pa.string(), "char": pa.string(),
+                "varchar": pa.string(), "binary": pa.binary(),
+                "timestamp": pa.timestamp("us"),
+            }  # fmt: skip
+            fields = []
+            for c in self._columns:
+                k = by_name[c]["kind"]
+                if k == "decimal":
+                    fields.append(
+                        (c, pa.decimal128(by_name[c]["precision"],
+                                          by_name[c]["scale"]))
+                    )
+                else:
+                    fields.append((c, pa_types[k]))
+            return pa.schema(fields)
+
+        def read(self, partition):
+            import os
+
+            import pyarrow as pa
+
+            from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+                pick_row_groups,
+            )
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+                stream_decode as m,
+            )
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+                plan_read_ranges,
+            )
+
+            path = partition.value
+            audit = {
+                "file": os.path.basename(path), "file_kept": True,
+                "stripes_decoded": 0, "groups_decoded": 0,
+                "groups_total": 0, "bytes_fetched": 0,
+            }  # fmt: skip
+            tree = self._tree
+            if tree is not None and not m.file_prunes(path, tree)["keep"]:
+                audit["file_kept"] = False
+                self._drop_audit(audit)
+                return
+            if tree is not None:
+                picks = pick_row_groups(path, tree)
+            else:
+                picks = m.keep_all_picks(path)
+            plan = plan_read_ranges(
+                path, None, columns=self._columns, picks=picks
+            )
+            audit["groups_total"] = sum(len(per) for per in picks)
+            schema = self._arrow_schema(path)
+            for si, per_stripe in enumerate(picks):
+                if not any(d["keep"] for d in per_stripe):
+                    continue
+                res = m.decode_stripe(
+                    path, si, tree, self._columns, picks=picks, plan=plan
+                )
+                audit["stripes_decoded"] += 1
+                audit["groups_decoded"] += res["row_groups_decoded"]
+                audit["bytes_fetched"] += res["bytes_fetched"]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(res["columns"][c], type=schema.field(c).type)
+                        for c in self._columns
+                    ],
+                    schema=schema,
+                )
+            self._drop_audit(audit)
+
+        def _drop_audit(self, audit) -> None:
+            if not self._audit_dir:
+                return
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self._audit_dir, exist_ok=True)
+            name = uuid.uuid4().hex
+            tmp = os.path.join(self._audit_dir, f".{name}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(audit, fh)
+            os.replace(tmp, os.path.join(self._audit_dir, f"{name}.json"))
+
+    class OrcNativeSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "orc_native"
+
+        def schema(self) -> str:
+            import glob
+            import os
+
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+                orc_schema_ddl,
+            )
+
+            path = self.options.get("path")
+            cols = self.options.get("columns")
+            if not path or not cols:
+                raise ValueError(
+                    "orc_native requires .option('path', <orc dir>) and "
+                    ".option('columns', 'a,b,...')"
+                )
+            files = sorted(glob.glob(os.path.join(path, "*.orc")))
+            if not files:
+                raise FileNotFoundError(f"no .orc files under {path}")
+            return orc_schema_ddl(
+                files[0], [c.strip() for c in cols.split(",")]
+            )
+
+        def reader(self, schema) -> OrcNativeReader:
+            return OrcNativeReader(self.options)
+
+    return OrcNativeSource
+
+
+def register_orc_native(spark) -> None:
+    """Idempotent: ships the whole engine package (the decode chain
+    spans footer_tail/tools/truth/bloom, so the flat single-module
+    trick does not cover it), enables the Python-source filter
+    pushdown conf (off by default in Spark 4.1), and registers the
+    by-value-pickled class."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        _ship_package,
+    )
+
+    _ship_package(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_build_orc_native_class())

@@ -1116,6 +1116,22 @@ def _ship_package(spark) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def keep_all_picks(path: str) -> list[list[dict]]:
+    """pickRowGroups-shaped keep-everything decisions (one entry per
+    row group per stripe, from the root column's row index) — the
+    no-predicate scan's picks, shared by decode callers that have no
+    SArg (golden-corpus sweep, orc_native full scans)."""
+    out = []
+    for per_stripe in parse_row_index(path, 0):
+        out.append(
+            [
+                {"row_group": g, "truth": "YES", "keep": True}
+                for g in range(len(per_stripe))
+            ]
+        )
+    return out
+
+
 def orc_schema_ddl(path: str, columns: list[str]) -> str:
     """Spark DDL schema for `columns` derived from one metadata-only
     tail parse of an ORC file (union -> the engine's tagged-struct

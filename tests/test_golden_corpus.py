@@ -1,8 +1,8 @@
 """Native-decoder sweep over the reference's ENTIRE example corpus
 (`/root/reference/examples/*.orc`): every golden either decodes
 value-exactly against an independent reader (pyarrow's C++ ORC), or
-fails with a PINNED, documented error (unsupported codec, no row
-index, not-an-ORC-file). Nothing in the corpus is silently skipped.
+fails with a PINNED, documented error (no row index,
+not-an-ORC-file). Nothing in the corpus is silently skipped.
 
 This is the capstone of the stream_decode parity work: the corpus
 spans v0.11 (RLEv1, DICTIONARY v1) and v0.12 (RLEv2) writers, NONE/
@@ -38,22 +38,14 @@ pytestmark = pytest.mark.skipif(
 
 
 def _keep_all_picks(path, only_group=None):
-    """pickRowGroups output keeping every group (or exactly one),
-    built from the root column's row index — lets the corpus sweep
-    decode whole files without a predicate."""
-    out = []
-    for per_stripe in parse_row_index(path, 0):
-        out.append(
-            [
-                {
-                    "row_group": g,
-                    "truth": "YES",
-                    "keep": only_group is None or g == only_group,
-                }
-                for g in range(len(per_stripe))
-            ]
-        )
-    return out
+    """sd.keep_all_picks, optionally narrowed to a single group (the
+    demo files' volume bound)."""
+    picks = sd.keep_all_picks(path)
+    if only_group is not None:
+        for per_stripe in picks:
+            for d in per_stripe:
+                d["keep"] = d["row_group"] == only_group
+    return picks
 
 
 def _decode(path, cols, stripes=None, only_group=None):
