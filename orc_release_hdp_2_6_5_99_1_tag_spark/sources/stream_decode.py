@@ -964,10 +964,7 @@ class _ColumnDecoder:
             return [epoch + dt.timedelta(days=d) for d in self._data.next(n)]
         if kind in ("float", "double"):
             raw = self._data.read(n * self._width)
-            return [
-                struct.unpack_from(self._fmt, raw, i * self._width)[0]
-                for i in range(n)
-            ]
+            return list(struct.unpack(f"{self._fmt[0]}{n}{self._fmt[1]}", raw))
         # strings / binary (binary = direct strings minus the decode)
         if self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
             return [self._dict[i] for i in self._data.next(n)]

@@ -64,6 +64,15 @@ QUERIES_R10 = [
     "pipe4_contrastive_pairs",
 ]
 
+# round-10 late tier: the executed-partial-read surfaces. The SArg key
+# range is FIXED (replica-0 keys only), so the kept row groups do not
+# grow with the table — the expected sf1 behavior is near-flat decode
+# time over a 10x file, i.e. cost bounded by selectivity, not size.
+QUERIES_DECODE = [
+    "s22_partial_read",
+    "s24_lake_scan",
+]
+
 
 def _gen() -> None:
     import pyarrow as pa
@@ -140,7 +149,12 @@ def _join_profile(plan: str) -> dict[str, int]:
 def main() -> None:
     if "--skip-gen" not in sys.argv:
         _gen()
-    queries = QUERIES_R10 if "--round10" in sys.argv else QUERIES
+    if "--decode" in sys.argv:
+        queries = QUERIES_DECODE
+    elif "--round10" in sys.argv:
+        queries = QUERIES_R10
+    else:
+        queries = QUERIES
 
     from orc_release_hdp_2_6_5_99_1_tag_spark import (
         catalog,
@@ -172,7 +186,20 @@ def main() -> None:
             }
             print(f"[run] {name} @{label}: {min(samples):.2f}s {results[name][label]['joins']}")
 
-    if "--round10" in sys.argv:
+    if "--decode" in sys.argv:
+        header = [
+            "",
+            "## sf1 stress — round-10 decode tier (s22/s24)",
+            "",
+            "The planned-partial-read surfaces over the 10x fixture. The"
+            " BETWEEN key ranges select replica-0 keys only, so kept row"
+            " groups are CONSTANT while the staged ORC grows 10x — the"
+            " scale property under test is that decode cost follows the"
+            " predicate's selectivity, not the table size (file-level and"
+            " group-level pruning absorb the growth). Staging (sorted"
+            " ORC rewrite of the 10x lineitem) is excluded by the warm run.",
+        ]
+    elif "--round10" in sys.argv:
         header = [
             "",
             "## sf1 stress — round-10 ACID + capstone tier (t2/t3/pipe1/pipe4)",
