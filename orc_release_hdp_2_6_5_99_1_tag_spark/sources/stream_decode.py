@@ -368,7 +368,9 @@ class RLEv1Reader:
     encoding): control < 128 -> a run of (control + 3) values starting
     at a varint base and stepping by the next byte read as a SIGNED
     delta (-128..127); control >= 128 -> (256 - control) literal
-    varints. Same seek contract as v2: stream seek + skip-N slot."""
+    varints. Same seek contract as v2: stream seek + skip-N slot.
+    Reference: `RunLengthIntegerReader.java` (v1 reader); re-derived
+    from the public ORC v1 spec's RLEv1 section, not ported."""
 
     def __init__(self, ins: InStream, signed: bool):
         self._ins = ins
