@@ -638,3 +638,55 @@ def test_read_planned_lake_three_level_pruning(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == hi - lo + 1
+
+
+def test_small_chunk_compressed_seeks_all_types(spark, tmp_path):
+    """Seek correctness when streams span MANY small compression
+    chunks (1 KiB): every type's RowIndexEntry positions must land on
+    (chunk header offset, offset-in-chunk) pairs that decode rows
+    identical to pyarrow — the multi-chunk analog of the default
+    256 KiB layout where most seeks degenerate to chunk 0."""
+    import pyspark.sql.functions as F
+
+    n = 8000
+    df = (
+        spark.range(n)
+        .select(
+            "id",
+            (F.col("id") % 251).cast("int").alias("i32"),
+            F.md5(F.col("id").cast("string")).alias("s"),
+            (F.col("id") % 5 == 0).alias("flag"),
+            F.when(F.col("id") % 3 != 0, F.col("id") * F.lit(0.5)).alias("f64"),
+            (F.col("id") * F.lit(13) / F.lit(8)).cast("decimal(12,4)").alias("dec"),
+            (
+                F.lit("2020-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("ts"),
+            F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 900).cast("int")).alias("d"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "smallchunk"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000,
+           "orc.compress.size": 1024},
+    )
+    cols = ["id", "i32", "s", "flag", "f64", "dec", "ts", "d"]
+    # groups 4-5 of 8: seeks land mid-stream, far from chunk 0
+    res = sd.decode_stripe(path, 0, ("between", "id", [4000, 5999]), cols)
+    assert res["row_groups_decoded"] == 2 < res["row_groups_total"]
+    assert res["bytes_fetched"] < res["bytes_total_data"]
+    exp = _pyarrow_columns(path, cols)
+    sel = [i for i in range(res["n_rows"]) if 4000 <= res["columns"]["id"][i] <= 5999]
+    keep = [i for i, v in enumerate(exp["id"]) if 4000 <= v <= 5999]
+    assert len(sel) == len(keep) == 2000
+
+    def us(x):
+        return x.timestamp() if hasattr(x, "timestamp") else x
+
+    for c in cols:
+        got = [res["columns"][c][i] for i in sel]
+        want = [exp[c][i] for i in keep]
+        if c == "ts":
+            got, want = [us(v) for v in got], [us(v) for v in want]
+        assert got == want, f"column {c} diverges under 1 KiB chunks"
