@@ -5,8 +5,8 @@ fails with a PINNED, documented error (no row index,
 not-an-ORC-file). Nothing in the corpus is silently skipped.
 
 This is the capstone of the stream_decode parity work: the corpus
-spans v0.11 (RLEv1, DICTIONARY v1) and v0.12 (RLEv2) writers, NONE/
-ZLIB/SNAPPY codecs, dev-era writers (over1k_bloom's mixed v1/v2
+spans v0.11 (RLEv1, DICTIONARY v1) and v0.12 (RLEv2) writers, all
+five chunk codecs (NONE/ZLIB/SNAPPY/LZ4/LZO), dev-era writers (over1k_bloom's mixed v1/v2
 encodings, all-null stripes with zero-length compressed streams),
 non-struct roots (testTimestamp), future writer versions
 (version1999), nested composites, unions, decimals, and the

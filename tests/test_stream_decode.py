@@ -8,10 +8,12 @@ Three properties, per the round-9 verdict's done-criteria:
    a selective predicate + residual filter == full scan + filter;
 2. bytes: the decoder fetches exactly the planned fraction and a
    RangeReader guard proves no byte outside the plan was ever needed;
-3. coverage: every RLEv2 sub-encoding, byte-RLE, PRESENT bitfield,
-   float/double, date, boolean, and both string encodings decode
-   value-exactly against pyarrow's independent reader, across the
-   NONE/ZLIB/SNAPPY codecs.
+3. coverage: every RLEv2 sub-encoding (and RLEv1 via the goldens),
+   byte-RLE, PRESENT bitfield, float/double, date, boolean, both
+   string encodings, timestamp/decimal/binary, nested composites and
+   unions decode value-exactly against pyarrow or the reference's
+   own dumps, across all five chunk codecs (see also
+   test_golden_corpus.py for the full-corpus sweep).
 """
 
 from __future__ import annotations
