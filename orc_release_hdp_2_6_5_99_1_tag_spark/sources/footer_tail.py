@@ -11,9 +11,11 @@ format + the ORC chunk framing, both documented in the reference
 (`proto/orc_proto.proto`; compression framing `OutStream.java:84-176`:
 3-byte little-endian header `(chunkLength << 1) | isOriginal`).
 
-Scope: compression NONE and ZLIB (the reference default) — raw-deflate
-chunks via stdlib zlib. SNAPPY/LZO/LZ4 tails raise a clear error (the
-data-path queries never depend on this parser for those codecs).
+Scope: every chunk codec the postscript can name — NONE, ZLIB (stdlib
+raw deflate), SNAPPY/ZSTD (pyarrow codecs), and pure-Python LZ4/LZO1X
+block decoders below (both self-terminating, written from the public
+format docs; corrupt chunks whose match distance exceeds the decoded
+prefix raise instead of wrapping around).
 
 Wire format: field key = varint `(field_number << 3) | wire_type`;
 wire types 0=varint, 1=fixed64, 2=length-delimited, 5=fixed32.
@@ -116,6 +118,11 @@ def _lz4_block_decompress(src: bytes) -> bytes:
             break
         offset = src[i] | (src[i + 1] << 8)
         i += 2
+        if offset > len(out):
+            raise ValueError(
+                f"corrupt LZ4 chunk: match distance {offset} exceeds "
+                f"{len(out)} decoded bytes"
+            )
         mlen = token & 15
         if mlen == 15:
             while True:
@@ -224,6 +231,11 @@ def _lzo1x_decompress(src: bytes) -> bytes:
                 distance = (h << 2) + ((b >> 2) & 3) + 1
             s = b & 3
         # copy the match (overlap-tolerant), then S trailing literals
+        if distance > len(out):
+            raise ValueError(
+                f"corrupt LZO chunk: match distance {distance} exceeds "
+                f"{len(out)} decoded bytes"
+            )
         start = len(out) - distance
         if distance >= length:
             out += out[start : start + length]

@@ -408,6 +408,8 @@ def _build_orc_native_class():
         if not attr or len(attr) != 1:
             return None  # nested fields: not prunable here
         col = attr[0]
+        if getattr(f, "value", False) is None:
+            return None  # null comparison literals never prune
         if isinstance(f, EqualTo):
             return ("equals", col, f.value)
         if isinstance(f, EqualNullSafe):
@@ -421,7 +423,12 @@ def _build_orc_native_class():
         if isinstance(f, GreaterThanOrEqual):
             return ("not", ("less_than", col, f.value))
         if isinstance(f, In):
-            return ("in", col, list(f.values))
+            vals = [v for v in f.value if v is not None]
+            # a null IN literal can never match a non-null value and
+            # the SArg domain has no null literals (the reference
+            # builder rejects them) — drop nulls, and with nothing
+            # left the leaf cannot prune
+            return ("in", col, vals) if vals else None
         if isinstance(f, IsNull):
             return ("is_null", col, None)
         if isinstance(f, IsNotNull):
@@ -444,6 +451,10 @@ def _build_orc_native_class():
             self._columns = [c.strip() for c in cols.split(",")]
             self._audit_dir = options.get("audit_dir")
             self._tree = None  # set by pushFilters
+            # arrow schema derived ONCE on the driver from the first
+            # file's tail (constant across the lake) and pickled to
+            # every task — not re-parsed per partition
+            self._schema = self._arrow_schema(self._first_file())
 
         def pushFilters(self, filters):
             leaves = []
@@ -466,6 +477,15 @@ def _build_orc_native_class():
             if not files:
                 raise FileNotFoundError(f"no .orc files under {self._path}")
             return [InputPartition(f) for f in files]
+
+        def _first_file(self):
+            import glob
+            import os
+
+            files = sorted(glob.glob(os.path.join(self._path, "*.orc")))
+            if not files:
+                raise FileNotFoundError(f"no .orc files under {self._path}")
+            return files[0]
 
         def _arrow_schema(self, path):
             import pyarrow as pa
@@ -502,45 +522,14 @@ def _build_orc_native_class():
 
             import pyarrow as pa
 
-            from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
-                pick_row_groups,
-            )
             from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
                 stream_decode as m,
             )
-            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
-                plan_read_ranges,
-            )
 
             path = partition.value
-            audit = {
-                "file": os.path.basename(path), "file_kept": True,
-                "stripes_decoded": 0, "groups_decoded": 0,
-                "groups_total": 0, "bytes_fetched": 0,
-            }  # fmt: skip
-            tree = self._tree
-            if tree is not None and not m.file_prunes(path, tree)["keep"]:
-                audit["file_kept"] = False
-                self._drop_audit(audit)
-                return
-            if tree is not None:
-                picks = pick_row_groups(path, tree)
-            else:
-                picks = m.keep_all_picks(path)
-            plan = plan_read_ranges(
-                path, None, columns=self._columns, picks=picks
-            )
-            audit["groups_total"] = sum(len(per) for per in picks)
-            schema = self._arrow_schema(path)
-            for si, per_stripe in enumerate(picks):
-                if not any(d["keep"] for d in per_stripe):
-                    continue
-                res = m.decode_stripe(
-                    path, si, tree, self._columns, picks=picks, plan=plan
-                )
-                audit["stripes_decoded"] += 1
-                audit["groups_decoded"] += res["row_groups_decoded"]
-                audit["bytes_fetched"] += res["bytes_fetched"]
+            audit = {"file": os.path.basename(path)}
+            schema = self._schema
+            for res in m.scan_file(path, self._tree, self._columns, audit):
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(res["columns"][c], type=schema.field(c).type)

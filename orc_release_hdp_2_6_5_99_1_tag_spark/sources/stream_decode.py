@@ -1183,22 +1183,88 @@ def file_prunes(path: str, tree: Any) -> dict:
     the cheapest pruning level (the reference's split elimination:
     evaluate the SArg against file stats before touching any index).
     One ranged tail read; no index or data bytes."""
+    return _file_prunes_from_meta(parse_tail_of_file(path), tree)
+
+
+def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
     from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        UNKNOWN_VALUE,
         evaluate_tree,
         keeps_unit,
         stats_to_domain,
     )
 
-    meta = parse_tail_of_file(path)
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
-    stats = {
-        c["name"]: stats_to_domain(c["kind"], c) for c in meta["columns"]
-    }
+    stats = {}
+    for c in meta["columns"]:
+        if c.get("n_values") is None:
+            # footer carries NO statistics for this column (legal per
+            # the proto; minimal writers) — indistinguishable stats
+            # must evaluate YES_NO_NULL and KEEP, never read as
+            # "all-null" and skip
+            stats[c["name"]] = {
+                "min": UNKNOWN_VALUE, "max": UNKNOWN_VALUE,
+                "has_null": None, "n_values": None,
+            }  # fmt: skip
+        else:
+            stats[c["name"]] = stats_to_domain(c["kind"], c)
     tv = evaluate_tree(
         tree, stats, col_types=kinds,
         writer_has_orc135=meta.get("writer_version", 0) >= 6,
     )
     return {"truth": tv, "keep": keeps_unit(tv)}
+
+
+def scan_file(path: str, tree: Any, columns: list[str],
+              audit: dict | None = None):
+    """The shared per-file three-level scan (one place to keep the
+    pruning pipeline honest — read_planned_lake and the orc_native
+    DataSource both drive it): level-1 file-stats keep/skip, level-2
+    pickRowGroups, level-3 planned ranged decode. Yields the
+    decode_stripe result dict per kept stripe. Index-less files RAISE
+    ("no row index") instead of silently scanning zero rows — the
+    partial-read surfaces never fall back to a full scan behind the
+    caller's back. `audit`, when given, is filled with the per-file
+    accounting (file_kept, stripes_decoded, groups_decoded/total,
+    bytes_fetched)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        plan_read_ranges,
+    )
+
+    if audit is None:
+        audit = {}
+    audit.setdefault("file_kept", True)
+    audit.setdefault("stripes_decoded", 0)
+    audit.setdefault("groups_decoded", 0)
+    audit.setdefault("groups_total", 0)
+    audit.setdefault("bytes_fetched", 0)
+    meta = parse_tail_of_file(path)
+    if not meta["row_index_stride"]:
+        raise ValueError(
+            f"{path}: no row index; cannot plan a partial read"
+        )
+    if tree is not None:
+        if not _file_prunes_from_meta(meta, tree)["keep"]:
+            audit["file_kept"] = False
+            return
+        picks = pick_row_groups(path, tree)
+    else:
+        picks = keep_all_picks(path)
+    plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+    audit["groups_total"] = sum(len(per) for per in picks)
+    for si, per_stripe in enumerate(picks):
+        if not any(d["keep"] for d in per_stripe):
+            continue
+        res = decode_stripe(
+            path, si, tree, columns, picks=picks, plan=plan
+        )
+        audit["stripes_decoded"] += 1
+        audit["groups_decoded"] += res["row_groups_decoded"]
+        audit["bytes_fetched"] += res["bytes_fetched"]
+        yield res
 
 
 def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
@@ -1233,30 +1299,13 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     ).repartition(len(paths))
 
     def _scan(batches):
-        from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
-            pick_row_groups,
-        )
         from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
             stream_decode as m,
-        )
-        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
-            plan_read_ranges,
         )
 
         for pdf in batches:
             for path in pdf["path"]:
-                if not m.file_prunes(path, tree)["keep"]:
-                    continue
-                picks = pick_row_groups(path, tree)
-                plan = plan_read_ranges(
-                    path, tree, columns=columns, picks=picks
-                )
-                for si, per_stripe in enumerate(picks):
-                    if not any(d["keep"] for d in per_stripe):
-                        continue
-                    res = m.decode_stripe(
-                        path, si, tree, columns, picks=picks, plan=plan
-                    )
+                for res in m.scan_file(path, tree, columns):
                     yield pd.DataFrame(
                         {c: res["columns"][c] for c in columns}
                     )

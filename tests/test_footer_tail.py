@@ -49,10 +49,8 @@ def test_parse_tail_snappy_and_unsupported_codecs():
     # LZ4 now decodes via the pure-Python block decoder
     t4 = parse_tail_of_file(os.path.join(EXAMPLES, "TestVectorOrcFile.testLz4.orc"))
     assert t4["compression"] == "LZ4" and t4["n_rows"] == 10000
-    # LZO raw blocks need the decompressed size — the tail parses
-    # (its footer chunks are stored 'original'), but touching an
-    # LZO-compressed chunk raises explicitly (test_golden_corpus pins
-    # the decode-time error)
+    # LZO also decodes natively now (pure-Python LZO1X block decoder;
+    # test_golden_corpus pins full value parity)
     tlzo = parse_tail_of_file(os.path.join(EXAMPLES, "TestVectorOrcFile.testLzo.orc"))
     assert tlzo["compression"] == "LZO" and tlzo["n_rows"] == 10000
 

@@ -366,3 +366,59 @@ def test_orc_native_residual_filter_in_plan(spark, native_lake):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan orc_native" in plan
     assert "Filter" in plan and "(id" in plan
+
+
+def test_orc_native_isin_and_null_literals(spark, native_lake):
+    """Regression (review finding): pyspark's In filter carries its
+    literals in `.value`; isin() must prune, and a null IN literal is
+    dropped from the SArg (it can never match) while Spark still
+    applies the full filter above."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    src = (
+        spark.read.format("orc_native")
+        .option("path", native_lake)
+        .option("columns", "id,v,s")
+        .load()
+    )
+    got = src.filter(F.col("id").isin(7, 93, 25000)).orderBy("id").collect()
+    want = (
+        spark.read.orc(native_lake)
+        .filter(F.col("id").isin(7, 93, 25000))
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 3
+    # null literal inside IN: dropped from the pushed leaf, correct rows
+    got2 = src.filter(F.col("id").isin(F.lit(None), F.lit(42))).collect()
+    assert [r["id"] for r in got2] == [42]
+
+
+def test_orc_native_indexless_file_raises(spark, tmp_path):
+    """Regression (review finding): a file written WITHOUT a row index
+    must fail loudly through orc_native — never silently return zero
+    rows while Spark's own reader returns data."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    out = str(tmp_path / "noindex")
+    (
+        spark.range(1000)
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "0")
+        .orc(out)
+    )
+    df = (
+        spark.read.format("orc_native")
+        .option("path", out)
+        .option("columns", "id")
+        .load()
+    )
+    with pytest.raises(Exception, match="no row index"):
+        df.count()
