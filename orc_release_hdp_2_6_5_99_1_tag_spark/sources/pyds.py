@@ -396,6 +396,27 @@ def _build_orc_native_class():
         Not,
     )
 
+    def _default_columns(path):
+        """columns option omitted: every top-level PRIMITIVE column
+        (nested/union columns need an explicit ask — they decode, but
+        their Spark-side shapes are wider than most scans want)."""
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+            parse_tail_of_file,
+        )
+
+        nested = ("struct", "list", "map", "union")
+        cols = [
+            c["name"]
+            for c in parse_tail_of_file(path)["columns"]
+            if c["kind"] not in nested
+        ]
+        if not cols:
+            raise ValueError(
+                "orc_native: no primitive top-level columns; pass "
+                ".option('columns', ...) explicitly"
+            )
+        return cols
+
     def _leaf(f):
         """One Catalyst Filter -> SArg subtree, or None if this
         filter cannot prune (it is still applied by Spark). Greater
@@ -444,11 +465,10 @@ def _build_orc_native_class():
                 )
             self._path = path
             cols = options.get("columns")
-            if not cols:
-                raise ValueError(
-                    "orc_native requires .option('columns', 'a,b,...')"
-                )
-            self._columns = [c.strip() for c in cols.split(",")]
+            if cols:
+                self._columns = [c.strip() for c in cols.split(",")]
+            else:
+                self._columns = _default_columns(self._first_file())
             self._audit_dir = options.get("audit_dir")
             self._tree = None  # set by pushFilters
             # arrow schema derived ONCE on the driver from the first
@@ -567,18 +587,20 @@ def _build_orc_native_class():
             )
 
             path = self.options.get("path")
-            cols = self.options.get("columns")
-            if not path or not cols:
+            if not path:
                 raise ValueError(
-                    "orc_native requires .option('path', <orc dir>) and "
-                    ".option('columns', 'a,b,...')"
+                    "orc_native requires .option('path', <orc dir>)"
                 )
             files = sorted(glob.glob(os.path.join(path, "*.orc")))
             if not files:
                 raise FileNotFoundError(f"no .orc files under {path}")
-            return orc_schema_ddl(
-                files[0], [c.strip() for c in cols.split(",")]
+            cols = self.options.get("columns")
+            names = (
+                [c.strip() for c in cols.split(",")]
+                if cols
+                else _default_columns(files[0])
             )
+            return orc_schema_ddl(files[0], names)
 
         def reader(self, schema) -> OrcNativeReader:
             return OrcNativeReader(self.options)

@@ -422,3 +422,15 @@ def test_orc_native_indexless_file_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no row index"):
         df.count()
+
+
+def test_orc_native_default_columns(spark, native_lake):
+    """columns option omitted -> all top-level primitive columns."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    df = spark.read.format("orc_native").option("path", native_lake).load()
+    assert df.columns == ["id", "v", "s"]
+    assert df.count() == 40000
