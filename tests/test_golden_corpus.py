@@ -191,3 +191,49 @@ def test_corpus_empty_file():
     meta = parse_tail_of_file(os.path.join(EX, "TestOrcFile.emptyFile.orc"))
     assert meta["n_rows"] == 0
     assert parse_stripe_footers(os.path.join(EX, "TestOrcFile.emptyFile.orc")) == []
+
+
+def test_lz4_block_decoder_fuzz_vs_pyarrow_compressor():
+    """Independent round-trip fuzz for the pure-Python LZ4 block
+    decoder: pyarrow's lz4_raw COMPRESSOR produces the blocks, our
+    decoder must invert them byte-exactly — runs, literals,
+    extensions, overlapping matches, and incompressible spans."""
+    import random
+
+    import pyarrow as pa
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        _lz4_block_decompress,
+    )
+
+    codec = pa.Codec("lz4_raw")
+    rng = random.Random(20260816)
+    cases = [
+        b"",
+        b"a",
+        b"a" * 100_000,                       # one long run
+        bytes(rng.randrange(256) for _ in range(70_000)),  # incompressible
+        (b"the quick brown fox " * 4096),     # repeated phrase matches
+        bytes(rng.randrange(4) for _ in range(50_000)),    # low entropy
+        b"".join(
+            bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+            for _ in range(500)
+        ),                                    # mixed run lengths
+    ]
+    for i, data in enumerate(cases):
+        comp = codec.compress(data)
+        comp = comp if isinstance(comp, bytes) else comp.to_pybytes()
+        assert _lz4_block_decompress(comp) == data, f"case {i}"
+
+
+def test_lz4_corrupt_chunk_fails_loudly():
+    """A match distance beyond the decoded prefix raises (corrupt
+    chunk) instead of silently wrapping to the buffer tail."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        _lz4_block_decompress,
+    )
+
+    # token: 1 literal + match len 4; offset 9999 with only 1 byte out
+    bad = bytes([0x10, 0x41, 0x0F, 0x27, 0x00])
+    with pytest.raises(ValueError, match="corrupt LZ4"):
+        _lz4_block_decompress(bad)
