@@ -153,7 +153,11 @@ def _build() -> None:
     )
     # stats + sketches (partial/final merge machinery)
     register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
-    register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE)
+    # q2's last driver verdict dates to ROUND 2 (age 8) — missed by
+    # the r9 stale sweep, which listed only the r1-era set; caught by
+    # a mechanical age scan mid-round-10. a9 (r9-green) yields its
+    # keep-warm slot; the stats tier keeps a1 + sk3 graded.
+    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
     register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE)
     # dedup / decontamination
     register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
@@ -364,7 +368,7 @@ def _build() -> None:
     register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE, graded=False)
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
-    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL, graded=False)
+    register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE, graded=False)
     # round-3/4 additions still queued for a future window (pytest-green):
 
     assert len(_QUERIES) <= GRADED_WINDOW, (

@@ -86,7 +86,10 @@ def test_round10_graded_window_composition():
         # keep-warm scale-critical shapes (26, unchanged from r9)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
-        "a1_column_stats", "a9_groupwise_regression",
+        # a9 (r9-green) -> extras mid-round-10: q2's last driver
+        # verdict was ROUND 2 — the oldest in the registry, missed by
+        # the r1-era-only stale sweep
+        "a1_column_stats", "q2_correlated_subquery",
         "sk3_countmin_heavy_hitters",
         "d1_exact_dedup", "d2_minhash_lsh", "d12_bloom_decontaminate",
         # v4_pq_ann → extras mid-round-10, displaced by the new
