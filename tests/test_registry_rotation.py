@@ -85,3 +85,45 @@ def test_extras_all_have_oracles():
     osql = catalog.extra_oracle_sql()
     missing = [n for n in extras if n not in osql]
     assert not missing, f"extra queries without oracle SQL: {missing}"
+
+
+def test_verdict_age_bounded_or_in_window():
+    """No registered query's driver verdict may silently age out: any
+    query whose last FULLY-green verdict is more than 6 rounds older
+    than the newest CORRECTNESS file must be IN the current graded
+    window (i.e. being re-graded this round). Added after a mid-round-
+    10 age scan found q2_correlated_subquery at age 8 — the round-9
+    stale sweep listed only the r1-era set, so a lone r2-era verdict
+    slipped through every hand-built rotation list."""
+    import re
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    last_green: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        newest = max(newest, rnd)
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, verdict in data.items():
+            if (
+                isinstance(verdict, dict)
+                and verdict.get("rows_match")
+                and verdict.get("schema_match")
+                and verdict.get("hash_match")
+                and verdict.get("err") is None
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    graded = set(catalog.queries())
+    overdue = sorted(
+        name
+        for name in set(catalog.extra_queries()) - graded
+        if name in last_green and newest - last_green[name] > 6
+    )
+    assert not overdue, (
+        f"{len(overdue)} rotated-out queries have driver verdicts more "
+        f"than 6 rounds old and are not being re-graded: {overdue} — "
+        "rotate them into the graded window"
+    )
