@@ -97,12 +97,16 @@ def _build() -> None:
     # - CODE-CHANGE re-grades (2): s21, r12 — sources/pyds.py switches
     #   to Arrow RecordBatch emission this round, so their r9 verdicts
     #   no longer cover the shipped code path.
-    # - keep-warm (26): the scale-critical shapes, unchanged from r9.
+    # - keep-warm (26): the scale-critical shapes from r9, with two
+    #   MID-ROUND swaps (both displaced queries r9-green): s24 (new,
+    #   lake scan — graded immediately) for v4_pq_ann, and q2 (age-8
+    #   verdict found by a mechanical scan; see
+    #   test_verdict_age_bounded_or_in_window) for a9.
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r09, still oracle-
     # checked by pytest as extras): sk6, w16, j4, x23, j5, u5, s20,
-    # g6, v8, pipe4 (the r9 additions) and f6, f7, s9, s10, a3, a5,
-    # a6, d3, d4, d5, x2 (the r9 refresh tier).
+    # g6, v8, pipe4 (the r9 additions), f6, f7, s9, s10, a3, a5,
+    # a6, d3, d4, d5, x2 (the r9 refresh tier), and mid-round v4 + a9.
     # tests/test_contract.py pins the full composition.
     #
     # flagship
