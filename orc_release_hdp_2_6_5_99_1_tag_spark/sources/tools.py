@@ -262,3 +262,77 @@ def plan_read_ranges(
             }
         )
     return out
+
+
+def orc_memory(path: str, columns: list[str] | None = None) -> dict:
+    """Reader memory estimate for one file — the `orc-memory` CLI's
+    role (reference analog `tools/src/FileMemory.cc`, not consulted;
+    semantics defined here from the reader's actual buffer model and
+    verified against the decoder's real fetch accounting in tests):
+
+    - data: the WORST single stripe's selected-stream bytes (the
+      reader holds one stripe's streams at a time);
+    - decompression: 2 buffers x compression_block_size per selected
+      stream that is compressed (raw chunk + decompressed chunk);
+    - tail: postscript+footer+metadata bytes, held for the file's
+      lifetime.
+
+    Returns {"total", "data", "decompression", "tail", "stripe"} with
+    `stripe` = the index of the memory-worst stripe. Metadata reads
+    only — no data bytes are touched."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+        parse_tail_of_file,
+    )
+    import os
+
+    meta = parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    types = meta["types"]
+    if not ids and types[0]["kind"] != "struct":
+        ids = {"_root": 0}
+    if columns is None:
+        included = set(range(len(types)))
+    else:
+        included = set()
+
+        def _add(cid: int) -> None:
+            included.add(cid)
+            for sub in types[cid]["subtypes"]:
+                _add(sub)
+
+        for c in columns:
+            _add(ids[c])
+    is_compressed = meta["compression"] != "NONE"
+    buf = meta["compression_block_size"]
+    worst = worst_idx = 0
+    worst_streams = 0
+    for si, st in enumerate(parse_stripe_footers(path)):
+        sel = [
+            s for s in st["streams"]
+            if s["kind"] not in _INDEX_AREA and s["column"] in included
+        ]
+        data = sum(s["length"] for s in sel)
+        if data > worst:
+            worst, worst_idx, worst_streams = data, si, len(sel)
+    decomp = 2 * buf * worst_streams if is_compressed else 0
+    # tail: everything after the last stripe's streams (stripe footer,
+    # file footer, metadata, postscript) stays resident
+    size = os.path.getsize(path)
+    sts = parse_stripe_footers(path)
+    if sts:
+        last = sts[-1]
+        streams_end = (
+            last["offset"]
+            + sum(s["length"] for s in last["streams"])
+        )
+        tail = size - streams_end
+    else:
+        tail = size
+    return {
+        "total": worst + decomp + tail,
+        "data": worst,
+        "decompression": decomp,
+        "tail": tail,
+        "stripe": worst_idx,
+    }

@@ -97,3 +97,50 @@ def test_catalog_contract_sanity(spark):
     missing_oracle = sorted(set(qs) - set(osql))
     # only genuinely non-SQL-expressible ops may omit oracles
     assert missing_oracle == [], f"queries without oracle: {missing_oracle}"
+
+def test_orc_memory_estimate(spark, tmp_path):
+    """`orc-memory` analog (reference tools/src/FileMemory.cc role):
+    the estimate's data component must cover the decoder's REAL fetch
+    accounting for the worst stripe, decompression buffers appear only
+    for compressed files, and the estimate is monotone in the column
+    set."""
+    import glob as g
+
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as sd
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import orc_memory
+
+    df = (
+        spark.range(20000)
+        .select(
+            "id",
+            F.md5(F.col("id").cast("string")).alias("s"),
+            (F.col("id") % 1000).cast("int").alias("v"),
+        )
+        .orderBy("id")
+    )
+    for codec in ("zlib", "none"):
+        out = str(tmp_path / f"mem_{codec}")
+        (
+            df.coalesce(1).write.mode("overwrite")
+            .option("compression", codec)
+            .option("orc.row.index.stride", "1000")
+            .orc(out)
+        )
+        path = sorted(g.glob(out + "/*.orc"))[0]
+        full = orc_memory(path)
+        one = orc_memory(path, columns=["id"])
+        assert one["total"] <= full["total"]
+        assert one["data"] < full["data"]
+        assert full["tail"] > 0
+        if codec == "none":
+            assert full["decompression"] == 0
+        else:
+            assert full["decompression"] > 0
+        # data component covers the decoder's real whole-stripe fetch
+        res = sd.decode_stripe(
+            path, full["stripe"], ("between", "id", [-1, 10**9]),
+            ["id", "s", "v"],
+        )
+        assert res["bytes_fetched"] <= full["data"]
