@@ -692,3 +692,55 @@ def test_small_chunk_compressed_seeks_all_types(spark, tmp_path):
         if c == "ts":
             got, want = [us(v) for v in got], [us(v) for v in want]
         assert got == want, f"column {c} diverges under 1 KiB chunks"
+
+
+def test_decode_fuzz_random_tables_vs_pyarrow(spark, tmp_path):
+    """Seeded-random decode fuzz (the TestVectorOrcFile strategy —
+    SURVEY §5.3 — pointed at the NATIVE decoder): random primitive
+    columns with random null densities, codecs, and strides must
+    full-decode value-exactly against pyarrow. Catches interactions
+    the fixed fixtures miss (all-null columns, empty strings,
+    single-group files, nulls at chunk boundaries)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rng.choice([37, 1000, 4096])
+        codec = rng.choice(["none", "zlib", "snappy"])
+        stride = rng.choice([1000, 10000])
+        null_mod = rng.choice([0, 2, 7])  # 0 = a fully-null column
+        df = (
+            spark.range(n)
+            .select(
+                "id",
+                (
+                    F.when(F.lit(null_mod) == 0, F.lit(None)).otherwise(
+                        F.when(
+                            F.col("id") % F.lit(max(null_mod, 1)) != 0,
+                            F.col("id") * 3,
+                        )
+                    )
+                ).cast("bigint").alias("maybe"),
+                F.when(
+                    F.col("id") % 5 != 0,
+                    F.concat(
+                        F.lit("s"), (F.col("id") % 17).cast("string")
+                    ),
+                ).otherwise(F.lit("")).alias("s"),
+                (F.col("id") % 2 == 1).alias("b"),
+                (F.col("id") / F.lit(3.0)).alias("f"),
+            )
+            .orderBy("id")
+        )
+        path = _write_one_orc(
+            spark, df, str(tmp_path / f"fuzz{trial}"),
+            **{"compression": codec, "orc.row.index.stride": stride},
+        )
+        cols = ["id", "maybe", "s", "b", "f"]
+        res = sd.decode_stripe(path, 0, MATCH_ALL, cols)
+        exp = _pyarrow_columns(path, cols)
+        assert res["n_rows"] == n, (trial, codec, stride)
+        for c in cols:
+            assert res["columns"][c] == exp[c], (trial, codec, stride, c)
