@@ -434,3 +434,42 @@ def test_orc_native_default_columns(spark, native_lake):
     df = spark.read.format("orc_native").option("path", native_lake).load()
     assert df.columns == ["id", "v", "s"]
     assert df.count() == 40000
+
+
+def test_orc_native_typed_columns_and_date_pushdown(spark, tmp_path):
+    """decimal/date/timestamp ride the orc_native arrow exchange, and
+    a DATE comparison literal (datetime.date through pushFilters)
+    reaches the coercion kernel without error — rows equal Spark's
+    own reader."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    out = str(tmp_path / "typedlake")
+    (
+        spark.range(6000)
+        .select(
+            "id",
+            (F.col("id") * F.lit(7) / F.lit(4)).cast("decimal(14,3)").alias("dec"),
+            F.date_add(F.lit("2021-01-01").cast("date"), (F.col("id") % 400).cast("int")).alias("d"),
+            (
+                F.lit("2021-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+        .repartitionByRange(3, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .orc(out)
+    )
+    src = spark.read.format("orc_native").option("path", out).load()
+    assert src.columns == ["id", "dec", "d", "ts"]
+    cond = (F.col("d") >= F.lit("2021-06-01").cast("date")) & (
+        F.col("id") < 2000
+    )
+    got = src.filter(cond).orderBy("id").collect()
+    want = spark.read.orc(out).filter(cond).orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
