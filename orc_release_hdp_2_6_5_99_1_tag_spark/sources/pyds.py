@@ -396,24 +396,34 @@ def _build_orc_native_class():
         Not,
     )
 
-    def _default_columns(path):
-        """columns option omitted: every top-level PRIMITIVE column
-        (nested/union columns need an explicit ask — they decode, but
-        their Spark-side shapes are wider than most scans want)."""
-        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-            parse_tail_of_file,
-        )
+    # the kinds the arrow exchange maps (everything else — nested,
+    # union, unknown future kinds — reads via stream_decode.scan_file
+    # or read_planned, whose Spark surface handles composites)
+    _ARROW_KINDS = (
+        "boolean", "tinyint", "smallint", "int", "bigint", "float",
+        "double", "date", "string", "char", "varchar", "binary",
+        "timestamp", "decimal",
+    )  # fmt: skip
 
-        nested = ("struct", "list", "map", "union")
-        cols = [
-            c["name"]
-            for c in parse_tail_of_file(path)["columns"]
-            if c["kind"] not in nested
-        ]
+    def _name_kinds(meta):
+        """(name, kind) pairs incl. the non-struct-root `_root`
+        convention the rest of the metadata stack shares."""
+        pairs = [(c["name"], c["kind"]) for c in meta["columns"]]
+        if not pairs and meta["types"][0]["kind"] != "struct":
+            pairs = [("_root", meta["types"][0]["kind"])]
+        return pairs
+
+    def _default_columns(meta):
+        """columns option omitted: every top-level column the arrow
+        exchange supports (the allowlist above — NOT a nested
+        blocklist, so unknown future kinds are excluded too)."""
+        cols = [n for n, k in _name_kinds(meta) if k in _ARROW_KINDS]
         if not cols:
             raise ValueError(
-                "orc_native: no primitive top-level columns; pass "
-                ".option('columns', ...) explicitly"
+                "orc_native: no arrow-mappable top-level columns "
+                f"(kinds: {[k for _, k in _name_kinds(meta)]}); use "
+                "stream_decode.read_planned/read_planned_lake for "
+                "nested shapes"
             )
         return cols
 
@@ -464,17 +474,22 @@ def _build_orc_native_class():
                     "orc_native requires .option('path', <orc dir>)"
                 )
             self._path = path
+            # ONE driver-side tail parse yields the default column
+            # list AND the arrow schema (constant across the lake),
+            # pickled to every task — never re-parsed per partition
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+                parse_tail_of_file,
+            )
+
+            meta = parse_tail_of_file(self._first_file())
             cols = options.get("columns")
             if cols:
                 self._columns = [c.strip() for c in cols.split(",")]
             else:
-                self._columns = _default_columns(self._first_file())
+                self._columns = _default_columns(meta)
             self._audit_dir = options.get("audit_dir")
             self._tree = None  # set by pushFilters
-            # arrow schema derived ONCE on the driver from the first
-            # file's tail (constant across the lake) and pickled to
-            # every task — not re-parsed per partition
-            self._schema = self._arrow_schema(self._first_file())
+            self._schema = self._arrow_schema(meta)
 
         def pushFilters(self, filters):
             leaves = []
@@ -507,15 +522,17 @@ def _build_orc_native_class():
                 raise FileNotFoundError(f"no .orc files under {self._path}")
             return files[0]
 
-        def _arrow_schema(self, path):
+        def _arrow_schema(self, meta):
             import pyarrow as pa
 
-            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-                parse_tail_of_file,
-            )
-
-            meta = parse_tail_of_file(path)
             by_name = {c["name"]: c for c in meta["columns"]}
+            if not by_name and meta["types"][0]["kind"] != "struct":
+                root = dict(meta["types"][0])
+                by_name = {"_root": {
+                    "name": "_root", "kind": root["kind"],
+                    "precision": root.get("precision"),
+                    "scale": root.get("scale"),
+                }}
             pa_types = {
                 "boolean": pa.bool_(), "tinyint": pa.int8(),
                 "smallint": pa.int16(), "int": pa.int32(),
@@ -527,14 +544,26 @@ def _build_orc_native_class():
             }  # fmt: skip
             fields = []
             for c in self._columns:
+                if c not in by_name:
+                    raise ValueError(
+                        f"orc_native: unknown column {c!r}; file has "
+                        f"{sorted(by_name)}"
+                    )
                 k = by_name[c]["kind"]
                 if k == "decimal":
                     fields.append(
                         (c, pa.decimal128(by_name[c]["precision"],
                                           by_name[c]["scale"]))
                     )
-                else:
+                elif k in pa_types:
                     fields.append((c, pa_types[k]))
+                else:
+                    raise ValueError(
+                        f"orc_native: column {c!r} has kind {k!r}, "
+                        "which the arrow exchange does not map — use "
+                        "stream_decode.read_planned/read_planned_lake "
+                        "for nested/union shapes"
+                    )
             return pa.schema(fields)
 
         def read(self, partition):
@@ -594,11 +623,15 @@ def _build_orc_native_class():
             files = sorted(glob.glob(os.path.join(path, "*.orc")))
             if not files:
                 raise FileNotFoundError(f"no .orc files under {path}")
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+                parse_tail_of_file,
+            )
+
             cols = self.options.get("columns")
             names = (
                 [c.strip() for c in cols.split(",")]
                 if cols
-                else _default_columns(files[0])
+                else _default_columns(parse_tail_of_file(files[0]))
             )
             return orc_schema_ddl(files[0], names)
 

@@ -147,6 +147,39 @@ _HEADER_SIZE = 3                      # OutStream.HEADER_SIZE
 _WORST_UNCOMPRESSED_SLOP = 2 + 8 * 512  # RecordReaderUtils
 
 
+def _column_ids(meta: dict) -> dict[str, int]:
+    """name -> column id, with the non-struct-root `_root` convention
+    every metadata consumer shares (see stream_decode)."""
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    if not ids and meta["types"][0]["kind"] != "struct":
+        ids = {"_root": 0}
+    return ids
+
+
+def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
+    """The subtree-closure of `columns` (None = every column) — the
+    reference's SchemaEvolution.getFileIncluded boolean[] semantics,
+    shared by plan_read_ranges and orc_memory."""
+    types = meta["types"]
+    if columns is None:
+        return set(range(len(types)))
+    ids = _column_ids(meta)
+    included: set[int] = set()
+
+    def _add(cid: int) -> None:
+        included.add(cid)
+        for sub in types[cid]["subtypes"]:
+            _add(sub)
+
+    for c in columns:
+        if c not in ids:
+            raise KeyError(
+                f"unknown column {c!r}; file has {sorted(ids)}"
+            )
+        _add(ids[c])
+    return included
+
+
 def plan_read_ranges(
     path: str, tree, columns: list[str] | None = None, picks=None
 ) -> list[dict]:
@@ -174,10 +207,7 @@ def plan_read_ranges(
     )
 
     meta = parse_tail_of_file(path)
-    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
     types = meta["types"]
-    if not ids and types[0]["kind"] != "struct":
-        ids = {"_root": 0}  # non-struct root, see stream_decode
     is_compressed = meta["compression"] != "NONE"
     buf = meta["compression_block_size"]
     slop = (
@@ -191,15 +221,7 @@ def plan_read_ranges(
     # element / struct field / map key+value column ids), so the plan
     # includes the whole closure — the reference's boolean[] included
     # covers subtree ids the same way (SchemaEvolution.getFileIncluded)
-    included: set[int] = set()
-
-    def _add_subtree(cid: int) -> None:
-        included.add(cid)
-        for sub in types[cid]["subtypes"]:
-            _add_subtree(sub)
-
-    for c in columns:
-        _add_subtree(ids[c])
+    included = _included_ids(meta, columns)
     if picks is None:  # callers that already decided pass them through,
         # so plan and decode are guaranteed to agree (stream_decode)
         picks = pick_row_groups(path, tree)
@@ -287,39 +309,30 @@ def orc_memory(path: str, columns: list[str] | None = None) -> dict:
     import os
 
     meta = parse_tail_of_file(path)
-    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
-    types = meta["types"]
-    if not ids and types[0]["kind"] != "struct":
-        ids = {"_root": 0}
-    if columns is None:
-        included = set(range(len(types)))
-    else:
-        included = set()
-
-        def _add(cid: int) -> None:
-            included.add(cid)
-            for sub in types[cid]["subtypes"]:
-                _add(sub)
-
-        for c in columns:
-            _add(ids[c])
+    included = _included_ids(meta, columns)
     is_compressed = meta["compression"] != "NONE"
     buf = meta["compression_block_size"]
-    worst = worst_idx = 0
-    worst_streams = 0
-    for si, st in enumerate(parse_stripe_footers(path)):
+    sts = parse_stripe_footers(path)
+    # the memory-worst stripe maximizes data + buffers — stream COUNT
+    # varies per stripe (PRESENT streams appear only where nulls do,
+    # dictionary stripes add LENGTH/DICTIONARY_DATA), so picking by
+    # data bytes alone can name the wrong stripe and understate peak
+    worst_total = worst_idx = worst_data = worst_streams = 0
+    for si, st in enumerate(sts):
         sel = [
             s for s in st["streams"]
             if s["kind"] not in _INDEX_AREA and s["column"] in included
         ]
         data = sum(s["length"] for s in sel)
-        if data > worst:
-            worst, worst_idx, worst_streams = data, si, len(sel)
+        total = data + (2 * buf * len(sel) if is_compressed else 0)
+        if total > worst_total:
+            worst_total, worst_idx = total, si
+            worst_data, worst_streams = data, len(sel)
+    worst = worst_data
     decomp = 2 * buf * worst_streams if is_compressed else 0
     # tail: everything after the last stripe's streams (stripe footer,
     # file footer, metadata, postscript) stays resident
     size = os.path.getsize(path)
-    sts = parse_stripe_footers(path)
     if sts:
         last = sts[-1]
         streams_end = (

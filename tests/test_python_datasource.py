@@ -473,3 +473,52 @@ def test_orc_native_typed_columns_and_date_pushdown(spark, tmp_path):
     want = spark.read.orc(out).filter(cond).orderBy("id").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_orc_native_non_struct_root(spark, tmp_path):
+    """A bare-primitive-root ORC file (pyarrow refuses these) reads
+    through orc_native via the `_root` convention — default columns
+    included."""
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    golden = "/root/reference/examples/TestOrcFile.testTimestamp.orc"
+    if not os.path.exists(golden):
+        pytest.skip("reference examples absent")
+    register_orc_native(spark)
+    d = str(tmp_path / "rootdir")
+    os.makedirs(d)
+    shutil.copy(golden, os.path.join(d, "ts.orc"))
+    df = spark.read.format("orc_native").option("path", d).load()
+    assert df.columns == ["_root"]
+    rows = df.collect()
+    assert len(rows) == 12
+    assert str(rows[0]["_root"]).startswith("2037-01-01")
+
+
+def test_orc_native_nested_column_clear_error(spark, tmp_path):
+    """Requesting a nested column gives the documented ValueError
+    pointing at read_planned, not a raw KeyError."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        _build_orc_native_class,
+    )
+
+    out = str(tmp_path / "nested")
+    (
+        spark.range(100)
+        .select("id", F.array_repeat(F.col("id"), 2).alias("xs"))
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    cls = _build_orc_native_class()
+    src = cls(options={"path": out, "columns": "xs"})
+    with pytest.raises(ValueError, match="read_planned"):
+        src.reader(None)
+    # defaults skip the nested column instead of failing
+    src2 = cls(options={"path": out})
+    assert src2.reader(None)._columns == ["id"]

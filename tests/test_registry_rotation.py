@@ -117,13 +117,30 @@ def test_verdict_age_bounded_or_in_window():
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     graded = set(catalog.queries())
+    extras = set(catalog.extra_queries())
+    # deliberately retired names (renamed/superseded queries whose
+    # history should no longer bind) — empty today; additions need a
+    # written rationale here
+    retired: set[str] = set()
     overdue = sorted(
         name
-        for name in set(catalog.extra_queries()) - graded
-        if name in last_green and newest - last_green[name] > 6
+        for name, rnd in last_green.items()
+        if name not in graded
+        and name not in retired
+        and newest - rnd > 6
     )
     assert not overdue, (
-        f"{len(overdue)} rotated-out queries have driver verdicts more "
-        f"than 6 rounds old and are not being re-graded: {overdue} — "
-        "rotate them into the graded window"
+        f"{len(overdue)} green-verdicted queries aged past 6 rounds "
+        f"without re-grading: {overdue} — rotate them into the graded "
+        "window (or retire them with a rationale)"
+    )
+    # a green-verdicted query must never vanish from the registry
+    # silently — that is the same aging hole through deletion
+    missing = sorted(
+        name for name in last_green
+        if name not in graded and name not in extras and name not in retired
+    )
+    assert not missing, (
+        f"queries with driver verdicts dropped from the registry "
+        f"entirely: {missing}"
     )
