@@ -427,6 +427,18 @@ def _build_orc_native_class():
             )
         return cols
 
+    def _norm_literal(v):
+        """Catalyst hands timestamp literals as TZ-AWARE datetimes
+        (session zone); the SArg stats domain is naive UTC (ORC-135
+        min_utc/max_utc), so rebase — otherwise every aware-vs-naive
+        comparison lands in the SargCastError keep-everything
+        fallback and timestamp PPD silently never prunes."""
+        import datetime as dt
+
+        if isinstance(v, dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v
+
     def _leaf(f):
         """One Catalyst Filter -> SArg subtree, or None if this
         filter cannot prune (it is still applied by Spark). Greater
@@ -442,19 +454,19 @@ def _build_orc_native_class():
         if getattr(f, "value", False) is None:
             return None  # null comparison literals never prune
         if isinstance(f, EqualTo):
-            return ("equals", col, f.value)
+            return ("equals", col, _norm_literal(f.value))
         if isinstance(f, EqualNullSafe):
-            return ("null_safe_equals", col, f.value)
+            return ("null_safe_equals", col, _norm_literal(f.value))
         if isinstance(f, LessThan):
-            return ("less_than", col, f.value)
+            return ("less_than", col, _norm_literal(f.value))
         if isinstance(f, LessThanOrEqual):
-            return ("less_than_equals", col, f.value)
+            return ("less_than_equals", col, _norm_literal(f.value))
         if isinstance(f, GreaterThan):
-            return ("not", ("less_than_equals", col, f.value))
+            return ("not", ("less_than_equals", col, _norm_literal(f.value)))
         if isinstance(f, GreaterThanOrEqual):
-            return ("not", ("less_than", col, f.value))
+            return ("not", ("less_than", col, _norm_literal(f.value)))
         if isinstance(f, In):
-            vals = [v for v in f.value if v is not None]
+            vals = [_norm_literal(v) for v in f.value if v is not None]
             # a null IN literal can never match a non-null value and
             # the SArg domain has no null literals (the reference
             # builder rejects them) — drop nulls, and with nothing

@@ -4,6 +4,7 @@ the orc_meta batch source (s21) and the synthetic_events stream source
 parity with the tail parser, loud failure on an empty dir, and stream
 offset idempotency."""
 
+import glob
 import os
 
 import pyspark.sql.functions as F
@@ -522,3 +523,52 @@ def test_orc_native_nested_column_clear_error(spark, tmp_path):
     # defaults skip the nested column instead of failing
     src2 = cls(options={"path": out})
     assert src2.reader(None)._columns == ["id"]
+
+
+def test_orc_native_timestamp_literal_pushdown(spark, tmp_path):
+    """A timestamp comparison literal (datetime.datetime through
+    pushFilters) rides the coercion kernel: modern engine-written
+    files carry ORC-135 UTC stats, so timestamp PPD is active and the
+    audit must show pruning — rows equal Spark's own reader."""
+    import json as j
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    out = str(tmp_path / "tslake")
+    (
+        spark.range(8000)
+        .select(
+            "id",
+            (
+                F.lit("2022-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .orc(out)
+    )
+    audit = str(tmp_path / "audit")
+    cond = F.col("ts") < F.lit("2022-01-02 00:00:00").cast("timestamp")
+    src = (
+        spark.read.format("orc_native")
+        .option("path", out)
+        .option("audit_dir", audit)
+        .load()
+    )
+    got = src.filter(cond).orderBy("id").collect()
+    want = spark.read.orc(out).filter(cond).orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 1440
+    auds = [
+        j.load(open(f))
+        for f in glob.glob(os.path.join(audit, "*.json"))
+    ]
+    assert any(
+        a["groups_decoded"] < a["groups_total"] for a in auds
+    ), "timestamp PPD should prune row groups on an ORC-135 writer"
