@@ -237,3 +237,118 @@ def test_lz4_corrupt_chunk_fails_loudly():
     bad = bytes([0x10, 0x41, 0x0F, 0x27, 0x00])
     with pytest.raises(ValueError, match="corrupt LZ4"):
         _lz4_block_decompress(bad)
+
+
+# dump-bearing decodable goldens not already dump-pinned elsewhere
+# (testTimestamp + testUnionAndTimestamp + orc-file-11-format have
+# dedicated dump tests; Memory/WithoutIndex/zero/emptyFile are the
+# pinned non-decodables). Large files bound to stripe 0 — dumps are
+# row-ordered, so a prefix compare is exact.
+_DUMP_PARITY = [
+    ("TestOrcFile.columnProjection.orc", None),
+    ("TestOrcFile.metaData.orc", None),
+    ("TestOrcFile.test1.orc", None),
+    ("TestOrcFile.testDate1900.orc", [0]),
+    ("TestOrcFile.testDate2038.orc", [0]),
+    ("TestOrcFile.testPredicatePushdown.orc", None),
+    ("TestOrcFile.testSeek.orc", [0]),
+    ("TestOrcFile.testSnappy.orc", None),
+    ("TestOrcFile.testStringAndBinaryStatistics.orc", None),
+    ("TestOrcFile.testStripeLevelStats.orc", None),
+    ("TestVectorOrcFile.testLz4.orc", None),
+    ("TestVectorOrcFile.testLzo.orc", None),
+    ("decimal.orc", None),
+    ("nulls-at-end-snappy.orc", [0]),
+    ("orc_split_elim.orc", None),
+    ("orc_split_elim_new.orc", None),
+    ("over1k_bloom.orc", None),
+]
+
+
+def _dump_norm(v, e):
+    """Compare one decoded value against its expected-dump JSON shape
+    (the reference tool's own output conventions): binary = unsigned
+    byte list, timestamp = 'Y-m-d H:M:S.nanos' compared at the
+    decoder's microsecond surface, date = ISO string, float = value
+    compare (float32 dumps print the shortest round-trip repr),
+    decimal = numeric Decimal equality, map = [{key, value}]."""
+    import math
+    from decimal import Decimal
+
+    if e is None or v is None:
+        return v is None and e is None
+    if isinstance(v, bytes):
+        return list(v) == e
+    if isinstance(v, dt.datetime):
+        head, _, frac = str(e).partition(".")
+        micros = int((frac or "0").ljust(9, "0")[:9]) // 1000
+        want = dt.datetime.strptime(head, "%Y-%m-%d %H:%M:%S").replace(
+            microsecond=micros
+        )
+        return v == want
+    if isinstance(v, dt.date):
+        return v.isoformat() == e
+    if isinstance(v, Decimal):
+        return v == e if isinstance(e, Decimal) else v == Decimal(str(e))
+    if isinstance(v, float):
+        ef = float(e)
+        if math.isnan(v) or math.isnan(ef):
+            return math.isnan(v) and math.isnan(ef)
+        return math.isclose(v, ef, rel_tol=1e-6, abs_tol=1e-12)
+    if isinstance(v, dict):
+        return (
+            isinstance(e, dict)
+            and set(v) == set(e)
+            and all(_dump_norm(v[k], e[k]) for k in v)
+        )
+    if isinstance(v, list):
+        if v and isinstance(v[0], tuple):  # map pairs
+            return (
+                isinstance(e, list)
+                and len(v) == len(e)
+                and all(
+                    _dump_norm(k, x["key"]) and _dump_norm(val, x["value"])
+                    for (k, val), x in zip(v, e)
+                )
+            )
+        return (
+            isinstance(e, list)
+            and len(v) == len(e)
+            and all(_dump_norm(x, y) for x, y in zip(v, e))
+        )
+    return v == e
+
+
+@pytest.mark.parametrize(
+    "fname,stripes", _DUMP_PARITY, ids=[p[0] for p in _DUMP_PARITY]
+)
+def test_corpus_vs_reference_expected_dumps(fname, stripes):
+    """TestMatch.cc parity (SURVEY §5.4), via the NATIVE decoder: the
+    reference re-dumps each golden and diffs against
+    examples/expected/*.jsn.gz — this does the same with
+    stream_decode instead of the reference reader, making the dumps a
+    SECOND independent oracle beside pyarrow."""
+    import gzip
+    import json
+    from decimal import Decimal
+
+    path = os.path.join(EX, fname)
+    meta = parse_tail_of_file(path)
+    cols = [c["name"] for c in meta["columns"]]
+    got = _decode(path, cols, stripes=stripes)
+    n = len(got[cols[0]])
+    dump = os.path.join(
+        EX, "expected", fname.replace(".orc", ".jsn.gz")
+    )
+    compared = 0
+    with gzip.open(dump, "rt") as fh:
+        for i, line in enumerate(fh):
+            if i >= n:
+                break
+            e = json.loads(line, parse_float=Decimal)
+            for c in cols:
+                assert _dump_norm(got[c][i], e.get(c)), (
+                    fname, c, i, got[c][i], e.get(c),
+                )
+            compared += 1
+    assert compared == n > 0
