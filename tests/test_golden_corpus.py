@@ -352,3 +352,16 @@ def test_corpus_vs_reference_expected_dumps(fname, stripes):
                 )
             compared += 1
     assert compared == n > 0
+
+
+def test_lzo_corrupt_chunk_fails_loudly():
+    """LZO twin of the LZ4 pin: a match distance beyond the decoded
+    prefix raises (corrupt chunk), never wraps around."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        _lzo1x_decompress,
+    )
+
+    # first byte 18 = copy 1 literal (state 1); then the tiny-match
+    # opcode with H=255 -> distance 1024 against 1 decoded byte
+    with pytest.raises(ValueError, match="corrupt LZO"):
+        _lzo1x_decompress(bytes([18, 65, 0x0C, 0xFF]))
