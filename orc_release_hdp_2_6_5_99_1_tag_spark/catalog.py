@@ -109,6 +109,15 @@ def _build() -> None:
     # a6, d3, d4, d5, x2 (the r9 refresh tier), and mid-round v4 + a9.
     # tests/test_contract.py pins the full composition.
     #
+    # ROUND-11 ROTATION QUEUE (from the mechanical age scan; the
+    # >6-round invariant in test_verdict_age_bounded_or_in_window
+    # enforces the deadline): 10 r4-era verdicts reach age 7 during
+    # r11 — f12, f1_predicate_suite, m1, m2, s12, s13, s5, x1, x3,
+    # x4 — and MUST be graded there; the 20 r5-era verdicts (a4, d7,
+    # d8, d9, d13, d14, h1, i1, i2, r9_stream_static_enrichment, s11,
+    # s14, set1, t5, v6, x7, x8, x9, x16, x17) reach age 6 and should
+    # be split across r11/r12 to smooth the load.
+    #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
     # round-10 additions, graded immediately
