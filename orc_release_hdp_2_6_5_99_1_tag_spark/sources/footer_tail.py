@@ -112,15 +112,20 @@ def _lz4_block_decompress(src: bytes) -> bytes:
                 lit += b
                 if b != 255:
                     break
+        if i + lit > n:
+            raise ValueError(
+                f"corrupt LZ4 chunk: literal run of {lit} exceeds the "
+                f"{n - i} input bytes left"
+            )
         out += src[i : i + lit]
         i += lit
         if i >= n:  # last sequence: literals only
             break
         offset = src[i] | (src[i + 1] << 8)
         i += 2
-        if offset > len(out):
+        if offset == 0 or offset > len(out):
             raise ValueError(
-                f"corrupt LZ4 chunk: match distance {offset} exceeds "
+                f"corrupt LZ4 chunk: match distance {offset} vs "
                 f"{len(out)} decoded bytes"
             )
         mlen = token & 15

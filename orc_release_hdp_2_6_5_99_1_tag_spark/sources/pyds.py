@@ -478,22 +478,32 @@ def _build_orc_native_class():
             return ("not", ("is_null", col, None))
         return None  # String* etc.
 
-    class OrcNativeReader(DataSourceReader):
-        def __init__(self, options: dict):
-            path = options.get("path")
-            if not path:
-                raise ValueError(
-                    "orc_native requires .option('path', <orc dir>)"
-                )
-            self._path = path
-            # ONE driver-side tail parse yields the default column
-            # list AND the arrow schema (constant across the lake),
-            # pickled to every task — never re-parsed per partition
-            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-                parse_tail_of_file,
-            )
+    def _first_meta(options):
+        """ONE driver-side glob + tail parse, shared by schema() and
+        the reader (the arrow schema and default columns are constant
+        across the lake and pickled to every task)."""
+        import glob
+        import os
 
-            meta = parse_tail_of_file(self._first_file())
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+            parse_tail_of_file,
+        )
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "orc_native requires .option('path', <orc dir>)"
+            )
+        files = sorted(glob.glob(os.path.join(path, "*.orc")))
+        if not files:
+            raise FileNotFoundError(f"no .orc files under {path}")
+        return files[0], parse_tail_of_file(files[0])
+
+    class OrcNativeReader(DataSourceReader):
+        def __init__(self, options: dict, first=None, meta=None):
+            self._path = options["path"]
+            if meta is None:
+                first, meta = _first_meta(options)
             cols = options.get("columns")
             if cols:
                 self._columns = [c.strip() for c in cols.split(",")]
@@ -525,15 +535,6 @@ def _build_orc_native_class():
                 raise FileNotFoundError(f"no .orc files under {self._path}")
             return [InputPartition(f) for f in files]
 
-        def _first_file(self):
-            import glob
-            import os
-
-            files = sorted(glob.glob(os.path.join(self._path, "*.orc")))
-            if not files:
-                raise FileNotFoundError(f"no .orc files under {self._path}")
-            return files[0]
-
         def _arrow_schema(self, meta):
             import pyarrow as pa
 
@@ -563,9 +564,15 @@ def _build_orc_native_class():
                     )
                 k = by_name[c]["kind"]
                 if k == "decimal":
+                    # v0.11 files carry no precision/scale attributes;
+                    # (38, 6) is the reference reader's default
+                    prec = by_name[c]["precision"]
+                    scale = by_name[c]["scale"]
                     fields.append(
-                        (c, pa.decimal128(by_name[c]["precision"],
-                                          by_name[c]["scale"]))
+                        (c, pa.decimal128(
+                            38 if prec is None else prec,
+                            6 if scale is None else scale,
+                        ))
                     )
                 elif k in pa_types:
                     fields.append((c, pa_types[k]))
@@ -619,36 +626,28 @@ def _build_orc_native_class():
         def name(cls) -> str:
             return "orc_native"
 
-        def schema(self) -> str:
-            import glob
-            import os
+        def _cached_meta(self):
+            if not hasattr(self, "_meta_cache"):
+                self._meta_cache = _first_meta(self.options)
+            return self._meta_cache
 
+        def schema(self) -> str:
             from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
                 orc_schema_ddl,
             )
 
-            path = self.options.get("path")
-            if not path:
-                raise ValueError(
-                    "orc_native requires .option('path', <orc dir>)"
-                )
-            files = sorted(glob.glob(os.path.join(path, "*.orc")))
-            if not files:
-                raise FileNotFoundError(f"no .orc files under {path}")
-            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
-                parse_tail_of_file,
-            )
-
+            first, meta = self._cached_meta()
             cols = self.options.get("columns")
             names = (
                 [c.strip() for c in cols.split(",")]
                 if cols
-                else _default_columns(parse_tail_of_file(files[0]))
+                else _default_columns(meta)
             )
-            return orc_schema_ddl(files[0], names)
+            return orc_schema_ddl(first, names)
 
         def reader(self, schema) -> OrcNativeReader:
-            return OrcNativeReader(self.options)
+            first, meta = self._cached_meta()
+            return OrcNativeReader(self.options, first=first, meta=meta)
 
     return OrcNativeSource
 

@@ -1004,6 +1004,7 @@ def decode_stripe(
     columns: list[str],
     picks: list[list[dict]] | None = None,
     plan: list[dict] | None = None,
+    shared: dict | None = None,
 ) -> dict:
     """Decode one stripe's KEPT row groups from the planned byte
     ranges only. Returns {"columns": {name: [values]}, "n_rows",
@@ -1019,42 +1020,39 @@ def decode_stripe(
         pick_row_groups,
     )
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _column_ids,
+        _included_ids,
         plan_read_ranges,
     )
 
-    meta = parse_tail_of_file(path)
+    # `shared` lets a per-file caller (scan_file) parse the tail,
+    # stripe footers, and row indexes ONCE and decode many stripes —
+    # without it each call re-parses, which is O(stripes^2) metadata
+    # IO over a whole file (the hazard read_planned's docstring names)
+    shared = shared if shared is not None else {}
+    meta = shared.get("meta") or parse_tail_of_file(path)
     stride = meta["row_index_stride"]
     if not stride:
         raise ValueError(f"{path}: no row index; cannot plan a partial read")
-    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
-    if not ids and meta["types"][0]["kind"] != "struct":
-        # non-struct root (legal in the reference's C++/Java APIs,
-        # e.g. the testTimestamp golden): surface it as "_root"
-        ids = {"_root": 0}
+    ids = _column_ids(meta)
     types = meta["types"]
     is_compressed = meta["compression"] != "NONE"
     if picks is None:
         picks = pick_row_groups(path, tree)
     if plan is None:
         plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
-    st = parse_stripe_footers(path)[stripe_idx]
+    sts = shared.get("sts") or parse_stripe_footers(path)
+    st = sts[stripe_idx]
     p = plan[stripe_idx]
     keep = [d["keep"] for d in picks[stripe_idx]]
     rr = RangeReader(path, st["offset"], p["ranges"])
     # row indexes for the whole subtree closure (nested columns seek
     # their element/field/key/value streams by their own entries)
-    included: set[int] = set()
-
-    def _add_subtree(cid: int) -> None:
-        included.add(cid)
-        for sub in types[cid]["subtypes"]:
-            _add_subtree(sub)
-
-    for c in columns:
-        _add_subtree(ids[c])
-    row_index = {
-        cid: parse_row_index(path, cid)[stripe_idx] for cid in included
+    included = _included_ids(meta, columns)
+    full_index = shared.get("row_index") or {
+        cid: parse_row_index(path, cid) for cid in included
     }
+    row_index = {cid: full_index[cid][stripe_idx] for cid in included}
     ctx = _DecodeContext(st, row_index, is_compressed)
     decoders = {
         c: _build_decoder(ids[c], types, st, rr, meta["compression"])
@@ -1139,11 +1137,13 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
     """Spark DDL schema for `columns` derived from one metadata-only
     tail parse of an ORC file (union -> the engine's tagged-struct
     convention; char/varchar -> string, matching Spark's reader)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _column_ids,
+    )
+
     meta = parse_tail_of_file(path)
-    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    ids = _column_ids(meta)
     types = meta["types"]
-    if not ids and types[0]["kind"] != "struct":
-        ids = {"_root": 0}
     spark_types = {
         "boolean": "boolean", "tinyint": "tinyint", "smallint": "smallint",
         "int": "int", "bigint": "bigint", "float": "float",
@@ -1155,7 +1155,12 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
     def _sql_type(cid: int) -> str:
         t = types[cid]
         if t["kind"] == "decimal":
-            return f"decimal({t['precision']},{t['scale']})"
+            # v0.11 decimal types carry no precision/scale attributes;
+            # (38, 6) is the reference reader's default (same rule as
+            # _ColumnDecoder's decode path)
+            p_ = t["precision"] if t["precision"] is not None else 38
+            s_ = t["scale"] if t["scale"] is not None else 6
+            return f"decimal({p_},{s_})"
         if t["kind"] == "list":
             return f"array<{_sql_type(t['subtypes'][0])}>"
         if t["kind"] == "map":
@@ -1255,11 +1260,25 @@ def scan_file(path: str, tree: Any, columns: list[str],
         picks = keep_all_picks(path)
     plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
     audit["groups_total"] = sum(len(per) for per in picks)
+    # parse the per-file metadata ONCE; decode_stripe slices per stripe
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _included_ids,
+    )
+
+    shared = {
+        "meta": meta,
+        "sts": parse_stripe_footers(path),
+        "row_index": {
+            cid: parse_row_index(path, cid)
+            for cid in _included_ids(meta, columns)
+        },
+    }
     for si, per_stripe in enumerate(picks):
         if not any(d["keep"] for d in per_stripe):
             continue
         res = decode_stripe(
-            path, si, tree, columns, picks=picks, plan=plan
+            path, si, tree, columns, picks=picks, plan=plan,
+            shared=shared,
         )
         audit["stripes_decoded"] += 1
         audit["groups_decoded"] += res["row_groups_decoded"]

@@ -744,3 +744,26 @@ def test_decode_fuzz_random_tables_vs_pyarrow(spark, tmp_path):
         assert res["n_rows"] == n, (trial, codec, stride)
         for c in cols:
             assert res["columns"][c] == exp[c], (trial, codec, stride, c)
+
+
+def test_read_planned_v011_decimal_schema(spark):
+    """Regression (review finding): v0.11 decimal types carry no
+    precision/scale — the derived Spark/arrow schemas must default to
+    (38, 6), not render 'decimal(None,None)'. Exercised end-to-end
+    through the distributed read_planned on the v0.11 golden."""
+    golden = "/root/reference/examples/orc-file-11-format.orc"
+    if not os.path.exists(golden):
+        pytest.skip("reference examples absent")
+    assert "decimal1 decimal(38,6)" in sd.orc_schema_ddl(
+        golden, ["decimal1"]
+    )
+    tree = ("or", ("is_null", "int1", None),
+            ("not", ("is_null", "int1", None)))
+    rows = sd.read_planned(
+        spark, golden, tree, ["int1", "decimal1"]
+    ).collect()
+    assert len(rows) == 7500
+    from decimal import Decimal
+
+    non_null = [r["decimal1"] for r in rows if r["decimal1"] is not None]
+    assert non_null and all(isinstance(v, Decimal) for v in non_null)
