@@ -23,6 +23,66 @@ from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _machine_state() -> dict:
+    """Load markers so a capture is self-adjudicating (round-10
+    verdict: the 13.0-15.6s envelope could not be explained after the
+    fact because the bench JSON recorded nothing about machine state;
+    "contended" vs "idle" must be falsifiable from the artifact, not
+    asserted from memory). Records the loadavg triple, the total
+    process count, and the concurrent-work markers that matter here:
+    other pytest runs (the suite is the one workload that shares this
+    box) and java VMs that are not our own Spark JVM."""
+    state: dict = {"loadavg": [round(x, 2) for x in os.getloadavg()]}
+    # exclude self AND the ancestor chain (the shell wrapper that
+    # launched us has "bench.py" in its cmdline and must not read as a
+    # concurrent bench — first capture's lesson)
+    family = set()
+    pid = os.getpid()
+    for _ in range(32):
+        family.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        if pid <= 1:
+            break
+    n_procs = 0
+    pytest_procs = 0
+    java_procs = 0
+    bench_procs = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            n_procs += 1
+            if int(pid) in family:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+            except OSError:
+                continue
+            if "pytest" in cmd:
+                pytest_procs += 1
+            if "java" in cmd.split(" ", 1)[0]:
+                java_procs += 1
+            if "bench.py" in cmd:
+                bench_procs += 1
+    except OSError:
+        pass
+    state.update(
+        n_procs=n_procs,
+        pytest_procs=pytest_procs,
+        java_procs=java_procs,
+        other_bench_procs=bench_procs,
+    )
+    # our own Spark JVM is one java proc once the session is up; more
+    # than that, or any pytest, means the capture shared the machine
+    state["concurrent_suite"] = pytest_procs > 0 or bench_procs > 0
+    return state
+
 # ORC-72 trio + representative operators across the engine's surface
 HEADLINE = [
     "q1_pricing_summary",
@@ -199,6 +259,7 @@ def _count_action(df):
 
 
 def main() -> None:
+    load_before = _machine_state()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
@@ -302,6 +363,7 @@ def main() -> None:
         samples.sort()
         extended[name] = round(samples[0], 3)
         extended_stats[name] = [round(s, 3) for s in samples]
+    load_after = _machine_state()
     result = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -310,8 +372,18 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_lineitem": n_full,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # compact self-adjudication markers (full before/after state in
+        # bench_last.json): loadavg-1m at start/end + the concurrent-
+        # work flag. An idle capture starts well under n_cpus and has
+        # concurrent=false; anything else is a contended capture and
+        # its numbers must not be cited as the series reference.
+        "load1": [load_before["loadavg"][0], load_after["loadavg"][0]],
+        "concurrent": load_before["concurrent_suite"]
+        or load_after["concurrent_suite"],
     }
     full = dict(result)
+    full["machine_state_before"] = load_before
+    full["machine_state_after"] = load_after
     full["queries_headline_stats"] = headline_stats
     full["queries_extended"] = extended
     full["queries_extended_stats"] = extended_stats
@@ -329,7 +401,10 @@ def main() -> None:
     if len(line) > 1500:
         # never fail the whole bench over line size: degrade to the
         # scalar core (the per-query map still ships in bench_last.json)
-        slim = {k: result[k] for k in ("metric", "value", "unit", "sf", "cpus")}
+        slim = {
+            k: result[k]
+            for k in ("metric", "value", "unit", "sf", "cpus", "load1", "concurrent")
+        }
         line = json.dumps(slim, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -128,28 +128,67 @@ def _union_events(parts: list) -> DataFrame:
     return events
 
 
-def _latest_visible_rows(events: DataFrame) -> DataFrame:
+def _latest_visible_rows(events: DataFrame, bucketed: bool = False) -> DataFrame:
     """The one ACID merge rule, shared by every view (t2/t5/t6): latest
     currentTransaction wins per (originalTransaction, bucket, rowId);
-    deletes drop out; project back to the logical row."""
-    w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
-        F.desc("currentTransaction")
-    )
+    deletes drop out; project back to the logical row.
+
+    `bucketed=False` (the original path) windows over the full key
+    space: one exchange hash-keyed by the 3-part key. The round-10 sf1
+    stress flagged that shape as the linear-state member of the ACID
+    tier (5.1x at 10x data) — the whole event set is re-clustered by a
+    per-row unique key, so shuffle + sort state grow with the table.
+
+    `bucketed=True` merges WITHIN BUCKETS, the reference's own
+    physical merge unit (`acid.md:69-109` orders events by
+    (originalTransaction, bucket, rowId) per bucket_N file for exactly
+    this merge): the one exchange is keyed by (bucket, _sub) — two
+    small ints, `_sub = pmod(rowId, _SUB_PER_BUCKET)` restoring
+    task-level parallelism beyond the fixed bucket count — and the
+    window's partition spec is PREFIXED with the same two columns, so
+    HashPartitioning(bucket, _sub) satisfies the window's clustering
+    and EnsureRequirements inserts NO second exchange (plan-asserted
+    in tests/test_acid_snapshot.py). Grouping is unchanged: _sub is a
+    pure function of rowId, so every (origTxn, bucket, rowId) group
+    lands in exactly one (bucket, _sub) partition. At 100 TB this is
+    the layout-aligned merge: hash width is constant, partition count
+    is n_buckets x _SUB_PER_BUCKET, and a pre-bucketed table read
+    (the t3 compaction output, written clustered by bucket) satisfies
+    the same distribution with no exchange at all."""
+    if not bucketed:
+        w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
+            F.desc("currentTransaction")
+        )
+        keyed = events
+    else:
+        keyed = events.withColumn(
+            "_sub", F.pmod(F.col("rowId"), F.lit(_SUB_PER_BUCKET))
+        ).repartition(_N_BUCKETS * _SUB_PER_BUCKET, "bucket", "_sub")
+        w = Window.partitionBy(
+            "bucket", "_sub", "originalTransaction", "rowId"
+        ).orderBy(F.desc("currentTransaction"))
     return (
-        events.withColumn("_rn", F.row_number().over(w))
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
         .select("row.id", "row.status", "row.totalprice", "bucket", "currentTransaction")
     )
 
 
-def merged_view(spark: SparkSession, root: str) -> DataFrame:
-    """T2 merge-on-read over a base+delta directory layout."""
+# parallelism restorer for the bucketed merge: tasks per bucket. 8 x
+# _N_BUCKETS = 32 partitions = one waveful at local[32]; on a real
+# cluster this scales with executor count, not data size
+_SUB_PER_BUCKET = 8
+
+
+def merged_view(spark: SparkSession, root: str, bucketed: bool = False) -> DataFrame:
+    """T2 merge-on-read over a base+delta directory layout (see
+    `_latest_visible_rows` for the bucketed-vs-windowed strategies)."""
     parts = [
         _read_events(spark, os.path.join(root, d))
         for d in sorted(os.listdir(root))
         if d.startswith(("base_", "delta_"))
     ]
-    return _latest_visible_rows(_union_events(parts))
+    return _latest_visible_rows(_union_events(parts), bucketed=bucketed)
 
 
 def t2_acid_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +208,21 @@ FROM orders
 WHERE o_orderkey % 100 != 0
 ORDER BY o_orderkey
 """
+
+
+def t9_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2's merge-on-read through the BUCKETED strategy (round-10
+    verdict Next #4 — the sf1 stress's 100-TB answer made code): same
+    base+delta dirs, same merge rule, but the merge is clustered by
+    the reference's physical bucket unit instead of the full 3-part
+    key space. Value-equal to t2 by construction (equivalence also
+    pytest-asserted at three SFs) — the driver grades it against the
+    identical oracle."""
+    root = acid_table_dir(spark, sf_dir)
+    return merged_view(spark, root, bucketed=True).orderBy("id")
+
+
+T9_ORACLE = T2_ORACLE
 
 
 def t3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

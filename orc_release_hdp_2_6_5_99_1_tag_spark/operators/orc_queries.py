@@ -1350,3 +1350,91 @@ WHERE l_orderkey BETWEEN {_S24_LO} AND {_S24_HI}
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+_S25_LO, _S25_HI = 200, 1100  # inside the dense 0..N orderkey space at every SF
+
+
+def s25_orc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's own reader as a registered Spark DATA SOURCE with
+    nested types and pushed filters — `spark.read.format("orc_native")`
+    end-to-end (round-10 verdict Next #3: s22/s24 grade the
+    function-call decode path; this grades the DataSource surface
+    itself). The staged ORC carries one column of each composite kind
+    the include-tree maps (struct, list, map — nested projection P2,
+    reference `c++/include/orc/Reader.hh:260-281`); the BETWEEN rides
+    pushFilters -> SArg -> three-level pruning inside each file task
+    (partial pushdown: Spark re-applies the row filter above the
+    scan), and the Arrow exchange ships the decoded composites as
+    pa.struct/pa.list_/pa.map_ batches.
+
+    Scale: one task per file, driver holds the file list + one tail
+    parse (the pyds topology); key-sorted layout makes the SArg range
+    prune row groups, so decode cost follows selectivity, not table
+    size. The oracle never sees ORC or the DataSource: DuckDB computes
+    the same integer-exact aggregate from the original parquet."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_native_nested")
+    fp = source_fingerprint(sf_dir, "orders") + ";stride=1000;nested=v1"
+    if not marker_valid(dest + "._fp", fp):
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.struct(
+                    F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderpriority").alias("prio"),
+                ).alias("cust"),
+                F.array(
+                    (F.col("o_custkey") % 3).cast("bigint"),
+                    (F.col("o_custkey") % 5).cast("bigint"),
+                ).alias("flags"),
+                F.create_map(
+                    F.lit("c"), (F.col("o_custkey") % 100).cast("bigint"),
+                    F.lit("k"), F.col("o_orderkey").cast("bigint"),
+                ).alias("tags"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey")
+        )
+        write_orc(df, dest, row_index_stride=1000)
+        write_marker(dest + "._fp", fp)
+    register_orc_native(spark)
+    scan = (
+        spark.read.format("orc_native")
+        .option("path", dest)
+        .option("columns", "o_orderkey,status,cust,flags,tags")
+        .load()
+    )
+    return (
+        scan.filter(
+            (F.col("o_orderkey") >= _S25_LO) & (F.col("o_orderkey") <= _S25_HI)
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cust.custkey").alias("sum_cust"),
+            F.sum(
+                F.element_at("flags", 1) + F.element_at("flags", 2)
+            ).alias("sum_flags"),
+            F.sum(F.element_at("tags", "c")).alias("sum_tag_c"),
+        )
+        .orderBy("status")
+    )
+
+
+S25_ORACLE = f"""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       CAST(SUM((o_custkey % 3) + (o_custkey % 5)) AS BIGINT) AS sum_flags,
+       CAST(SUM(o_custkey % 100) AS BIGINT) AS sum_tag_c
+FROM orders
+WHERE o_orderkey BETWEEN {_S25_LO} AND {_S25_HI}
+GROUP BY o_orderstatus
+ORDER BY status
+"""

@@ -396,34 +396,85 @@ def _build_orc_native_class():
         Not,
     )
 
-    # the kinds the arrow exchange maps (everything else — nested,
-    # union, unknown future kinds — reads via stream_decode.scan_file
-    # or read_planned, whose Spark surface handles composites)
-    _ARROW_KINDS = (
-        "boolean", "tinyint", "smallint", "int", "bigint", "float",
-        "double", "date", "string", "char", "varchar", "binary",
-        "timestamp", "decimal",
-    )  # fmt: skip
+    def _pa_type(types, cid):
+        """ORC type-tree node -> arrow type, recursively — the full
+        include-tree mapping (nested projection is P2, reference
+        `c++/include/orc/Reader.hh:260-281`; `mapred/OrcInputFormat.
+        parseInclude:61-88` resolves the same subtree closure). The
+        composite decoders already produce the matching Python
+        shapes: list -> list, struct -> field dict, map -> (k, v)
+        tuple list, union -> the engine's tagged-struct convention
+        {_tag, f0, f1, ...} (`stream_decode._UnionDecoder`). Unknown
+        future kinds raise, which excludes the column from the
+        default projection."""
+        import pyarrow as pa
 
-    def _name_kinds(meta):
-        """(name, kind) pairs incl. the non-struct-root `_root`
-        convention the rest of the metadata stack shares."""
-        pairs = [(c["name"], c["kind"]) for c in meta["columns"]]
-        if not pairs and meta["types"][0]["kind"] != "struct":
-            pairs = [("_root", meta["types"][0]["kind"])]
-        return pairs
+        prim = {
+            "boolean": pa.bool_(), "tinyint": pa.int8(),
+            "smallint": pa.int16(), "int": pa.int32(),
+            "bigint": pa.int64(), "float": pa.float32(),
+            "double": pa.float64(), "date": pa.date32(),
+            "string": pa.string(), "char": pa.string(),
+            "varchar": pa.string(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us"),
+        }  # fmt: skip
+        t = types[cid]
+        k = t["kind"]
+        if k == "decimal":
+            # v0.11 files carry no precision/scale attributes;
+            # (38, 6) is the reference reader's default
+            p, s = t.get("precision"), t.get("scale")
+            return pa.decimal128(38 if p is None else p, 6 if s is None else s)
+        if k == "list":
+            return pa.list_(_pa_type(types, t["subtypes"][0]))
+        if k == "map":
+            mk, mv = t["subtypes"]
+            return pa.map_(_pa_type(types, mk), _pa_type(types, mv))
+        if k == "struct":
+            return pa.struct(
+                [
+                    (fn, _pa_type(types, sub))
+                    for fn, sub in zip(t["field_names"], t["subtypes"])
+                ]
+            )
+        if k == "union":
+            return pa.struct(
+                [("_tag", pa.int8())]
+                + [
+                    (f"f{i}", _pa_type(types, sub))
+                    for i, sub in enumerate(t["subtypes"])
+                ]
+            )
+        if k in prim:
+            return prim[k]
+        raise ValueError(
+            f"orc_native: ORC kind {k!r} has no arrow mapping"
+        )
+
+    def _top_ids(meta):
+        """name -> column id for top-level columns, incl. the
+        non-struct-root `_root` convention the rest of the metadata
+        stack shares (tools._column_ids)."""
+        ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+        if not ids and meta["types"][0]["kind"] != "struct":
+            ids = {"_root": 0}
+        return ids
 
     def _default_columns(meta):
-        """columns option omitted: every top-level column the arrow
-        exchange supports (the allowlist above — NOT a nested
-        blocklist, so unknown future kinds are excluded too)."""
-        cols = [n for n, k in _name_kinds(meta) if k in _ARROW_KINDS]
+        """columns option omitted: every top-level column whose type
+        tree the arrow exchange maps (since the nested mapping this
+        is everything except unknown future kinds)."""
+        cols = []
+        for name, cid in _top_ids(meta).items():
+            try:
+                _pa_type(meta["types"], cid)
+            except ValueError:
+                continue
+            cols.append(name)
         if not cols:
             raise ValueError(
                 "orc_native: no arrow-mappable top-level columns "
-                f"(kinds: {[k for _, k in _name_kinds(meta)]}); use "
-                "stream_decode.read_planned/read_planned_lake for "
-                "nested shapes"
+                f"(kinds: {[t['kind'] for t in meta['types'][1:2]]})"
             )
         return cols
 
@@ -538,51 +589,15 @@ def _build_orc_native_class():
         def _arrow_schema(self, meta):
             import pyarrow as pa
 
-            by_name = {c["name"]: c for c in meta["columns"]}
-            if not by_name and meta["types"][0]["kind"] != "struct":
-                root = dict(meta["types"][0])
-                by_name = {"_root": {
-                    "name": "_root", "kind": root["kind"],
-                    "precision": root.get("precision"),
-                    "scale": root.get("scale"),
-                }}
-            pa_types = {
-                "boolean": pa.bool_(), "tinyint": pa.int8(),
-                "smallint": pa.int16(), "int": pa.int32(),
-                "bigint": pa.int64(), "float": pa.float32(),
-                "double": pa.float64(), "date": pa.date32(),
-                "string": pa.string(), "char": pa.string(),
-                "varchar": pa.string(), "binary": pa.binary(),
-                "timestamp": pa.timestamp("us"),
-            }  # fmt: skip
+            ids = _top_ids(meta)
             fields = []
             for c in self._columns:
-                if c not in by_name:
+                if c not in ids:
                     raise ValueError(
                         f"orc_native: unknown column {c!r}; file has "
-                        f"{sorted(by_name)}"
+                        f"{sorted(ids)}"
                     )
-                k = by_name[c]["kind"]
-                if k == "decimal":
-                    # v0.11 files carry no precision/scale attributes;
-                    # (38, 6) is the reference reader's default
-                    prec = by_name[c]["precision"]
-                    scale = by_name[c]["scale"]
-                    fields.append(
-                        (c, pa.decimal128(
-                            38 if prec is None else prec,
-                            6 if scale is None else scale,
-                        ))
-                    )
-                elif k in pa_types:
-                    fields.append((c, pa_types[k]))
-                else:
-                    raise ValueError(
-                        f"orc_native: column {c!r} has kind {k!r}, "
-                        "which the arrow exchange does not map — use "
-                        "stream_decode.read_planned/read_planned_lake "
-                        "for nested/union shapes"
-                    )
+                fields.append((c, _pa_type(meta["types"], ids[c])))
             return pa.schema(fields)
 
         def read(self, partition):

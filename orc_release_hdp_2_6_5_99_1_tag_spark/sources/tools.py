@@ -349,3 +349,52 @@ def orc_memory(path: str, columns: list[str] | None = None) -> dict:
         "tail": tail,
         "stripe": worst_idx,
     }
+
+
+def orc_writer_timezones(paths: list[str]) -> list[dict]:
+    """`timezone-dump` CLI analog — the last of the reference's six
+    C++ tools (analog `tools/src/TimezoneDump.cc`, which prints the tz
+    database entry `getTimezoneByName` resolves; the five others are
+    mirrored by orc_contents/orc_meta/orc_scan/orc_statistics/
+    orc_memory). Here the same data is reported where an ORC reader
+    actually consumes it: each stripe's `StripeFooter.writerTimezone`
+    names the zone whose rules rebase the stored base-relative
+    wall-clock seconds back to instants (the reference reader builds
+    `base_timestamp = toEpoch(2015-01-01 00:00, writerTimezone)` —
+    `TreeReaderFactory.java:934-956`; the engine's decoder does the
+    same in `stream_decode._ColumnDecoder`).
+
+    Per file -> per stripe: the declared zone (absent -> "UTC", the
+    pre-ORC-37 writer convention), the UTC offset in seconds its rules
+    give at the 2015-01-01 rebase base and at the Unix epoch, the
+    derived `base_timestamp`, and whether the zone was in DST at the
+    base (the condition that makes naive epoch arithmetic wrong and
+    forces the zone-rule path). Metadata-only IO: one tail read plus
+    one ranged stripe-footer read per stripe — no data bytes."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_stripe_footers,
+    )
+
+    out = []
+    for path in paths:
+        stripes = []
+        for si, st in enumerate(parse_stripe_footers(path)):
+            name = st["writerTimezone"] or "UTC"
+            zi = ZoneInfo(name)
+            base = dt.datetime(2015, 1, 1, tzinfo=zi)
+            epoch = dt.datetime(1970, 1, 1, tzinfo=zi)
+            stripes.append(
+                {
+                    "stripe": si,
+                    "writer_timezone": name,
+                    "offset_at_base_s": int(base.utcoffset().total_seconds()),
+                    "offset_at_epoch_s": int(epoch.utcoffset().total_seconds()),
+                    "base_timestamp_s": int(base.timestamp()),
+                    "dst_at_base": bool(base.dst()),
+                }
+            )
+        out.append({"path": path, "stripes": stripes})
+    return out

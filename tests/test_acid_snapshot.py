@@ -180,3 +180,39 @@ def test_snapshot_txn_filter_pushed_to_scan(spark, sf_dir):
     root = acid_table_dir(spark, sf_dir)
     plan = formatted_plan(snapshot_view(spark, root, [1, 2]))
     assert "In(_currentTransaction, [1,2])" in plan, plan
+
+
+def test_bucketed_merge_equals_windowed(spark, sf_dir):
+    """merged_view(bucketed=True) — the reference's per-bucket merge
+    unit (acid.md:69-109) — must be value-identical to the full-key
+    windowed path at every SF (the driver additionally grades it as
+    t9_bucketed_merge against t2's oracle)."""
+    root = acid_table_dir(spark, sf_dir)
+    a = merged_view(spark, root).orderBy("id").collect()
+    b = merged_view(spark, root, bucketed=True).orderBy("id").collect()
+    assert a == b
+
+
+def test_bucketed_merge_single_exchange_before_window(spark, sf_dir):
+    """The bucketed path's scale contract: ONE exchange, keyed by the
+    two small ints (bucket, _sub) — HashPartitioning(bucket, _sub)
+    satisfies the window's clustering, so EnsureRequirements must NOT
+    insert a second exchange for the Window. (The trailing orderBy in
+    t9 adds a rangepartitioning exchange for presentation; asserted
+    here on the un-ordered view to isolate the merge itself.)"""
+    import re
+
+    root = acid_table_dir(spark, sf_dir)
+    plan = (
+        merged_view(spark, root, bucketed=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert len(hashes) == 1, f"expected exactly one hash exchange:\n{plan}"
+    assert "bucket" in hashes[0] and "_sub" in hashes[0]
+    assert "originalTransaction" not in hashes[0], (
+        "the merge re-clustered by the full 3-part key — the bucketed "
+        f"strategy did not take effect:\n{plan}"
+    )

@@ -47,53 +47,48 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round10_graded_window_composition():
+def test_round11_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-10 window = the flagship, the round-10 additions graded
-    immediately (v9/s22/s23), the ten STALE r1-era verdicts the
-    round-9 verdict ordered re-graded (q3/q5/q6, w1, w2 — whose
-    latest driver verdict was the r2 err — g1, p2, a7, f9, q22),
-    the r3-era trio (f8/u1/t1) and five r4-era re-grades
-    (s3/p1/e1/c1/c2) for verdict freshness, the two CODE-CHANGE
-    re-grades (s21/r12 — pyds.py switched to Arrow batch emission
-    this round), and 26 scale-critical keep-warm shapes (unchanged
-    from round 9). Displaced to extras: the 10 r9 additions + the 11
-    r9 refresh-tier queries, all r9-verdict-fresh.
+    Round-11 window = the flagship, the round-11 additions graded
+    immediately (s25 — the orc_native DataSource surface with the
+    nested arrow mapping; t9 — the bucketed ACID merge), the ten
+    AGE-6 r4-era verdicts the round-10 verdict ordered re-graded
+    before they breach the >6 invariant, eleven of the twenty AGE-5
+    r5-era verdicts (the other nine head the round-12 queue), and 26
+    scale-critical keep-warm shapes (unchanged from round 10).
+    Displaced to extras: the 3 r10 additions + the 20 r10
+    refresh-tier queries, all r10-verdict-fresh.
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
-        # round-10 additions
-        "v9_hybrid_rrf", "s22_partial_read", "s23_bounded_tail_read",
-        # stale r1-era verdict refresh
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_revenue_delta", "w1_topk_per_group", "w2_sessionize",
-        "g1_rollup", "p2_pivot", "a7_percentiles",
-        "f9_string_patterns", "q22_not_exists",
-        # r3-era verdict refresh
-        "f8_predicate_coercion", "u1_union_type", "t1_nested_roundtrip",
-        # r4-era verdict refresh
-        "s3_bloom_point_lookup", "p1_projection_pushdown",
-        "e1_codec_roundtrip", "c1_schema_evolution", "c2_cast_matrix",
-        # code-change re-grades (Arrow-batched pyds)
-        "s21_python_datasource_meta", "r12_python_stream_source",
-        # keep-warm scale-critical shapes (26, unchanged from r9)
+        # round-11 additions
+        "s25_orc_native_scan", "t9_bucketed_merge",
+        # age-6 (r4-era) verdict refresh — the rotation deadline set
+        "f1_predicate_suite", "f12_row_seek",
+        "m1_multimodal_features", "m2_grouped_normalize",
+        "s5_partition_pruning", "s12_footer_column_stats",
+        "s13_corrupt_file_tolerance",
+        "x1_token_count", "x3_lang_id", "x4_quality_score",
+        # age-5 (r5-era) verdict refresh — 11 of 20
+        "a4_merged_file_stats", "d7_decontaminate",
+        "d8_paragraph_dedup", "d9_domain_cap",
+        "d13_substring_dedup", "d14_substring_scrub",
+        "h1_higher_order_functions", "i1_importance_resampling",
+        "i2_perplexity_filter", "r9_stream_static_enrichment",
+        "s11_orc_meta",
+        # keep-warm scale-critical shapes (26, unchanged from r10)
         "s1_orc_roundtrip_scan", "s17_bucketed_join",
         "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
-        # a9 (r9-green) -> extras mid-round-10: q2's last driver
-        # verdict was ROUND 2 — the oldest in the registry, missed by
-        # the r1-era-only stale sweep
         "a1_column_stats", "q2_correlated_subquery",
         "sk3_countmin_heavy_hitters",
         "d1_exact_dedup", "d2_minhash_lsh", "d12_bloom_decontaminate",
-        # v4_pq_ann → extras mid-round-10, displaced by the new
-        # s24_lake_scan (ANN keeps v1/v2/v7 graded; v4 r9-green)
         "v1_cosine_topk", "v2_lsh_bucketed_ann", "s24_lake_scan",
         "v7_knn_join",
         "k1_kmeans_clusters",

@@ -500,29 +500,108 @@ def test_orc_native_non_struct_root(spark, tmp_path):
     assert str(rows[0]["_root"]).startswith("2037-01-01")
 
 
-def test_orc_native_nested_column_clear_error(spark, tmp_path):
-    """Requesting a nested column gives the documented ValueError
-    pointing at read_planned, not a raw KeyError."""
+def test_orc_native_nested_types_roundtrip(spark, tmp_path):
+    """list/struct/map (incl. nulls at every level) read through the
+    orc_native Arrow exchange equal Spark's own ORC reader — the
+    round-10 gap (`pyds.py` refused nested kinds) closed: the native
+    decoder's composite values now map via pa.list_/pa.struct/
+    pa.map_ (nested include-tree parity: reference
+    `c++/include/orc/Reader.hh:260-281`)."""
     import pyspark.sql.functions as F
 
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
-        _build_orc_native_class,
+        register_orc_native,
     )
 
+    register_orc_native(spark)
     out = str(tmp_path / "nested")
     (
-        spark.range(100)
-        .select("id", F.array_repeat(F.col("id"), 2).alias("xs"))
+        spark.range(3000)
+        .select(
+            "id",
+            F.when(
+                F.col("id") % 13 != 0,
+                F.array_repeat(
+                    F.col("id") % 7, (F.col("id") % 3 + 1).cast("int")
+                ),
+            ).alias("xs"),
+            F.struct(
+                (F.col("id") * 2).alias("a"),
+                F.when(
+                    F.col("id") % 5 != 0,
+                    F.md5(F.col("id").cast("string")),
+                ).alias("b"),
+            ).alias("st"),
+            F.create_map(
+                F.lit("k"), F.col("id"), F.lit("j"), F.col("id") % 5
+            ).alias("mp"),
+        )
         .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
         .orc(out)
     )
-    cls = _build_orc_native_class()
-    src = cls(options={"path": out, "columns": "xs"})
-    with pytest.raises(ValueError, match="read_planned"):
-        src.reader(None)
-    # defaults skip the nested column instead of failing
-    src2 = cls(options={"path": out})
-    assert src2.reader(None)._columns == ["id"]
+    got = (
+        spark.read.format("orc_native")
+        .option("path", out)
+        .load()
+        .filter(F.col("id") < 1500)  # pushed: proves SArg + residual
+        .orderBy("id")
+        .collect()
+    )
+    exp = (
+        spark.read.orc(out)
+        .select("id", "xs", "st", "mp")
+        .filter(F.col("id") < 1500)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == len(exp) == 1500
+    for g, e in zip(got, exp):
+        assert g.asDict(recursive=True) == e.asDict(recursive=True)
+
+
+def test_orc_native_union_golden(spark, tmp_path):
+    """The union golden through the DataSource surface: values equal
+    the function-call path (scan_file), which is pinned upstream
+    against the reference's own .jsn dump — so a NULL union stays
+    distinguishable from (tag, NULL-variant) through the Arrow
+    exchange too (union -> the tagged-struct convention)."""
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as sd
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    golden = "/root/reference/examples/TestOrcFile.testUnionAndTimestamp.orc"
+    d = str(tmp_path / "union")
+    os.makedirs(d)
+    shutil.copy(golden, d)
+    register_orc_native(spark)
+    got = (
+        spark.read.format("orc_native")
+        .option("path", d)
+        .option("columns", "union,decimal")
+        .load()
+        .collect()
+    )
+    exp_union: list = []
+    exp_dec: list = []
+    for res in sd.scan_file(golden, None, ["union", "decimal"]):
+        exp_union.extend(res["columns"]["union"])
+        exp_dec.extend(res["columns"]["decimal"])
+    assert len(got) == len(exp_union) > 0
+    n_null_union = sum(1 for u in exp_union if u is None)
+    n_null_variant = sum(
+        1
+        for u in exp_union
+        if u is not None and u[f"f{u['_tag']}"] is None
+    )
+    assert n_null_union > 0 and n_null_variant > 0  # both shapes present
+    for g, u, dec in zip(got, exp_union, exp_dec):
+        gu = g["union"].asDict() if g["union"] is not None else None
+        assert gu == u
+        assert g["decimal"] == dec
 
 
 def test_orc_native_timestamp_literal_pushdown(spark, tmp_path):

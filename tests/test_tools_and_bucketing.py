@@ -144,3 +144,33 @@ def test_orc_memory_estimate(spark, tmp_path):
             ["id", "s", "v"],
         )
         assert res["bytes_fetched"] <= full["data"]
+
+
+def test_orc_writer_timezones_goldens():
+    """timezone-dump analog (S12's sixth CLI): the per-stripe
+    writerTimezone + the offsets the rebase consumes, pinned against
+    the non-UTC golden the union decode already pins (US/Pacific,
+    -08:00 standard at both the 2015 base and the epoch) and a
+    v0.11 file with no writerTimezone field (absent -> UTC)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        orc_writer_timezones,
+    )
+
+    ex = "/root/reference/examples"
+    pac, v11 = orc_writer_timezones(
+        [f"{ex}/TestOrcFile.testUnionAndTimestamp.orc",
+         f"{ex}/orc-file-11-format.orc"]
+    )
+    assert len(pac["stripes"]) >= 1
+    for st in pac["stripes"]:
+        assert st["writer_timezone"] == "US/Pacific"
+        assert st["offset_at_base_s"] == -8 * 3600
+        assert st["offset_at_epoch_s"] == -8 * 3600
+        assert st["dst_at_base"] is False
+        # base_timestamp = toEpoch(2015-01-01 wall, writer zone):
+        # the UTC base shifted by the zone's offset
+        assert st["base_timestamp_s"] == 1420070400 - st["offset_at_base_s"]
+    for st in v11["stripes"]:
+        assert st["writer_timezone"] == "UTC"
+        assert st["offset_at_base_s"] == 0
+        assert st["base_timestamp_s"] == 1420070400
