@@ -128,45 +128,78 @@ def _union_events(parts: list) -> DataFrame:
     return events
 
 
-def _latest_visible_rows(events: DataFrame, bucketed: bool = False) -> DataFrame:
+def _latest_visible_rows(
+    events: DataFrame, strategy: str = "window"
+) -> DataFrame:
     """The one ACID merge rule, shared by every view (t2/t5/t6): latest
     currentTransaction wins per (originalTransaction, bucket, rowId);
-    deletes drop out; project back to the logical row.
+    deletes drop out; project back to the logical row. Three
+    value-identical physical strategies (equivalence pytest-asserted;
+    sf0.1/sf1 numbers in SCALE_STRESS.md):
 
-    `bucketed=False` (the original path) windows over the full key
-    space: one exchange hash-keyed by the 3-part key. The round-10 sf1
-    stress flagged that shape as the linear-state member of the ACID
-    tier (5.1x at 10x data) — the whole event set is re-clustered by a
-    per-row unique key, so shuffle + sort state grow with the table.
+    "window" (the original path): row_number over the full key space —
+    one exchange hash-keyed by the 3-part key, then a sort. The
+    round-10 sf1 stress flagged this as the linear-state member of the
+    ACID tier (5.1x at 10x data): the whole event set is re-clustered
+    by a per-row unique key and fully sorted.
 
-    `bucketed=True` merges WITHIN BUCKETS, the reference's own
-    physical merge unit (`acid.md:69-109` orders events by
-    (originalTransaction, bucket, rowId) per bucket_N file for exactly
-    this merge): the one exchange is keyed by (bucket, _sub) — two
-    small ints, `_sub = pmod(rowId, _SUB_PER_BUCKET)` restoring
-    task-level parallelism beyond the fixed bucket count — and the
-    window's partition spec is PREFIXED with the same two columns, so
-    HashPartitioning(bucket, _sub) satisfies the window's clustering
-    and EnsureRequirements inserts NO second exchange (plan-asserted
-    in tests/test_acid_snapshot.py). Grouping is unchanged: _sub is a
-    pure function of rowId, so every (origTxn, bucket, rowId) group
-    lands in exactly one (bucket, _sub) partition. At 100 TB this is
-    the layout-aligned merge: hash width is constant, partition count
-    is n_buckets x _SUB_PER_BUCKET, and a pre-bucketed table read
-    (the t3 compaction output, written clustered by bucket) satisfies
-    the same distribution with no exchange at all."""
-    if not bucketed:
+    "bucketed": merges WITHIN BUCKETS, the reference's own physical
+    merge unit (`acid.md:69-109` orders events by (originalTransaction,
+    bucket, rowId) per bucket_N file for exactly this merge): the one
+    exchange is keyed by (bucket, _sub) — two small ints, `_sub =
+    pmod(rowId, _SUB_PER_BUCKET)` restoring task parallelism beyond
+    the fixed bucket count — and the window's partition spec is
+    PREFIXED with the same two columns, so HashPartitioning(bucket,
+    _sub) satisfies the window's clustering and EnsureRequirements
+    inserts NO second exchange (plan-asserted in
+    tests/test_acid_snapshot.py). Grouping is unchanged: _sub is a
+    pure function of rowId. At 100 TB this is the layout-aligned
+    merge — and a pre-bucketed table read (the t3 compaction output,
+    written clustered by bucket) satisfies the same distribution with
+    no exchange at all.
+
+    "agg": latest-wins as `max_by(struct(...), currentTransaction)` —
+    an aggregation instead of a window: PARTIAL (map-side) aggregation
+    collapses multi-version keys before the shuffle, and the plan is
+    SortAggregate whose map-side sorts run over the ACID files' own
+    (originalTransaction, bucket, rowId) write order (acid.md's sort
+    contract — nearly-sorted input), with no window materialization or
+    rank filter afterwards. Measured fastest at both sf0.1 (0.67s vs
+    1.2-1.5s) and sf1 (4.8s vs 6.0-7.2s); at 100 TB the map-side
+    combine is the lever — delta-heavy tables (many versions per key)
+    shuffle only the per-key winner of each input split."""
+    if strategy == "window":
         w = Window.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
             F.desc("currentTransaction")
         )
         keyed = events
-    else:
+    elif strategy == "bucketed":
         keyed = events.withColumn(
             "_sub", F.pmod(F.col("rowId"), F.lit(_SUB_PER_BUCKET))
-        ).repartition(_N_BUCKETS * _SUB_PER_BUCKET, "bucket", "_sub")
+        ).repartition("bucket", "_sub")
         w = Window.partitionBy(
             "bucket", "_sub", "originalTransaction", "rowId"
         ).orderBy(F.desc("currentTransaction"))
+    elif strategy == "agg":
+        return (
+            events.groupBy("originalTransaction", "bucket", "rowId")
+            .agg(
+                F.max_by(
+                    F.struct("operation", "currentTransaction", "row"),
+                    "currentTransaction",
+                ).alias("w")
+            )
+            .filter(F.col("w.operation") != OP_DELETE)
+            .select(
+                "w.row.id",
+                "w.row.status",
+                "w.row.totalprice",
+                "bucket",
+                F.col("w.currentTransaction").alias("currentTransaction"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("operation") != OP_DELETE))
@@ -174,21 +207,27 @@ def _latest_visible_rows(events: DataFrame, bucketed: bool = False) -> DataFrame
     )
 
 
-# parallelism restorer for the bucketed merge: tasks per bucket. 8 x
-# _N_BUCKETS = 32 partitions = one waveful at local[32]; on a real
-# cluster this scales with executor count, not data size
-_SUB_PER_BUCKET = 8
+# parallelism restorer for the bucketed merge: sub-splits per bucket.
+# The partition COUNT comes from spark.sql.shuffle.partitions (the
+# cluster-tunable knob); _SUB_PER_BUCKET only has to make the distinct
+# (bucket, _sub) key count comfortably exceed it so hashing balances —
+# the first measurement used 8 (32 keys into 32 partitions: balls-in-
+# bins put 2-3 key groups on some partitions, a measured 1.3x skew at
+# sf1). 64 x 4 buckets = 256 keys into 32 partitions is balanced.
+_SUB_PER_BUCKET = 64
 
 
-def merged_view(spark: SparkSession, root: str, bucketed: bool = False) -> DataFrame:
+def merged_view(
+    spark: SparkSession, root: str, strategy: str = "window"
+) -> DataFrame:
     """T2 merge-on-read over a base+delta directory layout (see
-    `_latest_visible_rows` for the bucketed-vs-windowed strategies)."""
+    `_latest_visible_rows` for the window/bucketed/agg strategies)."""
     parts = [
         _read_events(spark, os.path.join(root, d))
         for d in sorted(os.listdir(root))
         if d.startswith(("base_", "delta_"))
     ]
-    return _latest_visible_rows(_union_events(parts), bucketed=bucketed)
+    return _latest_visible_rows(_union_events(parts), strategy=strategy)
 
 
 def t2_acid_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +258,7 @@ def t9_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-asserted at three SFs) — the driver grades it against the
     identical oracle."""
     root = acid_table_dir(spark, sf_dir)
-    return merged_view(spark, root, bucketed=True).orderBy("id")
+    return merged_view(spark, root, strategy="bucketed").orderBy("id")
 
 
 T9_ORACLE = T2_ORACLE

@@ -1368,17 +1368,19 @@ def s25_orc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan), and the Arrow exchange ships the decoded composites as
     pa.struct/pa.list_/pa.map_ batches.
 
-    Scale: one task per file, driver holds the file list + one tail
-    parse (the pyds topology); key-sorted layout makes the SArg range
-    prune row groups, so decode cost follows selectivity, not table
-    size. The oracle never sees ORC or the DataSource: DuckDB computes
-    the same integer-exact aggregate from the original parquet."""
+    Scale: one task per file over a 4-file range-partitioned key-sorted
+    layout, driver holds the file list + one tail parse (the pyds
+    topology); the SArg range lives in one file's keyspace, so level-1
+    footer stats skip the other three files whole and row-group picks
+    bound the rest — decode cost follows selectivity, not table size.
+    The oracle never sees ORC or the DataSource: DuckDB computes the
+    same integer-exact aggregate from the original parquet."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
         register_orc_native,
     )
 
     dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_native_nested")
-    fp = source_fingerprint(sf_dir, "orders") + ";stride=1000;nested=v1"
+    fp = source_fingerprint(sf_dir, "orders") + ";stride=1000;files=4;nested=v2"
     if not marker_valid(dest + "._fp", fp):
         df = (
             load_table(spark, sf_dir, "orders")
@@ -1398,7 +1400,7 @@ def s25_orc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("k"), F.col("o_orderkey").cast("bigint"),
                 ).alias("tags"),
             )
-            .repartition(1)
+            .repartitionByRange(4, "o_orderkey")
             .sortWithinPartitions("o_orderkey")
         )
         write_orc(df, dest, row_index_stride=1000)

@@ -64,6 +64,15 @@ QUERIES_R10 = [
     "pipe4_contrastive_pairs",
 ]
 
+# round-11 tier: t2's windowed merge vs t9's bucketed merge — the
+# head-to-head the round-10 stress prescribed ("bucket the merge keys
+# rather than windowed in one pass"). Same base+delta dirs, same
+# result; the strategies differ only in the exchange key.
+QUERIES_R11 = [
+    "t2_acid_merge_on_read",
+    "t9_bucketed_merge",
+]
+
 # round-10 late tier: the executed-partial-read surfaces. The SArg key
 # range is FIXED (replica-0 keys only), so the kept row groups do not
 # grow with the table — the expected sf1 behavior is near-flat decode
@@ -153,6 +162,8 @@ def main() -> None:
         queries = QUERIES_DECODE
     elif "--round10" in sys.argv:
         queries = QUERIES_R10
+    elif "--round11" in sys.argv:
+        queries = QUERIES_R11
     else:
         queries = QUERIES
 
@@ -198,6 +209,20 @@ def main() -> None:
             " predicate's selectivity, not the table size (file-level and"
             " group-level pruning absorb the growth). Staging (sorted"
             " ORC rewrite of the 10x lineitem) is excluded by the warm run.",
+        ]
+    elif "--round11" in sys.argv:
+        header = [
+            "",
+            "## sf1 stress — round-11 bucketed-merge head-to-head (t2 vs t9)",
+            "",
+            "Same fixture; t9 is t2's merge through"
+            " merged_view(bucketed=True): one exchange keyed by"
+            " (bucket, _sub) — the reference's physical bucket unit plus"
+            " a rowId sub-split for parallelism — with the window"
+            " clustering satisfied by that partitioning (no second"
+            " exchange; plan-asserted in tests). Watching whether the"
+            " narrow-key exchange + within-bucket sort beats the"
+            " full-3-part-key re-cluster as keys grow 10x.",
         ]
     elif "--round10" in sys.argv:
         header = [

@@ -182,15 +182,17 @@ def test_snapshot_txn_filter_pushed_to_scan(spark, sf_dir):
     assert "In(_currentTransaction, [1,2])" in plan, plan
 
 
-def test_bucketed_merge_equals_windowed(spark, sf_dir):
-    """merged_view(bucketed=True) — the reference's per-bucket merge
-    unit (acid.md:69-109) — must be value-identical to the full-key
-    windowed path at every SF (the driver additionally grades it as
-    t9_bucketed_merge against t2's oracle)."""
+def test_merge_strategies_are_value_identical(spark, sf_dir):
+    """All three merge strategies — full-key window, per-bucket window
+    (the reference's merge unit, acid.md:69-109), and max_by hash
+    aggregation — must agree row-for-row at every SF (the driver
+    additionally grades the bucketed one as t9_bucketed_merge against
+    t2's oracle)."""
     root = acid_table_dir(spark, sf_dir)
     a = merged_view(spark, root).orderBy("id").collect()
-    b = merged_view(spark, root, bucketed=True).orderBy("id").collect()
-    assert a == b
+    for strategy in ("bucketed", "agg"):
+        b = merged_view(spark, root, strategy=strategy).orderBy("id").collect()
+        assert a == b, f"strategy {strategy} diverged"
 
 
 def test_bucketed_merge_single_exchange_before_window(spark, sf_dir):
@@ -204,7 +206,7 @@ def test_bucketed_merge_single_exchange_before_window(spark, sf_dir):
 
     root = acid_table_dir(spark, sf_dir)
     plan = (
-        merged_view(spark, root, bucketed=True)
+        merged_view(spark, root, strategy="bucketed")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

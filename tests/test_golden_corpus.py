@@ -12,6 +12,13 @@ non-struct roots (testTimestamp), future writer versions
 (version1999), nested composites, unions, decimals, and the
 1.9M-row demo files (bounded to one stripe / one row group — the
 format coverage is identical, the remainder is just volume).
+
+RUNTIME BUDGET (round-10 verdict housekeeping): the sweep costs ~17s
+single-process today (~3.5% of the suite's 8-minute wall). If the
+corpus or the per-file work grows, keep the sweep under ~30s before
+reaching for parallelism or sampling — the demo-file row bounds above
+are the intended lever (bound rows, never skip files: the corpus
+contract is that NOTHING is silently skipped).
 """
 
 from __future__ import annotations
