@@ -129,13 +129,19 @@ def _union_events(parts: list) -> DataFrame:
 
 
 def _latest_visible_rows(
-    events: DataFrame, strategy: str = "window"
+    events: DataFrame, strategy: str = "agg"
 ) -> DataFrame:
     """The one ACID merge rule, shared by every view (t2/t5/t6): latest
     currentTransaction wins per (originalTransaction, bucket, rowId);
     deletes drop out; project back to the logical row. Three
     value-identical physical strategies (equivalence pytest-asserted;
-    sf0.1/sf1 numbers in SCALE_STRESS.md):
+    sf0.1/sf1 numbers in SCALE_STRESS.md). Default is "agg" — the
+    measured-fastest at both SFs (round 11; t2's bench line drops
+    ~1.15s -> ~0.7s with the switch) — with the window strategies
+    selectable; ties on currentTransaction are impossible by the
+    ACID contract (a txn touches a key once; select_acid_dirs prunes
+    the subsumed-remnant double-apply case before any read), so all
+    three pick the same winner deterministically:
 
     "window" (the original path): row_number over the full key space —
     one exchange hash-keyed by the 3-part key, then a sort. The
@@ -218,7 +224,7 @@ _SUB_PER_BUCKET = 64
 
 
 def merged_view(
-    spark: SparkSession, root: str, strategy: str = "window"
+    spark: SparkSession, root: str, strategy: str = "agg"
 ) -> DataFrame:
     """T2 merge-on-read over a base+delta directory layout (see
     `_latest_visible_rows` for the window/bucketed/agg strategies)."""

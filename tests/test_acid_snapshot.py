@@ -189,7 +189,7 @@ def test_merge_strategies_are_value_identical(spark, sf_dir):
     additionally grades the bucketed one as t9_bucketed_merge against
     t2's oracle)."""
     root = acid_table_dir(spark, sf_dir)
-    a = merged_view(spark, root).orderBy("id").collect()
+    a = merged_view(spark, root, strategy="window").orderBy("id").collect()
     for strategy in ("bucketed", "agg"):
         b = merged_view(spark, root, strategy=strategy).orderBy("id").collect()
         assert a == b, f"strategy {strategy} diverged"

@@ -651,3 +651,85 @@ def test_orc_native_timestamp_literal_pushdown(spark, tmp_path):
     assert any(
         a["groups_decoded"] < a["groups_total"] for a in auds
     ), "timestamp PPD should prune row groups on an ORC-135 writer"
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_orc_native_nested_fuzz_roundtrip(spark, tmp_path, seed):
+    """Seeded-random nested schemas (arrays/structs/maps over mixed
+    primitives incl. decimal/timestamp, nulls injected at EVERY
+    level) written by Spark's ORC writer and read back through the
+    orc_native Arrow exchange must equal Spark's own reader row for
+    row — the hardening fuzz for the round-11 nested mapping."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    rnd = random.Random(seed)
+
+    prims = [
+        ("bigint", lambda: rnd.randint(-(2**40), 2**40)),
+        ("int", lambda: rnd.randint(-(2**31), 2**31 - 1)),
+        ("double", lambda: round(rnd.uniform(-1e6, 1e6), 6)),
+        ("string", lambda: "".join(rnd.choice("abß字🎈 x") for _ in range(rnd.randint(0, 9)))),
+        ("boolean", lambda: rnd.random() < 0.5),
+        ("date", lambda: dt.date(1970, 1, 1) + dt.timedelta(days=rnd.randint(-20000, 40000))),
+        ("decimal(12,3)", lambda: Decimal(rnd.randint(-10**9, 10**9)).scaleb(-3)),
+        ("timestamp", lambda: dt.datetime(2000, 1, 1) + dt.timedelta(seconds=rnd.randint(0, 10**9), microseconds=rnd.randint(0, 999999))),
+    ]
+
+    def null_or(gen):
+        return None if rnd.random() < 0.2 else gen()
+
+    def rand_field(depth):
+        roll = rnd.random()
+        if depth >= 2 or roll < 0.4:
+            t, gen = rnd.choice(prims)
+            return t, (lambda g=gen: null_or(g))
+        if roll < 0.6:
+            et, egen = rand_field(depth + 1)
+            return f"array<{et}>", (
+                lambda g=egen: null_or(lambda: [g() for _ in range(rnd.randint(0, 4))])
+            )
+        if roll < 0.8:
+            subs = [rand_field(depth + 1) for _ in range(rnd.randint(1, 3))]
+            ddl = ", ".join(f"f{i}: {t}" for i, (t, _) in enumerate(subs))
+            return f"struct<{ddl}>", (
+                lambda gs=[g for _, g in subs]: null_or(
+                    lambda: tuple(g() for g in gs)
+                )
+            )
+        vt, vgen = rand_field(depth + 1)
+        return f"map<string,{vt}>", (
+            lambda g=vgen: null_or(
+                lambda: {f"k{j}": g() for j in range(rnd.randint(0, 3))}
+            )
+        )
+
+    fields = [rand_field(0) for _ in range(5)]
+    ddl = "id bigint, " + ", ".join(
+        f"c{i} {t}" for i, (t, _) in enumerate(fields)
+    )
+    rows = [
+        tuple([i] + [g() for _, g in fields]) for i in range(400)
+    ]
+    out = str(tmp_path / "fuzz")
+    (
+        spark.createDataFrame(rows, ddl)
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .orc(out)
+    )
+    register_orc_native(spark)
+    got = (
+        spark.read.format("orc_native").option("path", out).load()
+        .orderBy("id").collect()
+    )
+    exp = spark.read.orc(out).orderBy("id").collect()
+    assert len(got) == len(exp) == 400
+    for g, x in zip(got, exp):
+        assert g.asDict(recursive=True) == x.asDict(recursive=True)
