@@ -396,7 +396,7 @@ def _build_orc_native_class():
         Not,
     )
 
-    def _pa_type(types, cid):
+    def _pa_type(types, cid, included=None):
         """ORC type-tree node -> arrow type, recursively — the full
         include-tree mapping (nested projection is P2, reference
         `c++/include/orc/Reader.hh:260-281`; `mapred/OrcInputFormat.
@@ -426,22 +426,26 @@ def _build_orc_native_class():
             p, s = t.get("precision"), t.get("scale")
             return pa.decimal128(38 if p is None else p, 6 if s is None else s)
         if k == "list":
-            return pa.list_(_pa_type(types, t["subtypes"][0]))
+            return pa.list_(_pa_type(types, t["subtypes"][0], included))
         if k == "map":
             mk, mv = t["subtypes"]
-            return pa.map_(_pa_type(types, mk), _pa_type(types, mv))
+            return pa.map_(
+                _pa_type(types, mk, included), _pa_type(types, mv, included)
+            )
         if k == "struct":
+            # include-pruned, matching the decoder's pruned field dicts
             return pa.struct(
                 [
-                    (fn, _pa_type(types, sub))
+                    (fn, _pa_type(types, sub, included))
                     for fn, sub in zip(t["field_names"], t["subtypes"])
+                    if included is None or sub in included
                 ]
             )
         if k == "union":
             return pa.struct(
                 [("_tag", pa.int8())]
                 + [
-                    (f"f{i}", _pa_type(types, sub))
+                    (f"f{i}", _pa_type(types, sub, included))
                     for i, sub in enumerate(t["subtypes"])
                 ]
             )
@@ -589,15 +593,19 @@ def _build_orc_native_class():
         def _arrow_schema(self, meta):
             import pyarrow as pa
 
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+                _included_ids,
+                output_columns,
+            )
+
             ids = _top_ids(meta)
+            # dotted sub-paths (nested projection P2): the schema is
+            # the PRUNED struct per top-level name; _included_ids
+            # raises the clear unknown-column/field error
+            included = _included_ids(meta, self._columns)
             fields = []
-            for c in self._columns:
-                if c not in ids:
-                    raise ValueError(
-                        f"orc_native: unknown column {c!r}; file has "
-                        f"{sorted(ids)}"
-                    )
-                fields.append((c, _pa_type(meta["types"], ids[c])))
+            for c in output_columns(self._columns):
+                fields.append((c, _pa_type(meta["types"], ids[c], included)))
             return pa.schema(fields)
 
         def read(self, partition):
@@ -609,14 +617,19 @@ def _build_orc_native_class():
                 stream_decode as m,
             )
 
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+                output_columns,
+            )
+
             path = partition.value
             audit = {"file": os.path.basename(path)}
             schema = self._schema
+            outs = output_columns(self._columns)
             for res in m.scan_file(path, self._tree, self._columns, audit):
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(res["columns"][c], type=schema.field(c).type)
-                        for c in self._columns
+                        for c in outs
                     ],
                     schema=schema,
                 )

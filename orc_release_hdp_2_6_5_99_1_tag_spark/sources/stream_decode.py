@@ -548,23 +548,27 @@ class _DecodeContext:
 
 
 def _build_decoder(cid: int, types: list[dict], st: dict, rr: RangeReader,
-                   compression: str):
+                   compression: str, included: set[int] | None = None):
     """TreeReaderFactory.createTreeReader analog: primitive kinds get a
     _ColumnDecoder; list/struct/map/union get composite decoders that
     own their LENGTH/PRESENT/tag streams and recurse into subtype ids
     (child value streams hold the FLATTENED elements; child PRESENT
     entries exist only where the parent is present — the ORC v1 spec's
-    nested-column contract)."""
+    nested-column contract). `included` (None = everything) is the
+    include-tree id set: STRUCT children outside it are pruned — no
+    decoder is built, none of their streams are planned or touched,
+    and the emitted field dicts omit them (nested projection P2,
+    reference `c++/include/orc/Reader.hh:260-281`)."""
     kind = types[cid]["kind"]
     enc = st["encodings"][cid]["kind"]
     if kind == "struct":
-        return _StructDecoder(cid, types, st, rr, compression)
+        return _StructDecoder(cid, types, st, rr, compression, included)
     if kind == "list":
-        return _ListDecoder(cid, types, st, rr, compression)
+        return _ListDecoder(cid, types, st, rr, compression, included)
     if kind == "map":
-        return _MapDecoder(cid, types, st, rr, compression)
+        return _MapDecoder(cid, types, st, rr, compression, included)
     if kind == "union":
-        return _UnionDecoder(cid, types, st, rr, compression)
+        return _UnionDecoder(cid, types, st, rr, compression, included)
     return _ColumnDecoder(
         kind,
         enc,
@@ -602,14 +606,14 @@ class _CompositePresent:
 
 
 class _ListDecoder(_CompositePresent):
-    def __init__(self, cid, types, st, rr, compression):
+    def __init__(self, cid, types, st, rr, compression, included=None):
         streams = self._init_present(cid, types, st, rr, compression)
         self._lengths = _int_rle(
             InStream(rr, *streams.get("LENGTH", (0, 0)), compression),
             False, self.encoding,
         )
         self._child = _build_decoder(
-            types[cid]["subtypes"][0], types, st, rr, compression
+            types[cid]["subtypes"][0], types, st, rr, compression, included
         )
 
     def seek_group(self, ctx: _DecodeContext) -> None:
@@ -634,15 +638,15 @@ class _ListDecoder(_CompositePresent):
 
 
 class _MapDecoder(_CompositePresent):
-    def __init__(self, cid, types, st, rr, compression):
+    def __init__(self, cid, types, st, rr, compression, included=None):
         streams = self._init_present(cid, types, st, rr, compression)
         self._lengths = _int_rle(
             InStream(rr, *streams.get("LENGTH", (0, 0)), compression),
             False, self.encoding,
         )
         key_id, val_id = types[cid]["subtypes"]
-        self._key = _build_decoder(key_id, types, st, rr, compression)
-        self._val = _build_decoder(val_id, types, st, rr, compression)
+        self._key = _build_decoder(key_id, types, st, rr, compression, included)
+        self._val = _build_decoder(val_id, types, st, rr, compression, included)
 
     def seek_group(self, ctx: _DecodeContext) -> None:
         segs = ctx.segs(self.cid, self.kind, self.encoding)
@@ -683,13 +687,13 @@ class _UnionDecoder(_CompositePresent):
     distinguishable from (tag 0, NULL variant) — the reference
     reader's own `.jsn` dumps pin both (see test_stream_decode)."""
 
-    def __init__(self, cid, types, st, rr, compression):
+    def __init__(self, cid, types, st, rr, compression, included=None):
         streams = self._init_present(cid, types, st, rr, compression)
         self._tags = ByteRLEReader(
             InStream(rr, *streams.get("DATA", (0, 0)), compression)
         )
         self._children = [
-            _build_decoder(sub, types, st, rr, compression)
+            _build_decoder(sub, types, st, rr, compression, included)
             for sub in types[cid]["subtypes"]
         ]
 
@@ -726,12 +730,22 @@ class _UnionDecoder(_CompositePresent):
 
 
 class _StructDecoder(_CompositePresent):
-    def __init__(self, cid, types, st, rr, compression):
+    """Include-aware: children outside `included` get no decoder — the
+    pruned fields' streams are never attached or read, and the emitted
+    dicts carry only the included fields (a pruned struct schema, the
+    way the reference surfaces nested projection — never flattened)."""
+
+    def __init__(self, cid, types, st, rr, compression, included=None):
         self._init_present(cid, types, st, rr, compression)
-        self._fields = types[cid]["field_names"]
+        pairs = [
+            (fn, sub)
+            for fn, sub in zip(types[cid]["field_names"], types[cid]["subtypes"])
+            if included is None or sub in included
+        ]
+        self._fields = [fn for fn, _ in pairs]
         self._children = [
-            _build_decoder(sub, types, st, rr, compression)
-            for sub in types[cid]["subtypes"]
+            _build_decoder(sub, types, st, rr, compression, included)
+            for _, sub in pairs
         ]
 
     def seek_group(self, ctx: _DecodeContext) -> None:
@@ -1054,19 +1068,30 @@ def decode_stripe(
     }
     row_index = {cid: full_index[cid][stripe_idx] for cid in included}
     ctx = _DecodeContext(st, row_index, is_compressed)
+    # dotted sub-paths group under their top-level name and prune the
+    # struct decode to the included subtree (subtree id sets of
+    # distinct top columns are disjoint, so the global include set is
+    # each decoder's include set)
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        output_columns,
+    )
+
+    outs = output_columns(columns)
     decoders = {
-        c: _build_decoder(ids[c], types, st, rr, meta["compression"])
-        for c in columns
+        c: _build_decoder(
+            ids[c], types, st, rr, meta["compression"], included
+        )
+        for c in outs
     }
 
-    out_cols: dict[str, list[Any]] = {c: [] for c in columns}
+    out_cols: dict[str, list[Any]] = {c: [] for c in outs}
     n_rows = 0
     for g, keep_g in enumerate(keep):
         if not keep_g:
             continue
         n = min(stride, st["numberOfRows"] - g * stride)
         ctx.group = g
-        for c in columns:
+        for c in outs:
             dec = decoders[c]
             dec.seek_group(ctx)
             out_cols[c].extend(dec.next(n))
@@ -1136,14 +1161,19 @@ def keep_all_picks(path: str) -> list[list[dict]]:
 def orc_schema_ddl(path: str, columns: list[str]) -> str:
     """Spark DDL schema for `columns` derived from one metadata-only
     tail parse of an ORC file (union -> the engine's tagged-struct
-    convention; char/varchar -> string, matching Spark's reader)."""
+    convention; char/varchar -> string, matching Spark's reader).
+    Dotted sub-paths render their top-level column as a PRUNED struct
+    carrying only the included fields (nested projection P2)."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
         _column_ids,
+        _included_ids,
+        output_columns,
     )
 
     meta = parse_tail_of_file(path)
     ids = _column_ids(meta)
     types = meta["types"]
+    included = _included_ids(meta, columns)
     spark_types = {
         "boolean": "boolean", "tinyint": "tinyint", "smallint": "smallint",
         "int": "int", "bigint": "bigint", "float": "float",
@@ -1170,6 +1200,7 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
             inner = ", ".join(
                 f"{fn}: {_sql_type(sub)}"
                 for fn, sub in zip(t["field_names"], t["subtypes"])
+                if sub in included
             )
             return f"struct<{inner}>"
         if t["kind"] == "union":
@@ -1180,7 +1211,9 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
             return f"struct<_tag: tinyint, {inner}>"
         return spark_types[t["kind"]]
 
-    return ", ".join(f"{c} {_sql_type(ids[c])}" for c in columns)
+    return ", ".join(
+        f"{c} {_sql_type(ids[c])}" for c in output_columns(columns)
+    )
 
 
 def file_prunes(path: str, tree: Any) -> dict:
@@ -1309,9 +1342,14 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     read_planned."""
     import pandas as pd
 
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        output_columns,
+    )
+
     if not paths:
         raise ValueError("read_planned_lake: empty file list")
     _ship_package(spark)
+    outs = output_columns(columns)
     schema = orc_schema_ddl(paths[0], columns)
     files_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
@@ -1326,7 +1364,7 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
             for path in pdf["path"]:
                 for res in m.scan_file(path, tree, columns):
                     yield pd.DataFrame(
-                        {c: res["columns"][c] for c in columns}
+                        {c: res["columns"][c] for c in outs}
                     )
 
     return files_df.mapInPandas(_scan, schema=schema)
@@ -1390,7 +1428,12 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
         plan_read_ranges,
     )
 
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        output_columns,
+    )
+
     _ship_package(spark)
+    outs = output_columns(columns)
     picks = pick_row_groups(path, tree)
     plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
     schema = orc_schema_ddl(path, columns)
@@ -1416,7 +1459,7 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
                     picks=picks, plan=plan,
                 )
                 yield pd.DataFrame(
-                    {c: res["columns"][c] for c in columns}
+                    {c: res["columns"][c] for c in outs}
                 )
 
     return stripes_df.mapInPandas(_decode, schema=schema)

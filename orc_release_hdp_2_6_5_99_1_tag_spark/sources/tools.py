@@ -156,14 +156,58 @@ def _column_ids(meta: dict) -> dict[str, int]:
     return ids
 
 
+def _resolve_dotted(meta: dict, col: str) -> list[int]:
+    """Resolve a (possibly dotted) column path to its column-id CHAIN,
+    top-level id first — the reference's include-path parse
+    (`mapred/OrcInputFormat.parseInclude` resolves names to ids the
+    same way; dots traverse STRUCT fields only, which is also the only
+    kind with field names)."""
+    types = meta["types"]
+    parts = col.split(".")
+    ids = _column_ids(meta)
+    if parts[0] not in ids:
+        raise KeyError(f"unknown column {parts[0]!r}; file has {sorted(ids)}")
+    chain = [ids[parts[0]]]
+    for p in parts[1:]:
+        t = types[chain[-1]]
+        if t["kind"] != "struct":
+            raise KeyError(
+                f"{col!r}: {t['kind']!r} has no named fields — dotted "
+                "paths traverse structs only"
+            )
+        if p not in t["field_names"]:
+            raise KeyError(
+                f"{col!r}: struct has fields {t['field_names']}, not {p!r}"
+            )
+        chain.append(t["subtypes"][t["field_names"].index(p)])
+    return chain
+
+
+def output_columns(columns: list[str]) -> list[str]:
+    """The result-column names for a projection list that may contain
+    dotted sub-paths: unique TOP-LEVEL names in first-appearance order
+    (requesting `cust.custkey` yields a pruned `cust` struct — the
+    reference reads a pruned schema, it does not flatten)."""
+    out: list[str] = []
+    for c in columns:
+        top = c.split(".")[0]
+        if top not in out:
+            out.append(top)
+    return out
+
+
 def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
-    """The subtree-closure of `columns` (None = every column) — the
-    reference's SchemaEvolution.getFileIncluded boolean[] semantics,
-    shared by plan_read_ranges and orc_memory."""
+    """The include-tree closure of `columns` (None = every column) —
+    the reference's SchemaEvolution.getFileIncluded boolean[]
+    semantics, shared by plan_read_ranges, orc_memory, and the
+    decoders. Entries may be dotted sub-paths (`cust.custkey`): the
+    closure then contains the leaf's subtree PLUS its struct ancestors
+    (structure/PRESENT only — ancestors' other children stay excluded,
+    which is the nested-projection IO win: P2, reference
+    `c++/include/orc/Reader.hh:260-281`)."""
     types = meta["types"]
     if columns is None:
         return set(range(len(types)))
-    ids = _column_ids(meta)
     included: set[int] = set()
 
     def _add(cid: int) -> None:
@@ -172,11 +216,9 @@ def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
             _add(sub)
 
     for c in columns:
-        if c not in ids:
-            raise KeyError(
-                f"unknown column {c!r}; file has {sorted(ids)}"
-            )
-        _add(ids[c])
+        chain = _resolve_dotted(meta, c)
+        included.update(chain[:-1])  # struct ancestors: PRESENT only
+        _add(chain[-1])  # the named column's whole subtree
     return included
 
 

@@ -733,3 +733,61 @@ def test_orc_native_nested_fuzz_roundtrip(spark, tmp_path, seed):
     assert len(got) == len(exp) == 400
     for g, x in zip(got, exp):
         assert g.asDict(recursive=True) == x.asDict(recursive=True)
+
+
+def test_orc_native_dotted_subpath_projection(spark, tmp_path):
+    """`columns` option accepts dotted sub-paths: the declared schema
+    is the PRUNED struct, values equal Spark's reader, and the audit
+    shows fewer bytes fetched than the full-struct read (the sibling
+    field's streams never enter the per-task plan)."""
+    import json as j
+    import glob as g
+
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    out = str(tmp_path / "dotted")
+    (
+        spark.range(6000)
+        .select(
+            "id",
+            F.struct(
+                (F.col("id") % 11).alias("a"),
+                F.sha2(F.col("id").cast("string"), 512).alias("big"),
+            ).alias("st"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .option("compression", "zlib")
+        .orc(out)
+    )
+
+    def run(cols, audit_dir):
+        df = (
+            spark.read.format("orc_native")
+            .option("path", out)
+            .option("columns", cols)
+            .option("audit_dir", audit_dir)
+            .load()
+            .filter(F.col("id") < 2000)
+        )
+        rows = df.orderBy("id").collect()
+        total = 0
+        for f in g.glob(os.path.join(audit_dir, "*.json")):
+            with open(f) as fh:
+                total = max(total, j.load(fh)["bytes_fetched"])
+        return df, rows, total
+
+    pruned_df, pruned, pruned_bytes = run("id,st.a", str(tmp_path / "a1"))
+    _, full, full_bytes = run("id,st", str(tmp_path / "a2"))
+    assert [f.name for f in pruned_df.schema["st"].dataType.fields] == ["a"]
+    assert pruned_bytes < 0.5 * full_bytes, (pruned_bytes, full_bytes)
+    assert len(pruned) == len(full) == 2000
+    for p, f in zip(pruned, full):
+        assert p["id"] == f["id"] and p["st"]["a"] == f["st"]["a"]

@@ -767,3 +767,86 @@ def test_read_planned_v011_decimal_schema(spark):
 
     non_null = [r["decimal1"] for r in rows if r["decimal1"] is not None]
     assert non_null and all(isinstance(v, Decimal) for v in non_null)
+
+
+def test_nested_field_include_prunes_siblings(spark, tmp_path):
+    """Dotted sub-path projection (nested include, P2 — reference
+    `c++/include/orc/Reader.hh:260-281`): requesting `st.a` must (1)
+    return a PRUNED struct with only field a, value-exact; (2) plan
+    and fetch FEWER bytes than the full-struct read — the sibling
+    field's streams never enter the plan; (3) raise the clear error
+    for unknown fields and non-struct traversal."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _included_ids,
+        plan_read_ranges,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    df = (
+        spark.range(4000)
+        .select(
+            "id",
+            F.struct(
+                (F.col("id") * 2).alias("a"),
+                # the heavy sibling the pruned read must never touch
+                F.sha2(F.col("id").cast("string"), 512).alias("big"),
+                F.when(F.col("id") % 4 != 1, F.col("id") % 9).alias("c"),
+            ).alias("st"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "ninc"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000},
+    )
+    meta = parse_tail_of_file(path)
+    # include closure: ancestors structure-only, sibling excluded
+    inc = _included_ids(meta, ["id", "st.a"])
+    full = _included_ids(meta, ["id", "st"])
+    assert inc < full  # strictly smaller: big + c excluded
+    tree = ("between", "id", [1000, 1999])
+    pruned_plan = plan_read_ranges(path, tree, columns=["id", "st.a"])
+    full_plan = plan_read_ranges(path, tree, columns=["id", "st"])
+    assert sum(p["bytes_planned"] for p in pruned_plan) < 0.5 * sum(
+        p["bytes_planned"] for p in full_plan
+    )
+    # decode: values exact, schema pruned, fetch matches the plan
+    res = sd.decode_stripe(path, 0, tree, ["id", "st.a"])
+    assert res["bytes_fetched"] == pruned_plan[0]["bytes_planned"]
+    exp = _pyarrow_columns(path, ["id", "st"])
+    sel = [i for i in range(res["n_rows"])
+           if 1000 <= res["columns"]["id"][i] <= 1999]
+    idx = [i for i, v in enumerate(exp["id"]) if 1000 <= v <= 1999]
+    got_st = [res["columns"]["st"][i] for i in sel]
+    want_st = [
+        None if exp["st"][i] is None else {"a": exp["st"][i]["a"]}
+        for i in idx
+    ]
+    assert got_st == want_st
+    # distributed surface: pruned DDL + values through read_planned
+    got = (
+        sd.read_planned(spark, path, tree, ["id", "st.a", "st.c"])
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 1999))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        spark.read.orc(path)
+        .select("id", F.struct("st.a", "st.c").alias("st"))
+        .filter((F.col("id") >= 1000) & (F.col("id") <= 1999))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.asDict(recursive=True) for r in got] == [
+        r.asDict(recursive=True) for r in want
+    ]
+    # loud errors, not silent full reads
+    with _pt.raises(KeyError, match="struct has fields"):
+        _included_ids(meta, ["st.nope"])
+    with _pt.raises(KeyError, match="structs only"):
+        _included_ids(meta, ["id.x"])
