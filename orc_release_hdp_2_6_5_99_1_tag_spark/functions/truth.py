@@ -386,6 +386,18 @@ def pick_row_groups(path: str, tree: Any, use_bloom: bool = True) -> list[list[d
     kinds = {c["name"]: c["kind"] for c in meta["columns"]}
     orc135 = meta.get("writer_version", 0) >= 6  # see explain_file_pruning
     cols = sorted(_tree_columns(tree))
+    # dotted SArg leaves ("st.a"): every column id — nested included —
+    # has its own ROW_INDEX (and bloom, when written), so nested
+    # predicates prune row groups exactly like top-level ones
+    for c in cols:
+        if "." in c and c not in ids:
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+                _resolve_dotted,
+            )
+
+            cid = _resolve_dotted(meta, c)[-1]
+            ids[c] = cid
+            kinds[c] = meta["types"][cid]["kind"]
     row_index = {c: parse_row_index(path, ids[c]) for c in cols}
     blooms = (
         {c: parse_bloom_index(path, ids[c]) for c in cols} if use_bloom else {}

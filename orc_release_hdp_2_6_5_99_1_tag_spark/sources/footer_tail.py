@@ -481,6 +481,11 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
         "writer_version": ps["writerVersion"],
         "compression_block_size": ps["compressionBlockSize"],
         "columns": columns,
+        # the FULL per-id footer statistics (Footer.statistics is
+        # indexed by column id incl. nested fields) — what nested
+        # SArg leaves ("st.a") evaluate at the file level; `columns`
+        # above carries the top-level slice merged in
+        "footer_stats": stats,
         # the FULL flattened type tree, indexed by column id (0 = root
         # struct): what nested-type consumers (stream_decode's
         # composite readers, subtree IO planning) walk; `columns`

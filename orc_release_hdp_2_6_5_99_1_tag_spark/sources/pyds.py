@@ -503,9 +503,13 @@ def _build_orc_native_class():
             inner = _leaf(f.child)
             return None if inner is None else ("not", inner)
         attr = getattr(f, "attribute", None)
-        if not attr or len(attr) != 1:
-            return None  # nested fields: not prunable here
-        col = attr[0]
+        if not attr:
+            return None
+        # nested field references arrive as multi-part attributes —
+        # join to the engine's dotted-path form (every column id has
+        # its own ROW_INDEX/footer stats, so nested leaves prune like
+        # top-level ones; resolution in tools._resolve_dotted)
+        col = ".".join(attr)
         if getattr(f, "value", False) is None:
             return None  # null comparison literals never prune
         if isinstance(f, EqualTo):

@@ -1227,6 +1227,7 @@ def file_prunes(path: str, tree: Any) -> dict:
 def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
     from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
         UNKNOWN_VALUE,
+        _tree_columns,
         evaluate_tree,
         keeps_unit,
         stats_to_domain,
@@ -1246,6 +1247,27 @@ def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
             }  # fmt: skip
         else:
             stats[c["name"]] = stats_to_domain(c["kind"], c)
+    # dotted SArg leaves ("st.a"): Footer.statistics is per column id
+    # INCLUDING nested fields, so nested predicates prune whole files
+    # exactly like top-level ones
+    for name in _tree_columns(tree):
+        if "." not in name:
+            continue
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+            _resolve_dotted,
+        )
+
+        cid = _resolve_dotted(meta, name)[-1]
+        kinds[name] = meta["types"][cid]["kind"]
+        fs = meta.get("footer_stats") or []
+        entry = fs[cid] if cid < len(fs) else {}
+        if entry.get("n_values") is None:
+            stats[name] = {
+                "min": UNKNOWN_VALUE, "max": UNKNOWN_VALUE,
+                "has_null": None, "n_values": None,
+            }  # fmt: skip
+        else:
+            stats[name] = stats_to_domain(kinds[name], entry)
     tv = evaluate_tree(
         tree, stats, col_types=kinds,
         writer_has_orc135=meta.get("writer_version", 0) >= 6,

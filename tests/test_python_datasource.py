@@ -791,3 +791,62 @@ def test_orc_native_dotted_subpath_projection(spark, tmp_path):
     assert len(pruned) == len(full) == 2000
     for p, f in zip(pruned, full):
         assert p["id"] == f["id"] and p["st"]["a"] == f["st"]["a"]
+
+
+def test_orc_native_nested_filter_pushdown(spark, tmp_path):
+    """Spark DOES deliver multi-part attributes through pushFilters
+    (probed live on this build): a Catalyst filter on st.a joins to
+    the engine's dotted-path SArg, prunes row groups via the FIELD's
+    own ROW_INDEX (audit-proven), and Spark's residual filter keeps
+    the rows exact."""
+    import glob as g
+    import json as j
+
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    out = str(tmp_path / "npush")
+    (
+        spark.range(6000)
+        .select(
+            "id",
+            F.struct(
+                F.col("id").alias("a"),
+                F.sha2(F.col("id").cast("string"), 256).alias("big"),
+            ).alias("st"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .option("compression", "zlib")
+        .orc(out)
+    )
+    audit = str(tmp_path / "audit")
+    rows = (
+        spark.read.format("orc_native")
+        .option("path", out)
+        .option("columns", "id,st.a")
+        .option("audit_dir", audit)
+        .load()
+        .filter((F.col("st.a") >= 2000) & (F.col("st.a") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    exp = (
+        spark.read.orc(out)
+        .filter((F.col("st.a") >= 2000) & (F.col("st.a") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    assert len(rows) == len(exp) == 1000
+    assert rows[0]["st"].asDict() == {"a": 2000}  # pruned struct
+    assert [r["id"] for r in rows] == [r["id"] for r in exp]
+    audits = [j.load(open(f)) for f in g.glob(os.path.join(audit, "*.json"))]
+    assert audits and all(
+        a["groups_decoded"] < a["groups_total"] for a in audits
+    ), f"nested-leaf pushdown did not prune: {audits}"

@@ -850,3 +850,59 @@ def test_nested_field_include_prunes_siblings(spark, tmp_path):
         _included_ids(meta, ["st.nope"])
     with _pt.raises(KeyError, match="structs only"):
         _included_ids(meta, ["id.x"])
+
+
+def test_nested_sarg_leaf_prunes_groups_and_files(spark, tmp_path):
+    """SArg leaves on dotted sub-paths ("st.a"): every column id —
+    nested fields included — has its own footer stats and ROW_INDEX,
+    so a predicate on a struct field prunes at BOTH levels: whole
+    files via Footer.statistics[cid] and row groups via the field's
+    own index entries. Values stay exact against Spark's reader."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+
+    df = (
+        spark.range(6000)
+        .select(
+            "id",
+            F.struct(
+                F.col("id").alias("a"),  # sorted -> disjoint rg ranges
+                F.sha2(F.col("id").cast("string"), 256).alias("big"),
+            ).alias("st"),
+        )
+        .orderBy("id")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "nsarg"),
+        **{"compression": "zlib", "orc.row.index.stride": 1000},
+    )
+    tree = ("between", "st.a", [2000, 2999])
+    picks = pick_row_groups(path, tree)
+    kept = sum(sum(1 for d in per if d["keep"]) for per in picks)
+    total = sum(len(per) for per in picks)
+    assert kept < total, "nested-leaf row-group pruning did not engage"
+    # file-level: a matching range keeps, a disjoint range skips
+    assert sd.file_prunes(path, tree)["keep"] is True
+    assert sd.file_prunes(path, ("between", "st.a", [10**7, 10**7 + 5]))[
+        "keep"
+    ] is False
+    got = (
+        sd.read_planned(spark, path, tree, ["id", "st.a"])
+        .filter((F.col("st.a") >= 2000) & (F.col("st.a") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        spark.read.orc(path)
+        .select("id", F.struct("st.a").alias("st"))
+        .filter((F.col("st.a") >= 2000) & (F.col("st.a") <= 2999))
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == 1000
+    assert [r.asDict(recursive=True) for r in got] == [
+        r.asDict(recursive=True) for r in want
+    ]
