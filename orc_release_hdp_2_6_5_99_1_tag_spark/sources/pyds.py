@@ -556,7 +556,13 @@ def _build_orc_native_class():
         files = sorted(glob.glob(os.path.join(path, "*.orc")))
         if not files:
             raise FileNotFoundError(f"no .orc files under {path}")
-        return files[0], parse_tail_of_file(files[0])
+        # evolved lakes (C1): the READER schema comes from one
+        # representative file — by default the first by name; when the
+        # lake's oldest file predates an added column, point
+        # schema_file at any post-evolution file (per-file missing
+        # columns then null-fill in the tasks, scan_file_evolved)
+        first = options.get("schema_file") or files[0]
+        return first, parse_tail_of_file(first)
 
     class OrcNativeReader(DataSourceReader):
         def __init__(self, options: dict, first=None, meta=None):
@@ -629,7 +635,9 @@ def _build_orc_native_class():
             audit = {"file": os.path.basename(path)}
             schema = self._schema
             outs = output_columns(self._columns)
-            for res in m.scan_file(path, self._tree, self._columns, audit):
+            for res in m.scan_file_evolved(
+                path, self._tree, self._columns, audit
+            ):
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(res["columns"][c], type=schema.field(c).type)

@@ -1341,6 +1341,60 @@ def scan_file(path: str, tree: Any, columns: list[str],
         yield res
 
 
+def scan_file_evolved(path: str, tree: Any, columns: list[str],
+                      audit: dict | None = None):
+    """scan_file + NAME-BASED schema evolution (C1, reference
+    `SchemaEvolution.java:460-514` name mapping + missing-column
+    null-fill): a requested top-level column absent from THIS file's
+    schema — the classic added-a-column-later lake — yields typed
+    NULLs instead of a KeyError, so one reader schema scans a mixed
+    lake. Semantics per the reference:
+
+    - missing columns read as all-NULL for that file;
+    - a predicate that references a missing column cannot prune this
+      file (its value domain is all-NULL here) — the file falls back
+      to a keep-all scan and the caller's RESIDUAL row filter does
+      the dropping (NULL comparisons are never true), so results
+      stay exact;
+    - a dotted path whose TOP column is missing null-fills the whole
+      pruned struct; a present top with a missing FIELD stays a loud
+      error (field-level evolution is the Spark-surface C1 query's
+      job — this is the lake-scan read path).
+
+    Output keys are output_columns(columns) — identical to scan_file."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        _tree_columns,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        output_columns,
+    )
+
+    meta = parse_tail_of_file(path)
+    have = {c["name"] for c in meta["columns"]}
+    if not have and meta["types"][0]["kind"] != "struct":
+        have = {"_root"}
+    outs = output_columns(columns)
+    present = [c for c in columns if c.split(".")[0] in have]
+    missing = [c for c in outs if c not in have]
+    if not present:
+        raise ValueError(
+            f"{path}: none of the requested columns {outs} exist in "
+            f"this file (has {sorted(have)}) — not an evolution of the "
+            "reader schema"
+        )
+    eff_tree = tree
+    if tree is not None and any(
+        c.split(".")[0] not in have for c in _tree_columns(tree)
+    ):
+        eff_tree = None  # cannot prune on an all-NULL domain: keep all
+        if audit is not None:
+            audit["evolution_keep_all"] = True
+    for res in scan_file(path, eff_tree, present, audit):
+        for c in missing:
+            res["columns"][c] = [None] * res["n_rows"]
+        yield res
+
+
 def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     """Lake-scale planned partial read: ONE Spark task per FILE — the
     unit the reference plans at (one RecordReader per file/split) and
@@ -1372,6 +1426,9 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
         raise ValueError("read_planned_lake: empty file list")
     _ship_package(spark)
     outs = output_columns(columns)
+    # reader schema from paths[0]: on an evolved lake, order the list
+    # so a file carrying every requested column comes first (missing
+    # columns in OTHER files null-fill per file — scan_file_evolved)
     schema = orc_schema_ddl(paths[0], columns)
     files_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
@@ -1384,7 +1441,10 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
 
         for pdf in batches:
             for path in pdf["path"]:
-                for res in m.scan_file(path, tree, columns):
+                # per-file name-based evolution: missing columns
+                # null-fill, predicates on them disable pruning for
+                # that file only (residual filter stays exact)
+                for res in m.scan_file_evolved(path, tree, columns):
                     yield pd.DataFrame(
                         {c: res["columns"][c] for c in outs}
                     )

@@ -850,3 +850,51 @@ def test_orc_native_nested_filter_pushdown(spark, tmp_path):
     assert audits and all(
         a["groups_decoded"] < a["groups_total"] for a in audits
     ), f"nested-leaf pushdown did not prune: {audits}"
+
+
+def test_orc_native_evolved_lake_schema_file(spark, tmp_path):
+    """orc_native over a mixed-schema lake: schema_file names a
+    post-evolution file for the READER schema; the pre-evolution
+    file's rows null-fill the added column (C1 null-fill through the
+    DataSource surface)."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (
+        spark.range(1000).select("id", (F.col("id") % 5).alias("v"))
+        .coalesce(1).write.option("orc.row.index.stride", "1000")
+        .orc(str(tmp_path / "w_old"))
+    )
+    (
+        spark.range(1000, 2000)
+        .select("id", (F.col("id") % 5).alias("v"),
+                F.md5(F.col("id").cast("string")).alias("added"))
+        .coalesce(1).write.option("orc.row.index.stride", "1000")
+        .orc(str(tmp_path / "w_new"))
+    )
+    import glob as g
+    import shutil
+
+    old_f = g.glob(str(tmp_path / "w_old" / "*.orc"))[0]
+    new_f = g.glob(str(tmp_path / "w_new" / "*.orc"))[0]
+    shutil.copy(old_f, lake / "a_old.orc")
+    shutil.copy(new_f, lake / "b_new.orc")
+    rows = (
+        spark.read.format("orc_native")
+        .option("path", str(lake))
+        .option("schema_file", str(lake / "b_new.orc"))
+        .option("columns", "id,v,added")
+        .load()
+        .orderBy("id")
+        .collect()
+    )
+    assert len(rows) == 2000
+    assert all(r["added"] is None for r in rows[:1000])
+    assert all(r["added"] is not None for r in rows[1000:])
+    assert [r["id"] for r in rows] == list(range(2000))

@@ -906,3 +906,59 @@ def test_nested_sarg_leaf_prunes_groups_and_files(spark, tmp_path):
     assert [r.asDict(recursive=True) for r in got] == [
         r.asDict(recursive=True) for r in want
     ]
+
+
+def test_scan_file_evolved_mixed_lake(spark, tmp_path):
+    """Name-based schema evolution on the lake read path (C1,
+    `SchemaEvolution.java:460-514` null-fill semantics): a lake where
+    file A predates an added column — requested columns missing from
+    a file yield typed NULLs for its rows; a PREDICATE on the missing
+    column disables pruning for that file only (all-NULL domain) and
+    the residual filter keeps results exact."""
+    import pyspark.sql.functions as F
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    (
+        spark.range(2000).select("id", (F.col("id") % 7).alias("v"))
+        .orderBy("id")
+        .coalesce(1)
+        .write.option("orc.row.index.stride", "1000").orc(old)
+    )
+    (
+        spark.range(2000, 4000)
+        .select(
+            "id", (F.col("id") % 7).alias("v"),
+            (F.col("id") * 10).alias("added"),
+        )
+        .orderBy("id")
+        .coalesce(1)
+        .write.option("orc.row.index.stride", "1000").orc(new)
+    )
+    import glob as g
+
+    paths = sorted(g.glob(new + "/*.orc")) + sorted(g.glob(old + "/*.orc"))
+    # 1) projection only: old file's `added` null-fills
+    got = (
+        sd.read_planned_lake(spark, paths, None, ["id", "added"])
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == 4000
+    assert all(r["added"] is None for r in got[:2000])
+    assert all(r["added"] == r["id"] * 10 for r in got[2000:])
+    # 2) predicate on the missing column: old file keeps-all (cannot
+    # prune an all-NULL domain), residual drops its rows — exact
+    tree = ("between", "added", [25000, 29990])
+    audit: dict = {}
+    rows = []
+    for pth in paths:
+        for res in sd.scan_file_evolved(pth, tree, ["id", "added"], dict(audit)):
+            rows.extend(zip(res["columns"]["id"], res["columns"]["added"]))
+    kept = [(i, a) for i, a in rows if a is not None and 25000 <= a <= 29990]
+    assert len(kept) == 500 and all(a == i * 10 for i, a in kept)
+    # 3) no requested column exists at all -> loud error
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an evolution"):
+        list(sd.scan_file_evolved(paths[-1], None, ["nope"]))
