@@ -191,7 +191,6 @@ def _build() -> None:
     # totals in comments drift (this one once said 177 when the
     # registry held 178).
     #
-    # rotated out round 8 (driver-green in CORRECTNESS_r07):
     # rotated out round 11 (driver-green in CORRECTNESS_r10): the r10
     # additions + the r10 refresh tiers, all verdict-fresh
     register("v9_hybrid_rrf", sim.v9_hybrid_rrf, sim.V9_ORACLE, graded=False)

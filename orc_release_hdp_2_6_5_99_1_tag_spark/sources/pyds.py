@@ -456,13 +456,15 @@ def _build_orc_native_class():
         )
 
     def _top_ids(meta):
-        """name -> column id for top-level columns, incl. the
-        non-struct-root `_root` convention the rest of the metadata
-        stack shares (tools._column_ids)."""
-        ids = {c["name"]: c["col_id"] for c in meta["columns"]}
-        if not ids and meta["types"][0]["kind"] != "struct":
-            ids = {"_root": 0}
-        return ids
+        """name -> column id for top-level columns — the shared
+        tools._column_ids (imported at call time: the package ships to
+        workers whole, so there is no pickling reason to duplicate the
+        _root convention here)."""
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+            _column_ids,
+        )
+
+        return _column_ids(meta)
 
     def _default_columns(meta):
         """columns option omitted: every top-level column whose type
@@ -476,9 +478,12 @@ def _build_orc_native_class():
                 continue
             cols.append(name)
         if not cols:
+            kinds = [
+                meta["types"][cid]["kind"] for cid in _top_ids(meta).values()
+            ]
             raise ValueError(
                 "orc_native: no arrow-mappable top-level columns "
-                f"(kinds: {[t['kind'] for t in meta['types'][1:2]]})"
+                f"(kinds: {kinds})"
             )
         return cols
 

@@ -1251,8 +1251,8 @@ def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
     # INCLUDING nested fields, so nested predicates prune whole files
     # exactly like top-level ones
     for name in _tree_columns(tree):
-        if "." not in name:
-            continue
+        if "." not in name or name in kinds:
+            continue  # top-level (incl. literal-dot names): covered above
         from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
             _resolve_dotted,
         )
@@ -1276,7 +1276,7 @@ def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
 
 
 def scan_file(path: str, tree: Any, columns: list[str],
-              audit: dict | None = None):
+              audit: dict | None = None, meta: dict | None = None):
     """The shared per-file three-level scan (one place to keep the
     pruning pipeline honest — read_planned_lake and the orc_native
     DataSource both drive it): level-1 file-stats keep/skip, level-2
@@ -1301,7 +1301,8 @@ def scan_file(path: str, tree: Any, columns: list[str],
     audit.setdefault("groups_decoded", 0)
     audit.setdefault("groups_total", 0)
     audit.setdefault("bytes_fetched", 0)
-    meta = parse_tail_of_file(path)
+    if meta is None:
+        meta = parse_tail_of_file(path)
     if not meta["row_index_stride"]:
         raise ValueError(
             f"{path}: no row index; cannot plan a partial read"
@@ -1389,7 +1390,8 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
         eff_tree = None  # cannot prune on an all-NULL domain: keep all
         if audit is not None:
             audit["evolution_keep_all"] = True
-    for res in scan_file(path, eff_tree, present, audit):
+    # reuse the tail parse above — one metadata read per file, not two
+    for res in scan_file(path, eff_tree, present, audit, meta=meta):
         for c in missing:
             res["columns"][c] = [None] * res["n_rows"]
         yield res

@@ -163,10 +163,14 @@ def _resolve_dotted(meta: dict, col: str) -> list[int]:
     same way; dots traverse STRUCT fields only, which is also the only
     kind with field names)."""
     types = meta["types"]
-    parts = col.split(".")
     ids = _column_ids(meta)
+    if col in ids:
+        # exact top-level match wins — a literal '.' in a column name
+        # is legal ORC and must not force struct traversal
+        return [ids[col]]
+    parts = col.split(".")
     if parts[0] not in ids:
-        raise KeyError(f"unknown column {parts[0]!r}; file has {sorted(ids)}")
+        raise KeyError(f"unknown column {col!r}; file has {sorted(ids)}")
     chain = [ids[parts[0]]]
     for p in parts[1:]:
         t = types[chain[-1]]
@@ -191,6 +195,10 @@ def output_columns(columns: list[str]) -> list[str]:
     out: list[str] = []
     for c in columns:
         top = c.split(".")[0]
+        # NOTE: a requested name that exactly matches a real top-level
+        # column (even one containing '.') is resolved whole by
+        # _resolve_dotted; this prefix split only matters for true
+        # sub-paths, where the top segment is the output column
         if top not in out:
             out.append(top)
     return out
