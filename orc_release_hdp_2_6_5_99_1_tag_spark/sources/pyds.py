@@ -619,7 +619,7 @@ def _build_orc_native_class():
             # raises the clear unknown-column/field error
             included = _included_ids(meta, self._columns)
             fields = []
-            for c in output_columns(self._columns):
+            for c in output_columns(self._columns, meta):
                 fields.append((c, _pa_type(meta["types"], ids[c], included)))
             return pa.schema(fields)
 
@@ -632,14 +632,12 @@ def _build_orc_native_class():
                 stream_decode as m,
             )
 
-            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
-                output_columns,
-            )
-
             path = partition.value
             audit = {"file": os.path.basename(path)}
             schema = self._schema
-            outs = output_columns(self._columns)
+            # the arrow schema's field names ARE the output names
+            # (exact-match-aware; built once on the driver)
+            outs = schema.names
             for res in m.scan_file_evolved(
                 path, self._tree, self._columns, audit
             ):

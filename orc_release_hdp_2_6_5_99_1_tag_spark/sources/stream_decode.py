@@ -1076,7 +1076,7 @@ def decode_stripe(
         output_columns,
     )
 
-    outs = output_columns(columns)
+    outs = output_columns(columns, meta)
     decoders = {
         c: _build_decoder(
             ids[c], types, st, rr, meta["compression"], included
@@ -1212,7 +1212,7 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
         return spark_types[t["kind"]]
 
     return ", ".join(
-        f"{c} {_sql_type(ids[c])}" for c in output_columns(columns)
+        f"{c} {_sql_type(ids[c])}" for c in output_columns(columns, meta)
     )
 
 
@@ -1374,8 +1374,9 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     have = {c["name"] for c in meta["columns"]}
     if not have and meta["types"][0]["kind"] != "struct":
         have = {"_root"}
-    outs = output_columns(columns)
-    present = [c for c in columns if c.split(".")[0] in have]
+    outs = output_columns(columns, meta)
+    top_of = lambda c: c if c in have else c.split(".")[0]  # noqa: E731
+    present = [c for c in columns if top_of(c) in have]
     missing = [c for c in outs if c not in have]
     if not present:
         raise ValueError(
@@ -1385,7 +1386,7 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
         )
     eff_tree = tree
     if tree is not None and any(
-        c.split(".")[0] not in have for c in _tree_columns(tree)
+        top_of(c) not in have for c in _tree_columns(tree)
     ):
         eff_tree = None  # cannot prune on an all-NULL domain: keep all
         if audit is not None:
@@ -1427,7 +1428,7 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     if not paths:
         raise ValueError("read_planned_lake: empty file list")
     _ship_package(spark)
-    outs = output_columns(columns)
+    outs = output_columns(columns, parse_tail_of_file(paths[0]))
     # reader schema from paths[0]: on an evolved lake, order the list
     # so a file carrying every requested column comes first (missing
     # columns in OTHER files null-fill per file — scan_file_evolved)
@@ -1517,7 +1518,7 @@ def read_planned(spark, path: str, tree: Any, columns: list[str]):
     )
 
     _ship_package(spark)
-    outs = output_columns(columns)
+    outs = output_columns(columns, parse_tail_of_file(path))
     picks = pick_row_groups(path, tree)
     plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
     schema = orc_schema_ddl(path, columns)

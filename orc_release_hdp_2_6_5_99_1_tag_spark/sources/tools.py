@@ -187,18 +187,19 @@ def _resolve_dotted(meta: dict, col: str) -> list[int]:
     return chain
 
 
-def output_columns(columns: list[str]) -> list[str]:
+def output_columns(columns: list[str], meta: dict | None = None) -> list[str]:
     """The result-column names for a projection list that may contain
     dotted sub-paths: unique TOP-LEVEL names in first-appearance order
     (requesting `cust.custkey` yields a pruned `cust` struct — the
-    reference reads a pruned schema, it does not flatten)."""
+    reference reads a pruned schema, it does not flatten). Pass `meta`
+    wherever a tail parse is at hand: a requested name that exactly
+    matches a real top-level column — legal ORC names may contain a
+    literal '.' — then passes through WHOLE instead of being split
+    (the same exact-match-wins rule as _resolve_dotted)."""
+    ids = _column_ids(meta) if meta is not None else {}
     out: list[str] = []
     for c in columns:
-        top = c.split(".")[0]
-        # NOTE: a requested name that exactly matches a real top-level
-        # column (even one containing '.') is resolved whole by
-        # _resolve_dotted; this prefix split only matters for true
-        # sub-paths, where the top segment is the output column
+        top = c if c in ids else c.split(".")[0]
         if top not in out:
             out.append(top)
     return out

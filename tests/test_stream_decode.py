@@ -962,3 +962,40 @@ def test_scan_file_evolved_mixed_lake(spark, tmp_path):
 
     with _pt.raises(ValueError, match="not an evolution"):
         list(sd.scan_file_evolved(paths[-1], None, ["nope"]))
+
+
+def test_literal_dot_column_name_resolves_whole(spark, tmp_path):
+    """A top-level column whose NAME contains a literal dot (legal
+    ORC) must resolve as itself — never be misread as a struct
+    traversal (the dotted-path feature's one ambiguity, pinned after
+    a review repro)."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _included_ids,
+        _resolve_dotted,
+    )
+
+    df = spark.range(2000).select(
+        "id", (F.col("id") % 7).alias("a.b")
+    )
+    path = _write_one_orc(
+        spark, df, str(tmp_path / "dotname"),
+        **{"orc.row.index.stride": 1000},
+    )
+    meta = parse_tail_of_file(path)
+    assert len(_resolve_dotted(meta, "a.b")) == 1  # whole, not a chain
+    assert _included_ids(meta, ["a.b"]) < _included_ids(meta, None)
+    res = sd.decode_stripe(
+        path, 0, ("less_than", "id", 1000), ["id", "a.b"]
+    )
+    sel = [i for i in range(res["n_rows"]) if res["columns"]["id"][i] < 1000]
+    assert [res["columns"]["a.b"][i] for i in sel] == [
+        i % 7 for i in range(1000)
+    ]
+    # file-level pruning on the literal-dot name uses its own stats
+    assert sd.file_prunes(path, ("less_than", "a.b", 100))["keep"] is True
+    assert sd.file_prunes(path, ("less_than", "a.b", -5))["keep"] is False
