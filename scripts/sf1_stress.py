@@ -216,7 +216,7 @@ def main() -> None:
             "## sf1 stress — round-11 bucketed-merge head-to-head (t2 vs t9)",
             "",
             "Same fixture; t9 is t2's merge through"
-            " merged_view(strategy="bucketed"): one exchange keyed by"
+            " merged_view(strategy='bucketed'): one exchange keyed by"
             " (bucket, _sub) — the reference's physical bucket unit plus"
             " a rowId sub-split for parallelism — with the window"
             " clustering satisfied by that partitioning (no second"
