@@ -1,0 +1,371 @@
+"""Native-read-path schema evolution: reader-schema election and
+per-file conversion planning (round-11 verdict Next #2/#3).
+
+The reference builds a per-file mapping from a caller-supplied READER
+schema to each file's own schema (`SchemaEvolution.java:38-130`,
+`buildConversion:335`): a reader column missing from the file reads
+as NULL (`TreeReaderFactory.java:255-288`, NullTreeReader), a file
+column whose type safely widens into the reader's is read through a
+convert layer (`ConvertTreeReaderFactory.java:401-2100`), and a SArg
+on an unsafely-converted column must not prune
+(`SchemaEvolution.isPPDSafeConversion:222-260`).
+
+This module supplies the Spark-first equivalents for the engine's
+pure-Python decode tier:
+
+- **election** (`elect_reader_path`): instead of demanding a caller
+  hint (`paths[0]` ordering / a `schema_file` option), pick the
+  reader schema automatically — the file whose schema is a
+  (lossless-widening) SUPERTYPE of every other file's. One ranged
+  tail read per file; dedup by schema signature first, so the
+  compare runs over the handful of DISTINCT schemas a real lake has
+  (its generations), not over its million files.
+- **conversion** (`make_converter`): a per-column value fixup.
+  Because the decoders emit plain Python values, the int-family /
+  float→double / char→string widenings are identity at this layer
+  (the Arrow/DDL boundary applies the reader type); what materializes
+  is struct-field NULL-fill and decimal rescale.
+- **PPD safety** (`ppd_safe`, `tree_prunable`): reference parity —
+  identity (decimal: exact precision+scale equality), tinyint→
+  {smallint,int,bigint}, smallint→{int,bigint}, int→bigint,
+  string↔varchar. float→double is NOT safe (the reference's index
+  stores floats as doubles, so equality literals diverge) and char
+  is never safe (padded in the index).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+_INT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _dec_ps(t: dict) -> tuple[int, int]:
+    """(precision, scale) with the v0.11 defaults the decode tier and
+    orc_schema_ddl already pin: (38, 6)."""
+    p = t["precision"] if t["precision"] is not None else 38
+    s = t["scale"] if t["scale"] is not None else 6
+    return p, s
+
+
+def _widens(ft: dict, rt: dict) -> bool:
+    """May a FILE primitive be read as the READER primitive with no
+    loss? The election lattice: int family upward, float→double,
+    char/varchar→string."""
+    fk, rk = ft["kind"], rt["kind"]
+    if fk in _INT_ORDER and rk in _INT_ORDER:
+        return _INT_ORDER[fk] < _INT_ORDER[rk]
+    if fk == "float" and rk == "double":
+        return True
+    if fk in ("char", "varchar") and rk == "string":
+        return True
+    return False
+
+
+def type_covers(r_types: list, r_cid: int, f_types: list, f_cid: int) -> bool:
+    """Can the reader type at r_cid represent EVERY value of the file
+    type at f_cid? Structs match fields by NAME (the reader may add
+    fields — that is the evolution); list/map/union match children
+    positionally; primitives by identity or lossless widening."""
+    rt, ft = r_types[r_cid], f_types[f_cid]
+    rk, fk = rt["kind"], ft["kind"]
+    if rk != fk:
+        return _widens(ft, rt)
+    if rk == "struct":
+        r_by = dict(zip(rt["field_names"], rt["subtypes"]))
+        return all(
+            fn in r_by and type_covers(r_types, r_by[fn], f_types, f_sub)
+            for fn, f_sub in zip(ft["field_names"], ft["subtypes"])
+        )
+    if rk == "list":
+        return type_covers(r_types, rt["subtypes"][0], f_types, ft["subtypes"][0])
+    if rk in ("map", "union"):
+        return len(rt["subtypes"]) == len(ft["subtypes"]) and all(
+            type_covers(r_types, r_sub, f_types, f_sub)
+            for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])
+        )
+    if rk == "decimal":
+        rp, rs = _dec_ps(rt)
+        fp, fs = _dec_ps(ft)
+        return rs >= fs and (rp - rs) >= (fp - fs)
+    return True
+
+
+def covers(reader_meta: dict, file_meta: dict) -> bool:
+    """Reader schema can represent every column of the file —
+    name-based, recursive, lossless widening allowed."""
+    return type_covers(reader_meta["types"], 0, file_meta["types"], 0)
+
+
+def schema_signature(meta: dict) -> str:
+    """Canonical JSON of the type tree — equal signatures mean equal
+    schemas, so a lake dedups to its distinct generations before any
+    O(n²) cover comparison."""
+    import json
+
+    return json.dumps(
+        [
+            {
+                k: t[k]
+                for k in ("kind", "subtypes", "field_names", "precision", "scale")
+            }
+            for t in meta["types"]
+        ],
+        separators=(",", ":"),
+    )
+
+
+def _elect(cands: list[tuple[str, dict]]) -> tuple[str, dict]:
+    for p, meta in cands:
+        if all(covers(meta, other) for _, other in cands):
+            return p, meta
+    kinds = sorted({schema_signature(m)[:120] for _, m in cands})
+    raise ValueError(
+        f"no file schema covers the whole lake ({len(cands)} distinct "
+        "schemas, none a widening-supertype of the others — sibling "
+        f"evolutions?): {kinds}. Pass an explicit reader schema file."
+    )
+
+
+def elect_reader_path(
+    paths: list[str], metas: dict[str, dict] | None = None
+) -> tuple[str, dict]:
+    """Driver-side election: parse every tail (one ranged read each —
+    the same read the per-file task repeats anyway), dedup by schema
+    signature, return (path, meta) of a file whose schema covers all.
+    For lakes too large for a driver-side tail sweep, use
+    `elect_reader_meta(paths, spark=...)`, which distributes the tail
+    parses and collects only the DISTINCT signatures."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+
+    if not paths:
+        raise ValueError("elect_reader_path: empty file list")
+    distinct: dict[str, tuple[str, dict]] = {}
+    for p in paths:
+        meta = metas[p] if metas is not None else parse_tail_of_file(p)
+        sig = schema_signature(meta)
+        distinct.setdefault(sig, (p, meta))
+    cands = list(distinct.values())
+    if len(cands) == 1:
+        return cands[0]
+    return _elect(cands)
+
+
+def elect_reader_meta(
+    paths: list[str], spark=None, threshold: int = 64
+) -> tuple[str, dict]:
+    """Election that scales past a driver-side tail sweep: above
+    `threshold` files (and given a SparkSession), one task per file
+    parses ITS OWN tail and ships back only (path, schema signature);
+    the driver sees one representative path per DISTINCT schema — a
+    model-sized set (a lake's generations), never O(files) — and
+    elects among those. Below the threshold the plain driver loop is
+    cheaper than a job."""
+    if spark is None or len(paths) <= threshold:
+        return elect_reader_path(paths)
+
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        _ship_package,
+    )
+
+    _ship_package(spark)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 256))
+
+    def _sig(batches):
+        import pandas as pd
+
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+            evolution_native as evo,
+        )
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+            parse_tail_of_file as ptf,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "sig": [
+                        evo.schema_signature(ptf(p)) for p in pdf["path"]
+                    ],
+                }
+            )
+
+    reps = (
+        files_df.mapInPandas(_sig, "path string, sig string")
+        .groupBy("sig")
+        .agg(F.min("path").alias("path"))
+        .collect()
+    )
+    cands = [(r["path"], parse_tail_of_file(r["path"])) for r in reps]
+    if len(cands) == 1:
+        return cands[0]
+    return _elect(cands)
+
+
+def ppd_safe(f_types: list, f_cid: int, r_types: list, r_cid: int) -> bool:
+    """Reference `SchemaEvolution.validatePPDConversion:253-310`
+    parity: a SArg on this column may prune iff the file→reader
+    conversion cannot shift the index's value domain."""
+    ft, rt = f_types[f_cid], r_types[r_cid]
+    fk, rk = ft["kind"], rt["kind"]
+    if fk == rk:
+        if fk == "decimal":
+            return _dec_ps(ft) == _dec_ps(rt)
+        return True
+    if fk in _INT_ORDER and rk in _INT_ORDER:
+        return _INT_ORDER[fk] < _INT_ORDER[rk]
+    return (fk, rk) in {("string", "varchar"), ("varchar", "string")}
+
+
+def tree_prunable(file_meta: dict, reader_meta: dict, tree: Any) -> bool:
+    """May `tree` prune THIS file at all? False when any predicate
+    column is missing from the file (its domain here is all-NULL —
+    pruning on it would be wrong), fails to resolve (a literal-dot /
+    unknown-name leaf must degrade to non-pruning, never a scan-time
+    KeyError — r11 ADVICE), or reads through a PPD-unsafe conversion.
+    The caller then falls back to a keep-all scan for the file and
+    the residual row filter keeps results exact — the same
+    conservative unit the reference applies per-column
+    (`isPPDSafeConversion`), taken per-file here because the SArg
+    tree is evaluated whole."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        _tree_columns,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _resolve_partial,
+    )
+
+    for c in _tree_columns(tree):
+        try:
+            f_chain, f_full = _resolve_partial(file_meta, c)
+            r_chain, r_full = _resolve_partial(reader_meta, c)
+        except KeyError:
+            return False
+        if not (f_full and r_full):
+            return False
+        if not ppd_safe(
+            file_meta["types"], f_chain[-1],
+            reader_meta["types"], r_chain[-1],
+        ):
+            return False
+    return True
+
+
+def make_converter(
+    r_types: list,
+    r_cid: int,
+    f_types: list,
+    f_cid: int,
+    r_included: set[int] | None,
+    f_included: set[int] | None,
+) -> Callable[[Any], Any] | None:
+    """Value-level fixup turning ONE decoded file column into the
+    reader's shape, or None when decoded Python values already match
+    (the common case: numeric/string widenings are no-ops on Python
+    values — the Arrow/DDL boundary applies the wider type). What
+    materializes work: struct-field NULL-fill (missing or pruned-in-
+    file fields of a reader struct) and decimal rescale. The include
+    sets are the two sides' projection closures — a reader field
+    outside r_included is projected away; a file field outside
+    f_included was never decoded."""
+    rt, ft = r_types[r_cid], f_types[f_cid]
+    rk, fk = rt["kind"], ft["kind"]
+    if rk == "struct" and fk == "struct":
+        f_by = dict(zip(ft["field_names"], ft["subtypes"]))
+        plans: list[tuple[str, Any]] = []  # (name, None|True|callable)
+        need = False
+        for fn, r_sub in zip(rt["field_names"], rt["subtypes"]):
+            if r_included is not None and r_sub not in r_included:
+                continue
+            f_sub = f_by.get(fn)
+            if f_sub is None or (
+                f_included is not None and f_sub not in f_included
+            ):
+                plans.append((fn, None))  # NULL-fill (NullTreeReader)
+                need = True
+            else:
+                c = make_converter(
+                    r_types, r_sub, f_types, f_sub, r_included, f_included
+                )
+                plans.append((fn, c if c is not None else True))
+                if c is not None:
+                    need = True
+        if not need:
+            return None
+
+        def conv_struct(d):
+            if d is None:
+                return None
+            return {
+                fn: (None if c is None else d[fn] if c is True else c(d[fn]))
+                for fn, c in plans
+            }
+
+        return conv_struct
+    if rk == "list" and fk == "list":
+        c = make_converter(
+            r_types, rt["subtypes"][0], f_types, ft["subtypes"][0],
+            r_included, f_included,
+        )
+        if c is None:
+            return None
+        return lambda v: None if v is None else [c(x) for x in v]
+    if rk == "map" and fk == "map":
+        kc = make_converter(
+            r_types, rt["subtypes"][0], f_types, ft["subtypes"][0],
+            r_included, f_included,
+        )
+        vc = make_converter(
+            r_types, rt["subtypes"][1], f_types, ft["subtypes"][1],
+            r_included, f_included,
+        )
+        if kc is None and vc is None:
+            return None
+        kc = kc or (lambda x: x)
+        vc = vc or (lambda x: x)
+        return lambda v: (
+            None if v is None else [(kc(k), vc(x)) for k, x in v]
+        )
+    if rk == "union" and fk == "union":
+        convs = [
+            make_converter(r_types, r_sub, f_types, f_sub, r_included, f_included)
+            for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])
+        ]
+        if all(c is None for c in convs):
+            return None
+
+        def conv_union(d):
+            if d is None:
+                return None
+            out = dict(d)
+            for i, c in enumerate(convs):
+                if c is not None and out.get(f"f{i}") is not None:
+                    out[f"f{i}"] = c(out[f"f{i}"])
+            return out
+
+        return conv_union
+    if rk == "decimal" and fk == "decimal":
+        _, rs = _dec_ps(rt)
+        _, fs = _dec_ps(ft)
+        if rs == fs:
+            return None
+        from decimal import Context, Decimal
+
+        ctx = Context(prec=77)
+        quantum = Decimal(1).scaleb(-rs)
+        return lambda v: (
+            None if v is None else v.quantize(quantum, context=ctx)
+        )
+    # primitive widenings (int family, float→double, char/varchar→
+    # string): identity on Python values
+    return None

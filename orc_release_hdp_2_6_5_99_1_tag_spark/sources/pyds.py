@@ -561,13 +561,23 @@ def _build_orc_native_class():
         files = sorted(glob.glob(os.path.join(path, "*.orc")))
         if not files:
             raise FileNotFoundError(f"no .orc files under {path}")
-        # evolved lakes (C1): the READER schema comes from one
-        # representative file — by default the first by name; when the
-        # lake's oldest file predates an added column, point
-        # schema_file at any post-evolution file (per-file missing
-        # columns then null-fill in the tasks, scan_file_evolved)
-        first = options.get("schema_file") or files[0]
-        return first, parse_tail_of_file(first)
+        # evolved lakes (C1): the READER schema is ELECTED — the file
+        # whose schema is a widening-supertype of every other file's
+        # (r11 verdict #2: no caller hint; a lake whose oldest file
+        # predates an added column reads with no option set). The
+        # explicit schema_file option still overrides (a caller with a
+        # catalog skips the tail sweep). DataSource planning is
+        # driver-side by contract, so the election loop is too — one
+        # ranged tail read per file, deduped by schema signature
+        # (evolution_native.elect_reader_path).
+        first = options.get("schema_file")
+        if first:
+            return first, parse_tail_of_file(first)
+        from orc_release_hdp_2_6_5_99_1_tag_spark.sources.evolution_native import (
+            elect_reader_path,
+        )
+
+        return elect_reader_path(files)
 
     class OrcNativeReader(DataSourceReader):
         def __init__(self, options: dict, first=None, meta=None):
@@ -582,6 +592,10 @@ def _build_orc_native_class():
             self._audit_dir = options.get("audit_dir")
             self._tree = None  # set by pushFilters
             self._schema = self._arrow_schema(meta)
+            # the elected reader schema's tail parse ships to every
+            # task: field-level NULL-fill and widening conversions in
+            # scan_file_evolved key off it (evolution_native)
+            self._reader_meta = meta
 
         def pushFilters(self, filters):
             leaves = []
@@ -639,7 +653,8 @@ def _build_orc_native_class():
             # (exact-match-aware; built once on the driver)
             outs = schema.names
             for res in m.scan_file_evolved(
-                path, self._tree, self._columns, audit
+                path, self._tree, self._columns, audit,
+                reader_meta=self._reader_meta,
             ):
                 yield pa.RecordBatch.from_arrays(
                     [

@@ -1019,6 +1019,7 @@ def decode_stripe(
     picks: list[list[dict]] | None = None,
     plan: list[dict] | None = None,
     shared: dict | None = None,
+    partial: bool = False,
 ) -> dict:
     """Decode one stripe's KEPT row groups from the planned byte
     ranges only. Returns {"columns": {name: [values]}, "n_rows",
@@ -1054,7 +1055,9 @@ def decode_stripe(
     if picks is None:
         picks = pick_row_groups(path, tree)
     if plan is None:
-        plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+        plan = plan_read_ranges(
+            path, tree, columns=columns, picks=picks, partial=partial
+        )
     sts = shared.get("sts") or parse_stripe_footers(path)
     st = sts[stripe_idx]
     p = plan[stripe_idx]
@@ -1062,7 +1065,7 @@ def decode_stripe(
     rr = RangeReader(path, st["offset"], p["ranges"])
     # row indexes for the whole subtree closure (nested columns seek
     # their element/field/key/value streams by their own entries)
-    included = _included_ids(meta, columns)
+    included = _included_ids(meta, columns, partial=partial)
     full_index = shared.get("row_index") or {
         cid: parse_row_index(path, cid) for cid in included
     }
@@ -1198,7 +1201,7 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
             return f"map<{_sql_type(k)},{_sql_type(v)}>"
         if t["kind"] == "struct":
             inner = ", ".join(
-                f"{fn}: {_sql_type(sub)}"
+                f"{_quote(fn)}: {_sql_type(sub)}"
                 for fn, sub in zip(t["field_names"], t["subtypes"])
                 if sub in included
             )
@@ -1212,8 +1215,20 @@ def orc_schema_ddl(path: str, columns: list[str]) -> str:
         return spark_types[t["kind"]]
 
     return ", ".join(
-        f"{c} {_sql_type(ids[c])}" for c in output_columns(columns, meta)
+        f"{_quote(c)} {_sql_type(ids[c])}"
+        for c in output_columns(columns, meta)
     )
+
+
+def _quote(name: str) -> str:
+    """Backtick-quote a column/field name for Spark DDL when it is not
+    a plain identifier (legal ORC names may contain literal dots —
+    pinned by test_orc_native_literal_dot_filter_attr_degrades)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 
 def file_prunes(path: str, tree: Any) -> dict:
@@ -1276,7 +1291,8 @@ def _file_prunes_from_meta(meta: dict, tree: Any) -> dict:
 
 
 def scan_file(path: str, tree: Any, columns: list[str],
-              audit: dict | None = None, meta: dict | None = None):
+              audit: dict | None = None, meta: dict | None = None,
+              partial: bool = False):
     """The shared per-file three-level scan (one place to keep the
     pruning pipeline honest — read_planned_lake and the orc_native
     DataSource both drive it): level-1 file-stats keep/skip, level-2
@@ -1314,7 +1330,9 @@ def scan_file(path: str, tree: Any, columns: list[str],
         picks = pick_row_groups(path, tree)
     else:
         picks = keep_all_picks(path)
-    plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+    plan = plan_read_ranges(
+        path, tree, columns=columns, picks=picks, partial=partial
+    )
     audit["groups_total"] = sum(len(per) for per in picks)
     # parse the per-file metadata ONCE; decode_stripe slices per stripe
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
@@ -1326,7 +1344,7 @@ def scan_file(path: str, tree: Any, columns: list[str],
         "sts": parse_stripe_footers(path),
         "row_index": {
             cid: parse_row_index(path, cid)
-            for cid in _included_ids(meta, columns)
+            for cid in _included_ids(meta, columns, partial=partial)
         },
     }
     for si, per_stripe in enumerate(picks):
@@ -1334,7 +1352,7 @@ def scan_file(path: str, tree: Any, columns: list[str],
             continue
         res = decode_stripe(
             path, si, tree, columns, picks=picks, plan=plan,
-            shared=shared,
+            shared=shared, partial=partial,
         )
         audit["stripes_decoded"] += 1
         audit["groups_decoded"] += res["row_groups_decoded"]
@@ -1343,7 +1361,8 @@ def scan_file(path: str, tree: Any, columns: list[str],
 
 
 def scan_file_evolved(path: str, tree: Any, columns: list[str],
-                      audit: dict | None = None):
+                      audit: dict | None = None,
+                      reader_meta: dict | None = None):
     """scan_file + NAME-BASED schema evolution (C1, reference
     `SchemaEvolution.java:460-514` name mapping + missing-column
     null-fill): a requested top-level column absent from THIS file's
@@ -1352,49 +1371,96 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     lake. Semantics per the reference:
 
     - missing columns read as all-NULL for that file;
-    - a predicate that references a missing column cannot prune this
-      file (its value domain is all-NULL here) — the file falls back
-      to a keep-all scan and the caller's RESIDUAL row filter does
-      the dropping (NULL comparisons are never true), so results
-      stay exact;
-    - a dotted path whose TOP column is missing null-fills the whole
-      pruned struct; a present top with a missing FIELD stays a loud
-      error (field-level evolution is the Spark-surface C1 query's
-      job — this is the lake-scan read path).
+    - a predicate that references a missing column — or one that this
+      file stores under a PPD-UNSAFE type conversion
+      (`SchemaEvolution.isPPDSafeConversion:222-260`: only identity,
+      int-family widening and string↔varchar may prune) — cannot
+      prune this file; it falls back to a keep-all scan and the
+      caller's RESIDUAL row filter does the dropping (NULL
+      comparisons are never true), so results stay exact;
+    - with `reader_meta` (the elected reader schema's tail parse —
+      `evolution_native.elect_reader_path`), evolution goes
+      FIELD-LEVEL and TYPE-LEVEL (r11 verdict #3): a present struct
+      missing a reader FIELD decodes PRESENT-only and the field
+      NULL-fills per row (`TreeReaderFactory.java:255-288`,
+      NullTreeReader analog), and safe widenings (int family,
+      float→double, char/varchar→string, decimal rescale) read
+      through `evolution_native.make_converter`
+      (`ConvertTreeReaderFactory.java:401-2100` analog — mostly
+      identity at the Python-value layer; the Arrow/DDL boundary
+      applies the wider type);
+    - without `reader_meta`, a present top with a missing FIELD stays
+      a loud error (the legacy contract — callers that never elected
+      a reader schema must not get silently reshaped structs).
 
     Output keys are output_columns(columns) — identical to scan_file."""
-    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
-        _tree_columns,
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+        evolution_native as evo,
     )
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _column_ids,
+        _included_ids,
+        _resolve_partial,
+        _top_name,
         output_columns,
     )
 
     meta = parse_tail_of_file(path)
-    have = {c["name"] for c in meta["columns"]}
-    if not have and meta["types"][0]["kind"] != "struct":
-        have = {"_root"}
-    outs = output_columns(columns, meta)
-    top_of = lambda c: c if c in have else c.split(".")[0]  # noqa: E731
-    present = [c for c in columns if top_of(c) in have]
-    missing = [c for c in outs if c not in have]
+    fids = _column_ids(meta)
+    ref = reader_meta if reader_meta is not None else meta
+    outs = output_columns(columns, ref)
+    present: list[str] = []
+    for c in columns:
+        if _top_name(fids, c) not in fids:
+            continue  # whole top-level column missing: NULL-fill below
+        chain, full = _resolve_partial(meta, c)
+        if not full and reader_meta is None:
+            t = meta["types"][chain[-1]]
+            raise KeyError(
+                f"{c!r}: struct has fields {t['field_names']} — "
+                "field-level evolution needs an elected reader schema "
+                "(pass reader_meta)"
+            )
+        present.append(c)
+    missing = [o for o in outs if o not in fids]
     if not present:
         raise ValueError(
             f"{path}: none of the requested columns {outs} exist in "
-            f"this file (has {sorted(have)}) — not an evolution of the "
+            f"this file (has {sorted(fids)}) — not an evolution of the "
             "reader schema"
         )
     eff_tree = tree
-    if tree is not None and any(
-        top_of(c) not in have for c in _tree_columns(tree)
-    ):
-        eff_tree = None  # cannot prune on an all-NULL domain: keep all
+    if tree is not None and not evo.tree_prunable(meta, ref, tree):
+        # cannot prune: missing/unresolvable predicate column (all-NULL
+        # domain here) or a PPD-unsafe conversion — keep all, exact via
+        # the caller's residual filter
+        eff_tree = None
         if audit is not None:
             audit["evolution_keep_all"] = True
+    # per-column value fixups (struct-field NULL-fill, decimal
+    # rescale); None for the identity fast path
+    convs = {}
+    if reader_meta is not None:
+        rids = _column_ids(reader_meta)
+        r_inc = _included_ids(reader_meta, columns)
+        f_inc = _included_ids(meta, present, partial=True)
+        for o in outs:
+            if o in fids:
+                conv = evo.make_converter(
+                    reader_meta["types"], rids[o], meta["types"], fids[o],
+                    r_inc, f_inc,
+                )
+                if conv is not None:
+                    convs[o] = conv
+    if convs and audit is not None:
+        audit["evolution_converted"] = sorted(convs)
     # reuse the tail parse above — one metadata read per file, not two
-    for res in scan_file(path, eff_tree, present, audit, meta=meta):
+    for res in scan_file(path, eff_tree, present, audit, meta=meta,
+                         partial=reader_meta is not None):
         for c in missing:
             res["columns"][c] = [None] * res["n_rows"]
+        for o, conv in convs.items():
+            res["columns"][o] = [conv(v) for v in res["columns"][o]]
         yield res
 
 
@@ -1421,6 +1487,9 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     read_planned."""
     import pandas as pd
 
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.evolution_native import (
+        elect_reader_meta,
+    )
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
         output_columns,
     )
@@ -1428,11 +1497,17 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     if not paths:
         raise ValueError("read_planned_lake: empty file list")
     _ship_package(spark)
-    outs = output_columns(columns, parse_tail_of_file(paths[0]))
-    # reader schema from paths[0]: on an evolved lake, order the list
-    # so a file carrying every requested column comes first (missing
-    # columns in OTHER files null-fill per file — scan_file_evolved)
-    schema = orc_schema_ddl(paths[0], columns)
+    # reader schema ELECTION (r11 verdict #2 — no caller hint): the
+    # file whose schema is a widening-supertype of every other file's
+    # becomes the reader schema; every other file reads through the
+    # per-file evolution mapping (missing columns/fields NULL-fill,
+    # safe widenings convert, PPD-unsafe predicate columns fall back
+    # to keep-all for that file only). Past 64 files the tail parses
+    # run as a Spark job and only DISTINCT schema signatures reach
+    # the driver — O(generations), not O(files).
+    reader_path, reader_meta = elect_reader_meta(paths, spark=spark)
+    outs = output_columns(columns, reader_meta)
+    schema = orc_schema_ddl(reader_path, columns)
     files_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
@@ -1447,7 +1522,9 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
                 # per-file name-based evolution: missing columns
                 # null-fill, predicates on them disable pruning for
                 # that file only (residual filter stays exact)
-                for res in m.scan_file_evolved(path, tree, columns):
+                for res in m.scan_file_evolved(
+                    path, tree, columns, reader_meta=reader_meta
+                ):
                     yield pd.DataFrame(
                         {c: res["columns"][c] for c in outs}
                     )

@@ -156,23 +156,41 @@ def _column_ids(meta: dict) -> dict[str, int]:
     return ids
 
 
-def _resolve_dotted(meta: dict, col: str) -> list[int]:
-    """Resolve a (possibly dotted) column path to its column-id CHAIN,
-    top-level id first — the reference's include-path parse
-    (`mapred/OrcInputFormat.parseInclude` resolves names to ids the
-    same way; dots traverse STRUCT fields only, which is also the only
-    kind with field names)."""
+def _top_name(ids: dict[str, int], col: str) -> str:
+    """The top-level column a (possibly dotted) path addresses:
+    longest real-column-name prefix wins — a literal '.' in a column
+    name is legal ORC, so `a.b.c` addresses top column `a.b` when the
+    file has one (r11 ADVICE: first-segment-only matching turned a
+    pushed filter on a literal-dot column's field into a scan-time
+    KeyError)."""
+    if col in ids:
+        return col
+    parts = col.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        name = ".".join(parts[:i])
+        if name in ids:
+            return name
+    return parts[0]
+
+
+def _resolve_partial(meta: dict, col: str) -> tuple[list[int], bool]:
+    """Longest-prefix dotted resolution: (column-id chain, fully
+    resolved). The TOP level matches the longest real column name
+    first (exact-match-wins generalized — legal ORC names may contain
+    literal dots), then dots traverse struct fields. A missing struct
+    FIELD returns (chain so far, False) — the schema-evolution
+    NULL-fill case (`TreeReaderFactory.java:255-288`); an unknown TOP
+    or a dotted path into a non-struct stays a loud KeyError."""
     types = meta["types"]
     ids = _column_ids(meta)
     if col in ids:
-        # exact top-level match wins — a literal '.' in a column name
-        # is legal ORC and must not force struct traversal
-        return [ids[col]]
-    parts = col.split(".")
-    if parts[0] not in ids:
+        return [ids[col]], True
+    top = _top_name(ids, col)
+    if top not in ids:
         raise KeyError(f"unknown column {col!r}; file has {sorted(ids)}")
-    chain = [ids[parts[0]]]
-    for p in parts[1:]:
+    rest = col[len(top) + 1 :].split(".")
+    chain = [ids[top]]
+    for p in rest:
         t = types[chain[-1]]
         if t["kind"] != "struct":
             raise KeyError(
@@ -180,10 +198,26 @@ def _resolve_dotted(meta: dict, col: str) -> list[int]:
                 "paths traverse structs only"
             )
         if p not in t["field_names"]:
-            raise KeyError(
-                f"{col!r}: struct has fields {t['field_names']}, not {p!r}"
-            )
+            return chain, False
         chain.append(t["subtypes"][t["field_names"].index(p)])
+    return chain, True
+
+
+def _resolve_dotted(meta: dict, col: str) -> list[int]:
+    """Resolve a (possibly dotted) column path to its column-id CHAIN,
+    top-level id first — the reference's include-path parse
+    (`mapred/OrcInputFormat.parseInclude` resolves names to ids the
+    same way; dots traverse STRUCT fields only, which is also the only
+    kind with field names). A path that only PARTIALLY resolves
+    (missing struct field) raises — evolution callers use
+    `_resolve_partial` and NULL-fill instead."""
+    chain, full = _resolve_partial(meta, col)
+    if not full:
+        t = meta["types"][chain[-1]]
+        raise KeyError(
+            f"{col!r}: struct has fields {t['field_names']} — the path "
+            "does not fully resolve in this file's schema"
+        )
     return chain
 
 
@@ -199,13 +233,15 @@ def output_columns(columns: list[str], meta: dict | None = None) -> list[str]:
     ids = _column_ids(meta) if meta is not None else {}
     out: list[str] = []
     for c in columns:
-        top = c if c in ids else c.split(".")[0]
+        top = _top_name(ids, c)
         if top not in out:
             out.append(top)
     return out
 
 
-def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
+def _included_ids(
+    meta: dict, columns: list[str] | None, partial: bool = False
+) -> set[int]:
     """The include-tree closure of `columns` (None = every column) —
     the reference's SchemaEvolution.getFileIncluded boolean[]
     semantics, shared by plan_read_ranges, orc_memory, and the
@@ -213,7 +249,11 @@ def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
     closure then contains the leaf's subtree PLUS its struct ancestors
     (structure/PRESENT only — ancestors' other children stay excluded,
     which is the nested-projection IO win: P2, reference
-    `c++/include/orc/Reader.hh:260-281`)."""
+    `c++/include/orc/Reader.hh:260-281`). With `partial` (the
+    evolved-lake read path), a path whose struct FIELD is missing from
+    this file contributes its resolvable ancestor chain PRESENT-only —
+    the struct's null topology decodes, the missing field NULL-fills
+    in the converter (NullTreeReader analog) — instead of raising."""
     types = meta["types"]
     if columns is None:
         return set(range(len(types)))
@@ -225,14 +265,21 @@ def _included_ids(meta: dict, columns: list[str] | None) -> set[int]:
             _add(sub)
 
     for c in columns:
-        chain = _resolve_dotted(meta, c)
+        if partial:
+            chain, full = _resolve_partial(meta, c)
+        else:
+            chain, full = _resolve_dotted(meta, c), True
         included.update(chain[:-1])  # struct ancestors: PRESENT only
-        _add(chain[-1])  # the named column's whole subtree
+        if full:
+            _add(chain[-1])  # the named column's whole subtree
+        else:
+            included.add(chain[-1])  # PRESENT-only struct (see above)
     return included
 
 
 def plan_read_ranges(
-    path: str, tree, columns: list[str] | None = None, picks=None
+    path: str, tree, columns: list[str] | None = None, picks=None,
+    partial: bool = False,
 ) -> list[dict]:
     """Partial-read IO plan: the exact byte ranges a reader must fetch
     per stripe to answer `tree` after row-group pruning — the
@@ -272,7 +319,7 @@ def plan_read_ranges(
     # element / struct field / map key+value column ids), so the plan
     # includes the whole closure — the reference's boolean[] included
     # covers subtree ids the same way (SchemaEvolution.getFileIncluded)
-    included = _included_ids(meta, columns)
+    included = _included_ids(meta, columns, partial=partial)
     if picks is None:  # callers that already decided pass them through,
         # so plan and decode are guaranteed to agree (stream_decode)
         picks = pick_row_groups(path, tree)

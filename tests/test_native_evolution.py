@@ -1,0 +1,387 @@
+"""Native-read-path schema evolution (round-11 verdict Next #2/#3):
+reader-schema ELECTION (no caller hint), field-level NULL-fill, safe
+type widening vs pyarrow parity, and PPD safety (unsafe conversions
+must keep-all, never mis-prune).
+
+Reference analogs pinned here: SchemaEvolution.java:38-130 (reader-
+schema-driven per-file mapping), TreeReaderFactory.java:255-288
+(NullTreeReader for missing columns/fields),
+ConvertTreeReaderFactory.java:401-2100 (widening reads),
+SchemaEvolution.isPPDSafeConversion:222-260 (PPD gating)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+    evolution_native as evo,
+    stream_decode as sd,
+)
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+    parse_tail_of_file,
+)
+
+
+def _write_one_orc(spark, df, out, **opts):
+    w = df.coalesce(1).write.mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.orc(out)
+    return sorted(glob.glob(os.path.join(out, "*.orc")))[0]
+
+
+@pytest.fixture(scope="module")
+def evolved_lake(spark, tmp_path_factory):
+    """Three generations of one table, the realistic lake timeline:
+    g0: id int,    v float,  st struct<a:int>
+    g1: id bigint, v float,  st struct<a:int,b:string>      (+field, id widened)
+    g2: id bigint, v double, st struct<a:bigint,b:string>, w string (+col, more widening)
+    g2 covers g1 covers g0 — election must pick g2's file."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("evolake")
+    stride = {"orc.row.index.stride": 1000}
+
+    def gen(lo, hi, id_t, v_t, a_t, with_b, with_w):
+        df = spark.range(lo, hi).select(
+            F.col("id").cast(id_t),
+            (F.col("id") % 97).cast(v_t).alias("v"),
+            F.struct(
+                *(
+                    [(F.col("id") % 13).cast(a_t).alias("a")]
+                    + ([F.concat(F.lit("b"), (F.col("id") % 3).cast("string")).alias("b")] if with_b else [])
+                )
+            ).alias("st"),
+            *([F.concat(F.lit("w"), F.col("id").cast("string")).alias("w")] if with_w else []),
+        )
+        return df
+
+    f0 = _write_one_orc(spark, gen(0, 3000, "int", "float", "int", False, False), str(base / "g0"), **stride)
+    f1 = _write_one_orc(spark, gen(3000, 6000, "bigint", "float", "int", True, False), str(base / "g1"), **stride)
+    f2 = _write_one_orc(spark, gen(6000, 9000, "bigint", "double", "bigint", True, True), str(base / "g2"), **stride)
+    lake = base / "lake"
+    lake.mkdir()
+    import shutil
+
+    # name g2 FIRST alphabetically so "first file by name" would pick
+    # the widest only by luck — election must pick it by COVERS, and
+    # the old paths[0] convention (g0 sorts after) would have failed
+    shutil.copy(f0, lake / "c_gen0.orc")
+    shutil.copy(f1, lake / "b_gen1.orc")
+    shutil.copy(f2, lake / "a_gen2.orc")
+    return {
+        "lake": str(lake),
+        "files": sorted(glob.glob(str(lake / "*.orc"))),
+        "g0": str(lake / "c_gen0.orc"),
+        "g1": str(lake / "b_gen1.orc"),
+        "g2": str(lake / "a_gen2.orc"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# election
+# ---------------------------------------------------------------------------
+
+
+def test_elect_reader_path_picks_covering_schema(evolved_lake):
+    p, meta = evo.elect_reader_path(evolved_lake["files"])
+    assert p == evolved_lake["g2"]
+    names = {c["name"] for c in meta["columns"]}
+    assert names == {"id", "v", "st", "w"}
+
+
+def test_elect_no_covering_schema_is_loud(spark, tmp_path):
+    """Sibling evolutions (each file has a column the other lacks,
+    neither a supertype) must raise, not silently pick one."""
+    import pyspark.sql.functions as F
+
+    a = _write_one_orc(spark, spark.range(10).select("id", F.lit(1).alias("only_a")), str(tmp_path / "a"))
+    b = _write_one_orc(spark, spark.range(10).select("id", F.lit("x").alias("only_b")), str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="no file schema covers"):
+        evo.elect_reader_path([a, b])
+
+
+def test_covers_lattice():
+    def t(kind, subtypes=(), field_names=(), precision=None, scale=None):
+        return {
+            "kind": kind, "subtypes": list(subtypes),
+            "field_names": list(field_names),
+            "precision": precision, "scale": scale,
+        }
+
+    # int family widens upward only
+    for lo, hi in [("tinyint", "smallint"), ("smallint", "int"), ("int", "bigint"), ("float", "double")]:
+        assert evo.type_covers([t(hi)], 0, [t(lo)], 0)
+        assert not evo.type_covers([t(lo)], 0, [t(hi)], 0)
+    # decimal: scale and integer-digit capacity must both grow
+    assert evo.type_covers(
+        [t("decimal", precision=12, scale=4)], 0,
+        [t("decimal", precision=10, scale=2)], 0,
+    )
+    assert not evo.type_covers(
+        [t("decimal", precision=10, scale=4)], 0,
+        [t("decimal", precision=10, scale=2)], 0,
+    )
+    # struct: reader may ADD fields, never lose them
+    r = [t("struct", [1, 2], ["a", "b"]), t("bigint"), t("string")]
+    f = [t("struct", [1], ["a"]), t("int")]
+    assert evo.type_covers(r, 0, f, 0)
+    assert not evo.type_covers(f, 0, r, 0)
+
+
+# ---------------------------------------------------------------------------
+# PPD safety (reference isPPDSafeConversion parity)
+# ---------------------------------------------------------------------------
+
+
+def test_ppd_safe_matrix():
+    def t(kind, precision=None, scale=None):
+        return [{
+            "kind": kind, "subtypes": [], "field_names": [],
+            "precision": precision, "scale": scale,
+        }]
+
+    assert evo.ppd_safe(t("int"), 0, t("bigint"), 0)
+    assert evo.ppd_safe(t("tinyint"), 0, t("int"), 0)
+    assert evo.ppd_safe(t("string"), 0, t("varchar"), 0)
+    assert evo.ppd_safe(t("varchar"), 0, t("string"), 0)
+    # the reference's explicit NO cases
+    assert not evo.ppd_safe(t("float"), 0, t("double"), 0)
+    assert not evo.ppd_safe(t("char"), 0, t("string"), 0)
+    assert not evo.ppd_safe(
+        t("decimal", 10, 2), 0, t("decimal", 12, 4), 0
+    )
+    assert evo.ppd_safe(t("decimal", 10, 2), 0, t("decimal", 10, 2), 0)
+
+
+def test_unsafe_conversion_keeps_all_safe_conversion_prunes(evolved_lake):
+    """On the g0 file (id int, v float) read under the g2 reader
+    schema (id bigint, v double): an id predicate rides the SAFE
+    int->bigint conversion and still prunes row groups; a v predicate
+    rides the UNSAFE float->double conversion and must fall back to
+    keep-all (never mis-prune)."""
+    reader_meta = parse_tail_of_file(evolved_lake["g2"])
+    g0 = evolved_lake["g0"]
+    # safe: prunes (g0 holds ids 0..2999 in 3 groups of 1000)
+    audit = {}
+    rows = 0
+    for res in sd.scan_file_evolved(
+        g0, ("less_than", "id", 1000), ["id"], audit, reader_meta=reader_meta
+    ):
+        rows += res["n_rows"]
+    assert "evolution_keep_all" not in audit
+    assert audit["groups_decoded"] < audit["groups_total"]
+    assert rows < 3000
+    # unsafe: keep-all, exact results via the residual filter upstream
+    audit2 = {}
+    rows2 = 0
+    for res in sd.scan_file_evolved(
+        g0, ("equals", "v", 5.0), ["id", "v"], audit2, reader_meta=reader_meta
+    ):
+        rows2 += res["n_rows"]
+    assert audit2.get("evolution_keep_all") is True
+    assert rows2 == 3000
+
+
+# ---------------------------------------------------------------------------
+# field-level NULL-fill + widening through scan_file_evolved
+# ---------------------------------------------------------------------------
+
+
+def test_field_level_null_fill(evolved_lake):
+    reader_meta = parse_tail_of_file(evolved_lake["g2"])
+    out = []
+    for res in sd.scan_file_evolved(
+        evolved_lake["g0"], None, ["id", "st", "w"], reader_meta=reader_meta
+    ):
+        st = res["columns"]["st"]
+        w = res["columns"]["w"]
+        out.extend(zip(res["columns"]["id"], st, w))
+    assert len(out) == 3000
+    for i, st, w in out:
+        assert w is None  # whole column missing in g0
+        assert set(st) == {"a", "b"}  # reader's field set
+        assert st["b"] is None  # missing FIELD null-fills
+        assert st["a"] == i % 13
+
+
+def test_dotted_request_of_missing_field_present_only(evolved_lake):
+    """Requesting ONLY st.b from a file whose st lacks b: the struct
+    decodes PRESENT-only (no sibling stream is read) and b NULL-fills
+    per non-null row."""
+    reader_meta = parse_tail_of_file(evolved_lake["g2"])
+    rows = 0
+    for res in sd.scan_file_evolved(
+        evolved_lake["g0"], None, ["st.b"], reader_meta=reader_meta
+    ):
+        for v in res["columns"]["st"]:
+            assert v == {"b": None}
+        rows += res["n_rows"]
+    assert rows == 3000
+
+
+def test_missing_field_without_reader_meta_stays_loud(evolved_lake):
+    with pytest.raises(KeyError, match="field-level evolution"):
+        list(sd.scan_file_evolved(evolved_lake["g0"], None, ["st.b"]))
+
+
+def test_widening_matrix_vs_pyarrow(spark, tmp_path):
+    """Every lattice direction decoded through the convert layer
+    equals pyarrow's own read of the file cast to the reader type."""
+    import pyarrow as pa
+    import pyarrow.orc as pao
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+        ("decimal(10,2)", "decimal(12,4)"),
+    ]
+    arrow_t = {
+        "smallint": pa.int16(), "int": pa.int32(), "bigint": pa.int64(),
+        "double": pa.float64(), "decimal(12,4)": pa.decimal128(12, 4),
+    }
+    for i, (f_t, r_t) in enumerate(cases):
+        df_old = spark.range(500).select(
+            "id", (F.col("id") % 100).cast(f_t).alias("x")
+        )
+        df_new = spark.range(500, 1000).select(
+            "id", (F.col("id") % 100).cast(r_t).alias("x")
+        )
+        old = _write_one_orc(spark, df_old, str(tmp_path / f"old{i}"),
+                             **{"orc.row.index.stride": 1000})
+        new = _write_one_orc(spark, df_new, str(tmp_path / f"new{i}"),
+                             **{"orc.row.index.stride": 1000})
+        _, reader_meta = evo.elect_reader_path([old, new])
+        got = []
+        for res in sd.scan_file_evolved(old, None, ["x"], reader_meta=reader_meta):
+            got.extend(res["columns"]["x"])
+        expect = pao.read_table(old).column("x").cast(arrow_t[r_t]).to_pylist()
+        assert got == expect, (f_t, r_t)
+
+
+def test_decimal_rescale_values(spark, tmp_path):
+    """Decimal widening materializes a real conversion: the decoded
+    values carry the READER scale (exact rescale, reference
+    ConvertTreeReaderFactory decimal->decimal)."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    old = _write_one_orc(
+        spark,
+        spark.range(100).select(
+            (F.col("id") + F.lit(0.25)).cast("decimal(10,2)").alias("d")
+        ),
+        str(tmp_path / "d_old"),
+    )
+    new = _write_one_orc(
+        spark,
+        spark.range(100).select(
+            (F.col("id") + F.lit(0.3333)).cast("decimal(12,4)").alias("d")
+        ),
+        str(tmp_path / "d_new"),
+    )
+    _, reader_meta = evo.elect_reader_path([old, new])
+    got = []
+    for res in sd.scan_file_evolved(old, None, ["d"], reader_meta=reader_meta):
+        got.extend(res["columns"]["d"])
+    assert got[:3] == [Decimal("0.2500"), Decimal("1.2500"), Decimal("2.2500")]
+    assert all(v.as_tuple().exponent == -4 for v in got)
+
+
+# ---------------------------------------------------------------------------
+# the Spark surfaces: read_planned_lake + orc_native, NO caller hint
+# ---------------------------------------------------------------------------
+
+
+def test_read_planned_lake_elects_automatically(spark, evolved_lake):
+    df = sd.read_planned_lake(
+        spark, evolved_lake["files"], ("less_than", "id", 7000),
+        ["id", "v", "st", "w"],
+    )
+    rows = df.filter("id < 7000").orderBy("id").collect()
+    assert len(rows) == 7000
+    assert [r["id"] for r in rows] == list(range(7000))
+    assert rows[0]["st"]["b"] is None and rows[0]["w"] is None
+    assert rows[3000]["st"]["b"] == "b0" and rows[3000]["w"] is None
+    assert rows[6000]["st"]["b"] == "b0" and rows[6000]["w"] == "w6000"
+    # dtypes follow the ELECTED (widest) schema
+    d = dict(df.dtypes)
+    assert d["id"] == "bigint" and d["v"] == "double"
+
+
+def test_orc_native_evolved_lake_no_option(spark, evolved_lake):
+    """The r11 verdict's done-criterion: the evolved-lake scenario
+    with NO schema_file option — election inside the DataSource."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    df = (
+        spark.read.format("orc_native")
+        .option("path", evolved_lake["lake"])
+        .option("columns", "id,st,w")
+        .load()
+    )
+    rows = df.filter("id >= 2000 and id < 4000").orderBy("id").collect()
+    assert len(rows) == 2000
+    assert rows[0]["st"].asDict() == {"a": 2000 % 13, "b": None}
+    assert rows[-1]["w"] is None  # g1 predates w
+    assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_orc_native_literal_dot_filter_attr_degrades(spark, tmp_path):
+    """r11 ADVICE: a pushed filter on a field of a top-level column
+    whose NAME contains a literal dot must resolve (longest-prefix) or
+    degrade to non-pruning — never KeyError at scan time."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    dest = str(tmp_path / "dotlake")
+    (
+        spark.range(2000)
+        .select(
+            "id",
+            F.struct((F.col("id") % 7).alias("c")).alias("a.b"),
+        )
+        .coalesce(1)
+        .write.option("orc.row.index.stride", "1000")
+        .orc(dest)
+    )
+    df = (
+        spark.read.format("orc_native")
+        .option("path", dest)
+        .option("columns", "id,a.b")  # exact-match-wins: the whole column
+        .load()
+    )
+    rows = df.filter(F.col("`a.b`.c") == 3).collect()
+    assert len(rows) == len([i for i in range(2000) if i % 7 == 3])
+
+
+def test_tree_prunable_literal_dot_and_unknown():
+    """Unresolvable SArg columns degrade to non-prunable (False),
+    never raise."""
+    def t(kind, subtypes=(), field_names=()):
+        return {
+            "kind": kind, "subtypes": list(subtypes),
+            "field_names": list(field_names),
+            "precision": None, "scale": None,
+        }
+
+    meta = {
+        "types": [t("struct", [1], ["x"]), t("int")],
+        "columns": [{"name": "x", "col_id": 1, "kind": "int"}],
+    }
+    assert evo.tree_prunable(meta, meta, ("equals", "x", 1))
+    assert not evo.tree_prunable(meta, meta, ("equals", "nope", 1))
+    assert not evo.tree_prunable(meta, meta, ("equals", "x.deep", 1))
