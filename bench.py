@@ -285,6 +285,10 @@ EXTENDED = [
     "s22_partial_read",
     # readable-while-writing bounded tail (MAX_FILE_LENGTH semantics)
     "s23_bounded_tail_read",
+    # round-12 additions: evolved-lake scan (reader-schema election +
+    # field null-fill + widening) and the pushed struct sub-field SArg
+    "s26_evolved_lake_scan",
+    "s27_nested_sarg_scan",
 ]
 
 

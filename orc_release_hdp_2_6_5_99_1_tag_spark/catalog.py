@@ -79,106 +79,101 @@ def _build() -> None:
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
     #
-    # Round-11 rotation (eighth window). The never-fully-green set is
+    # Round-12 rotation (ninth window). The never-fully-green set is
     # EMPTY (asserted mechanically by tests/test_registry_rotation.py).
-    # Composition per the round-10 verdict's "Next" list:
+    # Composition per the round-11 verdict's "Next" list:
     #
-    # - NEW (2): s25_orc_native_scan (verdict #3/#6 — the pushFilters
-    #   DataSource surface itself, with the nested/union arrow mapping
-    #   added this round) and t9_bucketed_merge (verdict #4 — the
-    #   bucketed ACID merge the sf1 stress prescribed, graded against
-    #   t2's oracle).
-    # - AGE-6 re-grades (10, verdict #1 — these reach age 7 during r11
-    #   and would breach the test-enforced >6 invariant): f1_suite,
-    #   f12, m1, m2, s5, s12, s13, x1, x3, x4.
-    # - AGE-5 re-grades (11 of 20, smoothing the r12 load): a4_merged,
-    #   d7, d8, d9, d13, d14, h1, i1, i2, r9_enrichment, s11.
-    # - keep-warm (26): the scale-critical shapes, unchanged from r10.
+    # - NEW (2): s26_evolved_lake_scan (verdict #2/#3 — automatic
+    #   reader-schema election + field-level null-fill + int->bigint
+    #   widening with PPD-safe pruning, over a two-generation lake)
+    #   and s27_nested_sarg_scan (verdict #4 — the pushed filter IS a
+    #   struct sub-field comparison; file+group skips asserted in
+    #   tests/test_python_datasource.py).
+    # - CODE-CHANGE re-grades (2, verdict #2 done-criterion): s24 and
+    #   s25 now run the election path (no paths[0]/schema_file hint).
+    # - AGE-6 re-grades, r5-era (9, verdict #1 — these reach age 7
+    #   during r12 and would breach the test-enforced >6 invariant):
+    #   s14, set1, t5, v6, x7, x8, x9, x16, x17.
+    # - AGE-5->6 re-grades, r6-era (ALL 36; verdict #1 said "roughly
+    #   half", but taking the whole cohort now clears the r13 window
+    #   for the 32-strong r7-era set, which reaches age 6 at r13):
+    #   a4_stripe_stats, d6, d10, d11, d15-d17, g2, g3, j2, m4, mv2,
+    #   p4, q4, q8, q21, r1, r3-r7, r10, sk1, t4, t8, u2, u4, v3,
+    #   w5-w8, w10, w11, x18.
     #
-    # Swapped OUT (all driver-green in CORRECTNESS_r10, still oracle-
-    # checked by pytest as extras): v9, s22, s23 (the r10 additions),
-    # q3, q5, q6, w1, w2, g1, p2, a7, f9, q22 (the r1-era refresh
-    # tier), f8, u1, t1, s3, p1, e1, c1, c2 (the r3/r4-era refresh
-    # tier), s21, r12 (the code-change re-grades — this round's
-    # pyds.py change is confined to the orc_native class, which s25
-    # now grades directly). tests/test_contract.py pins the full
-    # composition.
+    # Swapped OUT (all driver-green in CORRECTNESS_r11, age 1, still
+    # oracle-checked by pytest as extras): t9 + the r11 refresh tiers
+    # (f1_suite, f12, m1, m2, s5, s12, s13, x1, x3, x4, a4_merged, d7,
+    # d8, d9, d13, d14, h1, i1, i2, r9_enrichment, s11) + the r10-era
+    # keep-warm block (s1, s17, s18, s19, a1, q2, sk3, d1, d2, d12,
+    # v1, v2, v7, k1, g4, g5, t2, t3, r2, r11_outer, w3, j3,
+    # pipe1-pipe3). tests/test_contract.py pins the full composition.
     #
-    # ROUND-12 ROTATION QUEUE (mechanical age scan at r11): the 9
-    # remaining r5-era verdicts (s14, set1, t5, v6, x7, x8, x9, x16,
-    # x17) reach age 7 during r12 and MUST be graded there; the ~36
-    # r6-era verdicts (a4_stripe_stats, d6, d10, d11, d15-d17, g2, g3,
-    # j2, m4, mv2, p4, q4, q8, q21, r1, r3-r7, r10, sk1, t4, t8, u2,
-    # u4, v3, w5-w8, w10, w11, x18) reach age 6 at r12 — split them
-    # across r12/r13.
+    # ROUND-13 ROTATION QUEUE (mechanical age scan at r12): the 32
+    # r7-era verdicts (a8, a10, d19, j1, m3, q7, q9-q20, s15, s16,
+    # sk2, u3, w4, w9, w12, w13, w15, x5, x6, x19, x20, x21) reach
+    # age 6 at r13 and BREACH at r14 — grade them across r13/r14;
+    # the 23 r8-era verdicts follow one round behind.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # round-11 additions, graded immediately
-    register("s25_orc_native_scan", oq.s25_orc_native_scan, oq.S25_ORACLE)
-    register("t9_bucketed_merge", ac.t9_bucketed_merge, ac.T9_ORACLE)
-    # age-6 verdict refresh (round-10 verdict "Next #1" — the r4-era set)
-    register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE)
-    register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE)
-    register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE)
-    register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE)
-    register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE)
-    register("s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE)
-    register(
-        "s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE
-    )
-    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE)
-    register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE)
-    register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE)
-    # age-5 verdict refresh (11 of the 20 r5-era verdicts; the other 9
-    # are the head of the round-12 queue above)
-    register("a4_merged_file_stats", st.a4_merged_file_stats, st.A4M_ORACLE)
-    register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE)
-    register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE)
-    register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE)
-    register("d13_substring_dedup", dd.d13_substring_dedup, dd.D13_ORACLE)
-    register("d14_substring_scrub", dd.d14_substring_scrub, dd.D14_ORACLE)
-    register(
-        "h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE
-    )
-    register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE)
-    register("i2_perplexity_filter", smp.i2_perplexity_filter, smp.I2_ORACLE)
-    register(
-        "r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE
-    )
-    register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE)
-    # ---- keep-warm: the most scale-critical shapes (26, unchanged
-    # from the round-10 window) --------------------------------------
-    register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE)
-    register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE)
-    register("s19_rowgroup_stats", oq.s19_rowgroup_stats, oq.S19_ORACLE)
-    register(
-        "s18_dynamic_partition_pruning",
-        oq.s18_dynamic_partition_pruning,
-        oq.S18_ORACLE,
-    )
-    register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE)
-    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL)
-    register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE)
-    register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE)
-    register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE)
-    register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE)
-    register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE)
-    register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE)
+    # round-12 additions, graded immediately
+    register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE)
+    register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE)
+    # code-change re-grades: both now run reader-schema ELECTION
     register("s24_lake_scan", oq.s24_lake_scan, oq.S24_ORACLE)
-    register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE)
-    register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE)
-    register("g4_triangle_count", gr.g4_triangle_count, gr.G4_ORACLE)
-    register("g5_pagerank", gr.g5_pagerank, gr.G5_ORACLE)
-    register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE)
-    register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE)
-    register("r2_streaming_windowed_agg", ig.r2_streaming_windowed_agg, ig.R2_ORACLE)
-    register("r11_stream_outer_join", ig.r11_stream_outer_join, ig.R11_ORACLE)
-    register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE)
-    register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE)
-    register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE)
-    register("pipe2_curation_funnel", pl.pipe2_curation_funnel, pl.PIPE2_ORACLE)
-    register("pipe3_segment_funnel", pl.pipe3_segment_funnel, pl.PIPE3_ORACLE)
+    register("s25_orc_native_scan", oq.s25_orc_native_scan, oq.S25_ORACLE)
+    # age-6 verdict refresh: the r5-era rotation deadline (verdict #1)
+    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE)
+    register(
+        "set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE
+    )
+    register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE)
+    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE)
+    register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE)
+    register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE)
+    register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE)
+    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE)
+    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE)
+    # age-6 verdict refresh: the full r6-era cohort (36)
+    register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE)
+    register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE)
+    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE)
+    register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE)
+    register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE)
+    register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE)
+    register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE)
+    register("g2_cube", ex.g2_cube, ex.G2_ORACLE)
+    register("g3_hierarchy_depth", ex.g3_hierarchy_depth, ex.G3_ORACLE)
+    register("j2_join_strategy_parity", so.j2_join_strategy_parity, so.J2_ORACLE)
+    register("m4_payload_dedup", mm.m4_payload_dedup, mm.M4_ORACLE)
+    register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE)
+    register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE)
+    register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL)
+    register("q8_market_share", sq.q8_market_share, sq.Q8_SQL)
+    register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL)
+    register("r1_streaming_orc_ingest", ig.r1_streaming_orc_ingest, ig.R1_ORACLE)
+    register(
+        "r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE
+    )
+    register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE)
+    register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE)
+    register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE)
+    register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE)
+    register("r10_stream_ohlc", ig.r10_stream_ohlc, ig.R10_ORACLE)
+    register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE)
+    register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE)
+    register("t8_snapshot_diff", ac.t8_snapshot_diff, ac.T8_ORACLE)
+    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
+    register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE)
+    register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE)
+    register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE)
+    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE)
+    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE)
+    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE)
+    register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE)
+    register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE)
+    register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
@@ -193,6 +188,56 @@ def _build() -> None:
     #
     # rotated out round 11 (driver-green in CORRECTNESS_r10): the r10
     # additions + the r10 refresh tiers, all verdict-fresh
+    # rotated out round 12 (driver-green in CORRECTNESS_r11, age 1):
+    # the r11 addition + the r11 refresh tiers + the r10-era keep-warm
+    # block (the r12 window is consumed by the r5/r6-era age deadline)
+    register("t9_bucketed_merge", ac.t9_bucketed_merge, ac.T9_ORACLE, graded=False)
+    register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE, graded=False)
+    register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE, graded=False)
+    register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE, graded=False)
+    register("m2_grouped_normalize", mm.m2_grouped_normalize, mm.M2_ORACLE, graded=False)
+    register("s5_partition_pruning", oq.s5_partition_pruning, oq.S5_ORACLE, graded=False)
+    register("s12_footer_column_stats", oq.s12_footer_column_stats, oq.S12_ORACLE, graded=False)
+    register("s13_corrupt_file_tolerance", oq.s13_corrupt_file_tolerance, oq.S13_ORACLE, graded=False)
+    register("x1_token_count", tx.x1_token_count, tx.X1_ORACLE, graded=False)
+    register("x3_lang_id", tx.x3_lang_id, tx.X3_ORACLE, graded=False)
+    register("x4_quality_score", tx.x4_quality_score, tx.X4_ORACLE, graded=False)
+    register("a4_merged_file_stats", st.a4_merged_file_stats, st.A4M_ORACLE, graded=False)
+    register("d7_decontaminate", dd.d7_decontaminate, dd.D7_ORACLE, graded=False)
+    register("d8_paragraph_dedup", dd.d8_paragraph_dedup, dd.D8_ORACLE, graded=False)
+    register("d9_domain_cap", dd.d9_domain_cap, dd.D9_ORACLE, graded=False)
+    register("d13_substring_dedup", dd.d13_substring_dedup, dd.D13_ORACLE, graded=False)
+    register("d14_substring_scrub", dd.d14_substring_scrub, dd.D14_ORACLE, graded=False)
+    register("h1_higher_order_functions", so.h1_higher_order_functions, so.H1_ORACLE, graded=False)
+    register("i1_importance_resampling", smp.i1_importance_resampling, smp.I1_ORACLE, graded=False)
+    register("i2_perplexity_filter", smp.i2_perplexity_filter, smp.I2_ORACLE, graded=False)
+    register("r9_stream_static_enrichment", ig.r9_stream_static_enrichment, ig.R9_ORACLE, graded=False)
+    register("s11_orc_meta", oq.s11_orc_meta, oq.S11_ORACLE, graded=False)
+    register("s1_orc_roundtrip_scan", oq.s1_orc_roundtrip_scan, oq.S1_ORACLE, graded=False)
+    register("s17_bucketed_join", oq.s17_bucketed_join, oq.S17_ORACLE, graded=False)
+    register("s19_rowgroup_stats", oq.s19_rowgroup_stats, oq.S19_ORACLE, graded=False)
+    register("s18_dynamic_partition_pruning", oq.s18_dynamic_partition_pruning, oq.S18_ORACLE, graded=False)
+    register("a1_column_stats", st.a1_column_stats, st.A1_ORACLE, graded=False)
+    register("q2_correlated_subquery", sq.q2_correlated_subquery, sq.Q2_SQL, graded=False)
+    register("sk3_countmin_heavy_hitters", st.sk3_countmin_heavy_hitters, st.SK3_ORACLE, graded=False)
+    register("d1_exact_dedup", dd.d1_exact_dedup, dd.D1_ORACLE, graded=False)
+    register("d2_minhash_lsh", dd.d2_minhash_lsh, dd.D2_ORACLE, graded=False)
+    register("d12_bloom_decontaminate", dd.d12_bloom_decontaminate, dd.D12_ORACLE, graded=False)
+    register("v1_cosine_topk", sim.v1_cosine_topk, sim.V1_ORACLE, graded=False)
+    register("v2_lsh_bucketed_ann", sim.v2_lsh_bucketed_ann, sim.V2_ORACLE, graded=False)
+    register("v7_knn_join", sim.v7_knn_join, sim.V7_ORACLE, graded=False)
+    register("k1_kmeans_clusters", cl.k1_kmeans_clusters, cl.K1_ORACLE, graded=False)
+    register("g4_triangle_count", gr.g4_triangle_count, gr.G4_ORACLE, graded=False)
+    register("g5_pagerank", gr.g5_pagerank, gr.G5_ORACLE, graded=False)
+    register("t2_acid_merge_on_read", ac.t2_acid_merge_on_read, ac.T2_ORACLE, graded=False)
+    register("t3_compaction", ac.t3_compaction, ac.T3_ORACLE, graded=False)
+    register("r2_streaming_windowed_agg", ig.r2_streaming_windowed_agg, ig.R2_ORACLE, graded=False)
+    register("r11_stream_outer_join", ig.r11_stream_outer_join, ig.R11_ORACLE, graded=False)
+    register("w3_asof_join", tp.w3_asof_join, tp.W3_ORACLE, graded=False)
+    register("j3_salted_skew_join", so.j3_salted_skew_join, so.J3_ORACLE, graded=False)
+    register("pipe1_training_data_prep", pl.pipe1_training_data_prep, pl.PIPE1_ORACLE, graded=False)
+    register("pipe2_curation_funnel", pl.pipe2_curation_funnel, pl.PIPE2_ORACLE, graded=False)
+    register("pipe3_segment_funnel", pl.pipe3_segment_funnel, pl.PIPE3_ORACLE, graded=False)
     register("v9_hybrid_rrf", sim.v9_hybrid_rrf, sim.V9_ORACLE, graded=False)
     register("s22_partial_read", oq.s22_partial_read, oq.S22_ORACLE, graded=False)
     register("s23_bounded_tail_read", oq.s23_bounded_tail_read, oq.S23_ORACLE, graded=False)
@@ -276,63 +321,14 @@ def _build() -> None:
     register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
     register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE, graded=False)
     # rotated out round 7 (driver-green in CORRECTNESS_r06):
-    register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL, graded=False)
-    register("q8_market_share", sq.q8_market_share, sq.Q8_SQL, graded=False)
-    register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL, graded=False)
-    register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE, graded=False)
-    register("t8_snapshot_diff", ac.t8_snapshot_diff, ac.T8_ORACLE, graded=False)
-    register("r1_streaming_orc_ingest", ig.r1_streaming_orc_ingest, ig.R1_ORACLE, graded=False)
-    register(
-        "r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE, graded=False
-    )
-    register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE, graded=False)
-    register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE, graded=False)
-    register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE, graded=False)
-    register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE, graded=False)
-    register("r10_stream_ohlc", ig.r10_stream_ohlc, ig.R10_ORACLE, graded=False)
-    register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
-    register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
     register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
     register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE, graded=False)
-    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
-    register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
-    register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE, graded=False)
-    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
-    register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE, graded=False)
-    register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE, graded=False)
-    register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE, graded=False)
-    register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE, graded=False)
-    register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE, graded=False)
-    register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE, graded=False)
-    register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE, graded=False)
-    register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
-    register("g3_hierarchy_depth", ex.g3_hierarchy_depth, ex.G3_ORACLE, graded=False)
-    register("j2_join_strategy_parity", so.j2_join_strategy_parity, so.J2_ORACLE, graded=False)
-    register("m4_payload_dedup", mm.m4_payload_dedup, mm.M4_ORACLE, graded=False)
-    register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE, graded=False)
-    register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE, graded=False)
-    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE, graded=False)
-    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE, graded=False)
-    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE, graded=False)
-    register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE, graded=False)
-    register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE, graded=False)
     # rotated out round 6 (driver-green in CORRECTNESS_r05):
-    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE, graded=False)
-    register(
-        "set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE, graded=False
-    )
-    register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE, graded=False)
-    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE, graded=False)
-    register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
-    register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
-    register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
-    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE, graded=False)
-    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE, graded=False)
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     # round-7 addition (the one verdict-requested gap-closer): the
     # reference's POSITIONAL file->reader mapping mode

@@ -47,59 +47,56 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round11_graded_window_composition():
+def test_round12_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-11 window = the flagship, the round-11 additions graded
-    immediately (s25 — the orc_native DataSource surface with the
-    nested arrow mapping; t9 — the bucketed ACID merge), the ten
-    AGE-6 r4-era verdicts the round-10 verdict ordered re-graded
-    before they breach the >6 invariant, eleven of the twenty AGE-5
-    r5-era verdicts (the other nine head the round-12 queue), and 26
-    scale-critical keep-warm shapes (unchanged from round 10).
-    Displaced to extras: the 3 r10 additions + the 20 r10
-    refresh-tier queries, all r10-verdict-fresh.
+    Round-12 window = the flagship, the round-12 additions graded
+    immediately (s26 — evolved-lake scan with automatic reader-schema
+    election, field-level null-fill and int→bigint widening; s27 —
+    the pushed struct sub-field SArg), the two code-change re-grades
+    (s24/s25 now run the election path), the NINE r5-era verdicts
+    that reach age 7 during r12 (the test-enforced deadline), and the
+    FULL 36-strong r6-era cohort (clearing r13 for the 32 r7-era
+    verdicts). Displaced to extras: t9 + the r11 refresh tiers + the
+    r10-era keep-warm block, all r11-verdict-fresh (age 1).
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
-        # round-11 additions
-        "s25_orc_native_scan", "t9_bucketed_merge",
-        # age-6 (r4-era) verdict refresh — the rotation deadline set
-        "f1_predicate_suite", "f12_row_seek",
-        "m1_multimodal_features", "m2_grouped_normalize",
-        "s5_partition_pruning", "s12_footer_column_stats",
-        "s13_corrupt_file_tolerance",
-        "x1_token_count", "x3_lang_id", "x4_quality_score",
-        # age-5 (r5-era) verdict refresh — 11 of 20
-        "a4_merged_file_stats", "d7_decontaminate",
-        "d8_paragraph_dedup", "d9_domain_cap",
-        "d13_substring_dedup", "d14_substring_scrub",
-        "h1_higher_order_functions", "i1_importance_resampling",
-        "i2_perplexity_filter", "r9_stream_static_enrichment",
-        "s11_orc_meta",
-        # keep-warm scale-critical shapes (26, unchanged from r10)
-        "s1_orc_roundtrip_scan", "s17_bucketed_join",
-        "s18_dynamic_partition_pruning", "s19_rowgroup_stats",
-        "a1_column_stats", "q2_correlated_subquery",
-        "sk3_countmin_heavy_hitters",
-        "d1_exact_dedup", "d2_minhash_lsh", "d12_bloom_decontaminate",
-        "v1_cosine_topk", "v2_lsh_bucketed_ann", "s24_lake_scan",
-        "v7_knn_join",
-        "k1_kmeans_clusters",
-        "g4_triangle_count", "g5_pagerank",
-        "t2_acid_merge_on_read", "t3_compaction",
-        "r2_streaming_windowed_agg",
-        "r11_stream_outer_join",
-        "w3_asof_join",
-        "j3_salted_skew_join",
-        "pipe1_training_data_prep", "pipe2_curation_funnel",
-        "pipe3_segment_funnel",
+        # round-12 additions
+        "s26_evolved_lake_scan", "s27_nested_sarg_scan",
+        # code-change re-grades (reader-schema election)
+        "s24_lake_scan", "s25_orc_native_scan",
+        # the r5-era rotation deadline (age 7 during r12)
+        "s14_csv_to_orc_convert", "set1_union_intersect_except",
+        "t5_minor_compaction", "v6_two_tier_rerank",
+        "x7_pii_redaction", "x8_sequence_pack", "x9_vocab_topk",
+        "x16_bpe_pair_stats", "x17_temperature_mix",
+        # the full r6-era cohort (36)
+        "a4_stripe_stats", "d6_embedding_cosine_neardup",
+        "d10_dup_clusters", "d11_semdedup",
+        "d15_cross_source_overlap", "d16_contamination_report",
+        "d17_fuzzy_token_pairs",
+        "g2_cube", "g3_hierarchy_depth",
+        "j2_join_strategy_parity", "m4_payload_dedup",
+        "mv2_affected_key_refresh", "p4_unpivot",
+        "q4_order_priority", "q8_market_share",
+        "q21_waiting_suppliers",
+        "r1_streaming_orc_ingest", "r3_stateful_running_totals",
+        "r4_streaming_acid_cdc", "r5_session_windows",
+        "r6_stream_dedup", "r7_stream_stream_join",
+        "r10_stream_ohlc",
+        "sk1_kmv_distinct", "t4_acid_stats", "t8_snapshot_diff",
+        "u2_pandas_udf_parity", "u4_map_in_arrow", "v3_ivf_ann",
+        "w5_retention_cohorts", "w6_interval_join",
+        "w7_scd2_history", "w8_ohlc_downsample",
+        "w10_gap_fill", "w11_interval_merge",
+        "x18_gopher_filters",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50
