@@ -35,9 +35,48 @@ pure-Python decode tier:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 _INT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+# pre-HIVE-4243 writers name every top-level column _col<N> — the
+# reference reconciles such files POSITIONALLY (SchemaEvolution.java:
+# 58 missingMetadataPattern, :97-113 hasColumnNames -> positionalLevels=1)
+_MISSING_METADATA = re.compile(r"_col\d+")
+
+
+def is_positional(meta: dict) -> bool:
+    """True when this file carries NO real column names (every
+    top-level field is `_col<N>`) — the reference's hasColumnNames()
+    == false case, reconciled by position against the reader schema
+    (`SchemaEvolution.java:144-156`)."""
+    root = meta["types"][0]
+    names = root["field_names"] if root["kind"] == "struct" else []
+    return bool(names) and all(_MISSING_METADATA.fullmatch(n) for n in names)
+
+
+def positional_name_map(reader_meta: dict, file_meta: dict) -> dict[str, str]:
+    """reader top-level name -> file top-level name, paired by
+    POSITION (positionalLevels=1, the non-ACID case; deeper levels
+    stay name-based, `buildConversion:398-424`). Reader columns past
+    the file's width are absent from the map (they NULL-fill)."""
+    r_names = reader_meta["types"][0]["field_names"]
+    f_names = file_meta["types"][0]["field_names"]
+    return dict(zip(r_names, f_names))
+
+
+def tree_rename(tree: Any, mapping: dict[str, str]) -> Any:
+    """Rewrite a SArg tree's column names through `mapping` (used to
+    translate reader-name predicates into a positional file's _colN
+    namespace). Names not in the mapping pass through unchanged —
+    tree_prunable then degrades them to keep-all."""
+    if tree is None:
+        return None
+    head = tree[0]
+    if head in ("and", "or", "not"):
+        return (head, *(tree_rename(c, mapping) for c in tree[1:]))
+    return (head, rename_path(tree[1], mapping), *tree[2:])
 
 
 def _dec_ps(t: dict) -> tuple[int, int]:
@@ -93,8 +132,38 @@ def type_covers(r_types: list, r_cid: int, f_types: list, f_cid: int) -> bool:
 
 def covers(reader_meta: dict, file_meta: dict) -> bool:
     """Reader schema can represent every column of the file —
-    name-based, recursive, lossless widening allowed."""
-    return type_covers(reader_meta["types"], 0, file_meta["types"], 0)
+    name-based, recursive, lossless widening allowed. A file with NO
+    real column names (pre-HIVE-4243 `_col<N>` writer) pairs its
+    top-level columns with the reader's by POSITION instead, exactly
+    one level deep (`SchemaEvolution.java:97-113`)."""
+    r_types, f_types = reader_meta["types"], file_meta["types"]
+    rt, ft = r_types[0], f_types[0]
+    if (
+        rt["kind"] == "struct" == ft["kind"]
+        and is_positional(file_meta)
+        and not is_positional(reader_meta)
+    ):
+        if len(ft["subtypes"]) > len(rt["subtypes"]):
+            return False
+        return all(
+            type_covers(r_types, r_sub, f_types, f_sub)
+            for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])
+        )
+    return type_covers(r_types, 0, f_types, 0)
+
+
+def rename_path(col: str, mapping: dict[str, str]) -> str:
+    """Rewrite ONE (possibly dotted) reader path through a top-level
+    name mapping; the longest mapped prefix wins (literal-dot rule).
+    Unmapped names pass through unchanged."""
+    if col in mapping:
+        return mapping[col]
+    best = max(
+        (k for k in mapping if col.startswith(k + ".")),
+        key=len,
+        default=None,
+    )
+    return mapping[best] + col[len(best):] if best is not None else col
 
 
 def schema_signature(meta: dict) -> str:
@@ -227,7 +296,12 @@ def ppd_safe(f_types: list, f_cid: int, r_types: list, r_cid: int) -> bool:
     return (fk, rk) in {("string", "varchar"), ("varchar", "string")}
 
 
-def tree_prunable(file_meta: dict, reader_meta: dict, tree: Any) -> bool:
+def tree_prunable(
+    file_meta: dict,
+    reader_meta: dict,
+    tree: Any,
+    file_names: dict[str, str] | None = None,
+) -> bool:
     """May `tree` prune THIS file at all? False when any predicate
     column is missing from the file (its domain here is all-NULL —
     pruning on it would be wrong), fails to resolve (a literal-dot /
@@ -246,8 +320,9 @@ def tree_prunable(file_meta: dict, reader_meta: dict, tree: Any) -> bool:
     )
 
     for c in _tree_columns(tree):
+        fc = rename_path(c, file_names) if file_names else c
         try:
-            f_chain, f_full = _resolve_partial(file_meta, c)
+            f_chain, f_full = _resolve_partial(file_meta, fc)
             r_chain, r_full = _resolve_partial(reader_meta, c)
         except KeyError:
             return False

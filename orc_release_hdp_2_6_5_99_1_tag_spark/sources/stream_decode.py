@@ -1409,11 +1409,25 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     fids = _column_ids(meta)
     ref = reader_meta if reader_meta is not None else meta
     outs = output_columns(columns, ref)
-    present: list[str] = []
+    # pre-HIVE-4243 files (_col<N> names) reconcile by POSITION, one
+    # level deep (SchemaEvolution.java:97-113, hasColumnNames) —
+    # reader paths translate into the file's _col namespace and back
+    pos_map: dict[str, str] = {}
+    if (
+        reader_meta is not None
+        and evo.is_positional(meta)
+        and not evo.is_positional(reader_meta)
+    ):
+        pos_map = evo.positional_name_map(reader_meta, meta)
+        if audit is not None:
+            audit["evolution_positional"] = True
+    to_file = (lambda c: evo.rename_path(c, pos_map)) if pos_map else (lambda c: c)
+    present: list[str] = []   # reader-side paths present in this file
     for c in columns:
-        if _top_name(fids, c) not in fids:
+        fc = to_file(c)
+        if _top_name(fids, fc) not in fids:
             continue  # whole top-level column missing: NULL-fill below
-        chain, full = _resolve_partial(meta, c)
+        chain, full = _resolve_partial(meta, fc)
         if not full and reader_meta is None:
             t = meta["types"][chain[-1]]
             raise KeyError(
@@ -1422,7 +1436,9 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
                 "(pass reader_meta)"
             )
         present.append(c)
-    missing = [o for o in outs if o not in fids]
+    missing = [
+        o for o in outs if _top_name(fids, to_file(o)) not in fids
+    ]
     if not present:
         raise ValueError(
             f"{path}: none of the requested columns {outs} exist in "
@@ -1430,24 +1446,31 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
             "reader schema"
         )
     eff_tree = tree
-    if tree is not None and not evo.tree_prunable(meta, ref, tree):
+    if tree is not None and not evo.tree_prunable(
+        meta, ref, tree, file_names=pos_map or None
+    ):
         # cannot prune: missing/unresolvable predicate column (all-NULL
         # domain here) or a PPD-unsafe conversion — keep all, exact via
         # the caller's residual filter
         eff_tree = None
         if audit is not None:
             audit["evolution_keep_all"] = True
+    if eff_tree is not None and pos_map:
+        eff_tree = evo.tree_rename(eff_tree, pos_map)
+    file_req = [to_file(c) for c in present]
     # per-column value fixups (struct-field NULL-fill, decimal
     # rescale); None for the identity fast path
     convs = {}
     if reader_meta is not None:
         rids = _column_ids(reader_meta)
         r_inc = _included_ids(reader_meta, columns)
-        f_inc = _included_ids(meta, present, partial=True)
+        f_inc = _included_ids(meta, file_req, partial=True)
         for o in outs:
-            if o in fids:
+            fo = to_file(o)
+            if _top_name(fids, fo) in fids and o in rids:
                 conv = evo.make_converter(
-                    reader_meta["types"], rids[o], meta["types"], fids[o],
+                    reader_meta["types"], rids[o],
+                    meta["types"], fids[_top_name(fids, fo)],
                     r_inc, f_inc,
                 )
                 if conv is not None:
@@ -1455,8 +1478,17 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     if convs and audit is not None:
         audit["evolution_converted"] = sorted(convs)
     # reuse the tail parse above — one metadata read per file, not two
-    for res in scan_file(path, eff_tree, present, audit, meta=meta,
+    for res in scan_file(path, eff_tree, file_req, audit, meta=meta,
                          partial=reader_meta is not None):
+        if pos_map:
+            # decode keys are the file's _col names — surface the
+            # reader's (the positional rename, one level deep)
+            cols_out = {}
+            for o in outs:
+                fo = _top_name(fids, to_file(o))
+                if fo in res["columns"]:
+                    cols_out[o] = res["columns"][fo]
+            res["columns"] = cols_out
         for c in missing:
             res["columns"][c] = [None] * res["n_rows"]
         for o, conv in convs.items():

@@ -385,3 +385,107 @@ def test_tree_prunable_literal_dot_and_unknown():
     assert evo.tree_prunable(meta, meta, ("equals", "x", 1))
     assert not evo.tree_prunable(meta, meta, ("equals", "nope", 1))
     assert not evo.tree_prunable(meta, meta, ("equals", "x.deep", 1))
+
+
+# ---------------------------------------------------------------------------
+# positional evolution (pre-HIVE-4243 _colN files)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def positional_lake(spark, tmp_path_factory):
+    """One pre-HIVE-4243-style file (every top-level column named
+    _col<N> — the reference reconciles these by POSITION,
+    `SchemaEvolution.java:97-113`) + one modern file with real names
+    and an added column."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("poslake")
+    stride = {"orc.row.index.stride": 1000}
+    old = _write_one_orc(
+        spark,
+        spark.range(3000).select(
+            F.col("id").cast("int").alias("_col0"),
+            F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("_col1"),
+        ),
+        str(base / "old"),
+        **stride,
+    )
+    new = _write_one_orc(
+        spark,
+        spark.range(3000, 6000).select(
+            "id",
+            F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("name"),
+            (F.col("id") % 11).cast("double").alias("extra"),
+        ),
+        str(base / "new"),
+        **stride,
+    )
+    lake = base / "lake"
+    lake.mkdir()
+    import shutil
+
+    shutil.copy(old, lake / "a_old.orc")
+    shutil.copy(new, lake / "b_new.orc")
+    return {
+        "files": sorted(glob.glob(str(lake / "*.orc"))),
+        "old": str(lake / "a_old.orc"),
+        "new": str(lake / "b_new.orc"),
+    }
+
+
+def test_positional_detection_and_covers(positional_lake):
+    old_meta = parse_tail_of_file(positional_lake["old"])
+    new_meta = parse_tail_of_file(positional_lake["new"])
+    assert evo.is_positional(old_meta)
+    assert not evo.is_positional(new_meta)
+    assert evo.covers(new_meta, old_meta)  # positional pairing + widening
+    assert not evo.covers(old_meta, new_meta)  # narrower, no added col
+    p, meta = evo.elect_reader_path(positional_lake["files"])
+    assert p == positional_lake["new"]
+
+
+def test_positional_scan_translates_and_prunes(positional_lake):
+    reader_meta = parse_tail_of_file(positional_lake["new"])
+    audit = {}
+    got = []
+    for res in sd.scan_file_evolved(
+        positional_lake["old"], ("less_than", "id", 1000),
+        ["id", "name", "extra"], audit, reader_meta=reader_meta,
+    ):
+        got.extend(
+            zip(res["columns"]["id"], res["columns"]["name"],
+                res["columns"]["extra"])
+        )
+    assert audit.get("evolution_positional") is True
+    # the reader-name predicate translated to _col0 and PRUNED (the
+    # int->bigint positional conversion is PPD-safe)
+    assert "evolution_keep_all" not in audit
+    assert audit["groups_decoded"] < audit["groups_total"]
+    assert all(e is None for _, _, e in got)  # added col NULL-fills
+    assert all(n == f"n{i % 5}" for i, n, _ in got)
+    assert {i for i, _, _ in got} >= set(range(1000))
+
+
+def test_positional_through_read_planned_lake(spark, positional_lake):
+    df = sd.read_planned_lake(
+        spark, positional_lake["files"], None, ["id", "name", "extra"]
+    )
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 6000
+    assert [r["id"] for r in rows] == list(range(6000))
+    assert rows[0]["extra"] is None and rows[3000]["extra"] == 3000 % 11
+    assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_tree_rename():
+    m = {"id": "_col0", "st": "_col2", "a.b": "_col3"}
+    t = ("and", ("less_than", "id", 5),
+         ("not", ("equals", "st.f", "x")),
+         ("in", "a.b.c", [1, 2]),
+         ("is_null", "other", None))
+    out = evo.tree_rename(t, m)
+    assert out == ("and", ("less_than", "_col0", 5),
+                   ("not", ("equals", "_col2.f", "x")),
+                   ("in", "_col3.c", [1, 2]),
+                   ("is_null", "other", None))
