@@ -1567,20 +1567,49 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
 def explain_lake_scan(paths: list[str], tree: Any, columns: list[str]) -> list[dict]:
     """Driver-side (diagnostic) accounting of what read_planned_lake
     will do per file: level-1 keep/skip, stripes/groups kept, and the
-    planned byte fraction. Metadata reads only."""
+    planned byte fraction. Metadata reads only. Evolution-aware the
+    same way the scan is: a file where the predicate cannot prune
+    (missing/unsafely-converted column) reports keep-all, and columns
+    resolve per file (missing ones cost no plan bytes)."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
         pick_row_groups,
     )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import (
+        evolution_native as evo,
+    )
     from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _top_name,
         plan_read_ranges,
     )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.tools import (
+        _column_ids,
+    )
 
+    reader_meta = None
+    if len(paths) > 1:
+        _, reader_meta = evo.elect_reader_path(paths)
     out = []
     for path in paths:
-        d = {"path": path, **file_prunes(path, tree)}
+        meta = parse_tail_of_file(path)
+        ref = reader_meta if reader_meta is not None else meta
+        eff_tree = tree
+        if tree is not None and not evo.tree_prunable(meta, ref, tree):
+            eff_tree = None
+        fids = _column_ids(meta)
+        file_cols = [c for c in columns if _top_name(fids, c) in fids]
+        if eff_tree is None:
+            d = {"path": path, "truth": "YES_NO_NULL", "keep": True}
+        else:
+            d = {"path": path, **_file_prunes_from_meta(meta, eff_tree)}
         if d["keep"]:
-            picks = pick_row_groups(path, tree)
-            plan = plan_read_ranges(path, tree, columns=columns, picks=picks)
+            picks = (
+                pick_row_groups(path, eff_tree)
+                if eff_tree is not None
+                else keep_all_picks(path)
+            )
+            plan = plan_read_ranges(
+                path, eff_tree, columns=file_cols, picks=picks, partial=True
+            )
             d["stripes_total"] = len(picks)
             d["stripes_kept"] = sum(
                 1 for per in picks if any(x["keep"] for x in per)

@@ -489,3 +489,24 @@ def test_tree_rename():
                    ("not", ("equals", "_col2.f", "x")),
                    ("in", "_col3.c", [1, 2]),
                    ("is_null", "other", None))
+
+
+def test_explain_lake_scan_evolution_aware(evolved_lake):
+    """The driver-side diagnostic follows the scan's evolution rules:
+    a predicate on the ADDED column keeps-all on old generations
+    (never KeyError), and file-resolvable columns plan normally."""
+    rep = sd.explain_lake_scan(
+        evolved_lake["files"], ("equals", "w", "w6100"), ["id", "w"]
+    )
+    by = {os.path.basename(r["path"]): r for r in rep}
+    assert by["c_gen0.orc"]["keep"] is True   # w missing: keep-all
+    assert by["b_gen1.orc"]["keep"] is True
+    assert by["a_gen2.orc"]["keep"] is True
+    # and a SAFELY-widened predicate still prunes old generations
+    rep2 = sd.explain_lake_scan(
+        evolved_lake["files"], ("less_than", "id", 1000), ["id"]
+    )
+    by2 = {os.path.basename(r["path"]): r for r in rep2}
+    assert by2["a_gen2.orc"]["keep"] is False  # ids 6000+: file skipped
+    assert by2["c_gen0.orc"]["keep"] is True
+    assert by2["c_gen0.orc"]["groups_kept"] < by2["c_gen0.orc"]["groups_total"]
