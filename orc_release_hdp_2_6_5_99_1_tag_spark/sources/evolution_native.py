@@ -430,17 +430,364 @@ def make_converter(
 
         return conv_union
     if rk == "decimal" and fk == "decimal":
-        _, rs = _dec_ps(rt)
-        _, fs = _dec_ps(ft)
-        if rs == fs:
+        if _dec_ps(ft) == _dec_ps(rt):
             return None
-        from decimal import Context, Decimal
+        # rescale through enforcePrecisionScale (HALF_UP + NULL on
+        # integer-digit overflow) — exact for elected (covering)
+        # lakes, reference-faithful for explicit narrowing readers
+        return lambda v: None if v is None else _enforce_dec(v, rt)
+    if rk == fk:
+        return None
+    # LOSSLESS widenings that are identity on Python values (int
+    # family upward, float→double, char/varchar→string)
+    if _widens(ft, rt):
+        return None
+    # everything else is the reference's explicit CONVERT matrix
+    # (ConvertTreeReaderFactory.java:401-2100) — see _primitive_conv
+    conv = _primitive_conv(ft, rt)
+    return lambda v: None if v is None else conv(v)
 
-        ctx = Context(prec=77)
-        quantum = Decimal(1).scaleb(-rs)
-        return lambda v: (
-            None if v is None else v.quantize(quantum, context=ctx)
+
+# ---------------------------------------------------------------------------
+# The full ConvertTreeReader matrix (ConvertTreeReaderFactory.java:401-2100)
+# for EXPLICIT reader schemas. Election only ever elects lossless
+# widenings; these lossy directions activate when a caller names the
+# reader schema (schema_file / reader_meta) — the reference's behavior
+# when a Hive table's declared type diverges from the file's.
+# ---------------------------------------------------------------------------
+
+_STRING_GROUP = ("string", "char", "varchar")
+_INT_FAMILY = ("boolean", "tinyint", "smallint", "int", "bigint")
+_EPOCH_US = __import__("datetime").datetime(1970, 1, 1)
+
+
+def convertible(ft: dict, rt: dict) -> bool:
+    """ConvertTreeReaderFactory.canConvert parity (the create dispatch
+    is narrower than canConvert for binary — mirror the create)."""
+    fk, rk = ft["kind"], rt["kind"]
+    if rk in ("struct", "list", "map", "union"):
+        return fk == rk  # complex targets never convert
+    if fk in ("struct", "list", "map", "union"):
+        return False
+    if fk in _INT_FAMILY or fk in ("float", "double", "decimal"):
+        return rk not in ("binary", "date")
+    if fk in _STRING_GROUP:
+        return True
+    if fk == "timestamp":
+        return rk != "binary"
+    if fk == "date":
+        return rk in _STRING_GROUP or rk == "timestamp"
+    if fk == "binary":
+        return rk in _STRING_GROUP
+    return False
+
+
+def _fits_int(v: int, rk: str) -> bool:
+    bits = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}[rk]
+    return -(1 << (bits - 1)) <= v < (1 << (bits - 1))
+
+
+def _down_int(v: int, rk: str):
+    """downCastAnyInteger: NULL on data loss, boolean is !=0."""
+    if rk == "boolean":
+        return v != 0
+    return v if _fits_int(v, rk) else None
+
+
+def _f32(v: float) -> float:
+    import struct as _s
+
+    return _s.unpack("<f", _s.pack("<f", v))[0]
+
+
+_MAX_LONG_PLUS_ONE = float(1 << 63)
+
+
+def _fits_long(d: float) -> bool:
+    # doubleCanFitInLong (Guava roundToLong bounds)
+    return (-_MAX_LONG_PLUS_ONE - d < 1.0) and (d < _MAX_LONG_PLUS_ONE)
+
+
+def _shortest_digits(v: float, single: bool) -> tuple[str, str, int]:
+    """(sign, digit string, decimal exponent of the first digit) —
+    the shortest representation that round-trips, float32-aware."""
+    import numpy as np
+
+    s = np.format_float_scientific(
+        np.float32(v) if single else np.float64(v), unique=True, trim="-"
+    )
+    mant, _, exp = s.partition("e")
+    sign = "-" if mant.startswith("-") else ""
+    digits = mant.lstrip("-").replace(".", "").lstrip("0") or "0"
+    return sign, digits, int(exp or 0)
+
+
+def _java_fp_str(v: float, single: bool = False) -> str | None:
+    """Java Float/Double.toString: shortest round-trip digits; plain
+    decimal for 1e-3 <= |v| < 1e7, else D.DDDE<exp>. NaN converts to
+    NULL in StringGroupFrom{Float,Double} (the isNaN branch), so
+    callers map None->null."""
+    if v != v:
+        return None
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == 0.0:
+        import math
+
+        return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+    sign, digits, exp = _shortest_digits(v, single)
+    a = abs(_f32(v) if single else v)
+    if 1e-3 <= a < 1e7:
+        if exp >= 0:
+            whole = digits[: exp + 1].ljust(exp + 1, "0")
+            frac = digits[exp + 1 :] or "0"
+        else:
+            whole = "0"
+            frac = "0" * (-exp - 1) + digits
+        return f"{sign}{whole}.{frac}"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{exp}"
+
+
+def _dec_str(v) -> str:
+    """HiveDecimal.toString: plain notation, trailing fraction zeros
+    stripped (HiveDecimal normalizes on create)."""
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
+
+
+def _enforce_dec(v, rt: dict):
+    """HiveDecimal.enforcePrecisionScale: round to the reader scale,
+    NULL when the integer part overflows the reader precision."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
+
+    rp, rs = _dec_ps(rt)
+    ctx = Context(prec=77)
+    q = v.quantize(Decimal(1).scaleb(-rs), rounding=ROUND_HALF_UP, context=ctx)
+    digits = q.as_tuple()
+    if len(digits.digits) - rs > rp - rs and q != 0:
+        intdigits = len(digits.digits) + digits.exponent
+        if intdigits > rp - rs:
+            return None
+    return q
+
+
+def _ts_to_seconds_float(dt) -> float:
+    us = round((dt - _EPOCH_US).total_seconds() * 1_000_000)
+    return us / 1e6
+
+
+def _ts_str(dt) -> str:
+    """Timestamp -> string per the embedded (modern) ORC reader: no
+    fraction at all when zero (java.sql.Timestamp.toString would print
+    '.0' — the HDP-era behavior; pinned against the embedded reader)."""
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if not dt.microsecond:
+        return base
+    return base + "." + f"{dt.microsecond:06d}".rstrip("0")
+
+
+def _primitive_conv(ft: dict, rt: dict) -> Callable[[Any], Any]:
+    """One decoded-Python-value converter per (file kind, reader kind)
+    — the reference's ConvertTreeReader semantics: data loss reads as
+    NULL (never wraps, never throws), parse errors read as NULL,
+    int→timestamp is MILLIS, timestamp→int is (floor) SECONDS —
+    including the reference's known seconds-vs-millis asymmetry
+    (`RecordReaderImpl.java:750-754` disables PPD there for the same
+    reason). Raises on pairs the reference cannot convert either."""
+    import datetime as dt_mod
+    from decimal import Decimal
+
+    fk, rk = ft["kind"], rt["kind"]
+    if not convertible(ft, rt):
+        raise ValueError(
+            f"illegal schema evolution: ORC {fk!r} cannot be read as "
+            f"{rk!r} (ConvertTreeReaderFactory.canConvert parity)"
         )
-    # primitive widenings (int family, float→double, char/varchar→
-    # string): identity on Python values
-    return None
+    epoch = _EPOCH_US
+
+    def as_long(v):  # file int-family value as long (boolean -> 0/1)
+        return int(v)
+
+    if fk in _INT_FAMILY:
+        if rk in _INT_FAMILY:
+            return lambda v: _down_int(as_long(v), rk)
+        if rk == "float":
+            return lambda v: _f32(float(as_long(v)))
+        if rk == "double":
+            return lambda v: float(as_long(v))
+        if rk == "decimal":
+            return lambda v: _enforce_dec(Decimal(as_long(v)), rt)
+        if rk in _STRING_GROUP:
+            if fk == "boolean":
+                # modern ORC special-cases boolean ("TRUE"/"FALSE");
+                # the HDP-era source went through AnyInteger ("0"/"1")
+                # — pinned against the embedded reader
+                return lambda v: "TRUE" if v else "FALSE"
+            return lambda v: str(as_long(v))
+        if rk == "timestamp":
+            # SECONDS in the embedded (modern) reader; the HDP-era
+            # source's `new Timestamp(longValue)` (millis,
+            # ConvertTreeReaderFactory.java:1798) was the
+            # seconds-vs-millis asymmetry later fixed upstream —
+            # pinned against the embedded reader
+            return lambda v: epoch + dt_mod.timedelta(
+                seconds=as_long(v)
+            )
+    if fk in ("float", "double"):
+        narrow = (lambda v: _f32(v)) if fk == "float" else (lambda v: v)
+        if rk in _INT_FAMILY:
+            def conv_fp_int(v):
+                d = narrow(v)
+                if not _fits_long(d):
+                    return None
+                return _down_int(int(d), rk)  # truncation toward zero
+            return conv_fp_int
+        if rk == "float":
+            return lambda v: _f32(v)
+        if rk == "double":
+            return lambda v: v
+        if rk == "decimal":
+            return lambda v: (
+                None
+                if v != v
+                else _enforce_dec(
+                    Decimal(_java_fp_str(v, single=fk == "float")), rt
+                )
+            )
+        if rk in _STRING_GROUP:
+            # modern ORC formats the (already-widened) double for BOTH
+            # float and double files; the HDP-era source narrowed back
+            # to float first (String.valueOf((float)...)) — pinned
+            # against the embedded reader
+            return lambda v: _java_fp_str(v)
+        if rk == "timestamp":  # seconds (TimestampUtils.doubleToTimestamp)
+            def conv_fp_ts(v):
+                d = narrow(v)
+                if d != d or not _fits_long(d):
+                    return None
+                return epoch + dt_mod.timedelta(
+                    microseconds=round(d * 1e6)
+                )
+            return conv_fp_ts
+    if fk == "decimal":
+        if rk in _INT_FAMILY:
+            def conv_dec_int(v):
+                i = int(v)  # truncation toward zero
+                if not _fits_int(i, "bigint"):
+                    return None
+                return _down_int(i, rk)
+            return conv_dec_int
+        if rk == "float":
+            return lambda v: _f32(float(v))
+        if rk == "double":
+            return lambda v: float(v)
+        if rk == "decimal":
+            return lambda v: _enforce_dec(v, rt)
+        if rk in _STRING_GROUP:
+            return lambda v: _dec_str(v)
+        if rk == "timestamp":  # seconds.fraction (decimalToTimestamp)
+            return lambda v: epoch + dt_mod.timedelta(
+                microseconds=int(v * 1_000_000)
+            )
+    if fk in _STRING_GROUP:
+        if rk in _INT_FAMILY:
+            def conv_str_int(v):
+                if not _LONG_RE.fullmatch(v):
+                    return None  # parseLongFromString -> isParseError
+                i = int(v)
+                if not _fits_int(i, "bigint"):
+                    return None  # Long.parseLong overflow -> parse error
+                return _down_int(i, rk)
+            return conv_str_int
+        if rk in ("float", "double"):
+            def conv_str_fp(v):
+                try:
+                    d = float(v)
+                except ValueError:
+                    return None
+                return _f32(d) if rk == "float" else d
+            return conv_str_fp
+        if rk == "decimal":
+            def conv_str_dec(v):
+                from decimal import InvalidOperation
+
+                try:
+                    return _enforce_dec(Decimal(v.strip()), rt)
+                except InvalidOperation:
+                    return None
+            return conv_str_dec
+        if rk in _STRING_GROUP:
+            return lambda v: v  # length enforcement: see docstring note
+        if rk == "timestamp":  # Timestamp.valueOf format
+            def conv_str_ts(v):
+                m = _TS_RE.fullmatch(v.strip())
+                if not m:
+                    return None
+                try:
+                    base = dt_mod.datetime(
+                        int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                        int(m.group(4)), int(m.group(5)), int(m.group(6)),
+                    )
+                except ValueError:
+                    return None
+                frac = (m.group(7) or "").ljust(6, "0")[:6]
+                return base + dt_mod.timedelta(microseconds=int(frac or 0))
+            return conv_str_ts
+        if rk == "date":  # Date.valueOf format
+            def conv_str_date(v):
+                m = _DATE_RE.fullmatch(v.strip())
+                if not m:
+                    return None
+                try:
+                    return dt_mod.date(
+                        int(m.group(1)), int(m.group(2)), int(m.group(3))
+                    )
+                except ValueError:
+                    return None
+            return conv_str_date
+        if rk == "binary":
+            return lambda v: v.encode("utf-8")
+    if fk == "timestamp":
+        def ts_millis(v):
+            return round((v - epoch).total_seconds() * 1000)
+        if rk in _INT_FAMILY:  # millisToSeconds: FLOOR
+            def conv_ts_int(v):
+                m = ts_millis(v)
+                secs = m // 1000  # python floordiv == Java's negative fix
+                return _down_int(secs, rk)
+            return conv_ts_int
+        if rk == "float":
+            return lambda v: _f32(_ts_to_seconds_float(v))
+        if rk == "double":
+            return lambda v: _ts_to_seconds_float(v)
+        if rk == "decimal":
+            return lambda v: _enforce_dec(
+                Decimal(_java_fp_str(_ts_to_seconds_float(v))), rt
+            )
+        if rk in _STRING_GROUP:
+            return lambda v: _ts_str(v)
+        if rk == "date":  # timeToDate(millisToSeconds(...)), UTC engine
+            return lambda v: v.date()
+    if fk == "date":
+        if rk in _STRING_GROUP:
+            return lambda v: v.isoformat()
+        if rk == "timestamp":  # daysToMillis -> midnight
+            return lambda v: dt_mod.datetime(v.year, v.month, v.day)
+    if fk == "binary":
+        if rk in _STRING_GROUP:  # space-separated lowercase hex pairs
+            return lambda v: " ".join(f"{b:02x}" for b in v)
+    raise ValueError(
+        f"illegal schema evolution: ORC {fk!r} cannot be read as {rk!r}"
+    )
+
+
+_LONG_RE = re.compile(r"[+-]?\d+")
+_TS_RE = re.compile(
+    r"(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,9}))?"
+)
+_DATE_RE = re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2})")

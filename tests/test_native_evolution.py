@@ -510,3 +510,103 @@ def test_explain_lake_scan_evolution_aware(evolved_lake):
     assert by2["a_gen2.orc"]["keep"] is False  # ids 6000+: file skipped
     assert by2["c_gen0.orc"]["keep"] is True
     assert by2["c_gen0.orc"]["groups_kept"] < by2["c_gen0.orc"]["groups_total"]
+
+
+# ---------------------------------------------------------------------------
+# the FULL ConvertTreeReader matrix under an EXPLICIT reader schema,
+# pinned against the reference itself: spark.read.schema(ddl).orc(file)
+# drives the embedded Java ConvertTreeReaderFactory, so every direction
+# below is compared value-for-value with the reference's own reader.
+# ---------------------------------------------------------------------------
+
+_CONV_CASES = [
+    # (file ddl, rows, reader ddl)
+    ("x int", [(250,), (-1,), (0,), (300000,), (None,)], "x tinyint"),
+    ("x int", [(250,), (-1,), (70000,)], "x smallint"),
+    ("x int", [(250,), (-1,), (0,)], "x bigint"),
+    ("x int", [(250,), (-7,)], "x float"),
+    ("x int", [(250,), (-7,)], "x double"),
+    ("x int", [(250,), (-7,)], "x decimal(8,3)"),
+    ("x int", [(250,), (-7,)], "x string"),
+    ("x int", [(250000,), (-1000,)], "x timestamp"),
+    ("x int", [(0,), (3,), (-2,)], "x boolean"),
+    ("x bigint", [(2**40,), (12,)], "x int"),
+    ("x double", [(1.5,), (-2.25,), (1e8,), (1.23e-4,), (0.001,), (9999999.0,), (None,)], "x string"),
+    ("x double", [(1.5,), (-2.25,), (1e20,), (300.0,)], "x int"),
+    ("x double", [(1.5,), (-2.25,)], "x float"),
+    ("x double", [(1.5,), (-2.25,), (12345.678,)], "x decimal(12,4)"),
+    ("x double", [(1.5,), (86400.25,)], "x timestamp"),
+    ("x float", [(1.5,), (3.25,)], "x double"),
+    ("x float", [(1.5,), (3.25,), (0.1,)], "x string"),
+    ("x float", [(1.5,), (300.9,), (-300.9,)], "x int"),
+    ("x decimal(10,2)", [("1.25",), ("-3.50",), ("12345.67",)], "x int"),
+    ("x decimal(10,2)", [("1.25",), ("-3.50",)], "x double"),
+    ("x decimal(10,2)", [("1.25",), ("-3.50",), ("12345.67",)], "x string"),
+    ("x decimal(10,2)", [("1.25",), ("99999.99",)], "x decimal(6,1)"),
+    ("x string", [("42",), ("abc",), ("1.5",), (" 7",), ("128",)], "x tinyint"),
+    ("x string", [("42",), ("abc",), ("1.5",), ("1e3",)], "x double"),
+    ("x string", [("42.5",), ("abc",), ("1.25",)], "x decimal(8,3)"),
+    ("x string", [("2020-03-04 05:06:07.25",), ("2020-03-04 05:06:07",), ("nope",)], "x timestamp"),
+    ("x string", [("2020-03-04",), ("nope",), ("2020-13-40",)], "x date"),
+    ("x string", [("hi",), ("",)], "x binary"),
+    ("x timestamp", [("2020-03-04 05:06:07.25",), ("1969-12-31 23:59:59.5",)], "x bigint"),
+    ("x timestamp", [("2020-03-04 05:06:07.25",)], "x double"),
+    ("x timestamp", [("2020-03-04 05:06:07.25",), ("2020-03-04 05:06:07",)], "x string"),
+    ("x timestamp", [("2020-03-04 05:06:07.25",)], "x date"),
+    ("x date", [("2020-03-04",)], "x string"),
+    ("x date", [("2020-03-04",)], "x timestamp"),
+    ("x boolean", [(True,), (False,)], "x int"),
+    ("x boolean", [(True,), (False,)], "x string"),
+    ("x boolean", [(True,), (False,)], "x double"),
+]
+
+
+def _typed_rows(file_ddl, rows, spark):
+    """Build the typed single-column DataFrame (decimal/date/timestamp
+    literals arrive as strings; cast them in)."""
+    import pyspark.sql.functions as F
+
+    kind = file_ddl.split(" ", 1)[1]
+    if kind.startswith(("decimal", "date", "timestamp")):
+        df = spark.createDataFrame(rows, "x string")
+        return df.select(F.col("x").cast(kind).alias("x"))
+    return spark.createDataFrame(rows, file_ddl)
+
+
+@pytest.mark.parametrize("file_ddl,rows,reader_ddl", _CONV_CASES)
+def test_convert_matrix_vs_embedded_java_reader(
+    spark, tmp_path, file_ddl, rows, reader_ddl
+):
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import read_orc
+
+    data = _typed_rows(file_ddl, rows, spark)
+    path = _write_one_orc(spark, data, str(tmp_path / "f"))
+    # the reference's own reader: Spark hands the declared schema to
+    # the embedded Java ORC ConvertTreeReaderFactory
+    expect = [
+        r["x"] for r in spark.read.schema(reader_ddl).orc(path).collect()
+    ]
+    # reader_meta from a schema-only dummy file (what a caller's
+    # schema_file/catalog supplies)
+    dummy = _write_one_orc(
+        spark, spark.createDataFrame([], reader_ddl), str(tmp_path / "r")
+    )
+    reader_meta = parse_tail_of_file(dummy)
+    got = []
+    for res in sd.scan_file_evolved(path, None, ["x"], reader_meta=reader_meta):
+        got.extend(res["columns"]["x"])
+    assert got == expect, (file_ddl, reader_ddl, got, expect)
+
+
+def test_convert_matrix_illegal_pairs_raise(spark, tmp_path):
+    """Pairs the reference cannot convert raise loudly (its
+    IllegalEvolutionException), never silently misread."""
+    path = _write_one_orc(
+        spark, spark.createDataFrame([(1,)], "x int"), str(tmp_path / "f")
+    )
+    dummy = _write_one_orc(
+        spark, spark.createDataFrame([], "x date"), str(tmp_path / "r")
+    )
+    reader_meta = parse_tail_of_file(dummy)
+    with pytest.raises(ValueError, match="illegal schema evolution"):
+        list(sd.scan_file_evolved(path, None, ["x"], reader_meta=reader_meta))
