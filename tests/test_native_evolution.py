@@ -610,3 +610,43 @@ def test_convert_matrix_illegal_pairs_raise(spark, tmp_path):
     reader_meta = parse_tail_of_file(dummy)
     with pytest.raises(ValueError, match="illegal schema evolution"):
         list(sd.scan_file_evolved(path, None, ["x"], reader_meta=reader_meta))
+
+
+def test_orc_native_explicit_lossy_schema_file(spark, tmp_path):
+    """The DataSource surface with an EXPLICIT schema_file whose types
+    NARROW the file's (the reference's declared-table-type-diverges
+    case): conversions ride the Arrow exchange — overflow rows read as
+    NULL, in-range rows as the reader type."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    data = _write_one_orc(
+        spark,
+        spark.range(300).select(F.col("id").cast("int").alias("x")),
+        str(tmp_path / "d"),
+    )
+    rdr = _write_one_orc(
+        spark, spark.createDataFrame([], "x tinyint"), str(tmp_path / "r")
+    )
+    import shutil
+
+    shutil.copy(data, lake / "data.orc")
+    df = (
+        spark.read.format("orc_native")
+        .option("path", str(lake))
+        .option("schema_file", rdr)
+        .option("columns", "x")
+        .load()
+    )
+    assert dict(df.dtypes)["x"] == "tinyint"
+    rows = [r["x"] for r in df.collect()]
+    expect = [i if i < 128 else None for i in range(300)]
+    assert sorted(rows, key=lambda v: (v is None, v)) == sorted(
+        expect, key=lambda v: (v is None, v)
+    )
