@@ -35,6 +35,7 @@ pure-Python decode tier:
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from typing import Any, Callable
 
@@ -458,7 +459,7 @@ def make_converter(
 
 _STRING_GROUP = ("string", "char", "varchar")
 _INT_FAMILY = ("boolean", "tinyint", "smallint", "int", "bigint")
-_EPOCH_US = __import__("datetime").datetime(1970, 1, 1)
+_EPOCH_US = _dt.datetime(1970, 1, 1)
 
 
 def convertible(ft: dict, rt: dict) -> bool:
