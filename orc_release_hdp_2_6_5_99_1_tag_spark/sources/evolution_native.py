@@ -128,6 +128,9 @@ def type_covers(r_types: list, r_cid: int, f_types: list, f_cid: int) -> bool:
         rp, rs = _dec_ps(rt)
         fp, fs = _dec_ps(ft)
         return rs >= fs and (rp - rs) >= (fp - fs)
+    if rk in ("char", "varchar"):
+        rl, fl = rt.get("max_length"), ft.get("max_length")
+        return rl is None or (fl is not None and fl <= rl)
     return True
 
 
@@ -176,8 +179,11 @@ def schema_signature(meta: dict) -> str:
     return json.dumps(
         [
             {
-                k: t[k]
-                for k in ("kind", "subtypes", "field_names", "precision", "scale")
+                k: t.get(k)
+                for k in (
+                    "kind", "subtypes", "field_names", "precision",
+                    "scale", "max_length",
+                )
             }
             for t in meta["types"]
         ],
@@ -437,16 +443,44 @@ def make_converter(
         # integer-digit overflow) — exact for elected (covering)
         # lakes, reference-faithful for explicit narrowing readers
         return lambda v: None if v is None else _enforce_dec(v, rt)
-    if rk == fk:
+    if rk == fk and not _sg_truncates(ft, rt):
         return None
     # LOSSLESS widenings that are identity on Python values (int
     # family upward, float→double, char/varchar→string)
     if _widens(ft, rt):
         return None
     # everything else is the reference's explicit CONVERT matrix
-    # (ConvertTreeReaderFactory.java:401-2100) — see _primitive_conv
-    conv = _primitive_conv(ft, rt)
+    # (ConvertTreeReaderFactory.java:401-2100) — see _primitive_conv,
+    # with char/varchar reader lengths enforced on top
+    # (assignStringGroupVectorEntry -> StringExpr.truncate,
+    # ConvertTreeReaderFactory.java:124)
+    conv = (lambda v: v) if rk == fk else _primitive_conv(ft, rt)
+    if _sg_truncates(ft, rt):
+        n = rt["max_length"]
+        base = conv
+        if rk == "char":
+            # CHAR: StringExpr.rightTrimAndTruncate
+            # (ConvertTreeReaderFactory.java:114-119)
+            def conv(v, _b=base):
+                r = _b(v)
+                return None if r is None else r[:n].rstrip(" ")
+        else:
+            # VARCHAR: StringExpr.truncate (:121-126)
+            def conv(v, _b=base):
+                r = _b(v)
+                return None if r is None else r[:n]
     return lambda v: None if v is None else conv(v)
+
+
+def _sg_truncates(ft: dict, rt: dict) -> bool:
+    """Does the reader's char/varchar(n) bound require truncating this
+    conversion's output? (No when the FILE type already guarantees the
+    bound — same string-group kind with a fitting length.)"""
+    if rt["kind"] not in ("char", "varchar") or rt.get("max_length") is None:
+        return False
+    if ft["kind"] in ("char", "varchar") and ft.get("max_length") is not None:
+        return ft["max_length"] > rt["max_length"]
+    return True
 
 
 # ---------------------------------------------------------------------------

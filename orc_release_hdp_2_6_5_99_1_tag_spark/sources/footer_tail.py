@@ -497,6 +497,7 @@ def parse_tail(data: bytes, include_stripe_stats: bool = False) -> dict:
                 "field_names": t["fieldNames"],
                 "precision": t["precision"],
                 "scale": t["scale"],
+                "max_length": t["maximumLength"],  # char/varchar
             }
             for t in types
         ],

@@ -567,7 +567,7 @@ def _typed_rows(file_ddl, rows, spark):
     import pyspark.sql.functions as F
 
     kind = file_ddl.split(" ", 1)[1]
-    if kind.startswith(("decimal", "date", "timestamp")):
+    if kind.startswith(("decimal", "date", "timestamp", "varchar", "char")):
         df = spark.createDataFrame(rows, "x string")
         return df.select(F.col("x").cast(kind).alias("x"))
     return spark.createDataFrame(rows, file_ddl)
@@ -596,6 +596,54 @@ def test_convert_matrix_vs_embedded_java_reader(
     for res in sd.scan_file_evolved(path, None, ["x"], reader_meta=reader_meta):
         got.extend(res["columns"]["x"])
     assert got == expect, (file_ddl, reader_ddl, got, expect)
+
+
+def test_char_varchar_length_enforcement(spark, tmp_path):
+    """char/varchar reader lengths bound every conversion's output —
+    VARCHAR truncates (StringExpr.truncate), CHAR right-trims after
+    truncating (rightTrimAndTruncate) — per
+    `ConvertTreeReaderFactory.java:110-131`. Spark refuses char/varchar
+    in read schemas (UNSUPPORTED_CHAR_OR_VARCHAR_AS_STRING), so these
+    directions pin the CITED reference source, not the embedded
+    reader. Reader metas come from Hive-style ORC files written with
+    real varchar/char types via the ORC writer options."""
+    import pyspark.sql.functions as F
+
+    def reader_meta_for(ddl_kind, n, tag):
+        # Spark cannot DECLARE char/varchar columns, so synthesize the
+        # reader meta from a real string-typed file and patch the type
+        # (what a Hive catalog's schema_file would carry)
+        f = _write_one_orc(
+            spark, spark.createDataFrame([], "x string"),
+            str(tmp_path / f"r_{tag}"),
+        )
+        meta = parse_tail_of_file(f)
+        meta["types"][1]["kind"] = ddl_kind
+        meta["types"][1]["max_length"] = n
+        meta["columns"][0]["kind"] = ddl_kind
+        return meta
+
+    cases = [
+        # (file ddl, rows, reader kind, n, expected)
+        ("x string", [("hello",), ("hi  ",), ("",)], "varchar", 3,
+         ["hel", "hi ", ""]),
+        ("x string", [("hello",), ("hi  ",), ("ab ",)], "char", 3,
+         ["hel", "hi", "ab"]),
+        ("x int", [(250,), (-7,)], "varchar", 2, ["25", "-7"]),
+        ("x double", [(1.5,), (123.25,)], "char", 4, ["1.5", "123."]),
+    ]
+    for i, (file_ddl, rows, rkind, n, expected) in enumerate(cases):
+        data = _typed_rows(file_ddl, rows, spark)
+        path = _write_one_orc(spark, data, str(tmp_path / f"f{i}"))
+        rm = reader_meta_for(rkind, n, f"{i}")
+        got = []
+        for res in sd.scan_file_evolved(path, None, ["x"], reader_meta=rm):
+            got.extend(res["columns"]["x"])
+        assert got == expected, (file_ddl, rkind, n, got, expected)
+    # covers(): a narrower same-kind reader does NOT cover; a wider one does
+    v5 = reader_meta_for("varchar", 5, "c5")
+    v2 = reader_meta_for("varchar", 2, "c2")
+    assert evo.covers(v5, v2) and not evo.covers(v2, v5)
 
 
 def test_convert_matrix_illegal_pairs_raise(spark, tmp_path):
