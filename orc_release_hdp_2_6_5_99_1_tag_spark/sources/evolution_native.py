@@ -24,7 +24,15 @@ pure-Python decode tier:
   Because the decoders emit plain Python values, the int-family /
   float→double / char→string widenings are identity at this layer
   (the Arrow/DDL boundary applies the reader type); what materializes
-  is struct-field NULL-fill and decimal rescale.
+  under an ELECTED schema is struct-field NULL-fill and decimal
+  rescale. Under an EXPLICIT reader schema the full ConvertTreeReader
+  matrix activates (`_primitive_conv`: lossy downcasts NULL on data
+  loss, parse-error NULLs, Java numeric→string rendering, char/varchar
+  length enforcement — each direction pinned against the embedded
+  Java reader or the cited source).
+- **positional mapping** (`is_positional`, `positional_name_map`):
+  pre-HIVE-4243 `_col<N>` files pair top-level columns with the
+  reader's by position, one level deep.
 - **PPD safety** (`ppd_safe`, `tree_prunable`): reference parity —
   identity (decimal: exact precision+scale equality), tinyint→
   {smallint,int,bigint}, smallint→{int,bigint}, int→bigint,
