@@ -698,3 +698,43 @@ def test_orc_native_explicit_lossy_schema_file(spark, tmp_path):
     assert sorted(rows, key=lambda v: (v is None, v)) == sorted(
         expect, key=lambda v: (v is None, v)
     )
+
+
+def test_distributed_election_past_threshold(spark, tmp_path):
+    """elect_reader_meta's Spark-job path (>64 files): one task per
+    file ships back only (path, signature); the driver elects among
+    DISTINCT schemas — exercised with 70 files across two generations
+    (the path a million-file lake takes)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    old = _write_one_orc(
+        spark,
+        spark.range(50).select(F.col("id").cast("int").alias("id")),
+        str(tmp_path / "old"),
+    )
+    new = _write_one_orc(
+        spark,
+        spark.range(50, 100).select(
+            "id", F.md5(F.col("id").cast("string")).alias("added")
+        ),
+        str(tmp_path / "new"),
+    )
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    paths = []
+    for i in range(69):
+        dst = lake / f"old_{i:03d}.orc"
+        shutil.copy(old, dst)
+        paths.append(str(dst))
+    dst = lake / "zz_new.orc"
+    shutil.copy(new, dst)
+    paths.append(str(dst))
+    p, meta = evo.elect_reader_meta(paths, spark=spark, threshold=64)
+    assert p == str(dst)
+    assert {c["name"] for c in meta["columns"]} == {"id", "added"}
+    # and the full lake reads through the elected schema
+    df = sd.read_planned_lake(spark, paths, None, ["id", "added"])
+    assert df.count() == 69 * 50 + 50
+    assert df.filter("added is not null").count() == 50
