@@ -738,3 +738,41 @@ def test_distributed_election_past_threshold(spark, tmp_path):
     df = sd.read_planned_lake(spark, paths, None, ["id", "added"])
     assert df.count() == 69 * 50 + 50
     assert df.filter("added is not null").count() == 50
+
+
+def test_union_child_conversion_unit():
+    """A union CHILD evolving (struct variant gains a field) routes
+    through conv_union + struct NULL-fill — unit-level because Spark
+    cannot write true ORC unions (the golden corpus's unions carry
+    primitive variants only)."""
+    def t(kind, subtypes=(), field_names=(), precision=None, scale=None):
+        return {
+            "kind": kind, "subtypes": list(subtypes),
+            "field_names": list(field_names),
+            "precision": precision, "scale": scale,
+        }
+
+    # reader: union<struct<a:bigint,b:string>, string>
+    r_types = [
+        t("union", [1, 4]),
+        t("struct", [2, 3], ["a", "b"]), t("bigint"), t("string"),
+        t("string"),
+    ]
+    # file: union<struct<a:int>, string>
+    f_types = [
+        t("union", [1, 3]),
+        t("struct", [2], ["a"]), t("int"),
+        t("string"),
+    ]
+    assert evo.type_covers(r_types, 0, f_types, 0)
+    conv = evo.make_converter(r_types, 0, f_types, 0, None, None)
+    assert conv is not None
+    assert conv({"_tag": 0, "f0": {"a": 7}, "f1": None}) == {
+        "_tag": 0, "f0": {"a": 7, "b": None}, "f1": None,
+    }
+    assert conv({"_tag": 1, "f0": None, "f1": "x"}) == {
+        "_tag": 1, "f0": None, "f1": "x",
+    }
+    assert conv(None) is None
+    # identical union schemas stay on the identity fast path
+    assert evo.make_converter(f_types, 0, f_types, 0, None, None) is None
