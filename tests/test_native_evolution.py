@@ -776,3 +776,35 @@ def test_union_child_conversion_unit():
     assert conv(None) is None
     # identical union schemas stay on the identity fast path
     assert evo.make_converter(f_types, 0, f_types, 0, None, None) is None
+
+
+def test_java_fp_str_roundtrip_property():
+    """_java_fp_str must render the SHORTEST string that round-trips:
+    float(render(v)) == v exactly, across magnitudes (both the plain
+    1e-3..1e7 window and scientific notation), and the float32 single
+    path must round-trip through float32."""
+    import struct as s
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.evolution_native import (
+        _f32,
+        _java_fp_str,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    def check_double(v):
+        r = _java_fp_str(v)
+        assert float(r) == v, (v, r)
+        assert "E" in r or "." in r  # Java always shows a decimal form
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+    def check_single(v):
+        r = _java_fp_str(v, single=True)
+        assert _f32(float(r)) == v, (v, r)
+
+    check_double()
+    check_single()
