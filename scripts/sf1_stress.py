@@ -82,6 +82,18 @@ QUERIES_DECODE = [
     "s24_lake_scan",
 ]
 
+# round-12 tier: the evolved-lake scan (reader-schema election +
+# per-file null-fill/widening) and the nested-SArg DataSource scan.
+# Both predicates name FIXED key bands that live in replica 0 only
+# (l_orderkey 500-1200; cust.custkey 10-40 scales with customer count
+# but the custkey space grows 10x alongside), so the expected shape is
+# decode cost bounded by selectivity while staging and election absorb
+# the 10x growth in metadata only.
+QUERIES_R12 = [
+    "s26_evolved_lake_scan",
+    "s27_nested_sarg_scan",
+]
+
 
 def _gen() -> None:
     import pyarrow as pa
@@ -164,6 +176,8 @@ def main() -> None:
         queries = QUERIES_R10
     elif "--round11" in sys.argv:
         queries = QUERIES_R11
+    elif "--round12" in sys.argv:
+        queries = QUERIES_R12
     else:
         queries = QUERIES
 
@@ -209,6 +223,20 @@ def main() -> None:
             " predicate's selectivity, not the table size (file-level and"
             " group-level pruning absorb the growth). Staging (sorted"
             " ORC rewrite of the 10x lineitem) is excluded by the warm run.",
+        ]
+    elif "--round12" in sys.argv:
+        header = [
+            "",
+            "## sf1 stress — round-12 evolution + nested-SArg tier (s26/s27)",
+            "",
+            "s26 scans a two-generation evolved lake (reader-schema"
+            " election, per-file int->bigint widening + null-fill) with a"
+            " FIXED l_orderkey band that lives in replica 0 only; s27"
+            " pushes a struct sub-field BETWEEN through the orc_native"
+            " DataSource (nested footer + ROW_INDEX stats prune files and"
+            " groups). Expected shape at 10x data: decode cost bounded by"
+            " selectivity — staging (warm-run-excluded) and election"
+            " absorb the growth in metadata only.",
         ]
     elif "--round11" in sys.argv:
         header = [
