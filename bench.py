@@ -289,6 +289,7 @@ EXTENDED = [
     # field null-fill + widening) and the pushed struct sub-field SArg
     "s26_evolved_lake_scan",
     "s27_nested_sarg_scan",
+    "s28_positional_lake_scan",
 ]
 
 

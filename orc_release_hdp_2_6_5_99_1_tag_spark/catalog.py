@@ -83,12 +83,17 @@ def _build() -> None:
     # EMPTY (asserted mechanically by tests/test_registry_rotation.py).
     # Composition per the round-11 verdict's "Next" list:
     #
-    # - NEW (2): s26_evolved_lake_scan (verdict #2/#3 — automatic
+    # - NEW (3): s26_evolved_lake_scan (verdict #2/#3 — automatic
     #   reader-schema election + field-level null-fill + int->bigint
     #   widening with PPD-safe pruning, over a two-generation lake)
     #   and s27_nested_sarg_scan (verdict #4 — the pushed filter IS a
     #   struct sub-field comparison; file+group skips asserted in
-    #   tests/test_python_datasource.py).
+    #   tests/test_python_datasource.py), plus s28_positional_lake_scan
+    #   (beyond the list: pre-HIVE-4243 _colN files reconciled by
+    #   position through election + predicate translation — new
+    #   queries must enter the graded window per the never-green
+    #   invariant, so w8_ohlc_downsample moves to the r13 queue; its
+    #   OHLC family stays graded via r10_stream_ohlc this round).
     # - CODE-CHANGE re-grades (2, verdict #2 done-criterion): s24 and
     #   s25 now run the election path (no paths[0]/schema_file hint).
     # - AGE-6 re-grades, r5-era (9, verdict #1 — these reach age 7
@@ -99,7 +104,7 @@ def _build() -> None:
     #   for the 32-strong r7-era set, which reaches age 6 at r13):
     #   a4_stripe_stats, d6, d10, d11, d15-d17, g2, g3, j2, m4, mv2,
     #   p4, q4, q8, q21, r1, r3-r7, r10, sk1, t4, t8, u2, u4, v3,
-    #   w5-w8, w10, w11, x18.
+    #   w5-w7, w10, w11, x18 (35 of 36; w8 displaced by s28 — see NEW).
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r11, age 1, still
     # oracle-checked by pytest as extras): t9 + the r11 refresh tiers
@@ -112,14 +117,19 @@ def _build() -> None:
     # ROUND-13 ROTATION QUEUE (mechanical age scan at r12): the 32
     # r7-era verdicts (a8, a10, d19, j1, m3, q7, q9-q20, s15, s16,
     # sk2, u3, w4, w9, w12, w13, w15, x5, x6, x19, x20, x21) reach
-    # age 6 at r13 and BREACH at r14 — grade them across r13/r14;
-    # the 23 r8-era verdicts follow one round behind.
+    # age 6 at r13 and BREACH at r14 — grade them across r13/r14 —
+    # PLUS w8_ohlc_downsample (r6-era, displaced from the r12 window
+    # by s28; age 6 at r12, breaches at r13: it MUST be in the r13
+    # window). The 23 r8-era verdicts follow one round behind.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
     # round-12 additions, graded immediately
     register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE)
     register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE)
+    register(
+        "s28_positional_lake_scan", oq.s28_positional_lake_scan, oq.S28_ORACLE
+    )
     # code-change re-grades: both now run reader-schema ELECTION
     register("s24_lake_scan", oq.s24_lake_scan, oq.S24_ORACLE)
     register("s25_orc_native_scan", oq.s25_orc_native_scan, oq.S25_ORACLE)
@@ -170,7 +180,6 @@ def _build() -> None:
     register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE)
     register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE)
     register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE)
-    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE)
     register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE)
     register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE)
     register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE)
@@ -192,6 +201,7 @@ def _build() -> None:
     # the r11 addition + the r11 refresh tiers + the r10-era keep-warm
     # block (the r12 window is consumed by the r5/r6-era age deadline)
     register("t9_bucketed_merge", ac.t9_bucketed_merge, ac.T9_ORACLE, graded=False)
+    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE, graded=False)
     register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE, graded=False)
     register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE, graded=False)
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE, graded=False)

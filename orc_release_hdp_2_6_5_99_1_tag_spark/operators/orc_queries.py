@@ -1642,3 +1642,104 @@ WHERE o_custkey BETWEEN {_S27_CLO} AND {_S27_CHI}
 GROUP BY o_orderstatus
 ORDER BY status
 """
+
+
+_S28_SPLIT = 700                # pre-HIVE-4243 generation: keys < 700
+_S28_LO, _S28_HI = 400, 1100    # spans both generations at every SF
+
+
+def s28_positional_lake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL schema evolution graded end-to-end (reference
+    `SchemaEvolution.java:97-113`: a pre-HIVE-4243 writer names every
+    top-level column `_col<N>` — hasColumnNames() false — and the
+    reader reconciles by POSITION, one level deep): the lake's old
+    generation stores orders as `_col0 INT, _col1 STRING, _col2
+    DOUBLE`; the new generation carries real names (`o_orderkey
+    BIGINT, o_orderstatus, o_totalprice`) plus an added `o_custkey`.
+    Election pairs the `_col` files' columns with the reader's by
+    index (covers() positional rule), the BETWEEN predicate TRANSLATES
+    into the old files' `_col0` namespace and still prunes there (the
+    positional int→bigint conversion is PPD-safe), and the added
+    column NULL-fills on old-generation rows.
+
+    Scale: same one-task-per-file topology as s24/s26; the election
+    compares two distinct schema signatures regardless of file count,
+    and predicate translation is a name rewrite — the positional path
+    costs nothing per row. The oracle reconstructs both generations
+    from the original parquet; DuckDB never sees `_col` names,
+    election, or the translation."""
+    import glob
+    import shutil
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        read_planned_lake,
+    )
+
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_positional_lake")
+    fp = source_fingerprint(sf_dir, "orders") + (
+        f";split={_S28_SPLIT};files=2+2;stride=1000;v1"
+    )
+    if not marker_valid(dest + "._fp", fp):
+        shutil.rmtree(dest, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        old = (
+            o.filter(F.col("o_orderkey") < _S28_SPLIT)
+            .select(
+                F.col("o_orderkey").cast("int").alias("_col0"),
+                F.col("o_orderstatus").alias("_col1"),
+                F.col("o_totalprice").alias("_col2"),
+            )
+            .repartitionByRange(2, "_col0")
+            .sortWithinPartitions("_col0")
+        )
+        new = (
+            o.filter(F.col("o_orderkey") >= _S28_SPLIT)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            )
+            .repartitionByRange(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        write_orc(old, dest + "_g0", row_index_stride=1000)
+        write_orc(new, dest + "_g1", row_index_stride=1000)
+        os.makedirs(dest, exist_ok=True)
+        for gen, prefix in ((dest + "_g0", "a_g0"), (dest + "_g1", "z_g1")):
+            for i, f in enumerate(sorted(glob.glob(os.path.join(gen, "*.orc")))):
+                shutil.copy(f, os.path.join(dest, f"{prefix}_{i}.orc"))
+            shutil.rmtree(gen)
+        write_marker(dest + "._fp", fp)
+    files = sorted(glob.glob(os.path.join(dest, "*.orc")))
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"]
+    tree = ("between", "o_orderkey", [_S28_LO, _S28_HI])
+    decoded = read_planned_lake(spark, files, tree, cols)
+    return (
+        decoded.filter(
+            (F.col("o_orderkey") >= _S28_LO) & (F.col("o_orderkey") <= _S28_HI)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
+            F.sum(F.coalesce(F.col("o_custkey"), F.lit(0))).alias("sum_cust"),
+            F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("n_old_gen"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+S28_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_floor,
+       CAST(SUM(CASE WHEN o_orderkey >= {_S28_SPLIT} THEN o_custkey ELSE 0 END)
+            AS BIGINT) AS sum_cust,
+       CAST(SUM(CASE WHEN o_orderkey < {_S28_SPLIT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_old_gen
+FROM orders
+WHERE o_orderkey BETWEEN {_S28_LO} AND {_S28_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -58,9 +58,10 @@ def test_round12_graded_window_composition():
     election, field-level null-fill and int→bigint widening; s27 —
     the pushed struct sub-field SArg), the two code-change re-grades
     (s24/s25 now run the election path), the NINE r5-era verdicts
-    that reach age 7 during r12 (the test-enforced deadline), and the
-    FULL 36-strong r6-era cohort (clearing r13 for the 32 r7-era
-    verdicts). Displaced to extras: t9 + the r11 refresh tiers + the
+    that reach age 7 during r12 (the test-enforced deadline), and 35
+    of the 36-strong r6-era cohort (w8 is displaced by the third new
+    query s28 — positional evolution — and heads the r13 queue
+    alongside the 32 r7-era verdicts). Displaced to extras: t9 + the r11 refresh tiers + the
     r10-era keep-warm block, all r11-verdict-fresh (age 1).
     tests/test_registry_rotation.py asserts the never-green ⊆ graded
     invariant mechanically."""
@@ -70,6 +71,7 @@ def test_round12_graded_window_composition():
         "q1_pricing_summary",
         # round-12 additions
         "s26_evolved_lake_scan", "s27_nested_sarg_scan",
+        "s28_positional_lake_scan",
         # code-change re-grades (reader-schema election)
         "s24_lake_scan", "s25_orc_native_scan",
         # the r5-era rotation deadline (age 7 during r12)
@@ -77,7 +79,7 @@ def test_round12_graded_window_composition():
         "t5_minor_compaction", "v6_two_tier_rerank",
         "x7_pii_redaction", "x8_sequence_pack", "x9_vocab_topk",
         "x16_bpe_pair_stats", "x17_temperature_mix",
-        # the full r6-era cohort (36)
+        # the r6-era cohort (35 of 36; w8 -> r13)
         "a4_stripe_stats", "d6_embedding_cosine_neardup",
         "d10_dup_clusters", "d11_semdedup",
         "d15_cross_source_overlap", "d16_contamination_report",
@@ -94,7 +96,7 @@ def test_round12_graded_window_composition():
         "sk1_kmv_distinct", "t4_acid_stats", "t8_snapshot_diff",
         "u2_pandas_udf_parity", "u4_map_in_arrow", "v3_ivf_ann",
         "w5_retention_cohorts", "w6_interval_join",
-        "w7_scd2_history", "w8_ohlc_downsample",
+        "w7_scd2_history",
         "w10_gap_fill", "w11_interval_merge",
         "x18_gopher_filters",
     }
