@@ -92,6 +92,7 @@ QUERIES_DECODE = [
 QUERIES_R12 = [
     "s26_evolved_lake_scan",
     "s27_nested_sarg_scan",
+    "s28_positional_lake_scan",
 ]
 
 
