@@ -808,3 +808,56 @@ def test_java_fp_str_roundtrip_property():
 
     check_double()
     check_single()
+
+
+def test_nested_bloom_filter_pruning(spark, tmp_path):
+    """Bloom filters on NESTED columns (I2 x P2): the Java writer
+    accepts dotted names in orc.bloom.filter.columns, the bloom index
+    is keyed by the nested field's own column id, and a point-equals
+    SArg on the sub-field engages it. Layout is UNSORTED on the
+    predicate field, so min/max ranges cover everything and ONLY the
+    bloom can skip row groups — the s3 isolation pattern, one level
+    down."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+
+    # id-sorted => cust.tag (id*7919 % 10007) is uniform per group
+    df = spark.range(20000).select(
+        "id",
+        F.struct(
+            ((F.col("id") * 7919) % 10007).alias("tag"),
+            (F.col("id") % 5).alias("small"),
+        ).alias("cust"),
+    )
+    out = str(tmp_path / "nested_bloom")
+    (
+        df.coalesce(1)
+        .write.option("orc.row.index.stride", "1000")
+        .option("orc.bloom.filter.columns", "cust.tag")
+        .option("orc.bloom.filter.fpp", "0.01")
+        .orc(out)
+    )
+    path = sorted(glob.glob(os.path.join(out, "*.orc")))[0]
+    probe = (12345 * 7919) % 10007  # present in exactly one row group
+    tree = ("equals", "cust.tag", probe)
+    with_bloom = pick_row_groups(path, tree, use_bloom=True)
+    without = pick_row_groups(path, tree, use_bloom=False)
+    kept_b = sum(d["keep"] for per in with_bloom for d in per)
+    kept_n = sum(d["keep"] for per in without for d in per)
+    total = sum(len(per) for per in without)
+    # min/max cannot prune the uniform groups; the nested bloom must
+    assert kept_n == total
+    assert kept_b < total
+    # zero false negatives: the group holding the probe row survives,
+    # and the decoded scan returns exactly the planted row
+    rows = []
+    for res in sd.scan_file_evolved(path, tree, ["id", "cust.tag"]):
+        rows.extend(
+            (i, c["tag"]) for i, c in
+            zip(res["columns"]["id"], res["columns"]["cust"])
+        )
+    assert (12345, probe) in rows
+    assert all(t == probe for i, t in rows if i == 12345)
