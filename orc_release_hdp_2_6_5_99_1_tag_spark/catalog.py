@@ -79,110 +79,86 @@ def _build() -> None:
 
     # ---- graded window (first GRADED_WINDOW registrations) ----------
     #
-    # Round-12 rotation (ninth window). The never-fully-green set is
-    # EMPTY (asserted mechanically by tests/test_registry_rotation.py).
-    # Composition per the round-11 verdict's "Next" list:
+    # Round-13 rotation (tenth window). The never-fully-green set is
+    # EMPTY (asserted mechanically by tests/test_registry_rotation.py)
+    # and the window is now VERIFIED against scripts/rotation_plan.py
+    # (round-12 verdict Next #2): tests/test_contract.py::
+    # test_rotation_plan_mandatory_in_window asserts that every query
+    # that would breach the <=6 verdict-age invariant at this round
+    # sits in this window — no more hand-written queue comments.
     #
-    # - NEW (3): s26_evolved_lake_scan (verdict #2/#3 — automatic
-    #   reader-schema election + field-level null-fill + int->bigint
-    #   widening with PPD-safe pruning, over a two-generation lake)
-    #   and s27_nested_sarg_scan (verdict #4 — the pushed filter IS a
-    #   struct sub-field comparison; file+group skips asserted in
-    #   tests/test_python_datasource.py), plus s28_positional_lake_scan
-    #   (beyond the list: pre-HIVE-4243 _colN files reconciled by
-    #   position through election + predicate translation — new
-    #   queries must enter the graded window per the never-green
-    #   invariant, so w8_ohlc_downsample moves to the r13 queue; its
-    #   OHLC family stays graded via r10_stream_ohlc this round).
-    # - CODE-CHANGE re-grades (2, verdict #2 done-criterion): s24 and
-    #   s25 now run the election path (no paths[0]/schema_file hint).
-    # - AGE-6 re-grades, r5-era (9, verdict #1 — these reach age 7
-    #   during r12 and would breach the test-enforced >6 invariant):
-    #   s14, set1, t5, v6, x7, x8, x9, x16, x17.
-    # - AGE-5->6 re-grades, r6-era (ALL 36; verdict #1 said "roughly
-    #   half", but taking the whole cohort now clears the r13 window
-    #   for the 32-strong r7-era set, which reaches age 6 at r13):
-    #   a4_stripe_stats, d6, d10, d11, d15-d17, g2, g3, j2, m4, mv2,
-    #   p4, q4, q8, q21, r1, r3-r7, r10, sk1, t4, t8, u2, u4, v3,
-    #   w5-w7, w10, w11, x18 (35 of 36; w8 displaced by s28 — see NEW).
+    # Composition per the round-12 verdict's "Next" list:
+    # - MANDATORY (1): w8_ohlc_downsample (last green r6, displaced
+    #   from the r12 window by s28 — age 7 at r13 unless re-graded).
+    # - DUE, r7-era (all 32; age 6 at r13, would breach at r14): a8,
+    #   a10, d19, j1, m3, q7, q9-q20, s15, s16, sk2, u3, w4, w9, w12,
+    #   w13, w15, x5, x6, x19, x20, x21.
+    # - KEEP-WARM fills (16 of the 23 r8-era age-5 verdicts — they
+    #   reach age 6 at r14; grading most now halves the r14 queue):
+    #   c3, t6, t7, f1_equals..f5, x10-x15, d18, w14. The remaining 7
+    #   (i3, mv1, r8_streaming_pipeline, sk4, sk5, v5, x22) are the
+    #   r14 mandatory core — rotation_plan.py will list them.
     #
-    # Swapped OUT (all driver-green in CORRECTNESS_r11, age 1, still
-    # oracle-checked by pytest as extras): t9 + the r11 refresh tiers
-    # (f1_suite, f12, m1, m2, s5, s12, s13, x1, x3, x4, a4_merged, d7,
-    # d8, d9, d13, d14, h1, i1, i2, r9_enrichment, s11) + the r10-era
-    # keep-warm block (s1, s17, s18, s19, a1, q2, sk3, d1, d2, d12,
-    # v1, v2, v7, k1, g4, g5, t2, t3, r2, r11_outer, w3, j3,
-    # pipe1-pipe3). tests/test_contract.py pins the full composition.
-    #
-    # ROUND-13 ROTATION QUEUE (mechanical age scan at r12): the 32
-    # r7-era verdicts (a8, a10, d19, j1, m3, q7, q9-q20, s15, s16,
-    # sk2, u3, w4, w9, w12, w13, w15, x5, x6, x19, x20, x21) reach
-    # age 6 at r13 and BREACH at r14 — grade them across r13/r14 —
-    # PLUS w8_ohlc_downsample (r6-era, displaced from the r12 window
-    # by s28; age 6 at r12, breaches at r13: it MUST be in the r13
-    # window). The 23 r8-era verdicts follow one round behind.
+    # Swapped OUT (all driver-green in CORRECTNESS_r12, age 1, still
+    # oracle-checked by pytest as extras): the r12 additions (s26,
+    # s27, s28), the election re-grades (s24, s25), the r5-era refresh
+    # tier and the 35-strong r6-era cohort. tests/test_contract.py
+    # pins the full composition.
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
-    # round-12 additions, graded immediately
-    register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE)
-    register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE)
-    register(
-        "s28_positional_lake_scan", oq.s28_positional_lake_scan, oq.S28_ORACLE
-    )
-    # code-change re-grades: both now run reader-schema ELECTION
-    register("s24_lake_scan", oq.s24_lake_scan, oq.S24_ORACLE)
-    register("s25_orc_native_scan", oq.s25_orc_native_scan, oq.S25_ORACLE)
-    # age-6 verdict refresh: the r5-era rotation deadline (verdict #1)
-    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE)
-    register(
-        "set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE
-    )
-    register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE)
-    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE)
-    register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE)
-    register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE)
-    register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE)
-    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE)
-    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE)
-    # age-6 verdict refresh: the full r6-era cohort (36)
-    register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE)
-    register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE)
-    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE)
-    register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE)
-    register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE)
-    register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE)
-    register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE)
-    register("g2_cube", ex.g2_cube, ex.G2_ORACLE)
-    register("g3_hierarchy_depth", ex.g3_hierarchy_depth, ex.G3_ORACLE)
-    register("j2_join_strategy_parity", so.j2_join_strategy_parity, so.J2_ORACLE)
-    register("m4_payload_dedup", mm.m4_payload_dedup, mm.M4_ORACLE)
-    register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE)
-    register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE)
-    register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL)
-    register("q8_market_share", sq.q8_market_share, sq.Q8_SQL)
-    register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL)
-    register("r1_streaming_orc_ingest", ig.r1_streaming_orc_ingest, ig.R1_ORACLE)
-    register(
-        "r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE
-    )
-    register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE)
-    register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE)
-    register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE)
-    register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE)
-    register("r10_stream_ohlc", ig.r10_stream_ohlc, ig.R10_ORACLE)
-    register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE)
-    register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE)
-    register("t8_snapshot_diff", ac.t8_snapshot_diff, ac.T8_ORACLE)
-    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE)
-    register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE)
-    register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE)
-    register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE)
-    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE)
-    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE)
-    register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE)
-    register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE)
-    register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE)
+    # MANDATORY re-grade (breaches the <=6 invariant at r13)
+    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE)
+    # age-6 verdict refresh: the full r7-era cohort (32)
+    register("a8_correlation_matrix", st.a8_correlation_matrix, st.A8_ORACLE)
+    register("a10_winsorized_stats", st.a10_winsorized_stats, st.A10_ORACLE)
+    register("d19_boilerplate_scrub", dd.d19_boilerplate_scrub, dd.D19_ORACLE)
+    register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE)
+    register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE)
+    register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL)
+    register("q9_product_profit", sq.q9_product_profit, sq.Q9_SQL)
+    register("q10_returned_items", sq.q10_returned_items, sq.Q10_SQL)
+    register("q11_important_stock", sq.q11_important_stock, sq.Q11_SQL)
+    register("q12_priority_split", sq.q12_priority_split, sq.Q12_SQL)
+    register("q13_order_distribution", sq.q13_order_distribution, sq.Q13_SQL)
+    register("q14_promo_revenue", sq.q14_promo_revenue, sq.Q14_SQL)
+    register("q15_top_supplier", sq.q15_top_supplier, sq.Q15_SQL)
+    register("q16_parts_supplier", sq.q16_parts_supplier, sq.Q16_SQL)
+    register("q17_small_qty_revenue", sq.q17_small_qty_revenue, sq.Q17_SQL)
+    register("q18_large_orders", sq.q18_large_orders, sq.Q18_SQL)
+    register("q19_disjunctive_revenue", sq.q19_disjunctive_revenue, sq.Q19_SQL)
+    register("q20_part_promotion", sq.q20_part_promotion, sq.Q20_SQL)
+    register("s15_small_file_compaction", oq.s15_small_file_compaction, oq.S15_ORACLE)
+    register("s16_zorder_layout", oq.s16_zorder_layout, oq.S16_ORACLE)
+    register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE)
+    register("u3_model_inference", xt.u3_model_inference, xt.U3_ORACLE)
+    register("w4_trailing_window", tp.w4_trailing_window, tp.W4_ORACLE)
+    register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE)
+    register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE)
+    register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE)
+    register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE)
+    register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE)
+    register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE)
+    register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE)
+    register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE)
+    register("x21_source_divergence", tx.x21_source_divergence, tx.X21_ORACLE)
+    # keep-warm fills: 16 of the 23 r8-era age-5 verdicts
+    register("c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE)
+    register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE)
+    register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE)
+    register("f1_equals", f.f1_equals, f.F1_ORACLE)
+    register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE)
+    register("f3_less_than", f.f3_less_than, f.F3_ORACLE)
+    register("f4_in_list", f.f4_in_list, f.F4_ORACLE)
+    register("f5_between", f.f5_between, f.F5_ORACLE)
+    register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE)
+    register("x11_doc_chunking", tx.x11_doc_chunking, tx.X11_ORACLE)
+    register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE)
+    register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE)
+    register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE)
+    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE)
+    register("d18_containment", dd.d18_containment, dd.D18_ORACLE)
+    register("w14_twap", tp.w14_twap, tp.W14_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
@@ -200,8 +176,57 @@ def _build() -> None:
     # rotated out round 12 (driver-green in CORRECTNESS_r11, age 1):
     # the r11 addition + the r11 refresh tiers + the r10-era keep-warm
     # block (the r12 window is consumed by the r5/r6-era age deadline)
+    # rotated out round 13 (driver-green in CORRECTNESS_r12, age 1):
+    register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE, graded=False)
+    register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE, graded=False)
+    register("s28_positional_lake_scan", oq.s28_positional_lake_scan, oq.S28_ORACLE, graded=False)
+    register("s24_lake_scan", oq.s24_lake_scan, oq.S24_ORACLE, graded=False)
+    register("s25_orc_native_scan", oq.s25_orc_native_scan, oq.S25_ORACLE, graded=False)
+    register("s14_csv_to_orc_convert", oq.s14_csv_to_orc_convert, oq.S14_ORACLE, graded=False)
+    register("set1_union_intersect_except", so.set1_union_intersect_except, so.SET1_ORACLE, graded=False)
+    register("t5_minor_compaction", ac.t5_minor_compaction, ac.T5_ORACLE, graded=False)
+    register("v6_two_tier_rerank", sim.v6_two_tier_rerank, sim.V6_ORACLE, graded=False)
+    register("x7_pii_redaction", tx.x7_pii_redaction, tx.X7_ORACLE, graded=False)
+    register("x8_sequence_pack", tx.x8_sequence_pack, tx.X8_ORACLE, graded=False)
+    register("x9_vocab_topk", tx.x9_vocab_topk, tx.X9_ORACLE, graded=False)
+    register("x16_bpe_pair_stats", tx.x16_bpe_pair_stats, tx.X16_ORACLE, graded=False)
+    register("x17_temperature_mix", tx.x17_temperature_mix, tx.X17_ORACLE, graded=False)
+    register("a4_stripe_stats", st.a4_stripe_stats, st.A4_ORACLE, graded=False)
+    register("d6_embedding_cosine_neardup", sim.d6_embedding_cosine_neardup, sim.D6_ORACLE, graded=False)
+    register("d10_dup_clusters", dd.d10_dup_clusters, dd.D10_ORACLE, graded=False)
+    register("d11_semdedup", dd.d11_semdedup, dd.D11_ORACLE, graded=False)
+    register("d15_cross_source_overlap", dd.d15_cross_source_overlap, dd.D15_ORACLE, graded=False)
+    register("d16_contamination_report", dd.d16_contamination_report, dd.D16_ORACLE, graded=False)
+    register("d17_fuzzy_token_pairs", dd.d17_fuzzy_token_pairs, dd.D17_ORACLE, graded=False)
+    register("g2_cube", ex.g2_cube, ex.G2_ORACLE, graded=False)
+    register("g3_hierarchy_depth", ex.g3_hierarchy_depth, ex.G3_ORACLE, graded=False)
+    register("j2_join_strategy_parity", so.j2_join_strategy_parity, so.J2_ORACLE, graded=False)
+    register("m4_payload_dedup", mm.m4_payload_dedup, mm.M4_ORACLE, graded=False)
+    register("mv2_affected_key_refresh", inc.mv2_affected_key_refresh, inc.MV2_ORACLE, graded=False)
+    register("p4_unpivot", so.p4_unpivot, so.P4_ORACLE, graded=False)
+    register("q4_order_priority", sq.q4_order_priority, sq.Q4_SQL, graded=False)
+    register("q8_market_share", sq.q8_market_share, sq.Q8_SQL, graded=False)
+    register("q21_waiting_suppliers", sq.q21_waiting_suppliers, sq.Q21_SQL, graded=False)
+    register("r1_streaming_orc_ingest", ig.r1_streaming_orc_ingest, ig.R1_ORACLE, graded=False)
+    register("r3_stateful_running_totals", stf.r3_stateful_running_totals, stf.R3_ORACLE, graded=False)
+    register("r4_streaming_acid_cdc", cdc.r4_streaming_acid_cdc, cdc.R4_ORACLE, graded=False)
+    register("r5_session_windows", ig.r5_session_windows, ig.R5_ORACLE, graded=False)
+    register("r6_stream_dedup", ig.r6_stream_dedup, ig.R6_ORACLE, graded=False)
+    register("r7_stream_stream_join", ig.r7_stream_stream_join, ig.R7_ORACLE, graded=False)
+    register("r10_stream_ohlc", ig.r10_stream_ohlc, ig.R10_ORACLE, graded=False)
+    register("sk1_kmv_distinct", st.sk1_kmv_distinct, st.SK1_ORACLE, graded=False)
+    register("t4_acid_stats", ac.t4_acid_stats, ac.T4_ORACLE, graded=False)
+    register("t8_snapshot_diff", ac.t8_snapshot_diff, ac.T8_ORACLE, graded=False)
+    register("u2_pandas_udf_parity", xt.u2_pandas_udf_parity, xt.U2_ORACLE, graded=False)
+    register("u4_map_in_arrow", xt.u4_map_in_arrow, xt.U4_ORACLE, graded=False)
+    register("v3_ivf_ann", sim.v3_ivf_ann, sim.V3_ORACLE, graded=False)
+    register("w5_retention_cohorts", tp.w5_retention_cohorts, tp.W5_ORACLE, graded=False)
+    register("w6_interval_join", tp.w6_interval_join, tp.W6_ORACLE, graded=False)
+    register("w7_scd2_history", tp.w7_scd2_history, tp.W7_ORACLE, graded=False)
+    register("w10_gap_fill", tp.w10_gap_fill, tp.W10_ORACLE, graded=False)
+    register("w11_interval_merge", tp.w11_interval_merge, tp.W11_ORACLE, graded=False)
+    register("x18_gopher_filters", tx.x18_gopher_filters, tx.X18_ORACLE, graded=False)
     register("t9_bucketed_merge", ac.t9_bucketed_merge, ac.T9_ORACLE, graded=False)
-    register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE, graded=False)
     register("f1_predicate_suite", f.f1_predicate_suite, f.F1_SUITE_ORACLE, graded=False)
     register("f12_row_seek", f.f12_row_seek, f.F12_ORACLE, graded=False)
     register("m1_multimodal_features", mm.m1_multimodal_features, mm.M1_ORACLE, graded=False)
@@ -273,31 +298,7 @@ def _build() -> None:
     register("r12_python_stream_source", ig.r12_python_stream_source, ig.R12_ORACLE, graded=False)
     # rotated out mid-round-10 (driver-green r9; displaced by s24):
     register("v4_pq_ann", sim.v4_pq_ann, sim.V4_ORACLE, graded=False)
-    register("q7_volume_shipping", sq.q7_volume_shipping, sq.Q7_SQL, graded=False)
-    register("q9_product_profit", sq.q9_product_profit, sq.Q9_SQL, graded=False)
-    register("q10_returned_items", sq.q10_returned_items, sq.Q10_SQL, graded=False)
-    register("q11_important_stock", sq.q11_important_stock, sq.Q11_SQL, graded=False)
-    register("q12_priority_split", sq.q12_priority_split, sq.Q12_SQL, graded=False)
-    register("q13_order_distribution", sq.q13_order_distribution, sq.Q13_SQL, graded=False)
-    register("q14_promo_revenue", sq.q14_promo_revenue, sq.Q14_SQL, graded=False)
-    register("q15_top_supplier", sq.q15_top_supplier, sq.Q15_SQL, graded=False)
-    register("q16_parts_supplier", sq.q16_parts_supplier, sq.Q16_SQL, graded=False)
-    register("q17_small_qty_revenue", sq.q17_small_qty_revenue, sq.Q17_SQL, graded=False)
-    register("q18_large_orders", sq.q18_large_orders, sq.Q18_SQL, graded=False)
-    register("q19_disjunctive_revenue", sq.q19_disjunctive_revenue, sq.Q19_SQL, graded=False)
-    register("q20_part_promotion", sq.q20_part_promotion, sq.Q20_SQL, graded=False)
-    register("s15_small_file_compaction", oq.s15_small_file_compaction, oq.S15_ORACLE, graded=False)
-    register("s16_zorder_layout", oq.s16_zorder_layout, oq.S16_ORACLE, graded=False)
-    register("sk2_histogram_quantiles", st.sk2_histogram_quantiles, st.SK2_ORACLE, graded=False)
     register("sk5_theta_intersection", st.sk5_theta_intersection, st.SK5_ORACLE, graded=False)
-    register("a8_correlation_matrix", st.a8_correlation_matrix, st.A8_ORACLE, graded=False)
-    register("a10_winsorized_stats", st.a10_winsorized_stats, st.A10_ORACLE, graded=False)
-    register("d19_boilerplate_scrub", dd.d19_boilerplate_scrub, dd.D19_ORACLE, graded=False)
-    register("w4_trailing_window", tp.w4_trailing_window, tp.W4_ORACLE, graded=False)
-    register("w9_window_suite", tp.w9_window_suite, tp.W9_ORACLE, graded=False)
-    register("w12_event_funnel", tp.w12_event_funnel, tp.W12_ORACLE, graded=False)
-    register("w13_rfm_segmentation", tp.w13_rfm_segmentation, tp.W13_ORACLE, graded=False)
-    register("w15_last_touch_attribution", tp.w15_last_touch_attribution, tp.W15_ORACLE, graded=False)
     # rotated out round 10 (driver-green in CORRECTNESS_r09): the r9
     # additions + the r9 refresh tier, all verdict-fresh
     register("sk6_ams_f2", st.sk6_ams_f2, st.SK6_ORACLE, graded=False)
@@ -322,22 +323,12 @@ def _build() -> None:
     register("d5_blocklist_antijoin", xt.d5_blocklist_antijoin, xt.D5_ORACLE, graded=False)
     register("x2_fingerprint", tx.x2_fingerprint, tx.X2_ORACLE, graded=False)
     register("x22_ngram_novelty", tx.x22_ngram_novelty, tx.X22_ORACLE, graded=False)
-    register("x5_train_test_split", tx.x5_train_test_split, tx.X5_ORACLE, graded=False)
-    register("x6_repetition_metrics", tx.x6_repetition_metrics, tx.X6_ORACLE, graded=False)
-    register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE, graded=False)
-    register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE, graded=False)
-    register("x21_source_divergence", tx.x21_source_divergence, tx.X21_ORACLE, graded=False)
-    register("u3_model_inference", xt.u3_model_inference, xt.U3_ORACLE, graded=False)
-    register("m3_frame_sample", mm.m3_frame_sample, mm.M3_ORACLE, graded=False)
-    register("j1_json_path_extract", so.j1_json_path_extract, so.J1_ORACLE, graded=False)
     # rotated out round 7 (driver-green in CORRECTNESS_r06):
     register("v5_scalar_quantized_topk", sim.v5_scalar_quantized_topk, sim.V5_ORACLE, graded=False)
-    register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
     register("sk4_hll_distinct", st.sk4_hll_distinct, st.SK4_ORACLE, graded=False)
     register("mv1_incremental_agg", inc.mv1_incremental_agg, inc.MV1_ORACLE, graded=False)
     register("i3_stratified_sample", smp.i3_stratified_sample, smp.I3_ORACLE, graded=False)
     register("r8_streaming_pipeline", ig.r8_streaming_pipeline, ig.R8_ORACLE, graded=False)
-    register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
     # rotated out round 6 (driver-green in CORRECTNESS_r05):
     # rotated out round 5 (driver-green in CORRECTNESS_r04):
     # round-7 addition (the one verdict-requested gap-closer): the
@@ -347,20 +338,6 @@ def _build() -> None:
     # back into the round-9 graded window for verdict refresh
     # rotated out round 9 (driver-green in CORRECTNESS_r08 — the r8
     # never-green backlog, now all verdict-fresh):
-    register("c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE, graded=False)
-    register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE, graded=False)
-    register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE, graded=False)
-    register("f1_equals", f.f1_equals, f.F1_ORACLE, graded=False)
-    register("f2_null_safe_equals", f.f2_null_safe_equals, f.F2_ORACLE, graded=False)
-    register("f3_less_than", f.f3_less_than, f.F3_ORACLE, graded=False)
-    register("f4_in_list", f.f4_in_list, f.F4_ORACLE, graded=False)
-    register("f5_between", f.f5_between, f.F5_ORACLE, graded=False)
-    register("x10_source_mix", tx.x10_source_mix, tx.X10_ORACLE, graded=False)
-    register("x11_doc_chunking", tx.x11_doc_chunking, tx.X11_ORACLE, graded=False)
-    register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE, graded=False)
-    register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE, graded=False)
-    register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE, graded=False)
-    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
     register("a9_groupwise_regression", st.a9_groupwise_regression, st.A9_ORACLE, graded=False)
     # round-3/4 additions still queued for a future window (pytest-green):
 

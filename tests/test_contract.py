@@ -47,58 +47,80 @@ def test_query_against_oracle(spark, sf_dir, name):
         con.close()
 
 
-def test_round12_graded_window_composition():
+def test_round13_graded_window_composition():
     """Pin the EXACT driver-graded set for this round: an accidental
     registration reorder or a graded/extra flag slip would silently
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-12 window = the flagship, the round-12 additions graded
-    immediately (s26 — evolved-lake scan with automatic reader-schema
-    election, field-level null-fill and int→bigint widening; s27 —
-    the pushed struct sub-field SArg), the two code-change re-grades
-    (s24/s25 now run the election path), the NINE r5-era verdicts
-    that reach age 7 during r12 (the test-enforced deadline), and 35
-    of the 36-strong r6-era cohort (w8 is displaced by the third new
-    query s28 — positional evolution — and heads the r13 queue
-    alongside the 32 r7-era verdicts). Displaced to extras: t9 + the r11 refresh tiers + the
-    r10-era keep-warm block, all r11-verdict-fresh (age 1).
-    tests/test_registry_rotation.py asserts the never-green ⊆ graded
-    invariant mechanically."""
+    Round-13 window = the flagship, the MANDATORY w8 re-grade (last
+    green r6, displaced from the r12 window by s28 — it breaches the
+    ≤6 verdict-age invariant at r13), the full 32-strong r7-era
+    cohort (age 6 at r13, would breach at r14), and 16 of the 23
+    r8-era age-5 verdicts as keep-warm fills (halving the r14 queue).
+    Displaced to extras: the whole r12 window minus the flagship, all
+    r12-verdict-fresh (age 1). The window is cross-checked against
+    scripts/rotation_plan.py by test_rotation_plan_mandatory_in_window
+    below; tests/test_registry_rotation.py asserts the never-green ⊆
+    graded invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
-        # round-12 additions
-        "s26_evolved_lake_scan", "s27_nested_sarg_scan",
-        "s28_positional_lake_scan",
-        # code-change re-grades (reader-schema election)
-        "s24_lake_scan", "s25_orc_native_scan",
-        # the r5-era rotation deadline (age 7 during r12)
-        "s14_csv_to_orc_convert", "set1_union_intersect_except",
-        "t5_minor_compaction", "v6_two_tier_rerank",
-        "x7_pii_redaction", "x8_sequence_pack", "x9_vocab_topk",
-        "x16_bpe_pair_stats", "x17_temperature_mix",
-        # the r6-era cohort (35 of 36; w8 -> r13)
-        "a4_stripe_stats", "d6_embedding_cosine_neardup",
-        "d10_dup_clusters", "d11_semdedup",
-        "d15_cross_source_overlap", "d16_contamination_report",
-        "d17_fuzzy_token_pairs",
-        "g2_cube", "g3_hierarchy_depth",
-        "j2_join_strategy_parity", "m4_payload_dedup",
-        "mv2_affected_key_refresh", "p4_unpivot",
-        "q4_order_priority", "q8_market_share",
-        "q21_waiting_suppliers",
-        "r1_streaming_orc_ingest", "r3_stateful_running_totals",
-        "r4_streaming_acid_cdc", "r5_session_windows",
-        "r6_stream_dedup", "r7_stream_stream_join",
-        "r10_stream_ohlc",
-        "sk1_kmv_distinct", "t4_acid_stats", "t8_snapshot_diff",
-        "u2_pandas_udf_parity", "u4_map_in_arrow", "v3_ivf_ann",
-        "w5_retention_cohorts", "w6_interval_join",
-        "w7_scd2_history",
-        "w10_gap_fill", "w11_interval_merge",
-        "x18_gopher_filters",
+        # MANDATORY (breaches the ≤6 invariant at r13)
+        "w8_ohlc_downsample",
+        # the r7-era cohort (all 32, age 6 at r13)
+        "a8_correlation_matrix", "a10_winsorized_stats",
+        "d19_boilerplate_scrub", "j1_json_path_extract",
+        "m3_frame_sample",
+        "q7_volume_shipping", "q9_product_profit",
+        "q10_returned_items", "q11_important_stock",
+        "q12_priority_split", "q13_order_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_parts_supplier", "q17_small_qty_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue",
+        "q20_part_promotion",
+        "s15_small_file_compaction", "s16_zorder_layout",
+        "sk2_histogram_quantiles", "u3_model_inference",
+        "w4_trailing_window", "w9_window_suite",
+        "w12_event_funnel", "w13_rfm_segmentation",
+        "w15_last_touch_attribution",
+        "x5_train_test_split", "x6_repetition_metrics",
+        "x19_bigram_lm", "x20_vocab_growth",
+        "x21_source_divergence",
+        # keep-warm fills (16 of 23 r8-era age-5 verdicts)
+        "c3_positional_evolution", "t6_original_files",
+        "t7_snapshot_read",
+        "f1_equals", "f2_null_safe_equals", "f3_less_than",
+        "f4_in_list", "f5_between",
+        "x10_source_mix", "x11_doc_chunking",
+        "x12_token_freq_quality", "x13_tfidf_topk",
+        "x14_dataset_card", "x15_corpus_shuffle_shards",
+        "d18_containment", "w14_twap",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50
+
+
+def test_rotation_plan_mandatory_in_window():
+    """Mechanized rotation gate (round-12 verdict Next #2): the
+    committed graded window must contain every query that would
+    BREACH the ≤6 verdict-age invariant at the next round, plus every
+    never-green registration — computed by scripts/rotation_plan.py
+    from the CORRECTNESS history, never by a hand-written queue
+    comment (w8 survived round 12 only because a comment remembered
+    it; r7 and r10 both had hand-list misses)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+    from scripts.rotation_plan import plan
+
+    p = plan()
+    window = set(catalog.queries())
+    stranded = [n for n in p["mandatory"] if n not in window]
+    assert not stranded, (
+        f"queries that breach the ≤6 verdict-age invariant at round "
+        f"{p['next_round']} are NOT in the graded window: {stranded}"
+    )
+    new = [n for n in p["never_green"] if n not in window]
+    assert not new, (
+        f"never-green queries outside the graded window: {new}"
+    )
