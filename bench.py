@@ -290,6 +290,10 @@ EXTENDED = [
     "s26_evolved_lake_scan",
     "s27_nested_sarg_scan",
     "s28_positional_lake_scan",
+    # round-13 additions: ACID two-level positional evolution (merge-
+    # on-read over the evolved scan) and forced positional evolution
+    "s29_acid_positional_scan",
+    "s30_forced_positional_scan",
 ]
 
 

@@ -88,16 +88,22 @@ def _build() -> None:
     # sits in this window — no more hand-written queue comments.
     #
     # Composition per the round-12 verdict's "Next" list:
+    # - NEW (2): s29_acid_positional_scan (verdict #3 — ACID two-level
+    #   positional evolution: _colN row struct inside the event
+    #   wrapper, merge-on-read over the evolved scan) and
+    #   s30_forced_positional_scan (verdict #3 — the
+    #   orc.force.positional.evolution case: legacy REAL names
+    #   reconciled by index).
     # - MANDATORY (1): w8_ohlc_downsample (last green r6, displaced
     #   from the r12 window by s28 — age 7 at r13 unless re-graded).
     # - DUE, r7-era (all 32; age 6 at r13, would breach at r14): a8,
     #   a10, d19, j1, m3, q7, q9-q20, s15, s16, sk2, u3, w4, w9, w12,
     #   w13, w15, x5, x6, x19, x20, x21.
-    # - KEEP-WARM fills (16 of the 23 r8-era age-5 verdicts — they
-    #   reach age 6 at r14; grading most now halves the r14 queue):
-    #   c3, t6, t7, f1_equals..f5, x10-x15, d18, w14. The remaining 7
-    #   (i3, mv1, r8_streaming_pipeline, sk4, sk5, v5, x22) are the
-    #   r14 mandatory core — rotation_plan.py will list them.
+    # - KEEP-WARM fills (14 of the 23 r8-era age-5 verdicts — they
+    #   reach age 6 at r14; grading most now more than halves the r14
+    #   queue): c3, t6, t7, f1_equals..f5, x10-x15. The remaining 9
+    #   (d18, w14, i3, mv1, r8_streaming_pipeline, sk4, sk5, v5, x22)
+    #   are the r14 mandatory core — rotation_plan.py will list them.
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r12, age 1, still
     # oracle-checked by pytest as extras): the r12 additions (s26,
@@ -107,6 +113,12 @@ def _build() -> None:
     #
     # flagship
     register("q1_pricing_summary", r.q1_pricing_summary, r.Q1_ORACLE)
+    # round-13 additions, graded immediately (never-green invariant):
+    # ACID two-level + forced positional evolution (r12 verdict #3)
+    register("s29_acid_positional_scan", oq.s29_acid_positional_scan, oq.S29_ORACLE)
+    register(
+        "s30_forced_positional_scan", oq.s30_forced_positional_scan, oq.S30_ORACLE
+    )
     # MANDATORY re-grade (breaches the <=6 invariant at r13)
     register("w8_ohlc_downsample", tp.w8_ohlc_downsample, tp.W8_ORACLE)
     # age-6 verdict refresh: the full r7-era cohort (32)
@@ -157,8 +169,6 @@ def _build() -> None:
     register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE)
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE)
     register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE)
-    register("d18_containment", dd.d18_containment, dd.D18_ORACLE)
-    register("w14_twap", tp.w14_twap, tp.W14_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
@@ -176,6 +186,10 @@ def _build() -> None:
     # rotated out round 12 (driver-green in CORRECTNESS_r11, age 1):
     # the r11 addition + the r11 refresh tiers + the r10-era keep-warm
     # block (the r12 window is consumed by the r5/r6-era age deadline)
+    # displaced by the round-13 additions (s29/s30 take their slots;
+    # both age 5, re-graded in the r14 window with the other r8-era):
+    register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
+    register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
     # rotated out round 13 (driver-green in CORRECTNESS_r12, age 1):
     register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE, graded=False)
     register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE, graded=False)

@@ -55,6 +55,37 @@ _INT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
 _MISSING_METADATA = re.compile(r"_col\d+")
 
 
+# the exact ACID event-wrapper field names (`SchemaEvolution.
+# acidEventFieldNames` / `createEventSchema:482-491`) — a file whose
+# root struct carries precisely these is a Hive ACID file
+# (`checkAcidSchema:468-476`), and its positional reconciliation runs
+# TWO structure levels deep (the wrapper, then the `row` struct)
+ACID_EVENT_FIELDS = [
+    "operation", "originalTransaction", "bucket", "rowId",
+    "currentTransaction", "row",
+]
+_ACID_ROW_OFFSET = 5  # SchemaEvolution.getBaseRow:498-501
+
+
+def is_acid(meta: dict) -> bool:
+    """checkAcidSchema parity: root struct field names are exactly the
+    six ACID event fields (`SchemaEvolution.java:468-476`)."""
+    root = meta["types"][0]
+    return root["kind"] == "struct" and root["field_names"] == ACID_EVENT_FIELDS
+
+
+def _has_column_names(meta: dict, cid: int = 0) -> bool:
+    """hasColumnNames parity (`SchemaEvolution.java:145-156`): true iff
+    ANY field name at `cid` is NOT a `_col<N>` placeholder (non-struct
+    types vacuously carry names)."""
+    t = meta["types"][cid]
+    if t["kind"] != "struct":
+        return True
+    return any(
+        not _MISSING_METADATA.fullmatch(n) for n in t["field_names"]
+    )
+
+
 def is_positional(meta: dict) -> bool:
     """True when this file carries NO real column names (every
     top-level field is `_col<N>`) — the reference's hasColumnNames()
@@ -65,14 +96,60 @@ def is_positional(meta: dict) -> bool:
     return bool(names) and all(_MISSING_METADATA.fullmatch(n) for n in names)
 
 
-def positional_name_map(reader_meta: dict, file_meta: dict) -> dict[str, str]:
-    """reader top-level name -> file top-level name, paired by
-    POSITION (positionalLevels=1, the non-ACID case; deeper levels
-    stay name-based, `buildConversion:398-424`). Reader columns past
-    the file's width are absent from the map (they NULL-fill)."""
-    r_names = reader_meta["types"][0]["field_names"]
-    f_names = file_meta["types"][0]["field_names"]
-    return dict(zip(r_names, f_names))
+def positional_levels(file_meta: dict, force: bool = False) -> int:
+    """How many structure levels of THIS file reconcile with the
+    reader by POSITION (`SchemaEvolution.java:93-113`):
+
+    - `force` (the `orc.force.positional.evolution` option,
+      `OrcConf.java:141-145` — Hive 2.1 compatibility, applied even
+      when the file carries real names): 2 for ACID files, else 1;
+    - otherwise, when the file's column names are missing (`_col<N>`
+      placeholders from a pre-HIVE-4243 writer) — checked on the ACID
+      base row for ACID files (`hasColumnNames(isAcid ?
+      getBaseRow(fileSchema) : fileSchema)`, line 97): 2 for ACID
+      (the event wrapper plus the `row` struct,
+      `buildConversion:398-424` recursion), else 1;
+    - else 0 (name-based)."""
+    acid = is_acid(file_meta)
+    if force:
+        return 2 if acid else 1
+    root = file_meta["types"][0]
+    base_cid = root["subtypes"][_ACID_ROW_OFFSET] if acid else 0
+    if not _has_column_names(file_meta, base_cid):
+        return 2 if acid else 1
+    return 0
+
+
+def positional_name_map(
+    reader_meta: dict, file_meta: dict, levels: int = 1
+) -> dict[str, str]:
+    """reader (dotted) path -> file (dotted) path, paired by POSITION
+    for `levels` structure levels (`buildConversion:398-424`: struct
+    children pair by index over the joint width, recursing with
+    `positionalLevels - 1`; below that, names match again — only the
+    non-identity pairs are emitted, and `rename_path`'s longest-prefix
+    rule carries deeper name-based segments through unchanged).
+    Reader columns past the file's width are absent from the map
+    (they NULL-fill). levels=1 is the flat pre-HIVE-4243 case;
+    levels=2 is the ACID case (event wrapper + `row` struct)."""
+    r_types, f_types = reader_meta["types"], file_meta["types"]
+    out: dict[str, str] = {}
+
+    def walk(r_cid: int, f_cid: int, rp: str, fp: str, lv: int) -> None:
+        rt, ft = r_types[r_cid], f_types[f_cid]
+        if lv <= 0 or rt["kind"] != "struct" or ft["kind"] != "struct":
+            return
+        for rn, r_sub, fn, f_sub in zip(
+            rt["field_names"], rt["subtypes"],
+            ft["field_names"], ft["subtypes"],
+        ):
+            r_path, f_path = rp + rn, fp + fn
+            if r_path != f_path:
+                out[r_path] = f_path
+            walk(r_sub, f_sub, r_path + ".", f_path + ".", lv - 1)
+
+    walk(0, 0, "", "", levels)
+    return out
 
 
 def tree_rename(tree: Any, mapping: dict[str, str]) -> Any:
@@ -142,25 +219,41 @@ def type_covers(r_types: list, r_cid: int, f_types: list, f_cid: int) -> bool:
     return True
 
 
-def covers(reader_meta: dict, file_meta: dict) -> bool:
+def _covers_positional(
+    r_types: list, r_cid: int, f_types: list, f_cid: int, levels: int
+) -> bool:
+    """type_covers with the first `levels` struct levels paired by
+    INDEX instead of name (`buildConversion:398-424`). The file may
+    not be WIDER than the reader at a positional level (extra file
+    columns would be silently dropped — election must not lose data)."""
+    rt, ft = r_types[r_cid], f_types[f_cid]
+    if levels <= 0 or not (rt["kind"] == "struct" == ft["kind"]):
+        return type_covers(r_types, r_cid, f_types, f_cid)
+    if len(ft["subtypes"]) > len(rt["subtypes"]):
+        return False
+    return all(
+        _covers_positional(r_types, r_sub, f_types, f_sub, levels - 1)
+        for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])
+    )
+
+
+def covers(
+    reader_meta: dict, file_meta: dict, force_positional: bool = False
+) -> bool:
     """Reader schema can represent every column of the file —
     name-based, recursive, lossless widening allowed. A file with NO
-    real column names (pre-HIVE-4243 `_col<N>` writer) pairs its
-    top-level columns with the reader's by POSITION instead, exactly
-    one level deep (`SchemaEvolution.java:97-113`)."""
+    real column names (pre-HIVE-4243 `_col<N>` writer — for ACID
+    files the check runs on the base `row` struct) pairs its columns
+    with the reader's by POSITION instead, one level deep (two for
+    ACID: the event wrapper plus the `row` struct,
+    `SchemaEvolution.java:93-113`); `force_positional` applies the
+    same pairing even to named files (`OrcConf.java:141-145`)."""
     r_types, f_types = reader_meta["types"], file_meta["types"]
-    rt, ft = r_types[0], f_types[0]
-    if (
-        rt["kind"] == "struct" == ft["kind"]
-        and is_positional(file_meta)
-        and not is_positional(reader_meta)
-    ):
-        if len(ft["subtypes"]) > len(rt["subtypes"]):
-            return False
-        return all(
-            type_covers(r_types, r_sub, f_types, f_sub)
-            for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])
-        )
+    lv = positional_levels(file_meta, force=force_positional)
+    if lv and is_positional(reader_meta):
+        lv = 0  # both sides unnamed: names already align
+    if r_types[0]["kind"] == "struct" == f_types[0]["kind"] and lv:
+        return _covers_positional(r_types, 0, f_types, 0, lv)
     return type_covers(r_types, 0, f_types, 0)
 
 
@@ -199,9 +292,14 @@ def schema_signature(meta: dict) -> str:
     )
 
 
-def _elect(cands: list[tuple[str, dict]]) -> tuple[str, dict]:
+def _elect(
+    cands: list[tuple[str, dict]], force_positional: bool = False
+) -> tuple[str, dict]:
     for p, meta in cands:
-        if all(covers(meta, other) for _, other in cands):
+        if all(
+            covers(meta, other, force_positional=force_positional)
+            for _, other in cands
+        ):
             return p, meta
     kinds = sorted({schema_signature(m)[:120] for _, m in cands})
     raise ValueError(
@@ -212,7 +310,9 @@ def _elect(cands: list[tuple[str, dict]]) -> tuple[str, dict]:
 
 
 def elect_reader_path(
-    paths: list[str], metas: dict[str, dict] | None = None
+    paths: list[str],
+    metas: dict[str, dict] | None = None,
+    force_positional: bool = False,
 ) -> tuple[str, dict]:
     """Driver-side election: parse every tail (one ranged read each —
     the same read the per-file task repeats anyway), dedup by schema
@@ -234,11 +334,14 @@ def elect_reader_path(
     cands = list(distinct.values())
     if len(cands) == 1:
         return cands[0]
-    return _elect(cands)
+    return _elect(cands, force_positional=force_positional)
 
 
 def elect_reader_meta(
-    paths: list[str], spark=None, threshold: int = 64
+    paths: list[str],
+    spark=None,
+    threshold: int = 64,
+    force_positional: bool = False,
 ) -> tuple[str, dict]:
     """Election that scales past a driver-side tail sweep: above
     `threshold` files (and given a SparkSession), one task per file
@@ -248,7 +351,7 @@ def elect_reader_meta(
     elects among those. Below the threshold the plain driver loop is
     cheaper than a job."""
     if spark is None or len(paths) <= threshold:
-        return elect_reader_path(paths)
+        return elect_reader_path(paths, force_positional=force_positional)
 
     import pyspark.sql.functions as F
 
@@ -293,7 +396,7 @@ def elect_reader_meta(
     cands = [(r["path"], parse_tail_of_file(r["path"])) for r in reps]
     if len(cands) == 1:
         return cands[0]
-    return _elect(cands)
+    return _elect(cands, force_positional=force_positional)
 
 
 def ppd_safe(f_types: list, f_cid: int, r_types: list, r_cid: int) -> bool:
@@ -358,6 +461,7 @@ def make_converter(
     f_cid: int,
     r_included: set[int] | None,
     f_included: set[int] | None,
+    positional_levels: int = 0,
 ) -> Callable[[Any], Any] | None:
     """Value-level fixup turning ONE decoded file column into the
     reader's shape, or None when decoded Python values already match
@@ -371,6 +475,52 @@ def make_converter(
     rt, ft = r_types[r_cid], f_types[f_cid]
     rk, fk = rt["kind"], ft["kind"]
     if rk == "struct" and fk == "struct":
+        if positional_levels > 0:
+            # positional pairing (buildConversion:398-424, levels>0):
+            # reader field i reads file field i over the joint width;
+            # reader fields past the file's width NULL-fill. The FILE
+            # side keeps its own names — the decoded dict is keyed by
+            # them — so the plan carries (reader name, file name).
+            f_fields = list(zip(ft["field_names"], ft["subtypes"]))
+            pplans: list[tuple[str, str | None, Any]] = []
+            pneed = False
+            for i, (rn, r_sub) in enumerate(
+                zip(rt["field_names"], rt["subtypes"])
+            ):
+                if r_included is not None and r_sub not in r_included:
+                    continue
+                if i >= len(f_fields):
+                    pplans.append((rn, None, None))  # NULL-fill
+                    pneed = True
+                    continue
+                fn, f_sub = f_fields[i]
+                if f_included is not None and f_sub not in f_included:
+                    pplans.append((rn, None, None))
+                    pneed = True
+                    continue
+                c = make_converter(
+                    r_types, r_sub, f_types, f_sub, r_included,
+                    f_included, positional_levels - 1,
+                )
+                pplans.append((rn, fn, c))
+                if c is not None or rn != fn:
+                    pneed = True
+            if not pneed:
+                return None
+
+            def conv_struct_pos(d):
+                if d is None:
+                    return None
+                return {
+                    rn: (
+                        None if fn is None
+                        else d[fn] if c is None
+                        else c(d[fn])
+                    )
+                    for rn, fn, c in pplans
+                }
+
+            return conv_struct_pos
         f_by = dict(zip(ft["field_names"], ft["subtypes"]))
         plans: list[tuple[str, Any]] = []  # (name, None|True|callable)
         need = False
@@ -427,6 +577,21 @@ def make_converter(
             None if v is None else [(kc(k), vc(x)) for k, x in v]
         )
     if rk == "union" and fk == "union":
+        # branch-count mismatch must fail LOUDLY like the canConvert
+        # parity paths — a zip would silently pass file tags beyond
+        # the reader's branch count through unconverted, emitting
+        # values that violate the declared reader schema downstream
+        # (election already enforces equality via covers(); this
+        # tightens the explicit-reader path — r12 ADVICE)
+        if len(rt["subtypes"]) != len(ft["subtypes"]):
+            raise ValueError(
+                "illegal schema evolution: union branch counts differ "
+                f"(file {len(ft['subtypes'])}, reader "
+                f"{len(rt['subtypes'])}) — the reference only converts "
+                "unions with matching children (SchemaEvolution."
+                "buildConversion UNION arm: fileChildren.size() == "
+                "readerChildren.size())"
+            )
         convs = [
             make_converter(r_types, r_sub, f_types, f_sub, r_included, f_included)
             for r_sub, f_sub in zip(rt["subtypes"], ft["subtypes"])

@@ -44,6 +44,13 @@ SCHEMA = (
     "writer_version int"
 )
 
+# orc_native reader-schema election memo, shared across .load() calls
+# on the DRIVER (planning is driver-side by the DataSource contract):
+# (path, force_positional) -> (file-list fingerprint,
+# (elected path, elected tail parse)). Invalidated by any change to
+# the file list or a file's mtime/size.
+_ELECTION_CACHE: dict[tuple[str, bool], tuple[tuple, tuple[str, dict]]] = {}
+
 
 def _build_datasource_class():
     """Factory: the class is created in FUNCTION scope so cloudpickle
@@ -577,7 +584,29 @@ def _build_orc_native_class():
             elect_reader_path,
         )
 
-        return elect_reader_path(files)
+        # election cache ACROSS loads (r12 ADVICE): every .load() makes
+        # a fresh DataSource instance, so the per-instance memo alone
+        # re-runs the O(files) tail sweep per plan. Key on the file
+        # list + (mtime, size) per file — any append/compaction/rewrite
+        # changes the fingerprint and re-elects; an unchanged lake
+        # costs one stat() per file instead of one ranged READ per file.
+        force = _force_positional(options)
+        fp = tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
+        cached = _ELECTION_CACHE.get((path, force))
+        if cached is not None and cached[0] == fp:
+            return cached[1]
+        elected = elect_reader_path(files, force_positional=force)
+        _ELECTION_CACHE[(path, force)] = (fp, elected)
+        return elected
+
+    def _force_positional(options) -> bool:
+        """The reference's `orc.force.positional.evolution`
+        (`OrcConf.java:141-145`): reconcile file columns with the
+        reader's by INDEX even when the file carries real names
+        (Hive 2.1 compatibility)."""
+        return str(options.get("force_positional", "")).lower() in (
+            "1", "true", "yes",
+        )
 
     class OrcNativeReader(DataSourceReader):
         def __init__(self, options: dict, first=None, meta=None):
@@ -590,6 +619,7 @@ def _build_orc_native_class():
             else:
                 self._columns = _default_columns(meta)
             self._audit_dir = options.get("audit_dir")
+            self._force_positional = _force_positional(options)
             self._tree = None  # set by pushFilters
             self._schema = self._arrow_schema(meta)
             # the elected reader schema's tail parse ships to every
@@ -655,6 +685,7 @@ def _build_orc_native_class():
             for res in m.scan_file_evolved(
                 path, self._tree, self._columns, audit,
                 reader_meta=self._reader_meta,
+                force_positional=self._force_positional,
             ):
                 yield pa.RecordBatch.from_arrays(
                     [

