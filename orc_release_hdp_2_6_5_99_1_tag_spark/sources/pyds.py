@@ -620,6 +620,12 @@ def _build_orc_native_class():
                 self._columns = _default_columns(meta)
             self._audit_dir = options.get("audit_dir")
             self._force_positional = _force_positional(options)
+            # orc.tolerate.missing.schema parity (OrcConf.java:85-89,
+            # default true): strict mode refuses best-effort positional
+            # reconciliation of pre-HIVE-4243 files at scan time
+            self._tolerate_missing = str(
+                options.get("tolerate_missing_schema", "true")
+            ).lower() not in ("0", "false", "no")
             self._tree = None  # set by pushFilters
             self._schema = self._arrow_schema(meta)
             # the elected reader schema's tail parse ships to every
@@ -686,6 +692,7 @@ def _build_orc_native_class():
                 path, self._tree, self._columns, audit,
                 reader_meta=self._reader_meta,
                 force_positional=self._force_positional,
+                tolerate_missing_schema=self._tolerate_missing,
             ):
                 yield pa.RecordBatch.from_arrays(
                     [

@@ -1363,7 +1363,8 @@ def scan_file(path: str, tree: Any, columns: list[str],
 def scan_file_evolved(path: str, tree: Any, columns: list[str],
                       audit: dict | None = None,
                       reader_meta: dict | None = None,
-                      force_positional: bool = False):
+                      force_positional: bool = False,
+                      tolerate_missing_schema: bool = True):
     """scan_file + NAME-BASED schema evolution (C1, reference
     `SchemaEvolution.java:460-514` name mapping + missing-column
     null-fill): a requested top-level column absent from THIS file's
@@ -1423,6 +1424,22 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     if reader_meta is not None and not evo.is_positional(reader_meta):
         pos_levels = evo.positional_levels(meta, force=force_positional)
     if pos_levels:
+        # orc.tolerate.missing.schema (OrcConf.java:85-89, default
+        # TRUE): with tolerance OFF, an AUTO-detected missing-names
+        # file whose schema differs from the reader's must fail loudly
+        # instead of best-effort positional reconciliation
+        # (SchemaEvolution.java:98-110; force is exempt — the caller
+        # asked for positional explicitly)
+        if (
+            not tolerate_missing_schema
+            and not force_positional
+            and evo.schema_signature(meta) != evo.schema_signature(reader_meta)
+        ):
+            raise RuntimeError(
+                f"{path}: schema metadata is missing (pre-HIVE-4243 "
+                "writer) and tolerate_missing_schema=False — will not "
+                "reconcile schemas by position"
+            )
         pos_map = evo.positional_name_map(reader_meta, meta, levels=pos_levels)
         if audit is not None:
             audit["evolution_positional"] = pos_levels

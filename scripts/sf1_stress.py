@@ -95,6 +95,16 @@ QUERIES_R12 = [
     "s28_positional_lake_scan",
 ]
 
+# round-13 tier: the ACID two-level positional merge (s29) and the
+# forced-positional lake (s30). Both predicates name FIXED key bands
+# in replica 0, so decode stays selectivity-bounded; s29 additionally
+# carries the merge-on-read shuffle, whose input is the filtered
+# event set (constant here), not the table.
+QUERIES_R13 = [
+    "s29_acid_positional_scan",
+    "s30_forced_positional_scan",
+]
+
 
 def _gen() -> None:
     import pyarrow as pa
@@ -179,6 +189,8 @@ def main() -> None:
         queries = QUERIES_R11
     elif "--round12" in sys.argv:
         queries = QUERIES_R12
+    elif "--round13" in sys.argv:
+        queries = QUERIES_R13
     else:
         queries = QUERIES
 
@@ -224,6 +236,20 @@ def main() -> None:
             " predicate's selectivity, not the table size (file-level and"
             " group-level pruning absorb the growth). Staging (sorted"
             " ORC rewrite of the 10x lineitem) is excluded by the warm run.",
+        ]
+    elif "--round13" in sys.argv:
+        header = [
+            "",
+            "## sf1 stress — round-13 positional-evolution tier (s29/s30)",
+            "",
+            "s29 reads an ACID lake whose old delta has a _colN row"
+            " struct (two-level positional reconciliation + merge-on-read"
+            " on top); s30 force-positionally reconciles legacy REAL"
+            " names. Both BETWEEN bands live in replica 0 only, so the"
+            " expected shape at 10x data is near-flat: translation is a"
+            " name rewrite, the rekey touches only old-generation rows"
+            " inside the band, and the merge shuffle's input is the"
+            " band-filtered event set.",
         ]
     elif "--round12" in sys.argv:
         header = [

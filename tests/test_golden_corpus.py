@@ -13,12 +13,18 @@ non-struct roots (testTimestamp), future writer versions
 1.9M-row demo files (bounded to one stripe / one row group — the
 format coverage is identical, the remainder is just volume).
 
-RUNTIME BUDGET (round-10 verdict housekeeping): the sweep costs ~17s
-single-process today (~3.5% of the suite's 8-minute wall). If the
-corpus or the per-file work grows, keep the sweep under ~30s before
-reaching for parallelism or sampling — the demo-file row bounds above
-are the intended lever (bound rows, never skip files: the corpus
-contract is that NOTHING is silently skipped).
+RUNTIME BUDGET (round-10 housekeeping; SAMPLED fast path round 13 per
+the r12 verdict Next #5): the default battery runs a COVERING SUBSET —
+at least one file per encoding × codec × writer-version cell (both RLE
+versions, both dictionary versions, all five chunk codecs, both
+split-elim writer generations, bloom, decimal, binary, both timestamp
+epoch edges, nulls-at-end) — and the five files whose cells are
+duplicates of test1/its peers run only under SPARK_GRAFT_FULL_SWEEP=1
+(the nightly/full mode; `_full_sweep_param` marks them, so they show
+as SKIPPED, never silently dropped). Row bounds on the demo files
+remain the volume lever. The corpus contract is unchanged: nothing is
+silently skipped — sampled-out files are visible skips with the env
+flag named in the reason.
 """
 
 from __future__ import annotations
@@ -85,16 +91,44 @@ def _norm(v):
     return v
 
 
-# (file, stripes-to-decode, only_group) — None = everything
+FULL_SWEEP = os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1"
+
+
+def _full_sweep_param(*entry):
+    """A corpus entry whose format cells are fully covered by another
+    default-battery file: runs only under SPARK_GRAFT_FULL_SWEEP=1,
+    and shows as an explicit SKIP otherwise (never silently dropped)."""
+    return pytest.param(
+        *entry,
+        marks=pytest.mark.skipif(
+            not FULL_SWEEP,
+            reason="cell-duplicate golden; set SPARK_GRAFT_FULL_SWEEP=1",
+        ),
+        id=entry[0],
+    )
+
+
+# (file, stripes-to-decode, only_group) — None = everything.
+# Sampled-out entries name the default-battery file covering their
+# encoding × codec × writer-version cells.
 _PARITY = [
-    ("TestOrcFile.columnProjection.orc", None, None),
+    # zlib v0.12 int+string direct — covered by test1's full type zoo
+    _full_sweep_param("TestOrcFile.columnProjection.orc", None, None),
     ("TestOrcFile.test1.orc", None, None),
-    ("TestOrcFile.metaData.orc", None, None),
-    ("TestOrcFile.testPredicatePushdown.orc", None, None),
-    ("TestOrcFile.testSeek.orc", [0], None),
+    # user-metadata file; decode surface = test1, metadata parsing is
+    # pinned in test_footer_tail
+    _full_sweep_param("TestOrcFile.metaData.orc", None, None),
+    # zlib int/string — covered by test1 (PPD itself is tested on
+    # synthetic strided files across the ppd suites)
+    _full_sweep_param("TestOrcFile.testPredicatePushdown.orc", None, None),
+    # zlib mixed random — covered by test1; seek/row-skip behavior is
+    # pinned by f12 and the row-group tests
+    _full_sweep_param("TestOrcFile.testSeek.orc", [0], None),
     ("TestOrcFile.testSnappy.orc", None, None),
     ("TestOrcFile.testStringAndBinaryStatistics.orc", None, None),
-    ("TestOrcFile.testStripeLevelStats.orc", None, None),
+    # 3-stripe zlib int/string — covered by test1; stripe stats are
+    # pinned in test_footer_tail/footer_stats
+    _full_sweep_param("TestOrcFile.testStripeLevelStats.orc", None, None),
     ("TestOrcFile.testDate1900.orc", [0], None),
     ("TestOrcFile.testDate2038.orc", [0], None),
     ("TestVectorOrcFile.testLz4.orc", None, None),
@@ -112,8 +146,12 @@ _PARITY = [
 ]
 
 
+def _ids(entries):
+    return [e.id if hasattr(e, "id") else e[0] for e in entries]
+
+
 @pytest.mark.parametrize(
-    "fname,stripes,only_group", _PARITY, ids=[p[0] for p in _PARITY]
+    "fname,stripes,only_group", _PARITY, ids=_ids(_PARITY)
 )
 def test_corpus_value_parity_vs_pyarrow(fname, stripes, only_group):
     import pyarrow.orc as pa_orc
@@ -251,17 +289,20 @@ def test_lz4_corrupt_chunk_fails_loudly():
 # dedicated dump tests; Memory/WithoutIndex/zero/emptyFile are the
 # pinned non-decodables). Large files bound to stripe 0 — dumps are
 # row-ordered, so a prefix compare is exact.
+# the expected-dump SECOND oracle: same covering-subset rule as
+# _PARITY (the sampled-out files' cells stay dump-checked through
+# test1 and the codec/epoch/binary keepers)
 _DUMP_PARITY = [
-    ("TestOrcFile.columnProjection.orc", None),
-    ("TestOrcFile.metaData.orc", None),
+    _full_sweep_param("TestOrcFile.columnProjection.orc", None),
+    _full_sweep_param("TestOrcFile.metaData.orc", None),
     ("TestOrcFile.test1.orc", None),
     ("TestOrcFile.testDate1900.orc", [0]),
     ("TestOrcFile.testDate2038.orc", [0]),
-    ("TestOrcFile.testPredicatePushdown.orc", None),
-    ("TestOrcFile.testSeek.orc", [0]),
+    _full_sweep_param("TestOrcFile.testPredicatePushdown.orc", None),
+    _full_sweep_param("TestOrcFile.testSeek.orc", [0]),
     ("TestOrcFile.testSnappy.orc", None),
     ("TestOrcFile.testStringAndBinaryStatistics.orc", None),
-    ("TestOrcFile.testStripeLevelStats.orc", None),
+    _full_sweep_param("TestOrcFile.testStripeLevelStats.orc", None),
     ("TestVectorOrcFile.testLz4.orc", None),
     ("TestVectorOrcFile.testLzo.orc", None),
     ("decimal.orc", None),
@@ -327,7 +368,7 @@ def _dump_norm(v, e):
 
 
 @pytest.mark.parametrize(
-    "fname,stripes", _DUMP_PARITY, ids=[p[0] for p in _DUMP_PARITY]
+    "fname,stripes", _DUMP_PARITY, ids=_ids(_DUMP_PARITY)
 )
 def test_corpus_vs_reference_expected_dumps(fname, stripes):
     """TestMatch.cc parity (SURVEY §5.4), via the NATIVE decoder: the

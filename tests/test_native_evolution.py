@@ -1223,3 +1223,30 @@ def test_s29_acid_positional_prunes_translated(spark):
     # survivors plan real bytes (columns resolved through the map)
     kept = [v for v in rep if v["keep"]]
     assert kept and all(v["bytes_planned"] > 0 for v in kept)
+
+
+def test_tolerate_missing_schema_off_raises(positional_lake):
+    """`orc.tolerate.missing.schema` parity (OrcConf.java:85-89,
+    default true; SchemaEvolution.java:98-110): with tolerance OFF an
+    auto-detected pre-HIVE-4243 file whose schema differs from the
+    reader's fails loudly instead of best-effort positional
+    reconciliation; force_positional remains an explicit opt-in and
+    is exempt."""
+    reader_meta = parse_tail_of_file(positional_lake["new"])
+    with pytest.raises(RuntimeError, match="schema metadata is missing"):
+        list(
+            sd.scan_file_evolved(
+                positional_lake["old"], None, ["id", "name"],
+                reader_meta=reader_meta, tolerate_missing_schema=False,
+            )
+        )
+    # force is exempt (the reference gates the RuntimeException on the
+    # NON-forced branch only)
+    got = []
+    for res in sd.scan_file_evolved(
+        positional_lake["old"], None, ["id", "name"],
+        reader_meta=reader_meta, force_positional=True,
+        tolerate_missing_schema=False,
+    ):
+        got.extend(res["columns"]["id"])
+    assert len(got) == 3000

@@ -952,3 +952,82 @@ def test_s27_nested_sarg_prunes_files_and_groups(spark, tmp_path):
     assert len(skipped) == 3, audits
     # ...and nested ROW_INDEX stats skip row groups inside the survivor
     assert all(a["groups_decoded"] < a["groups_total"] for a in kept), audits
+
+
+def test_orc_native_force_positional_and_strict_schema(spark, tmp_path):
+    """The r13 DataSource options end-to-end: `force_positional`
+    reconciles a legacy-REAL-named file by index under the elected
+    reader (orc.force.positional.evolution parity), and
+    `tolerate_missing_schema=false` refuses best-effort positional
+    reconciliation of a _colN file (orc.tolerate.missing.schema
+    parity) while the default reads it fine."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    # lake A: legacy real names vs modern names + added column
+    lake = tmp_path / "lake_force"
+    lake.mkdir()
+    (
+        spark.range(1000)
+        .select(F.col("id").cast("int").alias("legacy_id"),
+                (F.col("id") % 5).alias("old_v"))
+        .coalesce(1).write.orc(str(tmp_path / "f_old"))
+    )
+    (
+        spark.range(1000, 2000)
+        .select("id", (F.col("id") % 5).alias("v"),
+                F.md5(F.col("id").cast("string")).alias("added"))
+        .coalesce(1).write.orc(str(tmp_path / "f_new"))
+    )
+    import glob as g
+    import shutil
+
+    shutil.copy(g.glob(str(tmp_path / "f_old" / "*.orc"))[0], lake / "a_old.orc")
+    shutil.copy(g.glob(str(tmp_path / "f_new" / "*.orc"))[0], lake / "b_new.orc")
+    rows = (
+        spark.read.format("orc_native")
+        .option("path", str(lake))
+        .option("force_positional", "true")
+        .option("columns", "id,v,added")
+        .load()
+        .orderBy("id")
+        .collect()
+    )
+    assert len(rows) == 2000
+    assert [r["id"] for r in rows] == list(range(2000))
+    assert rows[0]["added"] is None and rows[1500]["added"] is not None
+    # lake B: _colN file + named file; strict mode refuses at scan time
+    lake2 = tmp_path / "lake_strict"
+    lake2.mkdir()
+    (
+        spark.range(1000)
+        .select(F.col("id").cast("int").alias("_col0"),
+                (F.col("id") % 5).alias("_col1"))
+        .coalesce(1).write.orc(str(tmp_path / "s_old"))
+    )
+    (
+        spark.range(1000, 2000)
+        .select("id", (F.col("id") % 5).alias("v"))
+        .coalesce(1).write.orc(str(tmp_path / "s_new"))
+    )
+    shutil.copy(g.glob(str(tmp_path / "s_old" / "*.orc"))[0], lake2 / "a_old.orc")
+    shutil.copy(g.glob(str(tmp_path / "s_new" / "*.orc"))[0], lake2 / "b_new.orc")
+    ok = (
+        spark.read.format("orc_native")
+        .option("path", str(lake2)).option("columns", "id,v")
+        .load().count()
+    )
+    assert ok == 2000  # default: tolerant (the reference default)
+    with pytest.raises(Exception, match="schema metadata is missing"):
+        (
+            spark.read.format("orc_native")
+            .option("path", str(lake2))
+            .option("columns", "id,v")
+            .option("tolerate_missing_schema", "false")
+            .load()
+            .count()
+        )

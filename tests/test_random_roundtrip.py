@@ -6,10 +6,16 @@ ORC round trip exactly. Also covers orc_meta_distributed."""
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.types as T
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# the suite's single most expensive test (~15s at 12 examples, each a
+# full ORC write+read+meta pass): the default battery runs 5 examples,
+# the nightly/full mode (same flag as the golden-corpus sweep) all 12
+_EXAMPLES = 12 if os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1" else 5
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.meta import orc_meta_distributed
 from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_io import orc_copy, read_orc, write_orc
@@ -50,7 +56,7 @@ def _norm(rows):
     return sorted(out)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=st.lists(_ROW, min_size=1, max_size=30))
 def test_random_scalar_roundtrip(spark, tmp_path_factory, rows):
     dest = str(tmp_path_factory.mktemp("rt"))
