@@ -96,12 +96,40 @@ def plan(next_round: int | None = None, repo: str = REPO) -> dict:
     }
 
 
+def propose_window(next_round: int | None = None, repo: str = REPO) -> list[str]:
+    """A concrete ≤50-slot window proposal: flagship, never-green,
+    mandatory, the due set, then keep-warm fills by OLDEST verdict
+    first (the queries that would otherwise head the next round's due
+    list). Deterministic — the builder reviews and commits it, the
+    contract test only enforces the mandatory/never-green core."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark import catalog
+
+    p = plan(next_round, repo)
+    window: list[str] = ["q1_pricing_summary"]
+    for tier in (p["never_green"], p["mandatory"], p["due"]):
+        for n in tier:
+            if n not in window and len(window) < p["window_size"]:
+                window.append(n)
+    ages = p["ages"]
+    fills = sorted(
+        (n for n in ages if n not in window),
+        key=lambda n: (-ages[n], n),
+    )
+    for n in fills:
+        if len(window) >= p["window_size"]:
+            break
+        window.append(n)
+    return window
+
+
 def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--round", type=int, default=None,
                     help="round to plan for (default: newest+1)")
+    ap.add_argument("--emit-window", action="store_true",
+                    help="print a concrete 50-slot window proposal")
     args = ap.parse_args()
     p = plan(args.round)
 
@@ -126,6 +154,11 @@ def main() -> None:
     )
     print(f"slots after flagship+mandatory+new: {free} "
           f"(fill from `due`, then keep-warm re-grades)")
+    if args.emit_window:
+        prop = propose_window(args.round)
+        print(f"\nproposed window ({len(prop)}):")
+        for n in prop:
+            print(f"  {n}")
 
 
 if __name__ == "__main__":

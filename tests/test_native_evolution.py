@@ -1250,3 +1250,64 @@ def test_tolerate_missing_schema_off_raises(positional_lake):
     ):
         got.extend(res["columns"]["id"])
     assert len(got) == 3000
+
+
+def test_positional_pairing_property():
+    """Property pin for the positional machinery against a naive
+    model: for random reader/file struct shapes, (a) positional_name_map
+    pairs exactly the joint-width index pairs at each positional
+    level, (b) rename_path carries deeper name-based segments through
+    the longest mapped prefix, and (c) the make_converter positional
+    struct arm reproduces a naive index-paired rekey + NULL-fill."""
+    import random
+
+    rng = random.Random(13)
+
+    def t_struct(names, subtypes):
+        return {"kind": "struct", "field_names": list(names),
+                "subtypes": list(subtypes), "precision": None,
+                "scale": None, "max_length": None}
+
+    def t_int():
+        return {"kind": "int", "field_names": None, "subtypes": None,
+                "precision": None, "scale": None, "max_length": None}
+
+    for trial in range(50):
+        n_r = rng.randint(1, 5)
+        n_f = rng.randint(1, 5)
+        # reader: real names; file: sometimes _colN, sometimes legacy
+        r_names = [f"c{i}" for i in range(n_r)]
+        f_names = (
+            [f"_col{i}" for i in range(n_f)]
+            if rng.random() < 0.5
+            else [f"legacy{i}" for i in range(n_f)]
+        )
+        r_types = [t_struct(r_names, range(1, n_r + 1))] + [t_int()] * n_r
+        f_types = [t_struct(f_names, range(1, n_f + 1))] + [t_int()] * n_f
+        reader = {"types": r_types}
+        file = {"types": f_types}
+        m = evo.positional_name_map(reader, file, levels=1)
+        joint = min(n_r, n_f)
+        expect = {
+            rn: fn for rn, fn in zip(r_names[:joint], f_names[:joint])
+            if rn != fn
+        }
+        assert m == expect, (trial, m, expect)
+        # dotted passthrough below the positional level
+        for i in range(joint):
+            assert evo.rename_path(f"{r_names[i]}.x.y", m) == f"{f_names[i]}.x.y"
+        # converter model: index-paired rekey, NULL-fill past the width
+        conv = evo.make_converter(
+            r_types, 0, f_types, 0, None, None, positional_levels=1
+        )
+        row = {fn: i * 10 for i, fn in enumerate(f_names)}
+        want = {
+            rn: (i * 10 if i < n_f else None)
+            for i, rn in enumerate(r_names)
+        }
+        # reader and file name pools are disjoint here, so the rekey
+        # always materializes (the identity fast path is pinned by
+        # test_acid_two_level_election_and_lake on same-schema files)
+        assert conv is not None
+        assert conv(row) == want, (trial, conv(row), want)
+        assert conv(None) is None
