@@ -1311,3 +1311,36 @@ def test_positional_pairing_property():
         assert conv is not None
         assert conv(row) == want, (trial, conv(row), want)
         assert conv(None) is None
+
+
+def test_acid_positional_through_orc_native(spark, acid_positional_lake):
+    """The ACID two-level positional lake through the orc_native
+    DataSource surface: election pairs the _colN row struct with the
+    named delta positionally (no option needed — auto-detect on the
+    base row), the row struct surfaces under reader field names, and
+    a pushed row-field predicate still returns exact results."""
+    import pyspark.sql.functions as F
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    lake = os.path.dirname(acid_positional_lake["old"])
+    df = (
+        spark.read.format("orc_native")
+        .option("path", lake)
+        .option("columns", "rowId,currentTransaction,row")
+        .load()
+    )
+    assert dict(df.dtypes)["row"].startswith("struct<id:bigint")
+    rows = (
+        df.filter(F.col("row.id") < 100).orderBy("rowId").collect()
+    )
+    assert len(rows) == 100
+    assert all(r["row"]["id"] == r["rowId"] for r in rows)
+    assert all(r["row"]["extra"] is None for r in rows)  # old delta
+    assert all(r["currentTransaction"] == 1 for r in rows)
+    new_rows = df.filter(F.col("row.id").between(3000, 3009)).collect()
+    assert len(new_rows) == 10
+    assert all(r["row"]["extra"] is not None for r in new_rows)
