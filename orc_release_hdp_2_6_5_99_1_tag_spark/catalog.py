@@ -154,7 +154,7 @@ def _build() -> None:
     register("x19_bigram_lm", tx.x19_bigram_lm, tx.X19_ORACLE)
     register("x20_vocab_growth", tx.x20_vocab_growth, tx.X20_ORACLE)
     register("x21_source_divergence", tx.x21_source_divergence, tx.X21_ORACLE)
-    # keep-warm fills: 16 of the 23 r8-era age-5 verdicts
+    # keep-warm fills: 14 of the 23 r8-era age-5 verdicts
     register("c3_positional_evolution", ev.c3_positional_evolution, ev.C3P_ORACLE)
     register("t6_original_files", ac.t6_original_files, ac.T6_ORACLE)
     register("t7_snapshot_read", ac.t7_snapshot_read, ac.T7_ORACLE)

@@ -46,10 +46,11 @@ SCHEMA = (
 
 # orc_native reader-schema election memo, shared across .load() calls
 # on the DRIVER (planning is driver-side by the DataSource contract):
-# (path, force_positional) -> (file-list fingerprint,
+# (path, force_positional) -> (file-list digest,
 # (elected path, elected tail parse)). Invalidated by any change to
-# the file list or a file's mtime/size.
-_ELECTION_CACHE: dict[tuple[str, bool], tuple[tuple, tuple[str, dict]]] = {}
+# the file list or a file's mtime/size; each entry is O(1), never
+# O(files).
+_ELECTION_CACHE: dict[tuple[str, bool], tuple[str, tuple[str, dict]]] = {}
 
 
 def _build_datasource_class():
@@ -586,12 +587,20 @@ def _build_orc_native_class():
 
         # election cache ACROSS loads (r12 ADVICE): every .load() makes
         # a fresh DataSource instance, so the per-instance memo alone
-        # re-runs the O(files) tail sweep per plan. Key on the file
-        # list + (mtime, size) per file — any append/compaction/rewrite
-        # changes the fingerprint and re-elects; an unchanged lake
-        # costs one stat() per file instead of one ranged READ per file.
+        # re-runs the O(files) tail sweep per plan. The fingerprint is
+        # a fixed-size DIGEST over the file list + (mtime, size) per
+        # file — any append/compaction/rewrite changes it and
+        # re-elects; an unchanged lake costs one stat() per file
+        # instead of one ranged READ per file, and the retained cache
+        # entry stays O(1) per lake, not O(files).
+        import hashlib
+
         force = _force_positional(options)
-        fp = tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
+        h = hashlib.sha256()
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}\x00{st.st_mtime_ns}\x00{st.st_size}\x00".encode())
+        fp = h.hexdigest()
         cached = _ELECTION_CACHE.get((path, force))
         if cached is not None and cached[0] == fp:
             return cached[1]

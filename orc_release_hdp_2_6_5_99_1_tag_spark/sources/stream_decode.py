@@ -1419,27 +1419,30 @@ def scan_file_evolved(path: str, tree: Any, columns: list[str],
     # OrcConf.java:141-145 — Hive 2.1 compat) applies the same pairing
     # even when the file carries real names. Reader paths translate
     # into the file's namespace for the scan and back for the output.
+    # orc.tolerate.missing.schema (OrcConf.java:85-89, default TRUE):
+    # with tolerance OFF, a missing-names FILE whose schema differs
+    # from the reader's must fail loudly instead of best-effort
+    # positional reconciliation (SchemaEvolution.java:98-110 — the
+    # check runs on the FILE schema regardless of the reader's own
+    # names, so a lake whose elected reader is itself _colN still
+    # refuses; force is exempt: the caller asked for positional)
+    if (
+        reader_meta is not None
+        and not tolerate_missing_schema
+        and not force_positional
+        and evo.positional_levels(meta)
+        and evo.schema_signature(meta) != evo.schema_signature(reader_meta)
+    ):
+        raise RuntimeError(
+            f"{path}: schema metadata is missing (pre-HIVE-4243 "
+            "writer) and tolerate_missing_schema=False — will not "
+            "reconcile schemas by position"
+        )
     pos_levels = 0
     pos_map: dict[str, str] = {}
     if reader_meta is not None and not evo.is_positional(reader_meta):
         pos_levels = evo.positional_levels(meta, force=force_positional)
     if pos_levels:
-        # orc.tolerate.missing.schema (OrcConf.java:85-89, default
-        # TRUE): with tolerance OFF, an AUTO-detected missing-names
-        # file whose schema differs from the reader's must fail loudly
-        # instead of best-effort positional reconciliation
-        # (SchemaEvolution.java:98-110; force is exempt — the caller
-        # asked for positional explicitly)
-        if (
-            not tolerate_missing_schema
-            and not force_positional
-            and evo.schema_signature(meta) != evo.schema_signature(reader_meta)
-        ):
-            raise RuntimeError(
-                f"{path}: schema metadata is missing (pre-HIVE-4243 "
-                "writer) and tolerate_missing_schema=False — will not "
-                "reconcile schemas by position"
-            )
         pos_map = evo.positional_name_map(reader_meta, meta, levels=pos_levels)
         if audit is not None:
             audit["evolution_positional"] = pos_levels

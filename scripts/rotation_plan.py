@@ -84,7 +84,13 @@ def plan(next_round: int | None = None, repo: str = REPO) -> dict:
         if n in last and next_round - last[n] == MAX_AGE
     )
     never_green = sorted(n for n in registered if n not in last)
-    ages: dict[str, int] = {n: next_round - r for n, r in last.items()}
+    # ages (and therefore propose_window's keep-warm fills) cover only
+    # REGISTERED queries — a name retired from the catalog must not
+    # reappear in proposals just because an old CORRECTNESS file
+    # remembers it
+    ages: dict[str, int] = {
+        n: next_round - r for n, r in last.items() if n in registered
+    }
     return {
         "next_round": next_round,
         "newest_correctness": newest,

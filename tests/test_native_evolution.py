@@ -1039,10 +1039,12 @@ def test_forced_positional_scan_translates_and_prunes(legacy_named_lake):
     assert {i for i, _, _ in got} >= set(range(1000))
 
 
-def test_forced_positional_off_reads_all_null(legacy_named_lake):
+def test_forced_positional_off_refuses_unresolvable(legacy_named_lake):
     """Without force, name-based evolution treats the legacy names as
-    missing reader columns — NULL-fill, never positional values (the
-    reference default; force is an explicit opt-in)."""
+    MISSING reader columns (the reference default; force is an
+    explicit opt-in) — and since here NONE of the requested columns
+    resolve, the scan refuses loudly via the all-columns-missing guard
+    rather than returning an all-NULL frame or positional values."""
     reader_meta = parse_tail_of_file(legacy_named_lake["new"])
     with pytest.raises(ValueError, match="none of the requested"):
         list(
@@ -1063,6 +1065,24 @@ def test_forced_positional_through_read_planned_lake(spark, legacy_named_lake):
     assert [r["id"] for r in rows] == list(range(6000))
     assert rows[0]["extra"] is None and rows[3000]["extra"] == 3000 % 11
     assert rows[17]["name"] == "n2"
+
+
+def test_read_planned_lake_explicit_reader_path(spark, legacy_named_lake):
+    """`reader_path` (the table-catalog case) skips the election and
+    reads every file under the NAMED file's schema — same results as
+    the elected path here, since election picks that file anyway."""
+    import pyspark.sql.functions as F
+
+    df = sd.read_planned_lake(
+        spark, legacy_named_lake["files"],
+        ("between", "id", [100, 299]), ["id", "name", "extra"],
+        reader_path=legacy_named_lake["new"], force_positional=True,
+    )
+    rows = (
+        df.filter(F.col("id").between(100, 299)).orderBy("id").collect()
+    )
+    assert [r["id"] for r in rows] == list(range(100, 300))
+    assert all(r["extra"] is None for r in rows)  # old generation band
 
 
 def test_acid_two_level_scan(acid_positional_lake):
@@ -1344,3 +1364,44 @@ def test_acid_positional_through_orc_native(spark, acid_positional_lake):
     new_rows = df.filter(F.col("row.id").between(3000, 3009)).collect()
     assert len(new_rows) == 10
     assert all(r["row"]["extra"] is not None for r in new_rows)
+
+
+def test_tolerate_missing_schema_checks_file_not_reader(spark, tmp_path):
+    """Review finding (r13): the reference's strict-mode check runs on
+    the FILE schema regardless of the reader's own names
+    (SchemaEvolution.java:97-110) — so a lake whose elected reader is
+    ITSELF a _colN schema must still refuse best-effort positional
+    reconciliation of a differing _colN file when tolerance is off."""
+    import pyspark.sql.functions as F
+
+    narrow = _write_one_orc(
+        spark,
+        spark.range(100).select(
+            F.col("id").cast("int").alias("_col0"),
+        ),
+        str(tmp_path / "narrow"),
+    )
+    wide = _write_one_orc(
+        spark,
+        spark.range(100, 200).select(
+            F.col("id").alias("_col0"),
+            (F.col("id") % 5).alias("_col1"),
+        ),
+        str(tmp_path / "wide"),
+    )
+    reader_meta = parse_tail_of_file(wide)
+    assert evo.is_positional(reader_meta)
+    with pytest.raises(RuntimeError, match="schema metadata is missing"):
+        list(
+            sd.scan_file_evolved(
+                narrow, None, ["_col0", "_col1"],
+                reader_meta=reader_meta, tolerate_missing_schema=False,
+            )
+        )
+    # tolerant default: names align (both _colN), reads fine
+    got = []
+    for res in sd.scan_file_evolved(
+        narrow, None, ["_col0", "_col1"], reader_meta=reader_meta
+    ):
+        got.extend(zip(res["columns"]["_col0"], res["columns"]["_col1"]))
+    assert len(got) == 100 and all(c1 is None for _, c1 in got)
