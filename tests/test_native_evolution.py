@@ -1405,3 +1405,48 @@ def test_tolerate_missing_schema_checks_file_not_reader(spark, tmp_path):
     ):
         got.extend(zip(res["columns"]["_col0"], res["columns"]["_col1"]))
     assert len(got) == 100 and all(c1 is None for _, c1 in got)
+
+
+def test_bloom_pruning_through_positional_translation(spark, tmp_path):
+    """I2 × positional-C1 intersection: a bloom filter written on a
+    pre-HIVE-4243 file's `_col0` engages when the predicate arrives
+    under the READER's column name — the positional rename happens
+    before row-group picking, so bloom indexes (keyed by the file's
+    own column ids) prune exactly as on named files."""
+    import pyspark.sql.functions as F
+
+    # values spaced so min/max can never prune (uniform per group);
+    # only the bloom can reject the absent probe
+    old = _write_one_orc(
+        spark,
+        spark.range(4000).select(
+            ((F.col("id") * 7919) % 10007).cast("int").alias("_col0"),
+            (F.col("id") % 3).cast("string").alias("_col1"),
+        ),
+        str(tmp_path / "old"),
+        **{"orc.row.index.stride": 1000,
+           "orc.bloom.filter.columns": "_col0",
+           "orc.bloom.filter.fpp": "0.01"},
+    )
+    new = _write_one_orc(
+        spark,
+        spark.range(10).select(
+            F.col("id").cast("bigint").alias("k"),
+            F.lit("x").alias("tag"),
+        ),
+        str(tmp_path / "new"),
+        **{"orc.row.index.stride": 1000},
+    )
+    reader_meta = parse_tail_of_file(new)
+    probe = (123 * 7919) % 10007  # present in exactly one row group
+    audit = {}
+    got = []
+    for res in sd.scan_file_evolved(
+        old, ("equals", "k", probe), ["k", "tag"], audit,
+        reader_meta=reader_meta,
+    ):
+        got.extend(res["columns"]["k"])
+    assert audit.get("evolution_positional") == 1
+    # min/max cannot prune the uniform layout; the bloom must
+    assert audit["groups_decoded"] < audit["groups_total"]
+    assert probe in got  # zero false negatives through the rename
