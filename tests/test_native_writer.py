@@ -1,0 +1,488 @@
+"""Native ORC WRITER parity: files emitted by sources/orc_encode.py are
+read back by THREE independent readers — the embedded Java ORC reader
+(`spark.read.orc`, what production sits on), pyarrow's C++ ORC reader,
+and the engine's own native decoder — and the written metadata
+(file/stripe/row-group stats, encodings, bloom filters, positions) is
+verified both structurally and against what the JVM writer emits for
+the same data (WriterImpl analog behavior, not code).
+
+The writer's sharpest invariant is position recording: every stream
+flushes its RLE state and closes its compression chunk at row-group
+boundaries, so recorded positions always have zero run/decompressed
+offsets. The JVM PPD point-lookup test and the native scan_file
+group-skip test both fail loudly if any slot lies.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import pytest
+
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import bloom as bl
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import footer_tail as ft
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources import stream_decode as sd
+from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
+    parse_schema,
+    write_orc_native,
+)
+
+N = 25_000
+SCHEMA = (
+    "i bigint, b boolean, t tinyint, s string, s2 string, d double, "
+    "f float, dt date, ts timestamp, dec decimal(12,2), bin binary"
+)
+
+
+def _columns(n: int = N) -> dict:
+    return {
+        "i": [None if k % 97 == 5 else k for k in range(n)],
+        "b": [k % 2 == 0 for k in range(n)],
+        "t": [None if k % 11 == 3 else k % 128 - 64 for k in range(n)],
+        "s": [None if k % 13 == 7 else f"val_{k % 50}" for k in range(n)],
+        "s2": [f"unique_{k}" for k in range(n)],
+        "d": [k * 0.5 for k in range(n)],
+        "f": [float(k % 100) for k in range(n)],
+        "dt": [dt.date(2020, 1, 1) + dt.timedelta(days=k % 1000) for k in range(n)],
+        "ts": [
+            dt.datetime(2021, 3, 4, 5, 6, 7, microsecond=(k % 1000) * 1000)
+            + dt.timedelta(seconds=k)
+            for k in range(n)
+        ],
+        "dec": [Decimal(k) / 100 for k in range(n)],
+        "bin": [
+            None if k % 17 == 2 else bytes([k % 256, (k + 1) % 256])
+            for k in range(n)
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def native_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nw") / "all_types.orc")
+    summary = write_orc_native(
+        path,
+        _columns(),
+        SCHEMA,
+        compression="zlib",
+        stripe_rows=12_000,
+        row_index_stride=2_000,
+        bloom_filter_columns=("s2", "i"),
+    )
+    return path, summary
+
+
+def _native_columns(path, cols, tree=None, audit=None):
+    out: dict[str, list] = {}
+    for batch in sd.scan_file(path, tree, cols, audit=audit):
+        for k, v in batch["columns"].items():
+            out.setdefault(k, []).extend(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reader agreement
+# ---------------------------------------------------------------------------
+
+
+def test_pyarrow_reads_native_file(native_file):
+    import pyarrow.orc as po
+
+    path, summary = native_file
+    assert summary["n_stripes"] == 3
+    got = po.ORCFile(path).read().to_pydict()
+    exp = _columns()
+    for name in ("i", "b", "t", "s", "s2", "d", "f", "dt", "ts", "bin"):
+        assert got[name] == exp[name], name
+    assert [str(x) for x in got["dec"]] == [f"{x:.2f}" for x in exp["dec"]]
+
+
+def test_native_decoder_reads_native_file(native_file):
+    path, _ = native_file
+    got = _native_columns(path, list(_columns()))
+    exp = _columns()
+    for name, vals in exp.items():
+        if name == "dec":
+            assert [str(x) for x in got[name]] == [f"{x:.2f}" for x in vals]
+        else:
+            assert got[name] == vals, name
+
+
+def test_jvm_reads_native_file(native_file, spark):
+    from pyspark.sql import functions as F
+
+    path, _ = native_file
+    df = spark.read.orc(path)
+    assert df.count() == N
+    agg = df.agg(
+        F.sum("i"), F.sum("d"), F.count("s"), F.countDistinct("s"),
+        F.max("s2"), F.sum(F.dayofyear("dt")), F.max("ts"), F.sum("dec"),
+        F.sum(F.length("bin")), F.sum(F.col("b").cast("int")),
+    ).collect()[0]  # fmt: skip
+    exp = _columns()
+    assert agg[0] == sum(v for v in exp["i"] if v is not None)
+    assert agg[1] == sum(exp["d"])
+    assert agg[2] == sum(v is not None for v in exp["s"])
+    assert agg[3] == 50
+    assert agg[4] == "unique_9999"  # lexicographic max
+    assert agg[6] == max(exp["ts"])
+    assert agg[7] == sum(exp["dec"])
+    assert agg[8] == sum(len(v) for v in exp["bin"] if v is not None)
+    assert agg[9] == N // 2
+
+
+def test_jvm_ppd_point_lookup_seeks_correctly(native_file, spark):
+    """A pushed-down point predicate makes the JVM reader skip to
+    specific row groups via the recorded positions — wrong position
+    slots produce garbage or an exception here, not a soft miss."""
+    path, _ = native_file
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    df = spark.read.orc(path)
+    row = df.filter("s2 = 'unique_20123'").select("i", "s", "ts").collect()
+    assert len(row) == 1
+    assert row[0]["i"] == 20123 and row[0]["s"] == "val_23"
+    band = df.filter("i >= 13000 and i < 13050").agg({"i": "sum"}).collect()[0][0]
+    exp = sum(
+        k for k in range(13000, 13050) if k % 97 != 5
+    )
+    assert band == exp
+
+
+# ---------------------------------------------------------------------------
+# metadata: encodings, stats, blooms
+# ---------------------------------------------------------------------------
+
+
+def test_dictionary_cutover_election(native_file):
+    """50-distinct/12k-row column elects DICTIONARY_V2; all-unique
+    column stays DIRECT_V2 (checkDictionaryEncoding threshold)."""
+    path, summary = native_file
+    assert summary["encodings"]["s"] == "DICTIONARY_V2"
+    assert summary["encodings"]["s2"] == "DIRECT_V2"
+    sf = ft.parse_stripe_footers(path)[0]
+    meta = ft.parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    assert sf["encodings"][ids["s"]]["kind"] == "DICTIONARY_V2"
+    assert sf["encodings"][ids["s"]]["dictionary_size"] == 50
+    assert sf["encodings"][ids["s2"]]["kind"] == "DIRECT_V2"
+
+
+def test_file_and_stripe_stats(native_file):
+    path, _ = native_file
+    meta = ft.parse_tail_of_file(path, include_stripe_stats=True)
+    cols = {c["name"]: c for c in meta["columns"]}
+    exp = _columns()
+    i_vals = [v for v in exp["i"] if v is not None]
+    assert cols["i"]["n_values"] == len(i_vals)
+    assert cols["i"]["has_null"] is True
+    assert cols["i"]["typed"] == {
+        "min": 0, "max": N - 1, "sum": sum(i_vals)
+    }  # fmt: skip
+    assert cols["b"]["typed"]["true_count"] == N // 2
+    assert cols["s"]["typed"]["min"] == "val_0"
+    assert cols["s"]["typed"]["max"] == "val_9"
+    assert cols["d"]["typed"]["max"] == (N - 1) * 0.5
+    max_day = (dt.date(2020, 1, 1) + dt.timedelta(days=999) - dt.date(1970, 1, 1)).days
+    assert cols["dt"]["typed"]["max"] == max_day  # epoch days
+    assert len(meta["stripe_stats"]) == 3
+    # stripe stats fold to file stats (A4 merge direction)
+    s_n = sum(st[cols["i"]["col_id"]]["n_values"] for st in meta["stripe_stats"])
+    assert s_n == cols["i"]["n_values"]
+
+
+def test_bloom_zero_false_negatives(native_file):
+    path, _ = native_file
+    meta = ft.parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    blooms = bl.parse_bloom_index(path, ids["s2"])
+    # every value present in its row group must probe True
+    for k in (0, 1999, 2000, 11999, 12000, 24999):
+        stripe, rg = divmod(k, 12_000)
+        assert bl.might_contain(blooms[stripe][rg // 2_000], f"unique_{k}")
+    # absent probes should overwhelmingly miss at fpp 0.05
+    misses = sum(
+        not bl.might_contain(blooms[0][0], f"unique_{k}")
+        for k in range(100_000, 100_100)
+    )
+    assert misses >= 90
+
+
+def test_stats_parity_with_jvm_writer(native_file, spark, tmp_path):
+    """The same rows written by the embedded Java writer produce the
+    same file-level column statistics (min/max/n_values/has_null and
+    the integer/double sums) — writer-side behavior parity with
+    WriterImpl's ColumnStatisticsImpl, checked value-for-value."""
+    path, _ = native_file
+    exp = _columns(3_000)
+    rows = list(zip(*exp.values()))
+    df = spark.createDataFrame(rows, SCHEMA.replace(" tinyint", " tinyint"))
+    jvm_dir = str(tmp_path / "jvm_orc")
+    df.coalesce(1).write.option("compression", "zlib").orc(jvm_dir)
+    import glob
+
+    jvm_file = glob.glob(jvm_dir + "/part-*.orc")[0]
+    ours_path = str(tmp_path / "ours.orc")
+    write_orc_native(ours_path, exp, SCHEMA)
+    jm = {c["name"]: c for c in ft.parse_tail_of_file(jvm_file)["columns"]}
+    om = {c["name"]: c for c in ft.parse_tail_of_file(ours_path)["columns"]}
+    for name in ("i", "t", "s", "s2", "d", "dt", "b"):
+        assert om[name]["n_values"] == jm[name]["n_values"], name
+        assert om[name]["has_null"] == jm[name]["has_null"], name
+        for key in ("min", "max", "sum", "true_count"):
+            if key in jm[name]["typed"] or key in om[name]["typed"]:
+                assert om[name]["typed"].get(key) == jm[name]["typed"].get(
+                    key
+                ), f"{name}.{key}"
+
+
+# ---------------------------------------------------------------------------
+# pruning on self-written layouts
+# ---------------------------------------------------------------------------
+
+
+def test_native_scan_skips_row_groups(native_file):
+    path, _ = native_file
+    audit: dict = {}
+    got = _native_columns(
+        path, ["i", "s2"], tree=("equals", "i", 4_321), audit=audit
+    )
+    assert audit["groups_total"] == 13  # 6 + 6 + 1 (last stripe 1k rows)
+    assert audit["groups_decoded"] == 1
+    idx = got["i"].index(4_321)
+    assert got["s2"][idx] == "unique_4321"
+
+
+def test_bloom_refines_minmax_keeps(tmp_path):
+    """Even-only values: min/max keeps the group for an odd probe in
+    range; the bloom filter kills it (I2 write side, reference
+    pickRowGroups refinement)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.functions.truth import (
+        pick_row_groups,
+    )
+
+    path = str(tmp_path / "even.orc")
+    write_orc_native(
+        path,
+        {"k": [2 * v for v in range(8_000)]},
+        "k bigint",
+        row_index_stride=2_000,
+        bloom_filter_columns=("k",),
+    )
+    tree = ("equals", "k", 1_001)  # odd, inside group 0's [0, 3998]
+    no_bloom = pick_row_groups(path, tree, use_bloom=False)
+    with_bloom = pick_row_groups(path, tree, use_bloom=True)
+    assert no_bloom[0][0]["keep"] is True
+    assert with_bloom[0][0]["keep"] is False
+    assert all(not d["keep"] for per in with_bloom for d in per)
+
+
+def test_nan_stats_match_embedded_writer(tmp_path, spark):
+    """NaN handling pins the EMBEDDED writer (the runtime users sit
+    on): min/max exclude NaN, the sum stays NaN-poisoned — probed
+    value-for-value against spark.write.orc on the same rows. An
+    all-NaN group omits min/max entirely (the all-null serialization
+    shape both readers already understand)."""
+    import glob
+
+    vals = [float(v) for v in range(4_000)]
+    vals[100] = math.nan
+    path = str(tmp_path / "nan.orc")
+    write_orc_native(path, {"d": vals}, "d double", row_index_stride=2_000)
+    spark.createDataFrame([(v,) for v in vals], "d double").coalesce(
+        1
+    ).write.option("compression", "zlib").orc(str(tmp_path / "jvm"))
+    jvm_file = glob.glob(str(tmp_path / "jvm/part-*.orc"))[0]
+    ours = ft.parse_tail_of_file(path)["columns"][0]["typed"]
+    jvm = ft.parse_tail_of_file(jvm_file)["columns"][0]["typed"]
+    assert ours["min"] == jvm["min"] == 0.0
+    assert ours["max"] == jvm["max"] == 3_999.0
+    assert math.isnan(ours["sum"]) and math.isnan(jvm["sum"])
+    # NaN group keeps its real min/max; PPD stays live and exact
+    ri = ft.parse_row_index(path, 1)
+    assert ri[0][0]["typed"]["min"] == 0.0
+    assert ri[0][0]["typed"]["max"] == 1_999.0
+    assert ri[0][1]["typed"]["min"] == 2_000.0
+    audit: dict = {}
+    got = _native_columns(path, ["d"], tree=("less_than", "d", 50.0), audit=audit)
+    assert audit["groups_decoded"] == 1  # NaN group kept, clean group skipped
+    assert got["d"][:50] == [float(v) for v in range(50)]
+    # all-NaN column: min/max omitted, like an all-null column's stats
+    allnan = str(tmp_path / "allnan.orc")
+    write_orc_native(allnan, {"d": [math.nan] * 10}, "d double")
+    typed = ft.parse_tail_of_file(allnan)["columns"][0]["typed"]
+    assert "min" not in typed and math.isnan(typed["sum"])
+
+
+# ---------------------------------------------------------------------------
+# codecs, chunking, edge shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "snappy", "lz4", "zstd"])
+def test_codecs_roundtrip(tmp_path, codec):
+    import pyarrow.orc as po
+
+    path = str(tmp_path / f"{codec}.orc")
+    cols = {
+        "k": list(range(500)),
+        "s": [f"string value {v % 7}" for v in range(500)],
+    }
+    write_orc_native(path, cols, "k int, s string", compression=codec)
+    got = po.ORCFile(path).read().to_pydict()
+    assert got["k"] == cols["k"] and got["s"] == cols["s"]
+    native = _native_columns(path, ["k", "s"])
+    assert native["k"] == cols["k"] and native["s"] == cols["s"]
+
+
+def test_multichunk_values_cross_compression_blocks(tmp_path, spark):
+    """Values larger than the compression block force multi-chunk
+    streams; positions (chunk offset, 0) must still seek exactly."""
+    path = str(tmp_path / "chunky.orc")
+    cols = {"s": ["x" * 300 + f"tail{v}" for v in range(2_000)],
+            "k": list(range(2_000))}  # fmt: skip
+    write_orc_native(
+        path, cols, "s string, k int",
+        compression="zlib", compression_block_size=256, row_index_stride=500,
+    )  # fmt: skip
+    native = _native_columns(path, ["s", "k"], tree=("equals", "k", 1_700))
+    idx = native["k"].index(1_700)
+    assert native["s"][idx] == "x" * 300 + "tail1700"
+    df = spark.read.orc(path)
+    assert df.filter("k = 1700").collect()[0]["s"] == "x" * 300 + "tail1700"
+
+
+def test_empty_file(tmp_path, spark):
+    import pyarrow.orc as po
+
+    path = str(tmp_path / "zero.orc")
+    summary = write_orc_native(path, {"a": [], "b": []}, "a int, b string")
+    assert summary["n_rows"] == 0 and summary["n_stripes"] == 0
+    meta = ft.parse_tail_of_file(path)
+    assert meta["n_rows"] == 0
+    assert po.ORCFile(path).read().num_rows == 0
+    assert spark.read.orc(path).count() == 0
+
+
+def test_all_null_and_single_row(tmp_path, spark):
+    path = str(tmp_path / "nulls.orc")
+    write_orc_native(
+        path,
+        {"a": [None] * 100, "b": ["only" if v == 50 else None for v in range(100)]},
+        "a int, b string",
+    )
+    df = spark.read.orc(path)
+    assert df.count() == 100
+    assert df.where("b is not null").collect()[0]["b"] == "only"
+    meta = ft.parse_tail_of_file(path)
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["a"]["n_values"] == 0 and cols["a"]["has_null"] is True
+
+    single = str(tmp_path / "one.orc")
+    write_orc_native(single, {"a": [7], "b": ["x"]}, "a int, b string")
+    assert spark.read.orc(single).collect() == [(7, "x")]
+
+
+def test_pre_epoch_dates_and_timestamps(tmp_path, spark):
+    """Negative epoch values roundtrip (the single known Java-parity
+    edge — fractional timestamps inside 1969-12-31T23:59:59 — is a
+    reference reader bug and deliberately not exercised)."""
+    path = str(tmp_path / "preepoch.orc")
+    dts = [dt.date(1900, 1, 1), dt.date(1969, 12, 31), dt.date(2100, 6, 1)]
+    tss = [
+        dt.datetime(1950, 5, 5, 10, 20, 30, 123000),
+        dt.datetime(1969, 12, 31, 23, 59, 58, 500000),
+        dt.datetime(2024, 2, 29, 1, 2, 3, 4000),
+    ]
+    write_orc_native(path, {"d": dts, "ts": tss}, "d date, ts timestamp")
+    native = _native_columns(path, ["d", "ts"])
+    assert native["d"] == dts and native["ts"] == tss
+    got = spark.read.orc(path).orderBy("d").collect()
+    assert [r["d"] for r in got] == dts
+    assert [r["ts"] for r in got] == tss
+
+
+def test_decimal_and_char_varchar_native(tmp_path):
+    """char/varchar types carry maximumLength in the type tree and
+    decode through the native reader (the JVM surface maps them to
+    string with Spark-side length semantics — covered by the
+    evolution tier's char/varchar tests)."""
+    path = str(tmp_path / "cv.orc")
+    write_orc_native(
+        path,
+        {"c": ["ab", "cd", "ef"], "v": ["x", "yz", "w"],
+         "m": [Decimal("1.5"), Decimal("-2.25"), Decimal("0")]},  # fmt: skip
+        "c char(2), v varchar(3), m decimal(10,2)",
+    )
+    meta = ft.parse_tail_of_file(path)
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["c"]["kind"] == "char" and cols["c"]["max_length"] == 2
+    assert cols["v"]["kind"] == "varchar" and cols["v"]["max_length"] == 3
+    assert cols["m"]["precision"] == 10 and cols["m"]["scale"] == 2
+    native = _native_columns(path, ["c", "v", "m"])
+    assert native["c"] == ["ab", "cd", "ef"]
+    assert native["m"] == [Decimal("1.50"), Decimal("-2.25"), Decimal("0.00")]
+    # decimal stats are HiveDecimal.toString (trailing zeros stripped)
+    assert cols["m"]["typed"] == {"min": "-2.25", "max": "1.5", "sum": "-0.75"}
+
+
+def test_rlev2_subencodings_are_exercised(tmp_path):
+    """The writer's SHORT_REPEAT / fixed-DELTA / DIRECT selection is
+    observable through the decoder's RUN_COUNTER accounting."""
+    path = str(tmp_path / "rle.orc")
+    vals = (
+        [7] * 5              # SHORT_REPEAT (3..10)
+        + [9] * 100          # fixed DELTA, delta 0
+        + list(range(0, 600, 3))  # fixed DELTA, delta 3
+        + [v * v * 7919 % 1009 for v in range(300)]  # DIRECT literals
+    )
+    write_orc_native(path, {"k": vals}, "k bigint", compression="none")
+    sd.RUN_COUNTER.clear()
+    native = _native_columns(path, ["k"])
+    assert native["k"] == vals
+    assert sd.RUN_COUNTER.get("SHORT_REPEAT", 0) >= 1
+    assert sd.RUN_COUNTER.get("DELTA", 0) >= 2
+    assert sd.RUN_COUNTER.get("DIRECT", 0) >= 1
+
+
+def test_hypothesis_style_random_roundtrip(tmp_path):
+    """Deterministic pseudo-random battery over the native loop (the
+    JVM-backed hypothesis roundtrip lives in test_random_roundtrip;
+    this one stresses writer/reader agreement cheaply)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        n = rng.randrange(1, 700)
+        cols = {
+            "a": [
+                None if rng.random() < 0.1 else rng.randrange(-(2**40), 2**40)
+                for _ in range(n)
+            ],
+            "s": [
+                None
+                if rng.random() < 0.1
+                else "".join(chr(rng.randrange(32, 0x2FF)) for _ in range(rng.randrange(0, 12)))
+                for _ in range(n)
+            ],
+            "d": [rng.uniform(-1e6, 1e6) for _ in range(n)],
+        }
+        path = str(tmp_path / f"rr{trial}.orc")
+        write_orc_native(
+            path, cols, "a bigint, s string, d double",
+            compression=rng.choice(["none", "zlib"]),
+            row_index_stride=rng.choice([8, 64, 1_000]),
+            stripe_rows=rng.choice([50, 500, 10_000]),
+        )  # fmt: skip
+        native = _native_columns(path, ["a", "s", "d"])
+        assert native["a"] == cols["a"], f"trial {trial}"
+        assert native["s"] == cols["s"], f"trial {trial}"
+        assert native["d"] == cols["d"], f"trial {trial}"
+
+
+def test_schema_parser_rejects_nested():
+    with pytest.raises(NotImplementedError):
+        parse_schema("a struct")
+    with pytest.raises(ValueError):
+        parse_schema("a intt")
