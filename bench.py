@@ -294,6 +294,9 @@ EXTENDED = [
     # on-read over the evolved scan) and forced positional evolution
     "s29_acid_positional_scan",
     "s30_forced_positional_scan",
+    # late round-13: the native ORC writer as a distributed sink,
+    # read back by the embedded Java reader (write-side parity)
+    "s31_native_writer_lake",
 ]
 
 

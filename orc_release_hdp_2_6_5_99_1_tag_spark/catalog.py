@@ -99,11 +99,17 @@ def _build() -> None:
     # - DUE, r7-era (all 32; age 6 at r13, would breach at r14): a8,
     #   a10, d19, j1, m3, q7, q9-q20, s15, s16, sk2, u3, w4, w9, w12,
     #   w13, w15, x5, x6, x19, x20, x21.
-    # - KEEP-WARM fills (14 of the 23 r8-era age-5 verdicts — they
+    # - NEW, late round-13 (1): s31_native_writer_lake — the native
+    #   ORC WRITER (orc_encode + the orc_native_sink DataSource)
+    #   graded end-to-end: engine writes, embedded Java reader reads,
+    #   DuckDB adjudicates (never-green invariant: graded immediately;
+    #   displaces x15_corpus_shuffle_shards to the r14 queue).
+    # - KEEP-WARM fills (13 of the 23 r8-era age-5 verdicts — they
     #   reach age 6 at r14; grading most now more than halves the r14
-    #   queue): c3, t6, t7, f1_equals..f5, x10-x15. The remaining 9
-    #   (d18, w14, i3, mv1, r8_streaming_pipeline, sk4, sk5, v5, x22)
-    #   are the r14 mandatory core — rotation_plan.py will list them.
+    #   queue): c3, t6, t7, f1_equals..f5, x10-x14. The remaining 10
+    #   (d18, w14, i3, mv1, r8_streaming_pipeline, sk4, sk5, v5, x22,
+    #   and the displaced x15) are the r14 mandatory core —
+    #   rotation_plan.py will list them.
     #
     # Swapped OUT (all driver-green in CORRECTNESS_r12, age 1, still
     # oracle-checked by pytest as extras): the r12 additions (s26,
@@ -168,7 +174,9 @@ def _build() -> None:
     register("x12_token_freq_quality", tx.x12_token_freq_quality, tx.X12_ORACLE)
     register("x13_tfidf_topk", tx.x13_tfidf_topk, tx.X13_ORACLE)
     register("x14_dataset_card", tx.x14_dataset_card, tx.X14_ORACLE)
-    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE)
+    # late round-13 addition (never-green invariant): the native
+    # writer graded through the embedded Java reader
+    register("s31_native_writer_lake", oq.s31_native_writer_lake, oq.S31_ORACLE)
 
     # ---- extras: pytest-validated, not driver-registered ------------
     #
@@ -190,6 +198,9 @@ def _build() -> None:
     # both age 5, re-graded in the r14 window with the other r8-era):
     register("d18_containment", dd.d18_containment, dd.D18_ORACLE, graded=False)
     register("w14_twap", tp.w14_twap, tp.W14_ORACLE, graded=False)
+    # displaced by the late round-13 s31 (age 5 — joins the r14
+    # mandatory core with the other r8-era remainders):
+    register("x15_corpus_shuffle_shards", tx.x15_corpus_shuffle_shards, tx.X15_ORACLE, graded=False)
     # rotated out round 13 (driver-green in CORRECTNESS_r12, age 1):
     register("s26_evolved_lake_scan", oq.s26_evolved_lake_scan, oq.S26_ORACLE, graded=False)
     register("s27_nested_sarg_scan", oq.s27_nested_sarg_scan, oq.S27_ORACLE, graded=False)

@@ -1983,3 +1983,89 @@ WHERE o_orderkey BETWEEN {_S30_LO} AND {_S30_HI}
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+_S31_LO, _S31_HI = 150, 1350  # spans parts of 3 of the 4 range files
+
+
+def s31_native_writer_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side format parity, graded end-to-end: the lake is
+    produced by the ENGINE'S OWN pure-Python ORC writer running as a
+    distributed sink (`orc_native_sink` — one task per partition,
+    two-phase commit, `sources/orc_encode.write_orc_native` doing
+    RLEv2/dictionary/bitfield streams, row-group index positions,
+    stats and an o_orderkey bloom), and then read back by the EMBEDDED
+    JAVA reader (`spark.read.orc`) with filter pushdown — the exact
+    inverse of s24/s25, where the reference writes and the engine
+    reads. A wrong byte anywhere (an RLE run crossing a row-group
+    boundary, a lying position slot, a bad stat) either corrupts the
+    aggregate or throws in the JVM reader; the DuckDB oracle computes
+    the same aggregate from the original parquet and never sees ORC.
+
+    Reference analogs: WriterImpl.java (tree writers + stats),
+    PhysicalFsWriter.java (layout), RunLengthIntegerWriterV2,
+    OutStream.java:84-176 (chunk framing).
+
+    Scale: the write is one file per partition with no driver data —
+    the topology of any distributed ORC sink. The per-value Python
+    encode is the parity tier's documented cost; production bulk
+    writes stay on the JVM writer (orc_io.write_orc)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native_sink,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"]  # fmt: skip
+    dest = os.path.join(scratch_dir(sf_dir), "orc", "orders_native_written")
+    fp = source_fingerprint(sf_dir, "orders") + (
+        ";writer=native;files=4;stride=1000;blooms=o_orderkey"
+    )
+    if not marker_valid(dest + "._fp", fp):
+        import shutil
+
+        register_orc_native_sink(spark)
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .select(*cols)
+            .repartitionByRange(4, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+        (
+            df.write.format("orc_native_sink")
+            .option("path", dest)
+            .option("row_index_stride", "1000")
+            .option("bloom_filter_columns", "o_orderkey")
+            .mode("append")
+            .save()
+        )
+        write_marker(dest + "._fp", fp)
+    scan = spark.read.orc(dest)
+    return (
+        scan.filter(
+            (F.col("o_orderkey") >= _S31_LO) & (F.col("o_orderkey") <= _S31_HI)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
+            F.sum("o_custkey").alias("sum_cust"),
+            F.date_format(F.max(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+                "max_day"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+S31_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_floor,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_day
+FROM orders
+WHERE o_orderkey BETWEEN {_S31_LO} AND {_S31_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -365,6 +365,170 @@ def register_jsonl_sink(spark) -> None:
 
 
 # ---------------------------------------------------------------------------
+# orc_native_sink — the engine's own ORC WRITER as a distributed sink
+# ---------------------------------------------------------------------------
+
+
+def _build_orc_native_sink_class():
+    """Factory (by-value pickling): `df.write.format("orc_native_sink")`
+    — each task serializes its partition to one ORC file with the
+    pure-Python writer (`sources/orc_encode.write_orc_native`:
+    RLEv2/byte-RLE/bitfield streams, dictionary cutover, row-group
+    index positions, stats, optional UTF8 blooms), under the same
+    TWO-PHASE commit as jsonl_sink (per-task hidden temps, driver
+    publishes part-NNNNN.orc atomically, abort removes finished
+    temps). The ORC schema derives from the DataFrame schema — no
+    schema option to drift out of sync.
+
+    Scale: the write is embarrassingly parallel (one file per
+    partition, no driver data); the per-value Python encode is the
+    parity tier's documented cost — production bulk writes stay on
+    the JVM writer (`orc_io.write_orc`), this sink exists to prove
+    write-side format parity end-to-end (JVM readers consume the
+    output, graded by s31) and to manufacture precise layouts.
+
+    Options: path (required), compression (default zlib), stripe_rows,
+    row_index_stride, dictionary_key_threshold, bloom_filter_columns
+    (comma list), fail_partition (test hook)."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class OrcCommit(WriterCommitMessage):
+        tmp_path: str | None
+        n_rows: int
+
+    class OrcNativeWriter(DataSourceWriter):
+        def __init__(self, options: dict, ddl: str, names: list[str]):
+            path = options.get("path")
+            if not path:
+                raise ValueError("orc_native_sink requires .option('path', dir)")
+            self._dir = path
+            self._ddl = ddl
+            self._names = names
+            self._comp = options.get("compression", "zlib")
+            self._stripe_rows = int(options.get("stripe_rows", 100_000))
+            self._stride = int(options.get("row_index_stride", 10_000))
+            self._dict_thresh = float(
+                options.get("dictionary_key_threshold", 0.8)
+            )
+            blooms = options.get("bloom_filter_columns", "")
+            self._blooms = tuple(c for c in blooms.split(",") if c)
+            self._fail_partition = int(options.get("fail_partition", -1))
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
+                write_orc_native,
+            )
+
+            pid = TaskContext.get().partitionId()
+            if pid == self._fail_partition:
+                raise RuntimeError(f"injected failure in partition {pid}")
+            cols: dict[str, list] = {n: [] for n in self._names}
+            n = 0
+            for row in iterator:
+                for name, v in zip(self._names, row):
+                    cols[name].append(v)
+                n += 1
+            if n == 0:  # empty partition: publish nothing
+                return OrcCommit(tmp_path=None, n_rows=0)
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = os.path.join(self._dir, f"_tmp-{uuid.uuid4().hex}.orc")
+            write_orc_native(
+                tmp, cols, self._ddl,
+                compression=self._comp,
+                stripe_rows=self._stripe_rows,
+                row_index_stride=self._stride,
+                dictionary_key_threshold=self._dict_thresh,
+                bloom_filter_columns=self._blooms,
+            )  # fmt: skip
+            return OrcCommit(tmp_path=tmp, n_rows=n)
+
+        def commit(self, messages):
+            import os
+
+            for i, m in enumerate(messages):
+                if m.tmp_path is not None:
+                    os.replace(
+                        m.tmp_path, os.path.join(self._dir, f"part-{i:05d}.orc")
+                    )
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m.tmp_path is None:
+                    continue
+                try:
+                    os.remove(m.tmp_path)
+                except (FileNotFoundError, OSError):
+                    pass
+
+    class OrcNativeSinkSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "orc_native_sink"
+
+        def schema(self) -> str:  # writer-only source; schema unused
+            return "value string"
+
+        def writer(self, schema, overwrite: bool):
+            ddl, names = _spark_schema_to_orc_ddl(schema)
+            return OrcNativeWriter(self.options, ddl, names)
+
+    return OrcNativeSinkSource
+
+
+def _spark_schema_to_orc_ddl(schema) -> tuple[str, list[str]]:
+    """Spark StructType -> (flat ORC DDL for orc_encode.parse_schema,
+    field names). simpleString() already speaks the shared dialect
+    (bigint/int/smallint/tinyint/boolean/float/double/string/binary/
+    date/timestamp/decimal(p,s)/char(n)/varchar(n)); anything nested
+    or unsupported raises before any task runs."""
+    parts, names = [], []
+    for f in schema.fields:
+        ts = f.dataType.simpleString()
+        if ts == "timestamp_ntz":
+            # ORC TIMESTAMP is the zone-less wall clock — NTZ IS the
+            # native semantics (the LTZ surface goes through the same
+            # bytes under the session-UTC pin)
+            ts = "timestamp"
+        base = ts.split("(")[0]
+        if base not in (
+            "bigint", "int", "smallint", "tinyint", "boolean", "float",
+            "double", "string", "binary", "date", "timestamp", "decimal",
+            "char", "varchar",
+        ):  # fmt: skip
+            raise ValueError(
+                f"orc_native_sink: unsupported column type {ts!r} for "
+                f"{f.name!r} (nested types stay on the JVM writer)"
+            )
+        parts.append(f"{f.name} {ts}")
+        names.append(f.name)
+    return ", ".join(parts), names
+
+
+def register_orc_native_sink(spark) -> None:
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        _ship_package,
+    )
+
+    # write() imports orc_encode on the WORKER — ship the package zip
+    _ship_package(spark)
+    spark.dataSource.register(_build_orc_native_sink_class())
+
+
+# ---------------------------------------------------------------------------
 # orc_native — the engine's own ORC reader as a Spark DataSource with
 # Catalyst FILTER PUSHDOWN into the SArg pruning chain
 # ---------------------------------------------------------------------------

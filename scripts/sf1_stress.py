@@ -103,6 +103,10 @@ QUERIES_R12 = [
 QUERIES_R13 = [
     "s29_acid_positional_scan",
     "s30_forced_positional_scan",
+    # the native-writer lake: fixture cost is the one-off distributed
+    # native encode; the measured read is the embedded Java reader
+    # with PPD over the engine-written files
+    "s31_native_writer_lake",
 ]
 
 

@@ -58,10 +58,12 @@ def test_round13_graded_window_composition():
     forced positional evolution), the MANDATORY w8 re-grade (last
     green r6, displaced from the r12 window by s28 — it breaches the
     ≤6 verdict-age invariant at r13), the full 32-strong r7-era
-    cohort (age 6 at r13, would breach at r14), and 14 of the 23
-    r8-era age-5 verdicts as keep-warm fills (the remaining 9 head
-    the r14 queue). Displaced to extras: the whole r12 window minus
-    the flagship, all r12-verdict-fresh (age 1). The window is
+    cohort (age 6 at r13, would breach at r14), the late-round s31
+    addition (native writer, never-green — displaces x15), and 13 of
+    the 23 r8-era age-5 verdicts as keep-warm fills (the remaining
+    10, x15 included, head the r14 queue). Displaced to extras: the
+    whole r12 window minus the flagship, all r12-verdict-fresh
+    (age 1). The window is
     cross-checked against scripts/rotation_plan.py by
     test_rotation_plan_mandatory_in_window below;
     tests/test_registry_rotation.py asserts the never-green ⊆
@@ -93,14 +95,18 @@ def test_round13_graded_window_composition():
         "x5_train_test_split", "x6_repetition_metrics",
         "x19_bigram_lm", "x20_vocab_growth",
         "x21_source_divergence",
-        # keep-warm fills (14 of 23 r8-era age-5 verdicts)
+        # keep-warm fills (13 of 23 r8-era age-5 verdicts; x15 was
+        # displaced by the late-round s31 and heads the r14 queue)
         "c3_positional_evolution", "t6_original_files",
         "t7_snapshot_read",
         "f1_equals", "f2_null_safe_equals", "f3_less_than",
         "f4_in_list", "f5_between",
         "x10_source_mix", "x11_doc_chunking",
         "x12_token_freq_quality", "x13_tfidf_topk",
-        "x14_dataset_card", "x15_corpus_shuffle_shards",
+        "x14_dataset_card",
+        # late round-13 addition: the native ORC writer graded
+        # end-to-end (engine writes, embedded Java reader reads)
+        "s31_native_writer_lake",
     }
     assert set(catalog.queries()) == expected
     assert len(expected) == 50
