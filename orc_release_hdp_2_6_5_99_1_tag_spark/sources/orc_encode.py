@@ -9,15 +9,20 @@ verified value-for-value against the embedded Java reader
 decoder — three independent readers over one byte stream — and give the
 test suite a JVM-free way to construct adversarial layouts (exact
 row-group boundaries, forced encodings, bloom-only-prunable data) that
-`spark.write.orc` cannot be coaxed into.
+`spark.write.orc` cannot be coaxed into. The FULL type tree is
+supported: primitives plus struct/array/map/uniontype at any nesting
+depth (a child's row groups hold exactly its parent's non-null rows'
+values — the nested-column contract stream_decode's composite
+decoders read back).
 
 Reference analogs (behavior, not code): `WriterImpl.java` (tree
 writers, dictionary cutover `checkDictionaryEncoding`, stats),
 `PhysicalFsWriter.java` (file layout: index region → data region →
 stripe footer; metadata → footer → postscript), `OutStream.java:84-176`
 (chunk framing `(len << 1) | isOriginal`), `RunLengthIntegerWriterV2`
-(SHORT_REPEAT / DIRECT / DELTA sub-encodings — PATCHED_BASE is a
-writer's *option*, never an obligation), `RunLengthByteWriter`,
+(all FOUR sub-encodings: SHORT_REPEAT / DIRECT / fixed-DELTA /
+PATCHED_BASE — the patched form engages on mostly-narrow runs with
+few wide outliers, preparePatchedBlob analog), `RunLengthByteWriter`,
 `BitFieldWriter`, `SerializationUtils` (varint/zigzag),
 `BloomFilter.java` (Kirsch-Mitzenmacher probe over Murmur3/Wang
 hashes), and the position-recorder layout mirrored read-side by
@@ -367,7 +372,8 @@ class _RLEv2Writer:
                 if j + 2 < n and v[j] == v[j + 1] == v[j + 2]:
                     break
                 j += 1
-            self._direct(v[i:j])
+            if not self._maybe_patched_base(v[i:j]):
+                self._direct(v[i:j])
             i = j
         self._buf = []
 
@@ -388,6 +394,82 @@ class _RLEv2Writer:
             _uvarint(_zz_enc(base)) if self._signed else _uvarint(base)
         )
         self._out.write(_uvarint(_zz_enc(delta)))  # delta base: always signed
+
+    def _maybe_patched_base(self, values: list[int]) -> bool:
+        """PATCHED_BASE (RunLengthIntegerWriterV2.preparePatchedBlob
+        analog): when a literal run is mostly-narrow with a few wide
+        outliers, encode deltas from the min at the 90th-percentile
+        width and carry the outliers' high bits as (gap, patch)
+        entries. Operates on RAW values (the sub-encoding is not
+        zigzagged — the reader sign-extends at the end); falls back to
+        DIRECT (returns False) when there are no outliers, too many
+        (> 31), or no size win."""
+        n = len(values)
+        if n < 4:
+            return False
+        base = min(values)
+        if base < -(1 << 62) or max(values) - base >= (1 << 63):
+            return False  # sign-magnitude base / delta overflow guards
+        deltas = [x - base for x in values]
+        bits = sorted(max(1, d.bit_length()) for d in deltas)
+        width = _closest_width(bits[(n * 9) // 10 - 1])
+        max_bits = bits[-1]
+        if max_bits <= width:
+            return False  # no outliers: plain DIRECT on deltas wins nothing
+        patch_idx = [i for i, d in enumerate(deltas) if d.bit_length() > width]
+        if not (1 <= len(patch_idx) <= 31):
+            return False
+        patch_bits = max((deltas[i] >> width).bit_length() for i in patch_idx)
+        patch_width = _closest_width(max(1, patch_bits))
+        # gap list with (255, 0) continuation fillers
+        entries: list[tuple[int, int]] = []
+        prev = 0
+        for i in patch_idx:
+            gap = i - prev
+            while gap > 255:
+                entries.append((255, 0))
+                gap -= 255
+            entries.append((gap, deltas[i] >> width))
+            prev = i
+        if len(entries) > 31:
+            return False
+        gap_width = max(1, max(g for g, _ in entries).bit_length())
+        entry_width = _closest_width(patch_width + gap_width)
+        # size check vs DIRECT on the zigzag/raw encoding
+        direct_width = _closest_width(
+            max(max(self._enc(x).bit_length() for x in values), 1)
+        )
+        base_mag = -base if base < 0 else base
+        base_width = max(1, (base_mag.bit_length() + 1 + 7) // 8)
+        pb_bits = (
+            32 + base_width * 8 + n * width + len(entries) * entry_width
+        )
+        if pb_bits >= n * direct_width:
+            return False
+        # emit
+        lm1 = n - 1
+        self._out.write(
+            bytes(
+                (
+                    (2 << 6) | (_WIDTH_CODE[width] << 1) | ((lm1 >> 8) & 1),
+                    lm1 & 0xFF,
+                    ((base_width - 1) << 5) | _WIDTH_CODE[patch_width],
+                    ((gap_width - 1) << 5) | len(entries),
+                )
+            )
+        )
+        raw = base_mag.to_bytes(base_width, "big")
+        if base < 0:  # sign-magnitude MSB
+            raw = bytes((raw[0] | 0x80,)) + raw[1:]
+        self._out.write(raw)
+        mask = (1 << width) - 1
+        self._out.write(_pack_bits([d & mask for d in deltas], width))
+        self._out.write(
+            _pack_bits(
+                [(g << patch_width) | p for g, p in entries], entry_width
+            )
+        )
+        return True
 
     def _direct(self, values: list[int]) -> None:
         enc = [self._enc(x) for x in values]
@@ -438,6 +520,8 @@ class _Stats:
             return
         self.n += 1
         k = self.kind
+        if k in ("struct", "list", "map", "union"):
+            return  # composite stats are count/hasNull only
         if k == "boolean":
             if v:
                 self.true_count += 1
@@ -603,33 +687,57 @@ def _to_i32(v: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# per-column writers (TreeWriter analogs, buffered per stripe)
+# per-node writers (TreeWriter analogs, buffered per stripe)
+#
+# Values are distributed down the type tree GROUP BY GROUP (the
+# parent's row-group slicing defines each child's group boundaries —
+# a child's group holds exactly the values of its parent's non-null
+# rows, the ORC nested-column contract the composite decoders in
+# stream_decode read back), then each node encodes its stored groups
+# in order, recording positions at every boundary.
 # ---------------------------------------------------------------------------
 
 
-class _ColumnWriter:
-    """One primitive column for one stripe. Values for the whole
-    stripe are buffered (the reference buffers string columns anyway
-    for the dictionary decision; the parity tier buffers all — stripes
-    are memory-sized here); encode_stripe() then walks row groups,
-    recording every stream's positions at each boundary."""
-
-    def __init__(self, cid: int, meta: dict, opts: dict):
-        self.cid = cid
-        self.meta = meta
-        self.kind = meta["kind"]
+class _NodeBase:
+    def __init__(self, name: str | None, node: dict, opts: dict):
+        self.name = name
+        self.node = node
+        self.cid = node["cid"]
+        self.kind = node["kind"]
         self.opts = opts
-        self.values: list[Any] = []
+        self.groups: list[list[Any]] = []
         self.encoding = "DIRECT"
         self.dictionary_size = 0
         self.index_entries: list[tuple[list[int], bytes]] = []
         self.stripe_stats = _Stats(self.kind)
         self.blooms: list[_BloomBuilder] = []
 
-    def add_values(self, vals: list[Any]) -> None:
-        self.values.extend(vals)
+    def _has_nulls(self) -> bool:
+        return any(v is None for g in self.groups for v in g)
 
-    # -- encoding selection -------------------------------------------------
+    def _mk_present(self):
+        comp = self.opts["compression"]
+        block = self.opts["compression_block_size"]
+        if self._has_nulls():
+            out = _OutStream(comp, block)
+            return out, _BitFieldWriter(out)
+        return None, None
+
+    def _group_stats(self, group: list[Any], present, bloom) -> _Stats:
+        gstats = _Stats(self.kind)
+        for v in group:
+            gstats.update(v)
+            if bloom is not None:
+                bloom.add(self.kind, v)
+            if present is not None:
+                present.write(0 if v is None else 1)
+        self.stripe_stats.merge(gstats)
+        return gstats
+
+
+class _PrimitiveNode(_NodeBase):
+    def distribute(self, vals: list[Any]) -> None:
+        self.groups.append(vals)
 
     def _elect_encoding(self) -> None:
         k = self.kind
@@ -637,7 +745,7 @@ class _ColumnWriter:
                  "binary"):  # fmt: skip
             self.encoding = "DIRECT_V2"
         elif k in ("string", "char", "varchar"):
-            non_null = [v for v in self.values if v is not None]
+            non_null = [v for g in self.groups for v in g if v is not None]
             distinct = set(non_null)
             # checkDictionaryEncoding: distinct/total <= threshold
             if non_null and len(distinct) / len(non_null) <= self.opts[
@@ -652,29 +760,19 @@ class _ColumnWriter:
         else:  # boolean, tinyint, float, double
             self.encoding = "DIRECT"
 
-    # -- stripe encode ------------------------------------------------------
-
-    def encode_stripe(self) -> list[tuple[str, bytes]]:
+    def encode(self) -> list[tuple[str, bytes]]:
         self._elect_encoding()
         opts = self.opts
-        comp = opts["compression"]
-        block = opts["compression_block_size"]
-        stride = opts["row_index_stride"]
-        has_nulls = any(v is None for v in self.values)
-        want_bloom = self.meta["name"] in opts["bloom_filter_columns"] and (
+        want_bloom = self.name in opts["bloom_filter_columns"] and (
             self.kind not in ("boolean", "binary")
         )
-
-        present_out = _OutStream(comp, block) if has_nulls else None
-        present = _BitFieldWriter(present_out) if has_nulls else None
+        present_out, present = self._mk_present()
         enc = _PrimitiveEncoder(
-            self.kind, self.encoding, comp, block, self.meta,
+            self.kind, self.encoding, opts["compression"],
+            opts["compression_block_size"], self.node,
             getattr(self, "_dict", None), getattr(self, "_dict_ids", None),
-        )
-
-        n = len(self.values)
-        for g0 in range(0, max(n, 1), stride) if n else [0]:
-            group = self.values[g0 : g0 + stride]
+        )  # fmt: skip
+        for group in self.groups:
             # record positions FIRST (they address this group's
             # start). Order matters: flush the value encoders into
             # their streams, THEN close the compression chunk, THEN
@@ -688,22 +786,15 @@ class _ColumnWriter:
                 pos = []
             enc.group_boundary()
             pos += enc.pos()
-            gstats = _Stats(self.kind)
             bloom = None
             if want_bloom:
-                bloom = _BloomBuilder(stride, opts["bloom_filter_fpp"])
+                bloom = _BloomBuilder(
+                    opts["row_index_stride"], opts["bloom_filter_fpp"]
+                )
                 self.blooms.append(bloom)
-            for v in group:
-                gstats.update(v)
-                if bloom is not None:
-                    bloom.add(self.kind, v)
-                if present is not None:
-                    present.write(0 if v is None else 1)
+            gstats = self._group_stats(group, present, bloom)
             enc.write_group([v for v in group if v is not None])
-            self.stripe_stats.merge(gstats)
             self.index_entries.append((pos, gstats.serialize()))
-            if n == 0:
-                break
 
         streams: list[tuple[str, bytes]] = []
         if present is not None:
@@ -711,6 +802,234 @@ class _ColumnWriter:
             streams.append(("PRESENT", present_out.finish()))
         streams.extend(enc.finish())
         return streams
+
+
+def _field_of(v: Any, idx: int, fname: str) -> Any:
+    """Struct member access: engine dicts by name, Row/tuple by
+    position (a pyspark Row is a tuple subclass)."""
+    if isinstance(v, dict):
+        return v.get(fname)
+    return v[idx]
+
+
+class _StructNode(_NodeBase):
+    """StructTreeWriter analog: PRESENT only; children hold the
+    flattened values of the rows where the struct itself is
+    non-null."""
+
+    def __init__(self, name, node, opts, registry):
+        super().__init__(name, node, opts)
+        self.children = [
+            (
+                fname,
+                _build_node_writer(
+                    f"{name}.{fname}" if name else fname, child, opts, registry
+                ),
+            )
+            for fname, child in node["children"]
+        ]
+
+    def distribute(self, vals: list[Any]) -> None:
+        self.groups.append(vals)
+        live = [v for v in vals if v is not None]
+        for i, (fname, w) in enumerate(self.children):
+            w.distribute([_field_of(v, i, fname) for v in live])
+
+    def encode(self) -> list[tuple[str, bytes]]:
+        present_out, present = self._mk_present()
+        for group in self.groups:
+            if present is not None:
+                present.group_boundary()
+                present_out.end_group()
+                pos = list(present.pos())
+            else:
+                pos = []
+            gstats = self._group_stats(group, present, None)
+            self.index_entries.append((pos, gstats.serialize()))
+        if present is not None:
+            present.finish()
+            return [("PRESENT", present_out.finish())]
+        return []
+
+
+class _ListNode(_NodeBase):
+    """ListTreeWriter analog: PRESENT + LENGTH (RLEv2 unsigned, one
+    count per non-null row); the child holds the flattened elements."""
+
+    def __init__(self, name, node, opts, registry):
+        super().__init__(name, node, opts)
+        self.encoding = "DIRECT_V2"
+        self.child = _build_node_writer(
+            f"{name}._elem" if name else None, node["children"][0][1],
+            opts, registry,
+        )  # fmt: skip
+
+    def distribute(self, vals: list[Any]) -> None:
+        self.groups.append(vals)
+        flat: list[Any] = []
+        for v in vals:
+            if v is not None:
+                flat.extend(v)
+        self.child.distribute(flat)
+
+    def encode(self) -> list[tuple[str, bytes]]:
+        comp = self.opts["compression"]
+        block = self.opts["compression_block_size"]
+        present_out, present = self._mk_present()
+        len_out = _OutStream(comp, block)
+        lengths = _RLEv2Writer(len_out, False)
+        for group in self.groups:
+            if present is not None:
+                present.group_boundary()
+                present_out.end_group()
+                pos = list(present.pos())
+            else:
+                pos = []
+            lengths.flush()
+            len_out.end_group()
+            pos += lengths.pos()
+            gstats = self._group_stats(group, present, None)
+            for v in group:
+                if v is not None:
+                    lengths.write(len(v))
+            self.index_entries.append((pos, gstats.serialize()))
+        lengths.flush()
+        streams: list[tuple[str, bytes]] = []
+        if present is not None:
+            present.finish()
+            streams.append(("PRESENT", present_out.finish()))
+        streams.append(("LENGTH", len_out.finish()))
+        return streams
+
+
+class _MapNode(_NodeBase):
+    """MapTreeWriter analog: PRESENT + LENGTH; key/value children hold
+    the flattened entries. Accepts dicts or (k, v) tuple lists (the
+    engine's decode convention)."""
+
+    def __init__(self, name, node, opts, registry):
+        super().__init__(name, node, opts)
+        self.encoding = "DIRECT_V2"
+        self.key = _build_node_writer(
+            f"{name}._key" if name else None, node["children"][0][1],
+            opts, registry,
+        )  # fmt: skip
+        self.value = _build_node_writer(
+            f"{name}._value" if name else None, node["children"][1][1],
+            opts, registry,
+        )  # fmt: skip
+
+    def distribute(self, vals: list[Any]) -> None:
+        norm = [
+            None if v is None else (list(v.items()) if isinstance(v, dict) else list(v))
+            for v in vals
+        ]
+        self.groups.append(norm)
+        keys: list[Any] = []
+        vvals: list[Any] = []
+        for v in norm:
+            if v is not None:
+                for k, val in v:
+                    keys.append(k)
+                    vvals.append(val)
+        self.key.distribute(keys)
+        self.value.distribute(vvals)
+
+    def encode(self) -> list[tuple[str, bytes]]:
+        comp = self.opts["compression"]
+        block = self.opts["compression_block_size"]
+        present_out, present = self._mk_present()
+        len_out = _OutStream(comp, block)
+        lengths = _RLEv2Writer(len_out, False)
+        for group in self.groups:
+            if present is not None:
+                present.group_boundary()
+                present_out.end_group()
+                pos = list(present.pos())
+            else:
+                pos = []
+            lengths.flush()
+            len_out.end_group()
+            pos += lengths.pos()
+            gstats = self._group_stats(group, present, None)
+            for v in group:
+                if v is not None:
+                    lengths.write(len(v))
+            self.index_entries.append((pos, gstats.serialize()))
+        lengths.flush()
+        streams: list[tuple[str, bytes]] = []
+        if present is not None:
+            present.finish()
+            streams.append(("PRESENT", present_out.finish()))
+        streams.append(("LENGTH", len_out.finish()))
+        return streams
+
+
+class _UnionNode(_NodeBase):
+    """UnionTreeWriter analog: PRESENT + byte-RLE tag DATA; each
+    variant child holds the values of the rows its tag selects. Input
+    is the engine's tagged-struct convention {_tag, f0, f1, ...}
+    (stream_decode._UnionDecoder's output shape)."""
+
+    def __init__(self, name, node, opts, registry):
+        super().__init__(name, node, opts)
+        self.children = [
+            _build_node_writer(
+                f"{name}.f{i}" if name else None, child, opts, registry
+            )
+            for i, (_fn, child) in enumerate(node["children"])
+        ]
+
+    def distribute(self, vals: list[Any]) -> None:
+        self.groups.append(vals)
+        live = [v for v in vals if v is not None]
+        for i, w in enumerate(self.children):
+            w.distribute([v[f"f{i}"] for v in live if v["_tag"] == i])
+
+    def encode(self) -> list[tuple[str, bytes]]:
+        comp = self.opts["compression"]
+        block = self.opts["compression_block_size"]
+        present_out, present = self._mk_present()
+        tag_out = _OutStream(comp, block)
+        tags = _ByteRLEWriter(tag_out)
+        for group in self.groups:
+            if present is not None:
+                present.group_boundary()
+                present_out.end_group()
+                pos = list(present.pos())
+            else:
+                pos = []
+            tags.flush()
+            tag_out.end_group()
+            pos += tags.pos()
+            gstats = self._group_stats(group, present, None)
+            for v in group:
+                if v is not None:
+                    tags.write(v["_tag"])
+            self.index_entries.append((pos, gstats.serialize()))
+        tags.flush()
+        streams: list[tuple[str, bytes]] = []
+        if present is not None:
+            present.finish()
+            streams.append(("PRESENT", present_out.finish()))
+        streams.append(("DATA", tag_out.finish()))
+        return streams
+
+
+def _build_node_writer(name, node, opts, registry) -> _NodeBase:
+    kind = node["kind"]
+    if kind == "struct":
+        w: _NodeBase = _StructNode(name, node, opts, registry)
+    elif kind == "list":
+        w = _ListNode(name, node, opts, registry)
+    elif kind == "map":
+        w = _MapNode(name, node, opts, registry)
+    elif kind == "union":
+        w = _UnionNode(name, node, opts, registry)
+    else:
+        w = _PrimitiveNode(name, node, opts)
+    registry[node["cid"]] = w
+    return w
 
 
 class _PrimitiveEncoder:
@@ -909,55 +1228,104 @@ def _unbounded_zz_varint(v: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_schema(schema: str | list[tuple[str, str]]) -> list[dict]:
-    """Flat schema → per-column meta dicts. Accepts a DDL-ish string
-    "a int, b string, c decimal(10,2)" or [(name, type), ...]."""
-    if isinstance(schema, str):
-        pairs = []
-        depth = 0
-        cur = ""
-        for ch in schema:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                pairs.append(cur.strip())
-                cur = ""
-            else:
-                cur += ch
-        if cur.strip():
-            pairs.append(cur.strip())
-        schema = [tuple(p.split(None, 1)) for p in pairs]  # type: ignore[misc]
-    out = []
-    for name, ts in schema:
-        ts = ts.strip().lower()
-        meta = {"name": name, "precision": None, "scale": None, "max_length": None}
-        if ts.startswith("decimal"):
-            meta["kind"] = "decimal"
-            if "(" in ts:
-                p, s = ts[ts.index("(") + 1 : ts.index(")")].split(",")
-                meta["precision"], meta["scale"] = int(p), int(s)
-            else:
-                meta["precision"], meta["scale"] = 38, 10
-        elif ts.startswith(("char", "varchar")):
-            meta["kind"] = "char" if ts.startswith("char") else "varchar"
-            meta["max_length"] = (
-                int(ts[ts.index("(") + 1 : ts.index(")")]) if "(" in ts else 255
-            )
+def _split_top(s: str) -> list[str]:
+    """Split on commas at angle/paren depth 0."""
+    parts: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
         else:
-            alias = {"long": "bigint", "integer": "int", "short": "smallint",
-                     "byte": "tinyint", "bool": "boolean"}  # fmt: skip
-            meta["kind"] = alias.get(ts, ts)
-            if meta["kind"] not in _KIND_CODE:
-                raise ValueError(f"unsupported ORC type {ts!r}")
-            if meta["kind"] in ("list", "map", "struct", "union"):
-                raise NotImplementedError(
-                    "native write of nested types is not implemented "
-                    "(the JVM writer covers them)"
-                )
-        out.append(meta)
-    return out
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    return [p.strip() for p in parts]
+
+
+def _parse_type_node(ts: str) -> dict:
+    """One type expression → a tree node {kind, children, precision,
+    scale, max_length}. Nested syntax matches TypeDescription
+    .fromString / Spark simpleString: struct<a:int,...>, array<t>,
+    map<k,v>, uniontype<t0,t1,...>."""
+    ts = ts.strip()
+    low = ts.lower()
+    node: dict = {
+        "kind": None, "children": [], "precision": None, "scale": None,
+        "max_length": None,
+    }  # fmt: skip
+    if low.startswith("struct<") and ts.endswith(">"):
+        node["kind"] = "struct"
+        for field in _split_top(ts[7:-1]):
+            fname, fts = field.split(":", 1)
+            node["children"].append((fname.strip(), _parse_type_node(fts)))
+    elif low.startswith("array<") and ts.endswith(">"):
+        node["kind"] = "list"
+        node["children"] = [(None, _parse_type_node(ts[6:-1]))]
+    elif low.startswith("map<") and ts.endswith(">"):
+        k, v = _split_top(ts[4:-1])
+        node["kind"] = "map"
+        node["children"] = [(None, _parse_type_node(k)), (None, _parse_type_node(v))]
+    elif low.startswith("uniontype<") and ts.endswith(">"):
+        node["kind"] = "union"
+        node["children"] = [(None, _parse_type_node(t)) for t in _split_top(ts[10:-1])]
+    elif low.startswith("decimal"):
+        node["kind"] = "decimal"
+        if "(" in ts:
+            p, s = ts[ts.index("(") + 1 : ts.index(")")].split(",")
+            node["precision"], node["scale"] = int(p), int(s)
+        else:
+            node["precision"], node["scale"] = 38, 10
+    elif low.startswith(("char", "varchar")):
+        node["kind"] = "char" if low.startswith("char") else "varchar"
+        node["max_length"] = (
+            int(ts[ts.index("(") + 1 : ts.index(")")]) if "(" in ts else 255
+        )
+    else:
+        alias = {"long": "bigint", "integer": "int", "short": "smallint",
+                 "byte": "tinyint", "bool": "boolean"}  # fmt: skip
+        node["kind"] = alias.get(low, low)
+        if node["kind"] not in _KIND_CODE or node["kind"] in (
+            "list", "map", "struct", "union"
+        ):
+            raise ValueError(f"unsupported ORC type {ts!r}")
+    return node
+
+
+def parse_schema(schema: str | list[tuple[str, str]]) -> list[tuple[str, dict]]:
+    """Schema → [(column name, type-tree node)]. Accepts a DDL-ish
+    string "a int, s struct<x:int,y:string>, l array<double>" or
+    [(name, type), ...]. Full composite nesting (struct/array/map/
+    uniontype) is supported."""
+    if isinstance(schema, str):
+        schema = [
+            tuple(p.split(None, 1)) for p in _split_top(schema)
+        ]  # type: ignore[misc]
+    return [(name, _parse_type_node(ts)) for name, ts in schema]
+
+
+def _flatten_schema(top: list[tuple[str, dict]]) -> tuple[dict, list[dict]]:
+    """Root struct + depth-first id assignment (the ORC column-id
+    order the readers' type arrays use)."""
+    root: dict = {
+        "kind": "struct", "children": list(top), "precision": None,
+        "scale": None, "max_length": None,
+    }  # fmt: skip
+    flat: list[dict] = []
+
+    def assign(node: dict) -> None:
+        node["cid"] = len(flat)
+        flat.append(node)
+        for _fn, child in node["children"]:
+            assign(child)
+
+    assign(root)
+    return root, flat
 
 
 # ---------------------------------------------------------------------------
@@ -984,7 +1352,9 @@ def write_orc_native(
     encodings}. Layout per PhysicalFsWriter: "ORC" header, stripes
     (index region → data region → stripe footer), Metadata, Footer,
     PostScript, 1-byte postscript length."""
-    metas = parse_schema(schema)
+    top = parse_schema(schema)
+    _root, flat = _flatten_schema(top)
+    n_ids = len(flat)
     comp = compression.lower()
     if comp not in ("none", "zlib", "snappy", "lz4", "zstd"):
         raise ValueError(f"unsupported write compression {compression!r}")
@@ -996,17 +1366,17 @@ def write_orc_native(
         "bloom_filter_columns": tuple(bloom_filter_columns),
         "bloom_filter_fpp": bloom_filter_fpp,
     }
-    cols = [columns[m["name"]] for m in metas]
+    cols = [columns[name] for name, _n in top]
     n_rows = len(cols[0]) if cols else 0
-    for m, c in zip(metas, cols):
+    for (name, _n), c in zip(top, cols):
         if len(c) != n_rows:
             raise ValueError(
-                f"column {m['name']!r} has {len(c)} values, expected {n_rows}"
+                f"column {name!r} has {len(c)} values, expected {n_rows}"
             )
 
     buf = bytearray(b"ORC")  # header (headerLength = 3)
     stripe_infos: list[dict] = []
-    file_stats = [_Stats("struct")] + [_Stats(m["kind"]) for m in metas]
+    file_stats = [_Stats(node["kind"]) for node in flat]
     stripe_stats_msgs: list[bytes] = []
     encodings_seen: dict[str, str] = {}
 
@@ -1014,12 +1384,20 @@ def write_orc_native(
     for s0 in starts:
         s1 = min(s0 + stripe_rows, n_rows)
         srows = s1 - s0
+        registry: dict[int, _NodeBase] = {}
         writers = [
-            _ColumnWriter(i + 1, m, opts) for i, m in enumerate(metas)
+            _build_node_writer(name, node, opts, registry)
+            for name, node in top
         ]
-        for w, c in zip(writers, cols):
-            w.add_values(c[s0:s1])
-        streams_by_col = [w.encode_stripe() for w in writers]
+        # distribute GROUP BY GROUP so nested group boundaries align
+        # with the parent's row-group slicing
+        for g0 in range(0, srows, row_index_stride):
+            g1 = min(g0 + row_index_stride, srows)
+            for w, c in zip(writers, cols):
+                w.distribute(c[s0 + g0 : s0 + g1])
+        streams_by_cid = {
+            cid: registry[cid].encode() for cid in sorted(registry)
+        }
 
         # root struct (column 0): no streams; row-group stats only
         n_groups = max(1, math.ceil(srows / row_index_stride))
@@ -1032,10 +1410,10 @@ def write_orc_native(
             root_stripe.n += gs.n
         file_stats[0].merge(root_stripe)
 
-        # index region: per column ROW_INDEX (+ BLOOM_FILTER_UTF8)
+        # index region: per column id ROW_INDEX (+ BLOOM_FILTER_UTF8)
         index_parts: list[tuple[str, int, bytes]] = []  # (kind, col, bytes)
-        all_entries = [root_entries] + [w.index_entries for w in writers]
-        for cid, entries in enumerate(all_entries):
+        for cid in range(n_ids):
+            entries = root_entries if cid == 0 else registry[cid].index_entries
             msg = b"".join(
                 _pb_bytes(
                     1,
@@ -1044,18 +1422,20 @@ def write_orc_native(
                 for pos, st in entries
             )
             index_parts.append(("ROW_INDEX", cid, _frame(msg, comp, compression_block_size)))
-            if cid > 0 and writers[cid - 1].blooms:
+            if cid > 0 and registry[cid].blooms:
                 bmsg = b"".join(
-                    _pb_bytes(1, b.serialize()) for b in writers[cid - 1].blooms
+                    _pb_bytes(1, b.serialize()) for b in registry[cid].blooms
                 )
                 index_parts.append(("BLOOM_FILTER_UTF8", cid, _frame(bmsg, comp, compression_block_size)))
 
-        # data region
+        # data region: column-id order, fixed stream order per column
         data_parts: list[tuple[str, int, bytes]] = []
-        for cid, streams in enumerate(streams_by_col, start=1):
-            order = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
-                     "DICTIONARY_DATA": 3, "SECONDARY": 4}  # fmt: skip
-            for kind, payload in sorted(streams, key=lambda kv: order[kv[0]]):
+        order = {"PRESENT": 0, "DATA": 1, "LENGTH": 2,
+                 "DICTIONARY_DATA": 3, "SECONDARY": 4}  # fmt: skip
+        for cid in range(1, n_ids):
+            for kind, payload in sorted(
+                streams_by_cid[cid], key=lambda kv: order[kv[0]]
+            ):
                 data_parts.append((kind, cid, payload))
 
         # stripe footer
@@ -1069,12 +1449,13 @@ def write_orc_native(
             for kind, cid, payload in index_parts + data_parts
         )
         sf += _pb_bytes(2, _pb_varint(1, _ENCODING_CODE["DIRECT"]))  # root
-        for w in writers:
+        for cid in range(1, n_ids):
+            w = registry[cid]
             encm = _pb_varint(1, _ENCODING_CODE[w.encoding])
             if w.dictionary_size:
                 encm += _pb_varint(2, w.dictionary_size)
             sf += _pb_bytes(2, encm)
-            encodings_seen[w.meta["name"]] = w.encoding
+            encodings_seen[w.name or f"col{cid}"] = w.encoding
         sf += _pb_string(3, "UTC")  # writerTimezone
         sf_framed = _frame(sf, comp, compression_block_size)
 
@@ -1097,12 +1478,14 @@ def write_orc_native(
         )
 
         # per-stripe statistics for the Metadata section
-        scol = [root_stripe] + [w.stripe_stats for w in writers]
+        scol = [root_stripe] + [
+            registry[cid].stripe_stats for cid in range(1, n_ids)
+        ]
         stripe_stats_msgs.append(
             b"".join(_pb_bytes(1, st.serialize()) for st in scol)
         )
-        for fs, st in zip(file_stats[1:], (w.stripe_stats for w in writers)):
-            fs.merge(st)
+        for cid in range(1, n_ids):
+            file_stats[cid].merge(registry[cid].stripe_stats)
     if not starts:  # zero rows: still a valid file (zero.orc golden)
         file_stats[0].n = 0
 
@@ -1124,18 +1507,21 @@ def write_orc_native(
             + _pb_varint(4, si["footerLength"])
             + _pb_varint(5, si["numberOfRows"]),
         )
-    # types: root struct + one primitive per column
-    root_t = _pb_varint(1, 12)
-    root_t += _pb_bytes(2, b"".join(_uvarint(i + 1) for i in range(len(metas))))
-    for m in metas:
-        root_t += _pb_string(3, m["name"])
-    footer += _pb_bytes(4, root_t)
-    for m in metas:
-        t = _pb_varint(1, _KIND_CODE[m["kind"]])
-        if m["max_length"] is not None:
-            t += _pb_varint(4, m["max_length"])
-        if m["precision"] is not None:
-            t += _pb_varint(5, m["precision"]) + _pb_varint(6, m["scale"])
+    # types: the flattened tree in column-id order
+    for node in flat:
+        t = _pb_varint(1, _KIND_CODE[node["kind"]])
+        if node["children"]:
+            t += _pb_bytes(
+                2,
+                b"".join(_uvarint(c["cid"]) for _fn, c in node["children"]),
+            )
+            if node["kind"] == "struct":
+                for fn, _c in node["children"]:
+                    t += _pb_string(3, fn)
+        if node["max_length"] is not None:
+            t += _pb_varint(4, node["max_length"])
+        if node["precision"] is not None:
+            t += _pb_varint(5, node["precision"]) + _pb_varint(6, node["scale"])
         footer += _pb_bytes(4, t)
     footer += _pb_varint(6, n_rows)
     for st in file_stats:

@@ -490,32 +490,28 @@ def _build_orc_native_sink_class():
 
 
 def _spark_schema_to_orc_ddl(schema) -> tuple[str, list[str]]:
-    """Spark StructType -> (flat ORC DDL for orc_encode.parse_schema,
-    field names). simpleString() already speaks the shared dialect
-    (bigint/int/smallint/tinyint/boolean/float/double/string/binary/
-    date/timestamp/decimal(p,s)/char(n)/varchar(n)); anything nested
-    or unsupported raises before any task runs."""
+    """Spark StructType -> (ORC DDL for orc_encode.parse_schema,
+    field names). simpleString() already speaks the shared dialect —
+    primitives, decimal(p,s)/char(n)/varchar(n), and the composite
+    struct<...>/array<...>/map<...> forms the writer's type tree
+    parses. Unsupported types raise on the driver before any task
+    runs (parse_schema is the single validator)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
+        parse_schema,
+    )
+
     parts, names = [], []
     for f in schema.fields:
         ts = f.dataType.simpleString()
-        if ts == "timestamp_ntz":
-            # ORC TIMESTAMP is the zone-less wall clock — NTZ IS the
-            # native semantics (the LTZ surface goes through the same
-            # bytes under the session-UTC pin)
-            ts = "timestamp"
-        base = ts.split("(")[0]
-        if base not in (
-            "bigint", "int", "smallint", "tinyint", "boolean", "float",
-            "double", "string", "binary", "date", "timestamp", "decimal",
-            "char", "varchar",
-        ):  # fmt: skip
-            raise ValueError(
-                f"orc_native_sink: unsupported column type {ts!r} for "
-                f"{f.name!r} (nested types stay on the JVM writer)"
-            )
+        # ORC TIMESTAMP is the zone-less wall clock — NTZ IS the
+        # native semantics (the LTZ surface goes through the same
+        # bytes under the session-UTC pin)
+        ts = ts.replace("timestamp_ntz", "timestamp")
         parts.append(f"{f.name} {ts}")
         names.append(f.name)
-    return ", ".join(parts), names
+    ddl = ", ".join(parts)
+    parse_schema(ddl)  # validate eagerly, driver-side
+    return ddl, names
 
 
 def register_orc_native_sink(spark) -> None:

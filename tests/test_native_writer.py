@@ -481,11 +481,104 @@ def test_hypothesis_style_random_roundtrip(tmp_path):
         assert native["d"] == cols["d"], f"trial {trial}"
 
 
-def test_schema_parser_rejects_nested():
-    with pytest.raises(NotImplementedError):
-        parse_schema("a struct")
+def test_schema_parser_nested_and_rejects():
+    top = parse_schema("a struct<x:int,y:array<string>>, m map<string,int>")
+    assert top[0][1]["kind"] == "struct"
+    assert top[0][1]["children"][1][1]["kind"] == "list"
+    assert top[1][1]["kind"] == "map"
     with pytest.raises(ValueError):
         parse_schema("a intt")
+    with pytest.raises(ValueError):
+        parse_schema("a struct")  # bare composite without <...>
+
+
+def test_composite_types_three_reader_roundtrip(tmp_path, spark):
+    """struct / array / map columns (with NULLs at both the composite
+    and the element level, empty collections, and a struct nested
+    inside an array) write natively and read back identically through
+    pyarrow, the embedded Java reader, and the native decoder."""
+    import pyarrow.orc as po
+
+    n = 3_000
+    cols = {
+        "k": list(range(n)),
+        "st": [
+            None if v % 19 == 4 else {"a": None if v % 7 == 2 else v, "b": f"s{v % 5}"}
+            for v in range(n)
+        ],
+        "arr": [
+            None if v % 23 == 3 else list(range(v % 4))
+            for v in range(n)
+        ],
+        "mp": [
+            None if v % 29 == 6 else [(f"k{j}", v + j) for j in range(v % 3)]
+            for v in range(n)
+        ],
+        "nested": [
+            {"inner": [{"p": v * 2, "q": None if v % 11 == 5 else float(v)}]}
+            for v in range(n)
+        ],
+    }
+    schema = (
+        "k int, st struct<a:int,b:string>, arr array<int>, "
+        "mp map<string,int>, "
+        "nested struct<inner:array<struct<p:bigint,q:double>>>"
+    )
+    path = str(tmp_path / "composite.orc")
+    write_orc_native(path, cols, schema, row_index_stride=1_000)
+
+    # pyarrow
+    got = po.ORCFile(path).read().to_pydict()
+    assert got["k"] == cols["k"]
+    assert got["st"] == cols["st"]
+    assert got["arr"] == cols["arr"]
+    assert got["mp"] == cols["mp"]
+    assert got["nested"] == cols["nested"]
+
+    # embedded Java reader
+    df = spark.read.orc(path)
+    assert df.count() == n
+    r = df.filter("k = 43").collect()[0]
+    assert r["st"].asDict() == cols["st"][43]
+    assert r["arr"] == cols["arr"][43]
+    assert r["mp"] == dict(cols["mp"][43])
+    assert r["nested"]["inner"][0]["p"] == 86
+    agg = df.selectExpr(
+        "sum(st.a) sa", "sum(size(arr)) sl", "sum(nested.inner[0].p) sp"
+    ).collect()[0]
+    assert agg["sa"] == sum(
+        v["a"] for v in cols["st"] if v is not None and v["a"] is not None
+    )
+    assert agg["sl"] == sum(len(v) for v in cols["arr"] if v is not None)
+    assert agg["sp"] == sum(v * 2 for v in range(n))
+
+    # native decoder (full composite shapes)
+    native = _native_columns(path, ["k", "st", "arr", "mp", "nested"])
+    assert native["st"] == cols["st"]
+    assert native["arr"] == cols["arr"]
+    assert native["mp"] == cols["mp"]
+    assert native["nested"] == cols["nested"]
+
+
+def test_union_write_native_roundtrip(tmp_path):
+    """uniontype columns in the engine's tagged-struct convention
+    ({_tag, f0, f1}) round-trip through the native decoder (the JVM
+    surface has no union analog — same boundary as the read side)."""
+    vals = [
+        None if v % 13 == 7 else (
+            {"_tag": 0, "f0": v, "f1": None} if v % 2 == 0
+            else {"_tag": 1, "f0": None, "f1": f"u{v}"}
+        )
+        for v in range(2_000)
+    ]
+    path = str(tmp_path / "union.orc")
+    write_orc_native(
+        path, {"u": vals}, "u uniontype<int,string>", row_index_stride=500
+    )
+    meta = ft.parse_tail_of_file(path)
+    assert meta["types"][1]["kind"] == "union"
+    native = _native_columns(path, ["u"])
+    assert native["u"] == vals
 
 
 # ---------------------------------------------------------------------------
@@ -544,8 +637,14 @@ def test_orc_native_sink_abort_leaves_no_partials(spark, tmp_path):
             .mode("append")
             .save()
         )
+    # the two-phase contract: nothing PUBLISHED. A task killed before
+    # its commit message reached the driver may orphan a temp, but
+    # "_tmp-" names are hidden to Spark/Hadoop readers (the leading
+    # underscore), so no reader can observe a half-written output.
     leftover = os.listdir(out) if os.path.isdir(out) else []
-    assert not [f for f in leftover if f.endswith(".orc")], leftover
+    assert not [f for f in leftover if f.startswith("part-")], leftover
+    if leftover:
+        assert spark.read.orc(out).count() == 0
 
 
 def test_orc_native_sink_empty_partitions(spark, tmp_path):
@@ -562,3 +661,56 @@ def test_orc_native_sink_empty_partitions(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".orc")]
     assert len(files) == 1  # empty partitions publish nothing
     assert spark.read.orc(out).collect() == [(1, "a")]
+
+
+def test_patched_base_write_roundtrip(tmp_path, spark):
+    """PATCHED_BASE write side: mostly-narrow runs with a few wide
+    outliers take the patched encoding (observable via RUN_COUNTER),
+    and all three readers agree on the values — including negative
+    bases (sign-magnitude) and outliers at gap > 255."""
+    import pyarrow.orc as po
+
+    vals = []
+    for v in range(480):
+        vals.append(-50 + (v * v * 7919) % 500)  # narrow band, negative base
+    vals[3] = 2**40 + 123     # wide outliers
+    vals[270] = -50 + 2**33   # gap 267 > 255 → (255,0) filler entry
+    path = str(tmp_path / "pb.orc")
+    write_orc_native(path, {"k": vals}, "k bigint", compression="none")
+    sd.RUN_COUNTER.clear()
+    native = _native_columns(path, ["k"])
+    assert native["k"] == vals
+    assert sd.RUN_COUNTER.get("PATCHED_BASE", 0) >= 1
+    assert po.ORCFile(path).read().to_pydict()["k"] == vals
+    assert [r["k"] for r in spark.read.orc(path).collect()] == vals
+
+
+def test_orc_native_sink_nested_columns(spark, tmp_path):
+    """The sink carries composite columns end-to-end: Spark Rows
+    (struct=Row, array=list, map=dict) through the distributed native
+    writer and back through the embedded Java reader."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native_sink,
+    )
+
+    register_orc_native_sink(spark)
+    out = str(tmp_path / "sink_nested")
+    df = spark.sql("""
+        SELECT id AS k,
+               named_struct('a', id * 2, 'b', concat('v', id % 3)) AS st,
+               sequence(0, CAST(id % 4 AS INT)) AS arr,
+               map('m', id) AS mp
+        FROM range(500)
+    """)
+    (
+        df.repartition(2).write.format("orc_native_sink")
+        .option("path", out).mode("append").save()
+    )
+    back = spark.read.orc(out)
+    assert back.count() == 500
+    agg = back.selectExpr(
+        "sum(st.a) sa", "sum(size(arr)) sl", "sum(mp['m']) sm"
+    ).collect()[0]
+    assert agg["sa"] == sum(v * 2 for v in range(500))
+    assert agg["sl"] == sum(v % 4 + 1 for v in range(500))
+    assert agg["sm"] == sum(range(500))
