@@ -109,8 +109,11 @@ def _uvarint(n: int) -> bytes:
 
 
 def _zz_enc(n: int) -> int:
-    """Zigzag encode a signed int to unsigned (inverse of _zigzag)."""
-    return (n << 1) ^ (n >> 63) if n >= 0 else (((-n) << 1) - 1)
+    """Zigzag encode a signed int to unsigned (inverse of _zigzag).
+    Pure sign-branch arithmetic — the fixed-width `(n << 1) ^ (n >> 63)`
+    trick corrupts Python ints >= 2**63 (unbounded decimal unscaled
+    values are bigger than a long)."""
+    return (n << 1) if n >= 0 else (((-n) << 1) - 1)
 
 
 def _pb_varint(field: int, value: int) -> bytes:
@@ -1297,16 +1300,85 @@ def _parse_type_node(ts: str) -> dict:
     return node
 
 
-def parse_schema(schema: str | list[tuple[str, str]]) -> list[tuple[str, dict]]:
+def parse_schema(schema: str | list[tuple[str, Any]]) -> list[tuple[str, dict]]:
     """Schema → [(column name, type-tree node)]. Accepts a DDL-ish
-    string "a int, s struct<x:int,y:string>, l array<double>" or
-    [(name, type), ...]. Full composite nesting (struct/array/map/
-    uniontype) is supported."""
+    string "a int, s struct<x:int,y:string>, l array<double>",
+    [(name, type-string), ...], or [(name, node-dict), ...] (already-
+    built trees, e.g. from schema_from_type_tree). Full composite
+    nesting (struct/array/map/uniontype) is supported."""
+    import copy
+
     if isinstance(schema, str):
         schema = [
             tuple(p.split(None, 1)) for p in _split_top(schema)
         ]  # type: ignore[misc]
-    return [(name, _parse_type_node(ts)) for name, ts in schema]
+    return [
+        (
+            name,
+            _parse_type_node(ts) if isinstance(ts, str) else copy.deepcopy(ts),
+        )
+        for name, ts in schema
+    ]
+
+
+def schema_from_type_tree(types: list[dict]) -> list[tuple[str, dict]]:
+    """footer_tail.parse_tail's flattened `types` array → the writer's
+    [(name, node)] top-level schema. v0.11 decimals carry no declared
+    scale — default to (38, 6), the same pin the native decoder
+    quantizes to (see stream_decode._ColumnDecoder)."""
+
+    def node_of(tid: int) -> dict:
+        t = types[tid]
+        node: dict = {
+            "kind": t["kind"], "children": [],
+            "precision": t.get("precision"), "scale": t.get("scale"),
+            "max_length": t.get("max_length"),
+        }  # fmt: skip
+        if node["kind"] == "decimal" and node["scale"] is None:
+            node["precision"], node["scale"] = 38, 6
+        if node["kind"] == "struct":
+            node["children"] = [
+                (fn, node_of(s))
+                for fn, s in zip(t["field_names"], t["subtypes"])
+            ]
+        elif node["kind"] in ("list", "map", "union"):
+            node["children"] = [(None, node_of(s)) for s in t["subtypes"]]
+        return node
+
+    root = types[0]
+    if root["kind"] != "struct":
+        raise ValueError(
+            f"native rewrite requires a struct root, got {root['kind']!r}"
+        )
+    return [
+        (fn, node_of(s)) for fn, s in zip(root["field_names"], root["subtypes"])
+    ]
+
+
+def rewrite_orc_native(src: str, dst: str, **write_opts: Any) -> dict:
+    """Rewrite an ORC file end-to-end WITHOUT the JVM: native decode
+    (every column, full composite tree) → native re-encode under this
+    writer's defaults (or `write_opts`). The closed loop is the
+    strongest format proof the parity tier has — a file written by ANY
+    historical writer (v0.11 RLEv1/legacy dictionary included) comes
+    out as a fresh v0.12 file with identical values, which is also the
+    reference's file-rewrite/compaction shape (`orc-tools convert`)."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.footer_tail import (
+        parse_tail_of_file,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.stream_decode import (
+        scan_file,
+    )
+
+    meta = parse_tail_of_file(src)
+    top = schema_from_type_tree(meta["types"])
+    names = [n for n, _t in top]
+    cols: dict[str, list] = {n: [] for n in names}
+    if meta["n_rows"]:
+        for batch in scan_file(src, None, names, meta=meta):
+            for k, v in batch["columns"].items():
+                cols[k].extend(v)
+    return write_orc_native(dst, cols, top, **write_opts)
 
 
 def _flatten_schema(top: list[tuple[str, dict]]) -> tuple[dict, list[dict]]:
