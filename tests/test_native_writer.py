@@ -791,3 +791,58 @@ def test_golden_corpus_native_rewrite(tmp_path, fname):
     after = _native_columns(dst, names)
     for n in names:
         assert _fold_nan(after[n]) == _fold_nan(before[n]), n
+
+
+def test_appender_readable_while_writing(tmp_path, spark):
+    """NativeOrcAppender mirrors the reference's streaming-write
+    mechanics, APPEND-ONLY like HDFS: publish() appends a durable
+    intermediate tail and returns the side-file length; the next
+    add_stripe continues PAST it (the stale tail stays as dead bytes
+    the next footer's explicit stripe offsets skip). Every published
+    length stays valid: a reader bounded by an OLD length parses its
+    committed prefix even while newer stripes (or a torn write) sit
+    past it — the write half of the bounded-tail read path."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
+        NativeOrcAppender,
+    )
+
+    path = str(tmp_path / "growing.orc")
+    ap = NativeOrcAppender(path, "k bigint, s string", row_index_stride=500)
+    ap.add_stripe({"k": list(range(1_000)), "s": [f"a{v}" for v in range(1_000)]})
+    len1 = ap.publish()
+    ap.add_stripe(
+        {"k": list(range(1_000, 2_500)), "s": [f"b{v}" for v in range(1_500)]}
+    )
+    len2 = ap.publish()
+    assert len2 > len1
+
+    # bounded readers see exactly their committed prefix
+    m1 = ft.parse_tail_of_file(path, max_file_length=len1)
+    assert m1["n_rows"] == 1_000
+    m2 = ft.parse_tail_of_file(path, max_file_length=len2)
+    assert m2["n_rows"] == 2_500
+
+    # append a third stripe WITHOUT publishing: the file now ends in
+    # raw stripe bytes (a torn tail for any naive reader), but the
+    # len2-bounded reader still parses the committed prefix
+    ap.add_stripe({"k": [9_999], "s": ["tail"]})
+    m2b = ft.parse_tail_of_file(path, max_file_length=len2)
+    assert m2b["n_rows"] == 2_500
+    # an UNBOUNDED read of the torn file is undefined — it either
+    # raises or parses garbage; only the side-file length is
+    # trustworthy mid-write (exactly why the protocol exists)
+    try:
+        torn = ft.parse_tail_of_file(path)
+        assert torn["n_rows"] != 2_501
+    except Exception:
+        pass
+
+    summary = ap.close()
+    assert summary["n_rows"] == 2_501 and summary["n_stripes"] == 3
+    # the closed file is a normal ORC file for every reader
+    assert ft.parse_tail_of_file(path)["n_rows"] == 2_501
+    got = spark.read.orc(path)
+    assert got.count() == 2_501
+    assert got.filter("k = 9999").collect()[0]["s"] == "tail"
+    native = _native_columns(path, ["k"])
+    assert native["k"] == list(range(2_500)) + [9_999]
