@@ -846,3 +846,47 @@ def test_appender_readable_while_writing(tmp_path, spark):
     assert got.filter("k = 9999").collect()[0]["s"] == "tail"
     native = _native_columns(path, ["k"])
     assert native["k"] == list(range(2_500)) + [9_999]
+
+
+def test_unaligned_stride_bit_offsets_seek_exactly(tmp_path, spark):
+    """Row-group strides NOT divisible by 8 make the PRESENT and
+    boolean-DATA bitfields record NONZERO bit-offset position slots
+    (the partial byte at a boundary is emitted with the NEXT group).
+    Both the native decoder's seeks and the JVM reader's PPD must land
+    exactly — this is the only layout that exercises that slot."""
+    n = 2_000
+    stride = 300  # 300 % 8 == 4 -> nonzero bit offsets at boundaries
+    cols = {
+        "k": list(range(n)),
+        "b": [None if v % 5 == 3 else (v % 3 == 0) for v in range(n)],
+        "flag": [v % 7 == 2 for v in range(n)],  # no nulls: DATA bitfield
+    }
+    path = str(tmp_path / "unaligned.orc")
+    write_orc_native(
+        path, cols, "k int, b boolean, flag boolean",
+        compression="zlib", row_index_stride=stride,
+    )  # fmt: skip
+    # positions of group 1+ must carry a bit-offset slot != 0
+    meta = ft.parse_tail_of_file(path)
+    ids = {c["name"]: c["col_id"] for c in meta["columns"]}
+    entry1 = ft.parse_row_index(path, ids["b"])[0][1]["positions"]
+    assert any(s != 0 for s in entry1), entry1
+    # native seek into a middle group decodes the right values
+    audit: dict = {}
+    got = _native_columns(path, ["k", "b", "flag"],
+                          tree=("equals", "k", 1_234), audit=audit)  # fmt: skip
+    assert audit["groups_decoded"] == 1
+    idx = got["k"].index(1_234)
+    assert got["b"][idx] == cols["b"][1_234]
+    assert got["flag"][idx] == cols["flag"][1_234]
+    # whole-group equality around the seek point
+    g0 = (1_234 // stride) * stride
+    assert got["k"] == list(range(g0, min(g0 + stride, n)))
+    assert got["b"] == cols["b"][g0 : g0 + stride]
+    assert got["flag"] == cols["flag"][g0 : g0 + stride]
+    # JVM PPD point lookup through the same positions
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    r = spark.read.orc(path).filter("k = 1111").collect()[0]
+    assert r["b"] == cols["b"][1_111] and r["flag"] == cols["flag"][1_111]
+    # full-file agreement
+    assert spark.read.orc(path).count() == n
