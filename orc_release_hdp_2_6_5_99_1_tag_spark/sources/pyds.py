@@ -729,6 +729,8 @@ def _build_orc_native_class():
         files = sorted(glob.glob(os.path.join(path, "*.orc")))
         if not files:
             raise FileNotFoundError(f"no .orc files under {path}")
+        if _use_side_file(options):
+            files = [_bounded_view(f) for f in files]
         # evolved lakes (C1): the READER schema is ELECTED — the file
         # whose schema is a widening-supertype of every other file's
         # (r11 verdict #2: no caller hint; a lake whose oldest file
@@ -777,6 +779,62 @@ def _build_orc_native_class():
             "1", "true", "yes",
         )
 
+    def _use_side_file(options) -> bool:
+        """`.option("use_side_file", "true")`: readable-while-writing —
+        each file with a `<name>.flush_length` side file is read AS IF
+        it ended at that committed length (the reference's
+        `OrcConf.MAX_FILE_LENGTH:118-121` / `_flush_length` protocol,
+        honored at `ReaderImpl.extractFileTail:515`), so a lake that
+        contains a GROWING appender file (NativeOrcAppender, or any
+        writer publishing intermediate footers) scans its durable
+        prefix and never the torn bytes past it."""
+        return str(options.get("use_side_file", "")).lower() in (
+            "1", "true", "yes",
+        )
+
+    def _bounded_view(path: str):
+        """The committed [0, flush_length) byte view of a growing
+        file, as a real file the unmodified scan chain reads (the s23
+        materialize-the-prefix discipline, kept out of the shared
+        decode path by design). Cached per (file, bound) — a new
+        publish is a new bound, so repeated polls of an unchanged
+        bound cost one stat; stale bounds of the same file are
+        removed. Files without a side file pass through untouched."""
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        side = path + ".flush_length"
+        if not os.path.exists(side):
+            return path
+        with open(side) as fh:
+            bound = int(fh.read().strip())
+        if bound >= os.path.getsize(path):
+            return path
+        tag = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+        views = os.path.join(tempfile.gettempdir(), "orc_native_views")
+        os.makedirs(views, exist_ok=True)
+        view = os.path.join(views, f"{tag}-{bound}.orc")
+        if not os.path.exists(view):
+            for stale in os.listdir(views):
+                if stale.startswith(f"{tag}-"):
+                    try:
+                        os.remove(os.path.join(views, stale))
+                    except OSError:
+                        pass
+            tmp = view + ".tmp"
+            with open(path, "rb") as src, open(tmp, "wb") as dst:
+                remaining = bound
+                while remaining > 0:
+                    chunk = src.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    dst.write(chunk)
+                    remaining -= len(chunk)
+            os.replace(tmp, view)
+        return view
+
     class OrcNativeReader(DataSourceReader):
         def __init__(self, options: dict, first=None, meta=None):
             self._path = options["path"]
@@ -789,6 +847,7 @@ def _build_orc_native_class():
                 self._columns = _default_columns(meta)
             self._audit_dir = options.get("audit_dir")
             self._force_positional = _force_positional(options)
+            self._use_side = _use_side_file(options)
             # orc.tolerate.missing.schema parity (OrcConf.java:85-89,
             # default true): strict mode refuses best-effort positional
             # reconciliation of pre-HIVE-4243 files at scan time
@@ -822,6 +881,10 @@ def _build_orc_native_class():
             files = sorted(glob.glob(os.path.join(self._path, "*.orc")))
             if not files:
                 raise FileNotFoundError(f"no .orc files under {self._path}")
+            if self._use_side:
+                # bounded views are built DRIVER-side (partition
+                # planning), so tasks scan plain complete files
+                files = [_bounded_view(f) for f in files]
             return [InputPartition(f) for f in files]
 
         def _arrow_schema(self, meta):

@@ -890,3 +890,59 @@ def test_unaligned_stride_bit_offsets_seek_exactly(tmp_path, spark):
     assert r["b"] == cols["b"][1_111] and r["flag"] == cols["flag"][1_111]
     # full-file agreement
     assert spark.read.orc(path).count() == n
+
+
+def test_orc_native_datasource_reads_growing_appender_file(spark, tmp_path):
+    """Live readable-while-writing, native both ways: the appender
+    grows one file with published intermediate tails + a
+    `.flush_length` side file; `spark.read.format("orc_native")` with
+    `use_side_file=true` scans exactly the committed prefix while torn
+    bytes sit past it — and sees MORE rows after the next publish."""
+    import os as _os
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
+        NativeOrcAppender,
+    )
+    from orc_release_hdp_2_6_5_99_1_tag_spark.sources.pyds import (
+        register_orc_native,
+    )
+
+    register_orc_native(spark)
+    d = tmp_path / "growing_lake"
+    d.mkdir()
+    path = str(d / "g.orc")
+    side = path + ".flush_length"
+    ap = NativeOrcAppender(path, "k bigint, s string", row_index_stride=200)
+    ap.add_stripe({"k": list(range(400)), "s": [f"a{v}" for v in range(400)]})
+    with open(side, "w") as fh:
+        fh.write(str(ap.publish()))
+    # torn growth past the committed tail
+    ap.add_stripe({"k": [10_000], "s": ["torn"]})
+
+    df = (
+        spark.read.format("orc_native")
+        .option("path", str(d))
+        .option("use_side_file", "true")
+        .load()
+    )
+    assert df.count() == 400
+    assert df.agg({"k": "max"}).collect()[0][0] == 399
+
+    # the writer publishes again: the side file advances, readers see
+    # the new prefix (fresh load — DataSource planning is per-load)
+    with open(side, "w") as fh:
+        fh.write(str(ap.publish()))
+    df2 = (
+        spark.read.format("orc_native")
+        .option("path", str(d))
+        .option("use_side_file", "true")
+        .load()
+    )
+    assert df2.count() == 401
+    assert df2.filter("k = 10000").collect()[0]["s"] == "torn"
+    ap.close()
+    _os.remove(side)  # closed file: a plain lake again
+    assert (
+        spark.read.format("orc_native").option("path", str(d)).load().count()
+        == 401
+    )
