@@ -946,3 +946,71 @@ def test_orc_native_datasource_reads_growing_appender_file(spark, tmp_path):
         spark.read.format("orc_native").option("path", str(d)).load().count()
         == 401
     )
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: write -> native read is the identity
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _ints = hst.one_of(
+        hst.none(),
+        hst.integers(min_value=-(2**63), max_value=2**63 - 1),
+        hst.sampled_from([0, -1, 1, 2**62, -(2**62), 255, -256]),
+    )
+    _strs = hst.one_of(
+        hst.none(), hst.text(max_size=20), hst.sampled_from(["", "\x00", "é∂"])
+    )
+    _dbls = hst.floats(allow_nan=True, allow_infinity=True, width=64)
+    _dates = hst.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31))
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )  # fmt: skip
+    @given(
+        rows=hst.lists(
+            hst.tuples(_ints, _strs, _dbls, hst.one_of(hst.none(), _dates)),
+            min_size=0, max_size=250,
+        ),
+        stride=hst.sampled_from([1, 3, 7, 100, 10_000]),
+        stripe_rows=hst.sampled_from([5, 64, 10_000]),
+        comp=hst.sampled_from(["none", "zlib"]),
+    )  # fmt: skip
+    def test_writer_roundtrip_property(rows, stride, stripe_rows, comp):
+        """write_orc_native → scan_file is the identity over random
+        rows, int64 boundary values, unicode strings, NaN/inf doubles,
+        extreme dates, and DEGENERATE layouts (stride 1 = one row
+        group per row — maximal position-record pressure)."""
+        import tempfile
+
+        cols = {
+            "a": [r[0] for r in rows],
+            "s": [r[1] for r in rows],
+            "d": [r[2] for r in rows],
+            "dt": [r[3] for r in rows],
+        }
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "prop.orc")
+            write_orc_native(
+                path, cols, "a bigint, s string, d double, dt date",
+                compression=comp, row_index_stride=stride,
+                stripe_rows=stripe_rows,
+            )  # fmt: skip
+            if not rows:
+                assert ft.parse_tail_of_file(path)["n_rows"] == 0
+                return
+            got = _native_columns(path, ["a", "s", "d", "dt"])
+        assert got["a"] == cols["a"]
+        assert got["s"] == cols["s"]
+        assert got["dt"] == cols["dt"]
+        assert _fold_nan(got["d"]) == _fold_nan(cols["d"])
