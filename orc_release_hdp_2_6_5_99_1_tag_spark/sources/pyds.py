@@ -371,17 +371,19 @@ def register_jsonl_sink(spark) -> None:
 
 def _build_orc_native_sink_class():
     """Factory (by-value pickling): `df.write.format("orc_native_sink")`
-    — each task serializes its partition to one ORC file with the
-    pure-Python writer (`sources/orc_encode.write_orc_native`:
-    RLEv2/byte-RLE/bitfield streams, dictionary cutover, row-group
-    index positions, stats, optional UTF8 blooms), under the same
-    TWO-PHASE commit as jsonl_sink (per-task hidden temps, driver
-    publishes part-NNNNN.orc atomically, abort removes finished
-    temps). The ORC schema derives from the DataFrame schema — no
-    schema option to drift out of sync.
+    — each task STREAMS its partition to one ORC file through the
+    pure-Python appender (`sources/orc_encode.NativeOrcAppender`,
+    stripe by stripe: RLEv2/byte-RLE/bitfield streams, dictionary
+    cutover, row-group index positions, stats, optional UTF8 blooms),
+    under the same TWO-PHASE commit as jsonl_sink (per-task hidden
+    temps, driver publishes part-NNNNN.orc atomically, abort removes
+    finished temps). The ORC schema derives from the DataFrame schema
+    — no schema option to drift out of sync.
 
     Scale: the write is embarrassingly parallel (one file per
-    partition, no driver data); the per-value Python encode is the
+    partition, no driver data) and task memory is bounded by ONE
+    stripe's rows (the JVM writer's own memory shape — a partition of
+    any size streams through); the per-value Python encode is the
     parity tier's documented cost — production bulk writes stay on
     the JVM writer (`orc_io.write_orc`), this sink exists to prove
     write-side format parity end-to-end (JVM readers consume the
@@ -428,31 +430,52 @@ def _build_orc_native_sink_class():
             from pyspark import TaskContext
 
             from orc_release_hdp_2_6_5_99_1_tag_spark.sources.orc_encode import (
-                write_orc_native,
+                NativeOrcAppender,
             )
 
             pid = TaskContext.get().partitionId()
             if pid == self._fail_partition:
                 raise RuntimeError(f"injected failure in partition {pid}")
-            cols: dict[str, list] = {n: [] for n in self._names}
-            n = 0
+            # STREAM stripe by stripe through the appender: task memory
+            # is bounded by one stripe's rows (the JVM writer's own
+            # memory shape), never the whole partition
+            ap = None
+            tmp = None
+            buf: dict[str, list] = {n: [] for n in self._names}
+            pending = 0
+            total = 0
+
+            def _flush():
+                nonlocal ap, tmp, pending, total, buf
+                if ap is None:
+                    os.makedirs(self._dir, exist_ok=True)
+                    tmp = os.path.join(
+                        self._dir, f"_tmp-{uuid.uuid4().hex}.orc"
+                    )
+                    ap = NativeOrcAppender(
+                        tmp, self._ddl,
+                        compression=self._comp,
+                        row_index_stride=self._stride,
+                        dictionary_key_threshold=self._dict_thresh,
+                        bloom_filter_columns=self._blooms,
+                    )  # fmt: skip
+                ap.add_stripe(buf)
+                total += pending
+                buf = {n: [] for n in self._names}
+                pending = 0
+
             for row in iterator:
                 for name, v in zip(self._names, row):
-                    cols[name].append(v)
-                n += 1
-            if n == 0:  # empty partition: publish nothing
+                    buf[name].append(v)
+                pending += 1
+                if pending >= self._stripe_rows:
+                    _flush()
+            if pending:
+                _flush()
+            if ap is None:  # empty partition: publish nothing
                 return OrcCommit(tmp_path=None, n_rows=0)
-            os.makedirs(self._dir, exist_ok=True)
-            tmp = os.path.join(self._dir, f"_tmp-{uuid.uuid4().hex}.orc")
-            write_orc_native(
-                tmp, cols, self._ddl,
-                compression=self._comp,
-                stripe_rows=self._stripe_rows,
-                row_index_stride=self._stride,
-                dictionary_key_threshold=self._dict_thresh,
-                bloom_filter_columns=self._blooms,
-            )  # fmt: skip
-            return OrcCommit(tmp_path=tmp, n_rows=n)
+            ap.close()
+            return OrcCommit(tmp_path=tmp, n_rows=total)
 
         def commit(self, messages):
             import os
