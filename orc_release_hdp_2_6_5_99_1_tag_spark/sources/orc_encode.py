@@ -495,6 +495,65 @@ def _closest_width(n: int) -> int:
     return 64
 
 
+class _RLEv1Writer:
+    """RunLengthIntegerWriter (version 1 — what v0.11 files carry):
+    control 0..127 = a run of (control + 3) values stepping by one
+    SIGNED byte delta from a varint base; control 128..255 =
+    (256 - control) literal varints. Same flush-at-group-boundary
+    contract as the v2 writer (run-offset position slot stays 0)."""
+
+    def __init__(self, out: _OutStream, signed: bool):
+        self._out = out
+        self._signed = signed
+        self._buf: list[int] = []
+
+    def write(self, v: int) -> None:
+        self._buf.append(v)
+
+    def write_all(self, vs: list[int]) -> None:
+        self._buf.extend(vs)
+
+    def _varint(self, v: int) -> bytes:
+        return _uvarint(_zz_enc(v)) if self._signed else _uvarint(v)
+
+    def flush(self) -> None:
+        v = self._buf
+        n = len(v)
+        i = 0
+        while i < n:
+            # constant-delta run (delta must fit one signed byte)
+            if i + 2 < n:
+                d = v[i + 1] - v[i]
+                if -128 <= d <= 127 and v[i + 2] - v[i + 1] == d:
+                    j = i + 2
+                    while j + 1 < n and j + 1 - i < 130 and v[j + 1] - v[j] == d:
+                        j += 1
+                    run = j + 1 - i
+                    self._out.write(bytes((run - 3, d & 0xFF)))
+                    self._out.write(self._varint(v[i]))
+                    i = j + 1
+                    continue
+            # literals until the next run of >= 3 starts (max 128)
+            j = i
+            while j < n and j - i < 128:
+                if (
+                    j + 2 < n
+                    and -128 <= v[j + 1] - v[j] <= 127
+                    and v[j + 2] - v[j + 1] == v[j + 1] - v[j]
+                ):
+                    break
+                j += 1
+            count = j - i
+            self._out.write(bytes((256 - count,)))
+            for x in v[i:j]:
+                self._out.write(self._varint(x))
+            i = j
+        self._buf = []
+
+    def pos(self) -> list[int]:
+        return self._out.pos() + [0]
+
+
 # ---------------------------------------------------------------------------
 # column statistics builders (ColumnStatisticsImpl analogs)
 # ---------------------------------------------------------------------------
@@ -738,15 +797,44 @@ class _NodeBase:
         return gstats
 
 
+def _enforce_char_length(v: str, kind: str, max_len: int) -> str:
+    """CharTreeWriter/VarcharTreeWriter write-side length enforcement
+    (WriterImpl.java:1487-1616): char writes EXACTLY maximumLength
+    bytes (truncate longer, space-pad shorter); varchar truncates.
+    The reference truncates at BYTE offsets; this surface holds `str`
+    values, so a cut that would split a multi-byte character backs
+    off to the previous character boundary (the invalid-UTF-8 byte
+    sequence the Java writer can emit is unreachable from `str`)."""
+    b = v.encode("utf-8")
+    if len(b) > max_len:
+        # a cut inside a multi-byte character drops the partial
+        # sequence (= back off to the previous character boundary)
+        v = b[:max_len].decode("utf-8", errors="ignore")
+        b = v.encode("utf-8")
+    if kind == "char" and len(b) < max_len:
+        v = v + " " * (max_len - len(b))
+    return v
+
+
 class _PrimitiveNode(_NodeBase):
     def distribute(self, vals: list[Any]) -> None:
+        ml = self.node["max_length"]
+        if self.kind in ("char", "varchar") and ml:
+            vals = [
+                None if v is None else _enforce_char_length(v, self.kind, ml)
+                for v in vals
+            ]
         self.groups.append(vals)
 
     def _elect_encoding(self) -> None:
         k = self.kind
+        v11 = self.opts["version"] == "0.11"
         if k in ("smallint", "int", "bigint", "date", "timestamp", "decimal",
                  "binary"):  # fmt: skip
-            self.encoding = "DIRECT_V2"
+            # v0.11 files carry RLEv1 integer streams under the plain
+            # encoding names; 0.12 the *_V2 pair (WriterImpl
+            # isNewWriteFormat switch)
+            self.encoding = "DIRECT" if v11 else "DIRECT_V2"
         elif k in ("string", "char", "varchar"):
             non_null = [v for g in self.groups for v in g if v is not None]
             distinct = set(non_null)
@@ -754,12 +842,12 @@ class _PrimitiveNode(_NodeBase):
             if non_null and len(distinct) / len(non_null) <= self.opts[
                 "dictionary_key_threshold"
             ]:
-                self.encoding = "DICTIONARY_V2"
+                self.encoding = "DICTIONARY" if v11 else "DICTIONARY_V2"
                 self._dict = sorted(distinct)
                 self._dict_ids = {s: i for i, s in enumerate(self._dict)}
                 self.dictionary_size = len(self._dict)
             else:
-                self.encoding = "DIRECT_V2"
+                self.encoding = "DIRECT" if v11 else "DIRECT_V2"
         else:  # boolean, tinyint, float, double
             self.encoding = "DIRECT"
 
@@ -861,7 +949,7 @@ class _ListNode(_NodeBase):
 
     def __init__(self, name, node, opts, registry):
         super().__init__(name, node, opts)
-        self.encoding = "DIRECT_V2"
+        self.encoding = "DIRECT" if opts["version"] == "0.11" else "DIRECT_V2"
         self.child = _build_node_writer(
             f"{name}._elem" if name else None, node["children"][0][1],
             opts, registry,
@@ -880,7 +968,10 @@ class _ListNode(_NodeBase):
         block = self.opts["compression_block_size"]
         present_out, present = self._mk_present()
         len_out = _OutStream(comp, block)
-        lengths = _RLEv2Writer(len_out, False)
+        _LenRLE = (
+            _RLEv1Writer if self.encoding == "DIRECT" else _RLEv2Writer
+        )
+        lengths = _LenRLE(len_out, False)
         for group in self.groups:
             if present is not None:
                 present.group_boundary()
@@ -912,7 +1003,7 @@ class _MapNode(_NodeBase):
 
     def __init__(self, name, node, opts, registry):
         super().__init__(name, node, opts)
-        self.encoding = "DIRECT_V2"
+        self.encoding = "DIRECT" if opts["version"] == "0.11" else "DIRECT_V2"
         self.key = _build_node_writer(
             f"{name}._key" if name else None, node["children"][0][1],
             opts, registry,
@@ -943,7 +1034,10 @@ class _MapNode(_NodeBase):
         block = self.opts["compression_block_size"]
         present_out, present = self._mk_present()
         len_out = _OutStream(comp, block)
-        lengths = _RLEv2Writer(len_out, False)
+        _LenRLE = (
+            _RLEv1Writer if self.encoding == "DIRECT" else _RLEv2Writer
+        )
+        lengths = _LenRLE(len_out, False)
         for group in self.groups:
             if present is not None:
                 present.group_boundary()
@@ -1045,11 +1139,16 @@ class _PrimitiveEncoder:
         self.encoding = encoding
         self._meta = meta
         mk = lambda: _OutStream(comp, block)  # noqa: E731
+        # RLE version keys off the COLUMN ENCODING, exactly like the
+        # reader's _int_rle (TreeReaderFactory.createIntegerReader)
+        _IntRLE = (
+            _RLEv1Writer if encoding in ("DIRECT", "DICTIONARY") else _RLEv2Writer
+        )
         self._streams: list[tuple[str, _OutStream]] = []
         k = kind
         if k in ("smallint", "int", "bigint", "date"):
             self._data_out = mk()
-            self._data = _RLEv2Writer(self._data_out, True)
+            self._data = _IntRLE(self._data_out, True)
             self._streams = [("DATA", self._data_out)]
         elif k == "tinyint":
             self._data_out = mk()
@@ -1065,20 +1164,20 @@ class _PrimitiveEncoder:
             self._streams = [("DATA", self._data_out)]
         elif k == "timestamp":
             self._data_out, self._sec_out = mk(), mk()
-            self._data = _RLEv2Writer(self._data_out, True)
-            self._secondary = _RLEv2Writer(self._sec_out, False)
+            self._data = _IntRLE(self._data_out, True)
+            self._secondary = _IntRLE(self._sec_out, False)
             self._streams = [("DATA", self._data_out), ("SECONDARY", self._sec_out)]
         elif k == "decimal":
             self._data_out, self._sec_out = mk(), mk()
-            self._secondary = _RLEv2Writer(self._sec_out, True)
+            self._secondary = _IntRLE(self._sec_out, True)
             self._streams = [("DATA", self._data_out), ("SECONDARY", self._sec_out)]
         elif k in ("string", "char", "varchar", "binary"):
-            if encoding == "DICTIONARY_V2":
+            if encoding in ("DICTIONARY", "DICTIONARY_V2"):
                 self._data_out = mk()  # dictionary ids
-                self._data = _RLEv2Writer(self._data_out, False)
+                self._data = _IntRLE(self._data_out, False)
                 self._dict_ids = dict_ids
                 len_out, dict_out = mk(), mk()
-                lw = _RLEv2Writer(len_out, False)
+                lw = _IntRLE(len_out, False)
                 for s in dict_sorted:
                     b = s.encode("utf-8")
                     lw.write(len(b))
@@ -1091,7 +1190,7 @@ class _PrimitiveEncoder:
                 ]
             else:
                 self._data_out, self._len_out = mk(), mk()
-                self._lengths = _RLEv2Writer(self._len_out, False)
+                self._lengths = _IntRLE(self._len_out, False)
                 self._streams = [
                     ("DATA", self._data_out),
                     ("LENGTH", self._len_out),
@@ -1113,7 +1212,7 @@ class _PrimitiveEncoder:
         if k == "timestamp" or k == "decimal":
             self._secondary.flush()
         if k in ("string", "char", "varchar", "binary"):
-            if self.encoding == "DICTIONARY_V2":
+            if self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
                 self._data.flush()
             else:
                 self._lengths.flush()
@@ -1134,7 +1233,7 @@ class _PrimitiveEncoder:
             return self._data.pos() + self._secondary.pos()
         if k == "decimal":
             return self._data_out.pos() + self._secondary.pos()
-        if self.encoding == "DICTIONARY_V2":
+        if self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
             return self._data.pos()
         return self._data_out.pos() + self._lengths.pos()
 
@@ -1170,7 +1269,7 @@ class _PrimitiveEncoder:
                 )
                 self._data_out.write(_unbounded_zz_varint(unscaled))
                 self._secondary.write(scale)
-        elif self.encoding == "DICTIONARY_V2":
+        elif self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
             self._data.write_all([self._dict_ids[v] for v in vals])
         else:  # string family / binary, DIRECT_V2
             for v in vals:
@@ -1189,7 +1288,7 @@ class _PrimitiveEncoder:
         if k == "decimal":
             self._secondary.flush()
         if k in ("string", "char", "varchar", "binary"):
-            if self.encoding == "DICTIONARY_V2":
+            if self.encoding in ("DICTIONARY", "DICTIONARY_V2"):
                 self._data.flush()
             else:
                 self._lengths.flush()
@@ -1553,7 +1652,8 @@ def _encode_tail(
     ps = _pb_varint(1, len(footer_framed))
     ps += _pb_varint(2, _COMP_CODE[comp])
     ps += _pb_varint(3, block)
-    ps += _pb_bytes(4, _uvarint(0) + _uvarint(12))  # version 0.12
+    minor = 11 if opts["version"] == "0.11" else 12
+    ps += _pb_bytes(4, _uvarint(0) + _uvarint(minor))  # file version
     ps += _pb_varint(5, len(metadata_framed))
     ps += _pb_varint(6, 6)  # WriterVersion ORC_135 (OrcFile.java:177)
     ps += _pb_bytes(8000, b"ORC")
@@ -1565,11 +1665,15 @@ def _encode_tail(
 def _writer_opts(
     compression, compression_block_size, row_index_stride,
     dictionary_key_threshold, bloom_filter_columns, bloom_filter_fpp,
+    version="0.12",
 ) -> dict:
     comp = compression.lower()
     if comp not in ("none", "zlib", "snappy", "lz4", "zstd"):
         raise ValueError(f"unsupported write compression {compression!r}")
+    if version not in ("0.11", "0.12"):
+        raise ValueError(f"unsupported ORC file version {version!r}")
     return {
+        "version": version,
         "compression": comp,
         "compression_block_size": compression_block_size,
         "row_index_stride": row_index_stride,
@@ -1591,8 +1695,13 @@ def write_orc_native(
     bloom_filter_columns: tuple[str, ...] = (),
     bloom_filter_fpp: float = 0.05,
     compression_block_size: int = 262_144,
+    version: str = "0.12",
 ) -> dict:
-    """Write an ORC v0.12 file without the JVM. `columns` maps column
+    """Write an ORC file without the JVM (file version 0.12 by
+    default; `version="0.11"` emits the pre-RLEv2 format — RLEv1
+    integer streams under the plain DIRECT/DICTIONARY encodings, the
+    exact shape the reference's 0.11 writer produced and the golden
+    orc-file-11-format.orc carries). `columns` maps column
     name → list of Python values (None = NULL); all lists must share
     one length. Returns a summary {n_rows, n_stripes, bytes,
     encodings}. Layout per PhysicalFsWriter: "ORC" header, stripes
@@ -1604,6 +1713,7 @@ def write_orc_native(
     opts = _writer_opts(
         compression, compression_block_size, row_index_stride,
         dictionary_key_threshold, bloom_filter_columns, bloom_filter_fpp,
+        version,
     )
     cols = [columns[name] for name, _n in top]
     n_rows = len(cols[0]) if cols else 0

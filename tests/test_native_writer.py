@@ -424,6 +424,19 @@ def test_decimal_and_char_varchar_native(tmp_path):
     native = _native_columns(path, ["c", "v", "m"])
     assert native["c"] == ["ab", "cd", "ef"]
     assert native["m"] == [Decimal("1.50"), Decimal("-2.25"), Decimal("0.00")]
+    # write-side length enforcement (WriterImpl.java:1487-1616): char
+    # pads/truncates to EXACTLY max_length bytes, varchar truncates
+    p2 = str(tmp_path / "cv2.orc")
+    write_orc_native(
+        p2,
+        {"c": ["x", "abcdef", None], "v": ["toolong", "ok", "ü¢€"]},
+        "c char(3), v varchar(4)",
+    )
+    n2 = _native_columns(p2, ["c", "v"])
+    assert n2["c"] == ["x  ", "abc", None]
+    # "ü¢€" is 2+2+3 utf-8 bytes; a 4-byte cut would split "¢" — the
+    # str surface backs off to the character boundary
+    assert n2["v"] == ["tool", "ok", "ü¢"]
     # decimal stats are HiveDecimal.toString (trailing zeros stripped)
     assert cols["m"]["typed"] == {"min": "-2.25", "max": "1.5", "sum": "-0.75"}
 
@@ -985,8 +998,9 @@ if _HAVE_HYP:
         stride=hst.sampled_from([1, 3, 7, 100, 10_000]),
         stripe_rows=hst.sampled_from([5, 64, 10_000]),
         comp=hst.sampled_from(["none", "zlib"]),
+        version=hst.sampled_from(["0.11", "0.12"]),
     )  # fmt: skip
-    def test_writer_roundtrip_property(rows, stride, stripe_rows, comp):
+    def test_writer_roundtrip_property(rows, stride, stripe_rows, comp, version):
         """write_orc_native → scan_file is the identity over random
         rows, int64 boundary values, unicode strings, NaN/inf doubles,
         extreme dates, and DEGENERATE layouts (stride 1 = one row
@@ -1004,7 +1018,7 @@ if _HAVE_HYP:
             write_orc_native(
                 path, cols, "a bigint, s string, d double, dt date",
                 compression=comp, row_index_stride=stride,
-                stripe_rows=stripe_rows,
+                stripe_rows=stripe_rows, version=version,
             )  # fmt: skip
             if not rows:
                 assert ft.parse_tail_of_file(path)["n_rows"] == 0
@@ -1014,3 +1028,59 @@ if _HAVE_HYP:
         assert got["s"] == cols["s"]
         assert got["dt"] == cols["dt"]
         assert _fold_nan(got["d"]) == _fold_nan(cols["d"])
+
+
+def test_v011_write_mode_three_readers(tmp_path, spark):
+    """version="0.11" emits the pre-RLEv2 format: RLEv1 integer
+    streams under plain DIRECT/DICTIONARY encodings and a 0.11
+    postscript — the shape the golden orc-file-11-format.orc carries.
+    The native decoder's RLEv1 path (RUN_COUNTER v1_*), pyarrow, and
+    the embedded Java reader all agree."""
+    import pyarrow.orc as po
+
+    n = 5_000
+    cols = {
+        "k": list(range(n)),
+        "s": [None if v % 13 == 7 else f"name_{v % 20}" for v in range(n)],
+        "u": [f"uniq{v}" for v in range(n)],
+        "d": [Decimal(v) / 4 for v in range(n)],
+        "ts": [
+            dt.datetime(2010, 6, 1, 8, 0, 0) + dt.timedelta(seconds=v)
+            for v in range(n)
+        ],
+        "b": [v % 3 == 1 for v in range(n)],
+    }
+    path = str(tmp_path / "v011.orc")
+    summary = write_orc_native(
+        path, cols, "k bigint, s string, u string, d decimal(10,2), "
+        "ts timestamp, b boolean",
+        version="0.11", row_index_stride=1_000,
+    )  # fmt: skip
+    assert summary["encodings"]["k"] == "DIRECT"
+    assert summary["encodings"]["s"] == "DICTIONARY"
+    assert summary["encodings"]["u"] == "DIRECT"
+    meta = ft.parse_tail_of_file(path)
+    assert meta["magic"] == "ORC" and meta["n_rows"] == n
+    sf0 = ft.parse_stripe_footers(path)[0]
+    kinds = {e["kind"] for e in sf0["encodings"]}
+    assert "DIRECT_V2" not in kinds and "DICTIONARY_V2" not in kinds
+
+    sd.RUN_COUNTER.clear()
+    native = _native_columns(path, ["k", "s", "u", "d", "ts", "b"])
+    assert native["k"] == cols["k"]
+    assert native["s"] == cols["s"]
+    assert native["u"] == cols["u"]
+    assert [str(x) for x in native["d"]] == [f"{x:.2f}" for x in cols["d"]]
+    assert native["ts"] == cols["ts"]
+    assert native["b"] == cols["b"]
+    assert sd.RUN_COUNTER.get("v1_run", 0) >= 1
+    assert sd.RUN_COUNTER.get("v1_literal", 0) >= 1
+
+    got = po.ORCFile(path).read().to_pydict()
+    assert got["k"] == cols["k"] and got["s"] == cols["s"]
+    assert got["ts"] == cols["ts"]
+
+    df = spark.read.orc(path)
+    assert df.count() == n
+    assert df.filter("u = 'uniq4321'").collect()[0]["k"] == 4_321
+    assert df.agg({"d": "sum"}).collect()[0][0] == sum(cols["d"])
