@@ -1789,12 +1789,14 @@ class NativeOrcAppender:
         bloom_filter_columns: tuple[str, ...] = (),
         bloom_filter_fpp: float = 0.05,
         compression_block_size: int = 262_144,
+        version: str = "0.12",
     ):
         self._top = parse_schema(schema)
         _root, self._flat = _flatten_schema(self._top)
         self._opts = _writer_opts(
             compression, compression_block_size, row_index_stride,
             dictionary_key_threshold, bloom_filter_columns, bloom_filter_fpp,
+            version,
         )
         self._fh = open(path, "wb")
         self._fh.write(b"ORC")

@@ -421,6 +421,7 @@ def _build_orc_native_sink_class():
             )
             blooms = options.get("bloom_filter_columns", "")
             self._blooms = tuple(c for c in blooms.split(",") if c)
+            self._version = options.get("version", "0.12")
             self._fail_partition = int(options.get("fail_partition", -1))
 
         def write(self, iterator):
@@ -458,6 +459,7 @@ def _build_orc_native_sink_class():
                         row_index_stride=self._stride,
                         dictionary_key_threshold=self._dict_thresh,
                         bloom_filter_columns=self._blooms,
+                        version=self._version,
                     )  # fmt: skip
                 ap.add_stripe(buf)
                 total += pending

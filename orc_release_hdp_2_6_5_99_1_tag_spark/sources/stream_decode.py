@@ -125,9 +125,16 @@ class InStream:
         else:
             header = next(provider)
             sub = next(provider)
-            if self._length == 0:
-                # zero-length stream (all-null column): the index still
-                # records [0, 0] positions but there is no chunk to load
+            if header >= self._length:
+                # a position AT (or past) the stream's end: zero-length
+                # streams (all-null column) and row groups whose column
+                # ran dry in an earlier group both record end-of-stream
+                # positions — there is no chunk to load, and the group
+                # will read zero values from this stream (the Java
+                # InStream positions at the limit the same way)
+                self._chunk = b""
+                self._chunk_pos = 0
+                self._next_header = header
                 return
             self._load_chunk(header)
             self._chunk_pos = sub
