@@ -49,6 +49,24 @@ def get_spark(app_name: str = "orc-hdp-spark-engine") -> SparkSession:
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Long-lived-driver hygiene (r13 optimization round, guide §5/§7):
+        # a harness session executes hundreds of queries in ONE JVM, and
+        # the status stores retain per-execution plan graphs + metrics
+        # (default 1000 executions / 1000 jobs) — measured live-heap
+        # growth (24k SQLPlanMetric objects mid-bench) plus listener-bus
+        # work that scales with retained state. Cap retention: the
+        # engine never serves a history UI.
+        .config("spark.sql.ui.retainedExecutions", "30")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        # Unreferenced broadcast/RDD blocks are only reclaimed when the
+        # ContextCleaner sees their refs collected; the default periodic
+        # GC (30 min) never fires inside a bench/driver session, so
+        # hundreds of per-query broadcast hash relations accumulate in
+        # the block store. 5 min bounds that without measurable pause
+        # cost (same setting is standard for long-running drivers).
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
@@ -58,6 +76,15 @@ def get_spark(app_name: str = "orc-hdp-spark-engine") -> SparkSession:
         # broadcast builds were observed to OOM at ~100k-doc corpora
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        # Commit the heap up front (-Xms = -Xmx): G1 otherwise starts at
+        # a 2 GiB committed size and runs hundreds of young/concurrent
+        # cycles while it decides to grow — measured 452 young + 164
+        # concurrent cycles in the first 10 minutes of a bench session.
+        # Cluster deployments size executor JVMs themselves.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
     return builder.getOrCreate()
 
