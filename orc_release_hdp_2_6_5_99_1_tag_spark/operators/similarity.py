@@ -479,8 +479,7 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_cosine_similarity.
     """
     from orc_release_hdp_2_6_5_99_1_tag_spark.operators.clustering import (
-        _lit_vec,
-        _sq_dist,
+        _argmin_cid_sql,
     )
 
     from pyspark import StorageLevel
@@ -495,19 +494,12 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def code_expr(books, m):
         """Argmin codeword id for subspace m against literal codebook
-        `books[m]` (struct ordering ties to the lower cid)."""
-        sub = F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(sub, _lit_vec(c)).alias("d"),
-                        F.lit(int(cid)).alias("cid"),
-                    )
-                    for cid, c in books[m]
-                ]
-            )
-        )["cid"]
+        `books[m]` (struct ordering ties to the lower cid). Built as
+        ONE parsed SQL string — the py4j-per-literal construction cost
+        of the 4×8×16 codebook tree was 2.8s per build, measured r13
+        (see clustering._lit_vec_sql); the analyzed plan is identical."""
+        sub = f"slice(v, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+        return F.expr(_argmin_cid_sql(sub, books[m]))
 
     # init codebooks: ONE collect of the first-K vectors, sliced per
     # subspace driver-side (k1's first-k recipe, all subspaces at once)
