@@ -107,11 +107,11 @@ def _update_plan(assigned: DataFrame, dim: int) -> DataFrame:
     static and whole-stage-codegen'd."""
     sums = assigned.groupBy("cluster").agg(
         F.count("*").alias("n"),
-        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        *[F.expr(f"sum(v[{i}]) AS s{i}") for i in range(dim)],
     )
     return sums.select(
         "cluster",
-        F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("c"),
+        F.expr("array(" + ",".join(f"s{i} / n" for i in range(dim)) + ")").alias("c"),
     )
 
 

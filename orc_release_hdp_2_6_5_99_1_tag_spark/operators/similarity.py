@@ -539,12 +539,14 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_rows.groupBy("m", "cluster")
         .agg(
             F.count("*").alias("n"),
-            *[F.sum(F.element_at("sub", i + 1)).alias(f"s{i}") for i in range(_PQ_DSUB)],
+            *[F.expr(f"sum(sub[{i}]) AS s{i}") for i in range(_PQ_DSUB)],
         )
         .select(
             "m",
             "cluster",
-            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(_PQ_DSUB)]).alias("c"),
+            F.expr(
+                "array(" + ",".join(f"s{i} / n" for i in range(_PQ_DSUB)) + ")"
+            ).alias("c"),
         )
         .collect()
     )

@@ -98,27 +98,60 @@ def _nanos_as_long_ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
 
 
-def _load_generic(spark: SparkSession, path: str) -> DataFrame:
-    """Generic table load, robust to a nanos-generation drift in ANY
-    timestamp column (Spark's reader rejects TIMESTAMP(NANOS)): nanos
-    columns are read as long through an EXPLICIT schema (no session
-    conf is touched — race-free under concurrent queries) and
-    converted to micros. Zero-cost when no column is nanos (the footer
-    check is metadata only, and today none are).
-    """
+# (footer file, mtime_ns, size) -> (DDL string or "", [nanos cols]).
+# Metadata only — a few hundred bytes per table, never row data; keyed
+# on the file identity so a driver-regenerated testdata invalidates it.
+_DDL_CACHE: dict[tuple[str, int, int], tuple[str, list[str]]] = {}
+
+
+def _explicit_ddl(path: str) -> tuple[str, list[str]]:
+    """(Spark DDL, nanos columns) for a parquet file's footer schema,
+    from the pyarrow footer (~1 ms) — or ("", []) when the footer
+    carries a type `_nanos_as_long_ddl` does not map (callers fall
+    back to Spark's inference). Motivation (r13 optimization round,
+    guide §6 repeated-listing/planning costs): `spark.read.parquet`
+    pays ~150-180 ms of JVM schema inference PER CALL, and a query
+    re-resolves every table it loads on every run — q5 touches six
+    tables, ~0.9 s of pure driver planning per execution. An explicit
+    schema cuts the call to ~20-50 ms and was verified `==` to the
+    inferred StructType for every testdata table at all three SFs
+    (pinned by tests/test_00_schema_contract.py)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    f = _footer_file(path)
+    st = os.stat(f)
+    key = (f, st.st_mtime_ns, st.st_size)
+    hit = _DDL_CACHE.get(key)
+    if hit is None:
+        schema = pq.read_schema(f)
+        ns_cols = [
+            fld.name
+            for fld in schema
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+        ]
+        try:
+            hit = (_nanos_as_long_ddl(schema), ns_cols)
+        except ValueError:
+            hit = ("", ns_cols)
+        _DDL_CACHE[key] = hit
+    return hit
+
+
+def _load_generic(spark: SparkSession, path: str) -> DataFrame:
+    """Generic table load through an EXPLICIT footer-derived schema
+    (planning cost — see `_explicit_ddl`; inference fallback for
+    unmapped types), robust to a nanos-generation drift in ANY
+    timestamp column (Spark's reader rejects TIMESTAMP(NANOS)): nanos
+    columns are read as long — no session conf is touched, race-free
+    under concurrent queries — and converted to micros.
+    """
     import pyspark.sql.functions as F
 
-    schema = pq.read_schema(_footer_file(path))
-    ns_cols = [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
-    if not ns_cols:
+    ddl, ns_cols = _explicit_ddl(path)
+    if not ddl:
         return spark.read.parquet(path)
-    df = spark.read.schema(_nanos_as_long_ddl(schema)).parquet(path)
+    df = spark.read.schema(ddl).parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
@@ -143,16 +176,12 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     t = events_ts_parquet_type(path)
     if pa.types.is_timestamp(t) and t.unit == "ns":
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(_footer_file(path))
-        df = spark.read.schema(_nanos_as_long_ddl(schema)).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_generic(spark, path)  # ns ts -> micros conversion
     if pa.types.is_integer(t):
         to_micros = _epoch_micros_expr(path)
-        df = spark.read.parquet(path)
+        df = _load_generic(spark, path)
         return df.withColumn("ts", F.timestamp_micros(to_micros))
-    df = spark.read.parquet(path)
+    df = _load_generic(spark, path)
     if isinstance(df.schema["ts"].dataType, TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -332,3 +332,31 @@ def test_scratch_caches_rebuild_on_source_change(spark, tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join("/root/repo/.scratch", "sffp"), ignore_errors=True)
+
+
+def test_explicit_ddl_matches_inference(spark):
+    """r13 optimization: `_load_generic` reads through an explicit
+    footer-derived schema (~20 ms) instead of JVM inference
+    (~150-180 ms per call, paid per table per query execution). The
+    contract is exact StructType equality with what inference would
+    have produced — for every table at every SF present — so the
+    planning-cost saving can never change a query's schema. The
+    unmapped-type fallback path is exercised separately by
+    test_generic_loader_handles_nanos_in_any_table."""
+    from orc_release_hdp_2_6_5_99_1_tag_spark.tables import _explicit_ddl
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        for table in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            ddl, ns_cols = _explicit_ddl(path)
+            if not ddl or ns_cols:
+                continue  # fallback/conversion generations: covered elsewhere
+            inferred = spark.read.parquet(path).schema
+            explicit = spark.read.schema(ddl).parquet(path).schema
+            assert explicit == inferred, (
+                f"{sf}/{table}: explicit schema diverges from inference\n"
+                f"  explicit: {explicit}\n  inferred: {inferred}"
+            )
