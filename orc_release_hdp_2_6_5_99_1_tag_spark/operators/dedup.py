@@ -123,30 +123,38 @@ FROM g
 """
 
 
+def _minhash_agg_exprs(with_size: bool = False) -> list:
+    """The 16 per-permutation min aggregates as parsed SQL strings —
+    one py4j call each instead of ~6 (r13 driver-construction cost;
+    see clustering._lit_vec_sql for the measured pattern)."""
+    aggs = [
+        F.expr(f"min(({a} * h + {b}) % {_P}) AS m{k}")
+        for k, (a, b) in enumerate(_PERMS)
+    ]
+    if with_size:
+        aggs.append(F.expr("count(1) AS n"))
+    return aggs
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """16 minhash values per doc: min over shingles of (a*h + b) % P."""
     sh = _shingles(d)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
-        for k, (a, b) in enumerate(_PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_minhash_agg_exprs())
 
 
 def _band_buckets(sig: DataFrame) -> DataFrame:
     """Band the signature: band hash = md5 of 4 concatenated minhashes."""
     bands = []
     for b in range(_N_BANDS):
-        cols = [F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
-            )
+        cols = ", ".join(
+            f"CAST(m{b * _BAND_ROWS + r} AS STRING)" for r in range(_BAND_ROWS)
         )
-    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
+        bands.append(
+            f"struct({b} AS band_idx, md5(concat_ws(',', {cols})) AS band_hash)"
+        )
+    return sig.select(
+        "doc_id", F.expr("explode(array(" + ",".join(bands) + "))").alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
 def verified_dup_pairs(d: DataFrame) -> DataFrame:
@@ -175,11 +183,7 @@ def verified_dup_pairs(d: DataFrame) -> DataFrame:
     sh = sh_hashed.select("doc_id", "s")
     # one groupBy produces the 16 minhashes AND the set size (merging
     # the `sizes` aggregation in saves a full shuffle of the shingle set)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{k}")
-        for k, (a, b) in enumerate(_PERMS)
-    ] + [F.count(F.lit(1)).alias("n")]
-    sig = sh_hashed.groupBy("doc_id").agg(*aggs)
+    sig = sh_hashed.groupBy("doc_id").agg(*_minhash_agg_exprs(with_size=True))
     buckets = _band_buckets(sig)
     # join-strategy note (measured in scripts/scale_stress.py): these
     # joins are corpus-sized on both sides. AQE's runtime-size-based

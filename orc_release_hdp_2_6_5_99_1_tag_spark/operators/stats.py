@@ -43,26 +43,26 @@ def a1_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount_nullable", F.nullif(F.col("l_discount"), F.lit(0.0))
     )
     cols = _NUM_COLS + ["l_discount_nullable", "l_returnflag"]
+    # the 80-expression agg list is built as parsed SQL strings — one
+    # py4j call each instead of ~6 per expression (r13: the Column-
+    # composed build cost ~0.35s of driver time per execution; see
+    # clustering._lit_vec_sql for the measured pattern). Expression
+    # semantics are unchanged (same analyzed operators).
     aggs = []
     for c in cols:
         is_num = c != "l_returnflag"
+        sum_sql = (
+            "CAST(CAST(CAST(sum(CAST(floor(`{c}` * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4))"
+            " / 10000 AS DECIMAL(38,4)) AS STRING)".format(c=c)
+            if is_num
+            else "CAST(NULL AS STRING)"
+        )
         aggs += [
-            F.count(F.col(c)).alias(f"{c}__n"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            (
-                (
-                    F.sum(F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("bigint")).cast(
-                        "decimal(38,4)"
-                    )
-                    / 10000
-                )
-                .cast("decimal(38,4)")
-                .cast("string")
-                if is_num
-                else F.lit(None).cast("string")
-            ).alias(f"{c}__sum"),
+            F.expr(f"count(`{c}`) AS `{c}__n`"),
+            F.expr(f"count(CASE WHEN `{c}` IS NULL THEN 1 END) AS `{c}__nulls`"),
+            F.expr(f"CAST(min(`{c}`) AS STRING) AS `{c}__min`"),
+            F.expr(f"CAST(max(`{c}`) AS STRING) AS `{c}__max`"),
+            F.expr(f"{sum_sql} AS `{c}__sum`"),
         ]
     wide = l.agg(*aggs)
     stack_expr = ", ".join(
@@ -1318,6 +1318,14 @@ def _ams_sign(col, r: int):
     return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
 
 
+def _ams_sign_sql(col_sql: str, r: int) -> str:
+    """SQL twin of `_ams_sign` — the 32-estimator agg list is built as
+    parsed strings (one py4j call per estimator instead of ~10; see
+    clustering._lit_vec_sql for the measured pattern)."""
+    h = f"CAST(conv(substring(md5(concat('{r}:', {col_sql})), 1, 8), 16, 10) AS BIGINT)"
+    return f"CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END"
+
+
 def sk6_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS (Alon-Matias-Szegedy 1996) F2 sketch over the events
     user_id frequency vector: R=32 independent ±1-signed running sums
@@ -1338,7 +1346,7 @@ def sk6_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k")
     )
     sk = e.agg(
-        *[F.sum(_ams_sign(F.col("k"), r)).alias(f"s{r}") for r in range(_AMS_R)],
+        *[F.expr(f"sum({_ams_sign_sql('k', r)}) AS s{r}") for r in range(_AMS_R)],
         F.count(F.lit(1)).alias("n_rows"),
     )
     exact = (
