@@ -18,8 +18,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.functions import (
-    as_char,
-    as_varchar,
     union_decode,
     union_encode,
     union_tag,
@@ -75,101 +73,78 @@ def c2_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→int truncates toward zero where DuckDB rounds (oracle
     TRUNCs explicitly)."""
     l = load_table(spark, sf_dir, "lineitem")
-    base = l.filter(F.col("l_orderkey") <= 200)
-    return base.select(
+    base = l.where("l_orderkey <= 200")
+    # the 40+-direction select is built as ONE selectExpr (r13: the
+    # Column-composed build cost ~0.4s of py4j driver time per
+    # execution — see clustering._lit_vec_sql; double literals carry
+    # the D suffix so literal types match the old Column build
+    # bit-for-bit, and the DuckDB oracle pins every direction's values)
+    return base.selectExpr(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_linenumber").cast("bigint").alias("i_to_big"),
-        F.col("l_linenumber").cast("double").alias("i_to_dbl"),
-        F.col("l_orderkey").cast("string").alias("i_to_str"),
-        F.col("l_quantity").cast("decimal(10,2)").cast("string").alias("dbl_to_dec_str"),
-        F.col("l_discount").cast("string").alias("dbl_to_str"),
-        F.col("l_orderkey").cast("string").cast("int").alias("str_roundtrip_int"),
-        F.col("l_returnflag").try_cast("int").alias("str_to_int_null"),
-        F.col("l_discount").cast("string").cast("double").alias("str_to_dbl"),
-        F.col("l_shipdate").cast("date").cast("string").alias("ts_to_date_str"),
-        F.date_format("l_shipdate", "yyyy-MM-dd").cast("date").cast("string").alias("str_to_date_str"),
-        F.col("l_shipdate").cast("string").alias("ts_to_str"),
-        (F.col("l_linenumber") * 100000).cast("timestamp").cast("string").alias("int_secs_to_ts_str"),
-        as_char(F.col("l_returnflag"), 3).alias("char3"),
-        as_varchar(F.col("l_linestatus"), 1).alias("varchar1"),
-        # --- ConvertTreeReaderFactory directions added in round 2 ---
-        # decimal→int truncates toward zero (HiveDecimal.longValue());
-        # DuckDB's decimal→int ROUNDS, so the oracle TRUNCs explicitly.
-        (F.col("l_quantity") + 0.5).cast("decimal(10,2)").cast("int").alias("dec_to_int"),
-        F.col("l_quantity").cast("decimal(10,2)").cast("double").alias("dec_to_dbl"),
-        # decimal→timestamp: seconds since epoch (whole-second values so
-        # the fraction rendering can't diverge between engines)
-        F.col("l_quantity").cast("decimal(10,2)").cast("timestamp").cast("string").alias("dec_to_ts_str"),
-        # timestamp→int: epoch seconds (reference TimestampConvertTreeReader)
-        F.timestamp_seconds(F.col("l_orderkey") * 1000 + F.col("l_linenumber"))
-        .cast("bigint")
-        .alias("ts_to_int_secs"),
-        F.col("l_shipdate").cast("timestamp").cast("bigint").alias("date_ts_to_secs"),
-        # double→int truncation (same TRUNC hazard as decimal→int)
-        (F.col("l_extendedprice") / 100.0).cast("int").alias("dbl_to_int"),
-        F.col("l_linenumber").cast("decimal(12,3)").cast("string").alias("int_to_dec_str"),
-        # string↔binary: UTF-8 bytes both ways
-        F.hex(F.col("l_returnflag").cast("binary")).alias("str_to_bin_hex"),
-        F.col("l_linestatus").cast("binary").cast("string").alias("bin_to_str"),
-        # float→string: shortest round-trip repr of the float32 value
-        F.col("l_discount").cast("float").cast("string").alias("flt_to_str"),
-        F.col("l_tax").cast("float").cast("double").alias("flt_to_dbl"),
-        # bigint→float narrowing
-        F.col("l_orderkey").cast("float").cast("string").alias("big_to_flt_str"),
-        # boolean lattice: int→boolean (nonzero=true), boolean→string
-        (F.col("l_linenumber") % 2).cast("boolean").alias("int_to_bool"),
-        (F.col("l_quantity") > 25).cast("string").alias("bool_to_str"),
-        # string→timestamp / string→decimal (null-on-error via try_cast)
-        F.concat(F.col("l_shipdate").cast("string"), F.lit(" 00:00:00"))
-        .try_cast("timestamp")
-        .cast("string")
-        .alias("str_to_ts_str"),
-        F.col("l_returnflag").try_cast("decimal(10,2)").alias("str_to_dec_null"),
-        # integer narrowing chain (bigint→int→smallint→tinyint)
-        (F.col("l_orderkey") % 100).cast("smallint").alias("big_to_small"),
-        F.col("l_linenumber").cast("tinyint").alias("int_to_tiny"),
+        "CAST(l_linenumber AS BIGINT) AS i_to_big",
+        "CAST(l_linenumber AS DOUBLE) AS i_to_dbl",
+        "CAST(l_orderkey AS STRING) AS i_to_str",
+        "CAST(CAST(l_quantity AS DECIMAL(10,2)) AS STRING) AS dbl_to_dec_str",
+        "CAST(l_discount AS STRING) AS dbl_to_str",
+        "CAST(CAST(l_orderkey AS STRING) AS INT) AS str_roundtrip_int",
+        "TRY_CAST(l_returnflag AS INT) AS str_to_int_null",
+        "CAST(CAST(l_discount AS STRING) AS DOUBLE) AS str_to_dbl",
+        "CAST(CAST(l_shipdate AS DATE) AS STRING) AS ts_to_date_str",
+        "CAST(CAST(date_format(l_shipdate, 'yyyy-MM-dd') AS DATE) AS STRING) AS str_to_date_str",
+        "CAST(l_shipdate AS STRING) AS ts_to_str",
+        "CAST(CAST(l_linenumber * 100000 AS TIMESTAMP) AS STRING) AS int_secs_to_ts_str",
+        "rpad(substring(l_returnflag, 1, 3), 3, ' ') AS char3",
+        "substring(l_linestatus, 1, 1) AS varchar1",
+        # decimal->int truncates toward zero (HiveDecimal.longValue());
+        # DuckDB's decimal->int ROUNDS, so the oracle TRUNCs explicitly.
+        "CAST(CAST(l_quantity + 0.5D AS DECIMAL(10,2)) AS INT) AS dec_to_int",
+        "CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS dec_to_dbl",
+        # decimal->timestamp: seconds since epoch (whole-second values so
+        # the fraction rendering cannot diverge between engines)
+        "CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS TIMESTAMP) AS STRING) AS dec_to_ts_str",
+        # timestamp->int: epoch seconds (reference TimestampConvertTreeReader)
+        "CAST(timestamp_seconds(l_orderkey * 1000 + l_linenumber) AS BIGINT) AS ts_to_int_secs",
+        "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) AS date_ts_to_secs",
+        # double->int truncation (same TRUNC hazard as decimal->int)
+        "CAST(l_extendedprice / 100.0D AS INT) AS dbl_to_int",
+        "CAST(CAST(l_linenumber AS DECIMAL(12,3)) AS STRING) AS int_to_dec_str",
+        # string<->binary: UTF-8 bytes both ways
+        "hex(CAST(l_returnflag AS BINARY)) AS str_to_bin_hex",
+        "CAST(CAST(l_linestatus AS BINARY) AS STRING) AS bin_to_str",
+        # float->string: shortest round-trip repr of the float32 value
+        "CAST(CAST(l_discount AS FLOAT) AS STRING) AS flt_to_str",
+        "CAST(CAST(l_tax AS FLOAT) AS DOUBLE) AS flt_to_dbl",
+        # bigint->float narrowing
+        "CAST(CAST(l_orderkey AS FLOAT) AS STRING) AS big_to_flt_str",
+        # boolean lattice: int->boolean (nonzero=true), boolean->string
+        "CAST(l_linenumber % 2 AS BOOLEAN) AS int_to_bool",
+        "CAST(l_quantity > 25 AS STRING) AS bool_to_str",
+        # string->timestamp / string->decimal (null-on-error via try_cast)
+        "CAST(TRY_CAST(concat(CAST(l_shipdate AS STRING), ' 00:00:00') AS TIMESTAMP) AS STRING) AS str_to_ts_str",
+        "TRY_CAST(l_returnflag AS DECIMAL(10,2)) AS str_to_dec_null",
+        # integer narrowing chain (bigint->int->smallint->tinyint)
+        "CAST(l_orderkey % 100 AS SMALLINT) AS big_to_small",
+        "CAST(l_linenumber AS TINYINT) AS int_to_tiny",
         # decimal rescale (precision/scale widening)
-        F.col("l_quantity")
-        .cast("decimal(10,2)")
-        .cast("decimal(14,4)")
-        .cast("string")
-        .alias("dec_rescale_str"),
+        "CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS STRING) AS dec_rescale_str",
         # --- round-3: the exotic tail of the lattice -----------------
-        # char/varchar ↔ timestamp corners (reference
+        # char/varchar <-> timestamp corners (reference
         # ConvertTreeReaderFactory char/varchar group delegates to the
         # string readers with pad/truncate semantics)
-        as_char(F.col("l_shipdate").cast("date").cast("string"), 10)
-        .try_cast("date")
-        .cast("string")
-        .alias("char_to_date_str"),
-        as_char(F.col("l_shipdate").cast("string"), 13).alias("ts_to_char13"),
-        as_varchar(
-            F.concat(F.col("l_shipdate").cast("date").cast("string"), F.lit(" 00:00:00")),
-            19,
-        )
-        .try_cast("timestamp")
-        .cast("string")
-        .alias("varchar_to_ts_str"),
-        # char padded numeric → int (cast trims the pad spaces)
-        as_char(F.col("l_linenumber").cast("string"), 5).try_cast("int").alias("char_to_int"),
-        # boolean → integer → string chain (BooleanConvert → AnyInteger)
-        (F.col("l_quantity") > 25).cast("int").cast("string").alias("bool_to_int_str"),
-        # timestamp → decimal: epoch seconds with fractional micros
-        (F.unix_micros(F.timestamp_seconds(F.col("l_orderkey"))).cast("decimal(20,0)")
-         / 1000000)
-        .cast("decimal(20,6)")
-        .cast("string")
-        .alias("ts_to_dec_str"),
-        # double (fractional seconds) → timestamp
-        F.date_format(
-            (F.col("l_linenumber").cast("double") * 86400.5).cast("timestamp"),
-            "yyyy-MM-dd HH:mm:ss.SSSSSS",
-        ).alias("dbl_to_ts_str"),
-        # date → timestamp (midnight promotion)
-        F.col("l_shipdate").cast("date").cast("timestamp").cast("string").alias(
-            "date_to_ts_str"
-        ),
+        "CAST(TRY_CAST(rpad(substring(CAST(CAST(l_shipdate AS DATE) AS STRING), 1, 10), 10, ' ') AS DATE) AS STRING) AS char_to_date_str",
+        "rpad(substring(CAST(l_shipdate AS STRING), 1, 13), 13, ' ') AS ts_to_char13",
+        "CAST(TRY_CAST(substring(concat(CAST(CAST(l_shipdate AS DATE) AS STRING), ' 00:00:00'), 1, 19) AS TIMESTAMP) AS STRING) AS varchar_to_ts_str",
+        # char padded numeric -> int (cast trims the pad spaces)
+        "TRY_CAST(rpad(substring(CAST(l_linenumber AS STRING), 1, 5), 5, ' ') AS INT) AS char_to_int",
+        # boolean -> integer -> string chain (BooleanConvert -> AnyInteger)
+        "CAST(CAST(l_quantity > 25 AS INT) AS STRING) AS bool_to_int_str",
+        # timestamp -> decimal: epoch seconds with fractional micros
+        "CAST(CAST(CAST(unix_micros(timestamp_seconds(l_orderkey)) AS DECIMAL(20,0)) / 1000000 AS DECIMAL(20,6)) AS STRING) AS ts_to_dec_str",
+        # double (fractional seconds) -> timestamp
+        "date_format(CAST(CAST(l_linenumber AS DOUBLE) * 86400.5D AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS dbl_to_ts_str",
+        # date -> timestamp (midnight promotion)
+        "CAST(CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS STRING) AS date_to_ts_str",
     ).orderBy("l_orderkey", "l_linenumber")
 
 

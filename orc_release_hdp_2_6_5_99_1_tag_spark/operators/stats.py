@@ -482,43 +482,44 @@ def a8_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one 15-number partial per partition; scaling constants are
     metadata.
     """
+    # expression lists built as parsed SQL strings — one py4j call per
+    # expression instead of ~6-25 (r13 driver-construction cost; see
+    # clustering._lit_vec_sql). Analyzed operators unchanged.
     l = load_table(spark, sf_dir, "lineitem")
     ints = l.select(
         *[
-            F.round(F.col(c) * s).cast("decimal(38,0)").alias(c)
+            F.expr(f"CAST(round(`{c}` * {s}) AS DECIMAL(38,0)) AS `{c}`")
             for c, s in _A8_COLS
         ]
     )
     names = [c for c, _ in _A8_COLS]
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    aggs = [F.expr("CAST(count(1) AS DECIMAL(38,0)) AS n")]
     for i, x in enumerate(names):
-        aggs.append(F.sum(F.col(x)).alias(f"s_{x}"))
+        aggs.append(F.expr(f"sum(`{x}`) AS `s_{x}`"))
         for y in names[i:]:
-            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"s_{x}_{y}"))
+            aggs.append(F.expr(f"sum(`{x}` * `{y}`) AS `s_{x}_{y}`"))
     m = ints.agg(*aggs)
 
-    def corr(x, y):
+    def corr_sql(x, y):
         # identical double expression shape in the SQL oracle
-        n = F.col("n").cast("double")
-        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
-        sxy = F.col(f"s_{x}_{y}").cast("double")
-        sxx = F.col(f"s_{x}_{x}").cast("double")
-        syy = F.col(f"s_{y}_{y}").cast("double")
-        return F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        n = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+        sxy = f"CAST(s_{x}_{y} AS DOUBLE)"
+        sxx = f"CAST(s_{x}_{x} AS DOUBLE)"
+        syy = f"CAST(s_{y}_{y} AS DOUBLE)"
+        return (
+            f"round(({n} * {sxy} - {sx} * {sy})"
+            f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+            f" * sqrt({n} * {syy} - {sy} * {sy})), 6)"
         )
 
     pairs = [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]]
-    rows = [
-        F.struct(
-            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), corr(x, y).alias("corr")
-        )
+    rows = ",".join(
+        f"struct('{x}' AS col_x, '{y}' AS col_y, {corr_sql(x, y)} AS corr)"
         for x, y in pairs
-    ]
+    )
     return (
-        m.select(F.explode(F.array(*rows)).alias("r"))
+        m.select(F.expr(f"explode(array({rows}))").alias("r"))
         .select("r.col_x", "r.col_y", "r.corr")
         .orderBy("col_x", "col_y")
     )
