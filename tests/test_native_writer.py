@@ -658,7 +658,16 @@ def test_orc_native_sink_abort_leaves_no_partials(spark, tmp_path):
     leftover = os.listdir(out) if os.path.isdir(out) else []
     assert not [f for f in leftover if f.startswith("part-")], leftover
     if leftover:
-        assert spark.read.orc(out).count() == 0
+        # an orphaned "_tmp-" file is hidden to readers; depending on
+        # kill timing the directory may hold ONLY hidden files, in
+        # which case Spark raises UNABLE_TO_INFER_SCHEMA — which
+        # proves the same contract (no reader observes any rows)
+        from pyspark.errors import AnalysisException
+
+        try:
+            assert spark.read.orc(out).count() == 0
+        except AnalysisException:
+            pass
 
 
 def test_orc_native_sink_empty_partitions(spark, tmp_path):
