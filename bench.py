@@ -118,6 +118,38 @@ def _machine_state() -> dict:
     )
     return state
 
+def _jvm_state(spark) -> dict:
+    """GC / heap / code-cache counters from the driver JVM's MXBeans,
+    recorded into bench_last.json only (r13-verdict Next #7: make the
+    in-session degradation tail ATTRIBUTABLE from the artifact — GC vs
+    code cache vs allocator — instead of waited-out). Read-only beans;
+    zero effect on the timed queries or the stdout contract line."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out: dict = {
+            "heap_used_mb": int(heap.getUsed() // 2**20),
+            "heap_committed_mb": int(heap.getCommitted() // 2**20),
+        }
+        gc = {}
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            b = it.next()
+            gc[str(b.getName())] = [int(b.getCollectionCount()), int(b.getCollectionTime())]
+        out["gc_count_ms"] = gc
+        pools = {}
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            p = it.next()
+            name = str(p.getName())
+            if "CodeHeap" in name or "Metaspace" in name or "Code Cache" in name:
+                pools[name] = int(p.getUsage().getUsed() // 2**20)
+        out["nonheap_used_mb"] = pools
+        return out
+    except Exception:
+        return {}
+
+
 # ORC-72 trio + representative operators across the engine's surface
 HEADLINE = [
     "q1_pricing_summary",
@@ -431,6 +463,7 @@ def main() -> None:
     full = dict(result)
     full["machine_state_before"] = load_before
     full["machine_state_after"] = load_after
+    full["jvm_state_end"] = _jvm_state(spark)
     full["queries_headline_stats"] = headline_stats
     full["queries_extended"] = extended
     full["queries_extended_stats"] = extended_stats

@@ -33,11 +33,11 @@ from contextlib import contextmanager
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import LongType, TimestampNTZType
 
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import (
     _epoch_micros_expr,
     _epoch_units_per_second,
+    _explicit_ddl,
     events_ts_parquet_type,
     marker_valid,
     scratch_dir,
@@ -197,14 +197,24 @@ def _events_stream(
             reader = reader.option("maxFilesPerTrigger", "1")
         raw = reader.parquet(src_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    schema = spark.read.parquet(path).schema
+    # reader schema from the parquet FOOTER (~1 ms, cached) instead of
+    # `spark.read.parquet(path).schema` — the JVM inference costs
+    # 150-180 ms PER STREAM CONSTRUCTION and the r* tier constructs
+    # ~14 streams per cold pass (r13's tables.py change, extended to
+    # the streaming reader in r14; same `_explicit_ddl` + fallback)
+    ddl, _ = _explicit_ddl(path)
+    schema = ddl if ddl else spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if multi_batch:
         reader = reader.option("maxFilesPerTrigger", "1")
     raw = reader.parquet(src_dir)
-    if isinstance(schema["ts"].dataType, TimestampNTZType):
+    # dispatch mirrors the previous Spark-inferred-schema branches:
+    # timestamp[us] no-tz ⇒ Spark TIMESTAMP_NTZ ⇒ cast (identity under
+    # the pinned UTC session tz); integer ⇒ footer-stat unit inference;
+    # tz-adjusted timestamp ⇒ already session-tz TIMESTAMP, untouched
+    if pa.types.is_timestamp(t) and t.tz is None:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    elif isinstance(schema["ts"].dataType, LongType):
+    elif pa.types.is_integer(t):
         raw = raw.withColumn("ts", F.timestamp_micros(_epoch_micros_expr(path)))
     return raw
 

@@ -17,7 +17,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import _events_stream
+from orc_release_hdp_2_6_5_99_1_tag_spark.streaming.ingest import (
+    _events_stream,
+    _state_sized_shuffle,
+)
 from orc_release_hdp_2_6_5_99_1_tag_spark.tables import scratch_dir
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value_milli bigint"
@@ -60,14 +63,20 @@ def r3_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state partitions sized to the stream, not the CPU count — every
+    # OTHER stateful stream scoped this (ingest.py `_state_sized_shuffle`,
+    # the r11-measured 13.8→4.7s knob); r3 was the one that never did,
+    # so its stateful exchange committed a CPU-width (32) set of state
+    # stores per micro-batch for per-key state that fits in a few KB
+    with _state_sized_shuffle(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # update mode appends one row per key per batch: keep the final row
     latest = spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

@@ -175,3 +175,74 @@ def test_r12_oracle_sensitive_to_row_budget(spark, sf_dir):
             compare_query(df, con, perturbed)
     finally:
         con.close()
+
+
+def test_a1_scaled_sum_exact_at_huge_magnitudes(spark):
+    """a1's scaled-long arithmetic vs the r13-verdict "literal edge"
+    claim, adjudicated r14 with measurements (OPTIMIZATION_r14.md):
+
+    (a) PER-VALUE floor(c*10000 + 0.5) on a BIGINT COLUMN is exact
+        decimal arithmetic in BOTH engines (Spark types `0.5` as
+        DECIMAL(1,1) ⇒ exact long multiply + decimal add; DuckDB's
+        column path is DECIMAL(21,1)) — they match bit-for-bit through
+        the whole non-overflow range, and both raise LOUDLY past
+        |c|*10000 > 2^63. The verdict-proposed
+        `CAST(c*10000 AS DOUBLE) + 0.5` (= the pre-r13 Column build
+        with F.lit(0.5)) would round the product to double and
+        SILENTLY DIVERGE from DuckDB from |c| ≈ 2^45 — measured:
+        35184372088835*10000 reads ...350016 on the double path vs
+        the exact ...350000 both engines actually produce. So the
+        committed r13 form stays.
+
+    (b) The residual cross-engine hazard is elsewhere: the ORACLE's
+        final `CAST(SUM(..) AS DECIMAL(38,4))/10000` renders through
+        DOUBLE in DuckDB (decimal/int division is double there) while
+        Spark divides in decimal. Guaranteed bit-exact while the
+        DECIMAL(38,4)'s INTERNAL scaled integer (= scaled sum x 10^4
+        = column sum x 10^8) stays under 2^53; past that the
+        decimal->double conversion can round across a 1e-4 quantum
+        (measured: column sum 8e11+3 renders ...3.0001 in DuckDB vs
+        the exact ...3.0000 in Spark), value-dependently — the tested
+        SFs peak at column sums ~2.3e10 where the double error
+        (~5e-6) stays inside the rendered quantum and the oracle
+        matches. Pinned here so a future huge-sum fixture fails THIS
+        test instead of silently drifting the oracle."""
+    import duckdb
+
+    from orc_release_hdp_2_6_5_99_1_tag_spark.operators.stats import (
+        _scaled_sum_sql,
+    )
+
+    con = duckdb.connect()
+    # (a) per-value parity through the hazard range (incl. > 2^45)
+    for v in [2**40 + 1, 2**45 + 3, 9 * 10**14 + 7]:
+        df = spark.createDataFrame([(v,)], "c bigint")
+        (got,) = df.selectExpr(
+            "CAST(floor(`c` * 10000 + 0.5) AS BIGINT) AS s"
+        ).collect()[0]
+        assert got == v * 10000, (v, got)  # exact long product
+        (duck,) = con.execute(
+            f"SELECT CAST(FLOOR(c*10000 + 0.5) AS BIGINT)"
+            f" FROM (SELECT CAST({v} AS BIGINT) AS c)"
+        ).fetchone()
+        assert got == duck, (v, got, duck)
+    def duck_pipeline(v: int) -> str:
+        (duck,) = con.execute(
+            "SELECT CAST(CAST(CAST(SUM(CAST(FLOOR(c*10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4))/10000"
+            f" AS DECIMAL(38,4)) AS VARCHAR) FROM (SELECT CAST({v} AS BIGINT) AS c)"
+        ).fetchone()
+        return duck
+
+    # (b) full-pipeline parity guaranteed while sum x 10^8 < 2^53
+    v = 8 * 10**7 + 3  # internal scaled int 8.0e15 < 2^53 ≈ 9.007e15
+    df = spark.createDataFrame([(v,)], "c bigint")
+    (got,) = df.selectExpr(_scaled_sum_sql("`c`") + " AS s").collect()[0]
+    assert got == duck_pipeline(v) == f"{v}.0000", (got, duck_pipeline(v))
+    # ...and the divergence example past the bound, pinned so the
+    # hazard stays documented-by-execution: Spark's decimal division
+    # stays exact, DuckDB's double rendering rounds up a quantum
+    v = 8 * 10**11 + 3  # internal scaled int 8.0e19 >> 2^53
+    df = spark.createDataFrame([(v,)], "c bigint")
+    (got,) = df.selectExpr(_scaled_sum_sql("`c`") + " AS s").collect()[0]
+    assert got == f"{v}.0000", got
+    assert duck_pipeline(v) == f"{v}.0001", duck_pipeline(v)
