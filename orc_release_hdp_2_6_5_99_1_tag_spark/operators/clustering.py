@@ -153,12 +153,25 @@ def k1_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means corpus clustering: 8 centroids, 3 Lloyd rounds, exact
     per-vector assignment plus per-cluster sizes via a window (the
     quantity a cluster-capping curation step consumes)."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "embeddings")
     assigned = kmeans_assignments(e)
-    sizes = assigned.groupBy("cluster").agg(F.count("*").cast("long").alias("cluster_size"))
+    # per-cluster size as a WINDOW count, not groupBy+self-join: the
+    # join form re-evaluates the k x dim argmin assignment expression
+    # on BOTH legs (no cross-leg CSE without a reusable exchange) and
+    # adds a join + an extra shuffle; the window computes the identical
+    # count after one cluster-keyed exchange of the single assignment
+    # pass (r14, paired A/B in OPTIMIZATION_r14.md)
     return (
-        assigned.join(sizes, "cluster")
-        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "cluster_size")
+        assigned.select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.count("*")
+            .over(Window.partitionBy("cluster"))
+            .cast("long")
+            .alias("cluster_size"),
+        )
         .orderBy("vec_id")
     )
 

@@ -18,11 +18,13 @@ shingles per doc (done) and, if needed, sample shingles by hash range
 
 Cache policy (MEASURED, see verified_dup_pairs): only SMALL,
 expensive-to-recompute subplans are cached — the duplicate-sized
-candidate set (d2/d10) and the argmin cluster assignment (d11).
-Corpus-scale frames (shingle sets, signatures) are deliberately NOT
-cached: at the 1M-doc cold stress point, materializing them cost 2.4x
-more than recomputing their narrow lineage, and at 100 TB they don't
-fit. Cache lifetime is owned by the CALLER's session: a long-lived
+candidate set (d2/d10), the argmin cluster assignment (d11), and
+d18's hot-capped pruned shingle set (referenced 4x in its plan;
+1M-doc A/B r14: cache 21.4s vs recompute 25.7s min, wins every rep).
+d2's corpus-scale frames (full shingle sets, signatures) are
+deliberately NOT cached: at the 1M-doc cold stress point,
+materializing them cost 2.2x more than recomputing their narrow
+lineage (r13 A/B), and at 100 TB they don't fit. Cache lifetime is owned by the CALLER's session: a long-lived
 session running many dedup queries should `spark.catalog.clearCache()`
 between queries (exactly what `bench.py` / `scripts/scale_stress.py`
 do before every timed run) — unpersisting inside the operator would
@@ -1607,6 +1609,8 @@ def d18_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     clear the threshold. The threshold compares the ROUNDED score so
     both engines keep the same boundary rows.
     """
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     all_sh = _shingles(d).select("doc_id", "s")
     hot = (
@@ -1615,7 +1619,17 @@ def d18_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _D18_DF_CAP)
         .select("s")
     )
-    sh = all_sh.join(F.broadcast(hot), "s", "left_anti")
+    # the PRUNED shingle set is referenced 4x in this plan (sizes +
+    # both self-join legs + the df prune feeding them), so unlike
+    # d2's corpus-scale frames (cache measured 2.2x WORSE at 1M docs,
+    # r13) this one is persisted: it is hot-capped (df <= _D18_DF_CAP
+    # bounds it to ~docs x shingles/doc narrow rows) and the 1M-doc
+    # interleaved A/B (scripts/d18_stress_ab.py, r14) reads cache
+    # 21.4s vs recompute 25.7s at min — the cache wins every rep
+    # (53.0 vs 125.3 cold). MEMORY_AND_DISK spills rather than OOMs.
+    sh = all_sh.join(F.broadcast(hot), "s", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))

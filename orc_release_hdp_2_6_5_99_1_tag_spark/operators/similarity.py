@@ -555,9 +555,16 @@ def v4_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         books[r["m"]][r["cluster"]] = list(r["c"])
     codebooks = [sorted(b.items()) for b in books]
 
+    # the encoded corpus is referenced twice below (the distinct-cells
+    # ADC stage and the winning-cell candidate join), and uncached each
+    # reference re-evaluates the M x K x dsub argmin encode over every
+    # row. codes is vec_id + M bytes — exactly the artifact a PQ
+    # deployment STORES as its index — so one materialization is the
+    # honest shape (r14 paired A/B in OPTIMIZATION_r14.md);
+    # MEMORY_AND_DISK spills rather than OOMs at corpus scale.
     codes = e.select(
         "vec_id", *[code_expr(codebooks, m).alias(f"c{m}") for m in range(_PQ_M)]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # serving: LUT[qid][m][cid] = sqdist(query subvector, codeword),
     # materialized as one tiny DataFrame (NQ × M × K rows — kilobytes)
