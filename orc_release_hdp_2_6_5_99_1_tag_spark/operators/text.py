@@ -316,9 +316,20 @@ def x6_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size("t").alias("n_tok"),
         F.size(F.array_distinct("t")).alias("n_uniq"),
+        # bigrams via zip_with over the array and its shifted slice —
+        # NOT transform(sequence(..), i -> .. t[i] ..): this projection
+        # collapses with the split() one above, so every t[i] lambda
+        # reference re-evaluates the regex split per ELEMENT, turning
+        # the per-doc cost quadratic (measured r14: the explode stage
+        # alone 9.98s -> 1.17s at sf0.1, identical rows; x6 end-to-end
+        # 11.1s -> ~2s). zip_with binds elements BY VALUE, so the
+        # collapsed expression evaluates split once per argument.
         F.when(
             F.size("t") >= 2,
-            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"),
+            F.expr(
+                "slice(zip_with(t, slice(t, 2, size(t)-1),"
+                " (x, y) -> concat_ws(' ', x, y)), 1, size(t)-1)"
+            ),
         ).otherwise(F.array(F.lit(None).cast("string"))).alias("bigrams"),
     )
     bg_counts = (

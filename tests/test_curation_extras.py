@@ -523,3 +523,44 @@ def test_w14_twap_matches_python_model(spark, tmp_path):
         assert r["held_us"] == den
         assert r["twap"] == round(float(num / den), 6)
     assert got[0]["twap"] == 25.0 and got[0]["twap_minus_mean"] == 0.0
+
+
+def test_x6_zipwith_bigrams_match_indexed_form(spark):
+    """x6's bigram construction was rewritten r14 from
+    transform(sequence(..), i -> concat_ws(' ', t[i], t[i+1])) to a
+    zip_with over the array and its shifted slice: the indexed form
+    collapses with the split() projection so every t[i] re-evaluates
+    the regex split per element (quadratic per doc; measured 11.1s ->
+    2.35s at sf0.1). This pins VALUE equality of the two forms on the
+    edge shapes: empty text, 1 token, exactly 2, repeats, and
+    multi-whitespace runs."""
+    rows = [
+        (1, ""),
+        (2, "solo"),
+        (3, "a b"),
+        (4, "a a a a"),
+        (5, "x  y\t z   x  y"),
+        (6, "one two three four five"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    t = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    old = t.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"),
+        ).otherwise(F.array(F.lit(None).cast("string"))).alias("bg"),
+    )
+    new = t.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "slice(zip_with(t, slice(t, 2, size(t)-1),"
+                " (x, y) -> concat_ws(' ', x, y)), 1, size(t)-1)"
+            ),
+        ).otherwise(F.array(F.lit(None).cast("string"))).alias("bg"),
+    )
+    a = {r["doc_id"]: r["bg"] for r in old.collect()}
+    b = {r["doc_id"]: r["bg"] for r in new.collect()}
+    assert a == b, (a, b)
